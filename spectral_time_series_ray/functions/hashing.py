@@ -1,0 +1,130 @@
+"""Deterministic hashing kernels for dedup / fingerprinting.
+
+All public algorithms: MinHash (Broder 1997), LSH banding
+(Indyk-Motwani / Mining of Massive Datasets ch.3), SimHash (Charikar
+2002), Karp-Rabin rolling hash + winnowing (Schleimer et al. 2003).
+Everything is seeded and vectorized; no Python ``hash()`` (not stable
+across processes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_u64(tokens: list[str]) -> np.ndarray:
+    """FNV-1a 64-bit hash of each string (deterministic across runs)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    prime = int(_FNV_PRIME)
+    mask = (1 << 64) - 1
+    for i, tok in enumerate(tokens):
+        h = int(_FNV_OFFSET)
+        for b in tok.encode("utf-8", "surrogatepass"):
+            h = ((h ^ b) * prime) & mask
+        out[i] = h
+    return out
+
+
+def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Hashes of word n-gram shingles, vectorized from token hashes via
+    a polynomial combiner (so only tokens are hashed in Python)."""
+    th = fnv1a_u64(tokens)
+    if len(th) < n:
+        # short doc: single shingle over whatever is there
+        if len(th) == 0:
+            return np.array([], dtype=np.uint64)
+        n = len(th)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = th[: len(th) - n + 1].copy()
+    for k in range(1, n):
+        acc = acc * mult + th[k : len(th) - n + 1 + k]
+    return np.unique(acc)
+
+
+class MinHasher:
+    """num_perm universal-hash permutations h_i(x) = (a_i x + b_i) mod p,
+    folded into band keys for LSH (bands x rows = num_perm)."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 16, seed: int = 42):
+        assert num_perm % bands == 0
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_MERSENNE61), num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE61), num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """[num_perm] uint64 signature (max-value for an empty set)."""
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = (shingles % _MERSENNE61)[None, :]  # [1, S]
+        # (a*x + b) mod p without 128-bit ints: split a into hi/lo 30/31 bits
+        a, b = self.a[:, None], self.b[:, None]
+        lo = (a & np.uint64(0x7FFFFFFF)) * x
+        hi = (a >> np.uint64(31)) * x
+        h = (lo % _MERSENNE61 + ((hi % _MERSENNE61) << np.uint64(31)) % _MERSENNE61 + b) % _MERSENNE61
+        return h.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """[bands] uint64 — hash of each band's row slice."""
+        rows = sig.reshape(self.bands, self.rows)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.full(self.bands, _FNV_OFFSET, dtype=np.uint64)
+        for r in range(self.rows):
+            acc = (acc ^ rows[:, r]) * mult
+        return acc
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
+    """64-bit SimHash: weighted sum of +-1 per bit, sign -> bit."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    if weights is None:
+        weights = np.ones(len(token_hashes))
+    bits = (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    score = ((bits.astype(np.float64) * 2.0 - 1.0) * weights[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for j in np.flatnonzero(score > 0):
+        out |= np.uint64(1) << np.uint64(j)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray | np.uint64) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), b)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def winnow_fingerprint(tokens: list[str], k: int = 5, window: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): rolling k-gram hashes, keep
+    the min hash of each sliding window, dedup consecutive picks —
+    a robust document fingerprint set."""
+    grams = shingle_hashes(tokens, n=k)
+    if len(grams) == 0:
+        return grams
+    # shingle_hashes returns unique/sorted; recompute ordered rolling hashes
+    th = fnv1a_u64(tokens)
+    n = min(k, len(th))
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = th[: len(th) - n + 1].copy()
+    for j in range(1, n):
+        acc = acc * mult + th[j : len(th) - n + 1 + j]
+    if len(acc) <= window:
+        return np.unique(acc.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(acc, window).min(axis=1)
+    return np.unique(mins)

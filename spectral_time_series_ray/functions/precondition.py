@@ -1,0 +1,120 @@
+"""Polynomial (Universal Sequence) preconditioning — forward + reverse.
+
+Semantics match the reference implementation
+(`uni2ts/src/uni2ts/transform/precondition.py`):
+
+- Coefficients are the monic Chebyshev / Legendre polynomial of degree
+  n expressed in the power basis, with the leading (x^n) coefficient
+  dropped and the remainder reversed: ``monic_coeffs[:-1][::-1]``
+  (reference precondition.py:140, 174).  Expected fixtures:
+  chebyshev d2 = [0, -0.5], d3 = [0, -0.75, 0],
+  d5 = [0, -1.25, 0, 0.3125, 0]; legendre d2 = [0, -1/3],
+  d3 = [0, -0.6, 0].
+- Forward: ``y~[t] = y[t] + sum_{i=1..n} c[i] * y[t-i]`` for t >= n,
+  identity for t < n (reference precondition.py:253-303).
+- Reverse: ``y[t] = y~[t] - sum_{i=1..n} c[i] * y[t-i]`` computed
+  sequentially left-to-right over already-recovered values; optional
+  ground-truth ``context`` supplies history for the first n steps
+  (reference precondition.py:436-524, the 2025-11-18 context-fix
+  semantics described in the reference's REVERSAL_CONTEXT_BUG_FIX.md).
+
+Invariants (reference test_precondition.py): reverse(forward(x)) == x
+to ~1e-10; first n values identity; dtype preserved; variates
+independent; L1(coeffs) <= 2**(0.3 n).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+POLYNOMIALS = ("chebyshev", "legendre")
+
+
+@lru_cache(maxsize=64)
+def precondition_coefficients(polynomial: str, degree: int) -> np.ndarray:
+    """Monic power-basis coefficients ``[c1..cn]`` (c_i multiplies lag i).
+
+    Computed from numpy's orthogonal-polynomial bases (public API), then
+    made monic and reordered exactly as the reference does.
+    """
+    if degree < 1:
+        raise ValueError(f"degree must be >= 1, got {degree}")
+    basis = np.zeros(degree + 1)
+    basis[degree] = 1.0
+    if polynomial == "chebyshev":
+        from numpy.polynomial.chebyshev import cheb2poly
+
+        coeffs = cheb2poly(basis)  # ascending power order [x^0 .. x^n]
+    elif polynomial == "legendre":
+        from numpy.polynomial.legendre import leg2poly
+
+        coeffs = leg2poly(basis)
+    else:
+        raise ValueError(f"unknown polynomial type: {polynomial!r}")
+    monic = coeffs / coeffs[-1]
+    out = monic[:-1][::-1].copy()
+    out.setflags(write=False)
+    return out
+
+
+def forward_precondition(x: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    """Causal polynomial convolution, vectorized; identity for t < n.
+
+    ``x`` may be 1-D ``[time]`` or 2-D ``[var, time]`` (each variate
+    independent — last axis is time). Dtype is preserved.
+    """
+    coeffs = np.asarray(coeffs)
+    n = len(coeffs)
+    x = np.asarray(x)
+    result = x.copy()
+    t_len = x.shape[-1]
+    if t_len > n:
+        weighted = np.zeros(x.shape[:-1] + (t_len - n,), dtype=x.dtype)
+        for i in range(n):
+            # c[i+1] multiplies y[t-(i+1)]: slice [n-i-1, t_len-i-1)
+            weighted += (coeffs[i] * x[..., n - i - 1 : t_len - i - 1]).astype(
+                x.dtype, copy=False
+            )
+        result[..., n:] = x[..., n:] + weighted
+    return result
+
+
+def reverse_precondition(
+    y: np.ndarray, coeffs: np.ndarray, context: np.ndarray | None = None
+) -> np.ndarray:
+    """Sequential reversal of :func:`forward_precondition`.
+
+    Without context, the first n values are assumed unconditioned
+    (identity) and reversal starts at t = n. With ``context`` (original-
+    scale history preceding ``y``), every step uses history — exactly
+    the reference's GT-context reversal path.
+    Inherently sequential within a series; parallelize across series.
+    """
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    y = np.asarray(y)
+    if y.ndim == 2:
+        rows = [reverse_precondition(row, coeffs, context=None if context is None else context[i])
+                for i, row in enumerate(y)]
+        return np.stack(rows)
+    n = len(coeffs)
+    if context is not None:
+        ctx = np.asarray(context, dtype=np.float64)
+        buf = np.concatenate([ctx, np.zeros(len(y))])
+        off = len(ctx)
+        for t in range(len(y)):
+            tf = off + t
+            acc = 0.0
+            for i in range(1, n + 1):
+                if tf - i >= 0:
+                    acc += coeffs[i - 1] * buf[tf - i]
+            buf[tf] = float(y[t]) - acc
+        return buf[off:].astype(y.dtype, copy=False)
+    result = y.astype(np.float64).copy()
+    for t in range(n, len(y)):
+        acc = 0.0
+        for i in range(1, n + 1):
+            acc += coeffs[i - 1] * result[t - i]
+        result[t] = float(y[t]) - acc
+    return result.astype(y.dtype, copy=False)

@@ -1,0 +1,97 @@
+import numpy as np
+
+from spectral_time_series_ray.functions.hashing import (
+    MinHasher,
+    fnv1a_u64,
+    hamming64,
+    shingle_hashes,
+    simhash64,
+    winnow_fingerprint,
+)
+from spectral_time_series_ray.functions.textstats import (
+    bpe_token_count,
+    detect_language,
+    quality_features,
+    quality_score,
+    whitespace_token_count,
+)
+
+
+def test_fnv_deterministic():
+    a = fnv1a_u64(["hello", "world"])
+    b = fnv1a_u64(["hello", "world"])
+    np.testing.assert_array_equal(a, b)
+    assert a[0] != a[1]
+
+
+def test_minhash_jaccard_estimate():
+    mh = MinHasher(num_perm=256, bands=32, seed=1)
+    t1 = ("the quick brown fox jumps over the lazy dog " * 20).split()
+    t2 = list(t1)
+    t2[10] = "cat"  # near-duplicate
+    s1 = mh.signature(shingle_hashes(t1))
+    s2 = mh.signature(shingle_hashes(t2))
+    est = MinHasher.estimate_jaccard(s1, s2)
+    # true jaccard of shingle sets
+    sh1, sh2 = set(shingle_hashes(t1)), set(shingle_hashes(t2))
+    true = len(sh1 & sh2) / len(sh1 | sh2)
+    assert abs(est - true) < 0.15
+    # identical docs share every band
+    assert (mh.band_keys(s1) == mh.band_keys(mh.signature(shingle_hashes(t1)))).all()
+
+
+def test_minhash_distinct_docs_low_estimate():
+    mh = MinHasher(seed=2)
+    s1 = mh.signature(shingle_hashes("alpha beta gamma delta epsilon zeta".split() * 5))
+    s2 = mh.signature(shingle_hashes("one two three four five six seven".split() * 5))
+    assert MinHasher.estimate_jaccard(s1, s2) < 0.1
+
+
+def test_simhash_near_dup_small_hamming():
+    base = (
+        "large scale distributed data processing engines stream arrow batches "
+        "through actor pools with explicit shuffle partitioning and salting "
+        "while rollup tiers materialize tumbling aggregates per conversation"
+    ).split()
+    toks1 = fnv1a_u64(base * 3)
+    toks2 = fnv1a_u64(base * 3 + ["extra"])
+    toks3 = fnv1a_u64("completely unrelated vocabulary covering gardens birds rivers mountains clouds".split() * 8)
+    h1, h2, h3 = simhash64(toks1), simhash64(toks2), simhash64(toks3)
+    d_near = hamming64(np.array([h1]), h2)[0]
+    d_far = hamming64(np.array([h1]), h3)[0]
+    assert d_near < d_far
+    assert d_near <= 10
+    assert d_far >= 15
+
+
+def test_winnow_fingerprint_stability():
+    toks = "a b c d e f g h i j k l m n o p".split()
+    f1 = winnow_fingerprint(toks)
+    f2 = winnow_fingerprint(toks)
+    np.testing.assert_array_equal(f1, f2)
+    # a shared long substring yields overlapping fingerprints
+    f3 = winnow_fingerprint("x y z".split() + toks)
+    assert len(np.intersect1d(f1, f3)) > 0
+
+
+def test_token_counts():
+    assert whitespace_token_count("one two  three") == 3
+    assert bpe_token_count("it's working, fine!") >= 5
+    assert bpe_token_count("") == 0
+
+
+def test_detect_language():
+    assert detect_language("the cat sat on the mat and it was happy") == "en"
+    assert detect_language("el perro y la casa en un lugar de la mancha") == "es"
+    assert detect_language("der hund und die katze ist in dem haus") == "de"
+    assert detect_language("这是一个中文句子测试语言识别") == "zh"
+    assert detect_language("") == "und"
+    assert detect_language("zzz qqq xxx") == "und"
+
+
+def test_quality():
+    good = "The quick brown fox jumps over the lazy dog and runs far away today."
+    bad = "a a a a a a a a a a"
+    f = quality_features(good)
+    assert f["n_words"] > 5 and 0 < f["stopword_ratio"] < 1
+    assert quality_score(good) > quality_score(bad)

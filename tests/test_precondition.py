@@ -1,0 +1,108 @@
+"""Golden fixtures from FIXTURES.md §3 / reference test_precondition.py."""
+
+import numpy as np
+import pytest
+
+from spectral_time_series_ray.functions.precondition import (
+    forward_precondition,
+    precondition_coefficients,
+    reverse_precondition,
+)
+
+
+@pytest.mark.parametrize(
+    "poly,degree,expected",
+    [
+        ("chebyshev", 2, [0.0, -0.5]),
+        ("chebyshev", 3, [0.0, -0.75, 0.0]),
+        ("chebyshev", 5, [0.0, -1.25, 0.0, 0.3125, 0.0]),
+        ("legendre", 2, [0.0, -1.0 / 3.0]),
+        ("legendre", 3, [0.0, -0.6, 0.0]),
+    ],
+)
+def test_coefficient_fixtures(poly, degree, expected):
+    np.testing.assert_allclose(
+        precondition_coefficients(poly, degree), expected, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("poly", ["chebyshev", "legendre"])
+@pytest.mark.parametrize("degree", [1, 2, 3, 4, 5, 10])
+def test_l1_growth_bound(poly, degree):
+    c = precondition_coefficients(poly, degree)
+    assert np.abs(c).sum() <= 2 ** (0.3 * degree) + 1e-9
+
+
+@pytest.mark.parametrize("poly", ["chebyshev", "legendre"])
+@pytest.mark.parametrize("degree", [2, 3, 5])
+@pytest.mark.parametrize("length", [8, 64, 257])
+def test_roundtrip_identity(poly, degree, length):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(length)
+    c = precondition_coefficients(poly, degree)
+    y = forward_precondition(x, c)
+    np.testing.assert_allclose(reverse_precondition(y, c), x, atol=1e-10)
+
+
+def test_first_n_identity():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(50)
+    c = precondition_coefficients("chebyshev", 4)
+    y = forward_precondition(x, c)
+    np.testing.assert_array_equal(y[:4], x[:4])
+    assert not np.allclose(y[4:], x[4:])
+
+
+def test_differencing_case():
+    # degree-1 monic chebyshev = x => c=[0]: identity; manual c=[-1] = differencing
+    x = np.array([1.0, 3.0, 6.0, 10.0])
+    y = forward_precondition(x, np.array([-1.0]))
+    np.testing.assert_allclose(y, [1.0, 2.0, 3.0, 4.0])
+
+
+def test_dtype_preserved():
+    x = np.random.default_rng(2).standard_normal(32).astype(np.float32)
+    c = precondition_coefficients("chebyshev", 3)
+    y = forward_precondition(x, c)
+    assert y.dtype == np.float32
+    assert reverse_precondition(y, c).dtype == np.float32
+
+
+def test_multivariate_independence():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 40))
+    c = precondition_coefficients("legendre", 3)
+    y = forward_precondition(x, c)
+    for v in range(3):
+        np.testing.assert_allclose(y[v], forward_precondition(x[v], c))
+    np.testing.assert_allclose(reverse_precondition(y, c), x, atol=1e-10)
+
+
+@pytest.mark.parametrize("scale", [1e-8, 1e8])
+def test_numerical_stability(scale):
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(100) * scale
+    c = precondition_coefficients("chebyshev", 5)
+    y = forward_precondition(x, c)
+    np.testing.assert_allclose(reverse_precondition(y, c), x, rtol=1e-8)
+
+
+def test_reverse_with_context():
+    """GT-context reversal (reference precondition.py:465-505): apply
+    forward to [context, seq] jointly, then reverse only the tail with
+    the context supplied — must recover the tail exactly."""
+    rng = np.random.default_rng(5)
+    full = rng.standard_normal(60)
+    c = precondition_coefficients("chebyshev", 4)
+    pre_full = forward_precondition(full, c)
+    ctx_len = 40
+    tail_pre = pre_full[ctx_len:]
+    recovered = reverse_precondition(tail_pre, c, context=full[:ctx_len])
+    np.testing.assert_allclose(recovered, full[ctx_len:], atol=1e-10)
+
+
+def test_short_series_identity():
+    x = np.array([1.0, 2.0])
+    c = precondition_coefficients("chebyshev", 5)
+    np.testing.assert_array_equal(forward_precondition(x, c), x)
+    np.testing.assert_array_equal(reverse_precondition(x, c), x)
