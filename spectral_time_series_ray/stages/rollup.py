@@ -1,0 +1,220 @@
+"""Tiered tumbling rollups (1m / 1h / 1d) — the engine's wide step.
+
+Two paths, matching SURVEY.md §7.3:
+
+- :func:`rollup_exact` — one hash shuffle on ``(key, bucket)``; all
+  stats (count/sum/min/max/mean + exact p50/p99) computed per group.
+  Quantiles are exact (``np.quantile`` linear interpolation, equal to
+  DuckDB ``quantile_cont``) — groups are bounded by turns-per-bucket,
+  so exact in-group quantiles are safe (SURVEY.md §7.4).
+- :func:`rollup_mergeable` — **salted partial pre-aggregation**:
+  vectorized per-batch Arrow ``group_by`` partials (count/sum/min/max)
+  followed by a small final ``groupby().aggregate`` merge. This is the
+  scale path: the shuffle moves one row per (key, bucket[, salt]) per
+  batch instead of every input row. Quantiles are not mergeable and
+  are deliberately absent here (north-star design).
+- :func:`cascade` — re-bucket a finer tier's mergeable rollup into a
+  coarser tier and merge (1m -> 1h -> 1d). Oracle invariant:
+  cascade == direct rollup for all mergeable stats (FIXTURES.md §4).
+
+Grouping semantics model the reference's grouped masked reductions
+(`uni2ts/src/uni2ts/loss/packed/_base.py:76-106` reduce_loss;
+`uni2ts/src/uni2ts/module/packed_scaler.py:78-122`): aggregate over
+observed (non-null) values per group key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import TIER_UNIT
+
+BUCKET_COL = "bucket_ts"
+
+
+def short_name(col: str) -> str:
+    return col.removesuffix("_s")
+
+
+def add_bucket(ds, tier: str, ts_col: str = "ts"):
+    """Tumbling-window assignment: bucket_ts = floor_temporal(ts, tier).
+
+    The reference's windows are stride-enumerated crops over a regular
+    grid (EvalCrop, `uni2ts/src/uni2ts/transform/crop.py:134-147`);
+    with irregular event time the tumbling bucket is the equivalent
+    deterministic window key.
+    """
+    unit = TIER_UNIT[tier]
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(BUCKET_COL, pc.floor_temporal(batch[ts_col], unit=unit))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow")
+
+
+def _group_stats(key: str, value_cols: tuple[str, ...], quantiles: tuple[float, ...]):
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            key: [df[key].iloc[0]],
+            BUCKET_COL: [df[BUCKET_COL].iloc[0]],
+            "n_turns": [len(df)],
+        }
+        for col in value_cols:
+            v = df[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            s = short_name(col)
+            if len(v):
+                out[f"count_{s}"] = [len(v)]
+                out[f"sum_{s}"] = [float(v.sum())]
+                out[f"min_{s}"] = [float(v.min())]
+                out[f"max_{s}"] = [float(v.max())]
+                out[f"mean_{s}"] = [float(v.mean())]
+                for q in quantiles:
+                    out[f"p{int(q * 100)}_{s}"] = [float(np.quantile(v, q))]
+            else:
+                out[f"count_{s}"] = [0]
+                for k in ("sum", "min", "max", "mean"):
+                    out[f"{k}_{s}"] = [np.nan]
+                for q in quantiles:
+                    out[f"p{int(q * 100)}_{s}"] = [np.nan]
+        return pd.DataFrame(out)
+
+    return stats
+
+
+def rollup_exact(
+    ds,
+    tier: str,
+    value_cols: Iterable[str] = ("latency_s", "text_len"),
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+    key: str = "conv_id",
+):
+    """Exact per-(key, bucket) stats incl. quantiles; single shuffle.
+
+    Projects to the needed columns before the shuffle so wide columns
+    (text) never move (SURVEY.md §7.4).
+    """
+    value_cols = tuple(value_cols)
+    ds = add_bucket(ds, tier)
+    ds = ds.select_columns([key, BUCKET_COL, *value_cols])
+    return ds.groupby([key, BUCKET_COL]).map_groups(
+        _group_stats(key, value_cols, quantiles), batch_format="pandas"
+    )
+
+
+def _partial_batch(keys: tuple[str, ...], value_cols: tuple[str, ...]):
+    aggs = [(c, f) for c in value_cols for f in ("count", "sum", "min", "max")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(list(keys)).aggregate(aggs)
+
+    return partial
+
+
+def _merge(ds, keys: list[str], value_cols: tuple[str, ...], style: str):
+    """groupby().aggregate merge of partial stats.
+
+    style='arrow': input columns are Arrow group_by names
+    ('{col}_count', ...); style='merged': input columns are final names
+    ('count_{short}', ...). Output always uses final names.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    aggs = []
+    for col in value_cols:
+        s = short_name(col)
+        cn = {
+            "arrow": (f"{col}_count", f"{col}_sum", f"{col}_min", f"{col}_max"),
+            "merged": (f"count_{s}", f"sum_{s}", f"min_{s}", f"max_{s}"),
+        }[style]
+        aggs += [
+            Sum(cn[0], alias_name=f"count_{s}"),
+            Sum(cn[1], alias_name=f"sum_{s}"),
+            Min(cn[2], alias_name=f"min_{s}"),
+            Max(cn[3], alias_name=f"max_{s}"),
+        ]
+    return ds.groupby(keys).aggregate(*aggs)
+
+
+def _with_means(ds, value_cols: tuple[str, ...]):
+    def finish(batch: pa.Table) -> pa.Table:
+        for col in value_cols:
+            s = short_name(col)
+            if f"mean_{s}" in batch.column_names:
+                batch = batch.drop_columns([f"mean_{s}"])
+            mean = pc.divide(
+                pc.cast(batch[f"sum_{s}"], pa.float64()),
+                pc.cast(batch[f"count_{s}"], pa.float64()),
+            )
+            batch = batch.append_column(f"mean_{s}", mean)
+        return batch
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_mergeable(
+    ds,
+    tier: str,
+    value_cols: Iterable[str] = ("latency_s", "text_len"),
+    key: str = "conv_id",
+    salt: int | None = None,
+):
+    """Salted partial pre-agg -> small merge groupby (the scale path).
+
+    Per-batch Arrow ``group_by`` emits <=1 row per (key, bucket) per
+    batch, so the shuffle moves partials, not raw rows. ``salt`` adds a
+    two-level merge ((key, bucket, salt) then (key, bucket)) to spread
+    degenerate hot groups across reducers (SURVEY.md §4 skew row).
+    """
+    value_cols = tuple(value_cols)
+    ds = add_bucket(ds, tier)
+    ds = ds.select_columns([key, BUCKET_COL, *value_cols])
+    ds = ds.map_batches(
+        _partial_batch((key, BUCKET_COL), value_cols), batch_format="pyarrow"
+    )
+    if salt:
+        def add_salt(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_salt", pa.array(np.arange(len(batch)) % salt, pa.int32())
+            )
+
+        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+        ds = _merge(ds, [key, BUCKET_COL, "_salt"], value_cols, style="arrow")
+        ds = ds.drop_columns(["_salt"])
+        merged = _merge(ds, [key, BUCKET_COL], value_cols, style="merged")
+    else:
+        merged = _merge(ds, [key, BUCKET_COL], value_cols, style="arrow")
+    return _with_means(merged, value_cols)
+
+
+def cascade(
+    rolled_ds,
+    to_tier: str,
+    value_cols: Iterable[str] = ("latency_s", "text_len"),
+    key: str = "conv_id",
+):
+    """Merge a finer tier's mergeable rollup into a coarser tier.
+
+    1h-from-1m == direct-1h for count/sum/min/max/mean (mean derived
+    from merged sums) — the tier-cascade oracle (FIXTURES.md §4).
+    Quantiles are not mergeable; recompute from raw per tier.
+    """
+    value_cols = tuple(value_cols)
+    unit = TIER_UNIT[to_tier]
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index(BUCKET_COL)
+        return batch.set_column(idx, BUCKET_COL, pc.floor_temporal(batch[BUCKET_COL], unit=unit))
+
+    ds = rolled_ds.map_batches(rebucket, batch_format="pyarrow")
+    cols = [key, BUCKET_COL] + [
+        f"{k}_{short_name(c)}" for c in value_cols for k in ("count", "sum", "min", "max")
+    ]
+    ds = ds.select_columns(cols)
+    merged = _merge(ds, [key, BUCKET_COL], value_cols, style="merged")
+    return _with_means(merged, value_cols)
