@@ -1,0 +1,87 @@
+"""Gorilla compression as a stateful actor-pool stage.
+
+``GorillaChunkEncoder`` / ``GorillaChunkDecoder`` are callable classes
+for ``map_batches(cls, concurrency=N, batch_size=B)`` over chunk rows
+produced by ``series.pack_series`` — setup in ``__init__`` (once per
+actor), per-batch work in ``__call__`` (SURVEY.md §2.4 actor-pool
+pattern; per-chunk state resets at conversation boundaries like the
+reference's sample_id reset, `learnable_precondition.py:71-83`).
+
+Values are quantized to a fixed decimal precision BEFORE encoding
+(integer-valued floats XOR-compress to ~1-3 bytes/point; raw random
+mantissas do not compress — see the Gorilla paper §4.1.2 and
+.claude/skills/verify/SKILL.md). ``quantize_digits=None`` keeps full
+precision (bit-exact roundtrip, no compression win on noisy data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.gorilla import decode_chunk, encode_chunk
+
+
+class GorillaChunkEncoder:
+    def __init__(self, quantize_digits: int | None = 3):
+        self.quantize_digits = quantize_digits
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ts_out, val_out, bpp_out, n_out = [], [], [], []
+        scale = None if self.quantize_digits is None else 10.0 ** self.quantize_digits
+        for ts, vals in zip(batch["ts"], batch["values"]):
+            ts = np.asarray(ts, dtype=np.int64)
+            vals = np.asarray(vals, dtype=np.float64)
+            if scale is not None:
+                # round-half-even to fixed decimals, stored as integer-valued
+                # floats so the XOR codec sees long trailing-zero runs
+                vals = np.round(vals * scale)
+            tb, vb, bpp = encode_chunk(ts, vals)
+            ts_out.append(tb)
+            val_out.append(vb)
+            bpp_out.append(bpp)
+            n_out.append(len(vals))
+        out = batch.drop(columns=["ts", "values"]).copy()
+        out["ts_bytes"] = ts_out
+        out["val_bytes"] = val_out
+        out["n_points"] = n_out
+        out["bytes_per_point"] = bpp_out
+        out["quantize_digits"] = self.quantize_digits if scale is not None else -1
+        return out
+
+
+class GorillaChunkDecoder:
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ts_out, val_out = [], []
+        for tb, vb, qd in zip(
+            batch["ts_bytes"], batch["val_bytes"], batch["quantize_digits"]
+        ):
+            ts, vals = decode_chunk(tb, vb)
+            if qd >= 0:
+                vals = vals / (10.0**qd)
+            ts_out.append(ts)
+            val_out.append(vals)
+        out = batch.drop(columns=["ts_bytes", "val_bytes"]).copy()
+        out["ts"] = ts_out
+        out["values"] = val_out
+        return out
+
+
+def compress_chunks(chunk_ds, quantize_digits: int | None = 3, concurrency: int = 4):
+    """Actor-pool Gorilla encode over packed chunk rows."""
+    return chunk_ds.map_batches(
+        GorillaChunkEncoder,
+        fn_constructor_kwargs={"quantize_digits": quantize_digits},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
+def decompress_chunks(enc_ds, concurrency: int = 4):
+    return enc_ds.map_batches(
+        GorillaChunkDecoder,
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )

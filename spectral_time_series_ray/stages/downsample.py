@@ -1,0 +1,98 @@
+"""Spectral downsampling as a stateful actor-pool stage.
+
+Fills the reference's unimplemented ``Downsample`` / ``Subsample``
+slots (`uni2ts/src/uni2ts/transform/resample.py:70-93`) with real
+implementations:
+
+- ``method="welch"``  — Welch periodogram over REGULAR per-conversation
+  rollup series (post gap-fill grids).
+- ``method="lomb"``   — Lomb-Scargle over IRREGULAR series (raw
+  inter-turn intervals; turn events are not on a grid, so FFT methods
+  do not apply — SURVEY.md §7.4).
+
+The downsample output is a fixed-size summary per conversation chunk:
+the top-k (frequency, power) spectral bins — a lossy, constant-width
+sketch of each conversation's temporal rhythm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.spectral import lomb_scargle, top_k_spectrum, welch_psd
+
+
+class SpectralDownsampler:
+    """map_batches actor: one spectral summary row per input chunk row.
+
+    Frequency grid / Welch segment setup happens once per actor.
+    """
+
+    def __init__(
+        self,
+        method: str = "welch",
+        top_k: int = 8,
+        fs: float | None = None,
+        nperseg: int = 256,
+        n_freqs: int = 256,
+        max_freq: float | None = None,
+    ):
+        assert method in ("welch", "lomb")
+        self.method = method
+        self.top_k = top_k
+        self.fs = fs
+        self.nperseg = nperseg
+        self.n_freqs = n_freqs
+        self.max_freq = max_freq
+
+    def _one(self, ts_us: np.ndarray, vals: np.ndarray):
+        if self.method == "welch":
+            # regular grid: fs from the (constant) grid step unless given
+            if self.fs is not None:
+                fs = self.fs
+            else:
+                step = np.median(np.diff(ts_us)) / 1e6 if len(ts_us) > 1 else 1.0
+                fs = 1.0 / max(step, 1e-12)
+            freqs, power = welch_psd(vals, fs=fs, nperseg=self.nperseg)
+        else:
+            t = (ts_us - ts_us[0]) / 1e6 if len(ts_us) else ts_us.astype(float)
+            if len(t) > 2:
+                span = max(t[-1] - t[0], 1e-9)
+                min_gap = max(np.min(np.diff(t)), 1e-6)
+                hi = self.max_freq if self.max_freq else 0.5 / min_gap
+                freqs = np.linspace(1.0 / span, hi, self.n_freqs)
+                power = lomb_scargle(t, vals, freqs, normalize=True)
+            else:
+                freqs = np.array([])
+                power = np.array([])
+        return top_k_spectrum(freqs, power, k=self.top_k)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        f_out, p_out, peak_out = [], [], []
+        for ts, vals in zip(batch["ts"], batch["values"]):
+            ts = np.asarray(ts, dtype=np.int64)
+            vals = np.asarray(vals, dtype=np.float64)
+            ok = ~np.isnan(vals)
+            f, p = self._one(ts[ok], vals[ok])
+            f_out.append(f)
+            p_out.append(p)
+            peak_out.append(float(f[np.argmax(p)]) if len(f) else np.nan)
+        out = batch.drop(columns=["ts", "values"]).copy()
+        out["top_freqs"] = f_out
+        out["top_power"] = p_out
+        out["peak_freq"] = peak_out
+        out["method"] = self.method
+        return out
+
+
+def spectral_downsample(chunk_ds, method: str = "welch", concurrency: int = 4, **kwargs):
+    """Actor-pool spectral summary over packed chunk rows
+    (series.pack_series output)."""
+    return chunk_ds.map_batches(
+        SpectralDownsampler,
+        fn_constructor_kwargs={"method": method, **kwargs},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )

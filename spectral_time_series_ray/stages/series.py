@@ -1,0 +1,180 @@
+"""Per-conversation series stages: grid densification, gap-fill,
+polynomial preconditioning, patch chunking.
+
+Order-dependent per-series ops run inside ``groupby(conv_id)
+.map_groups`` with an explicit stable sort (Ray groupby does not
+guarantee in-group order — SURVEY.md §7.4).  The numeric kernels are
+the pure functions in ``functions/`` whose semantics match the
+reference:
+- gap-fill = LastValueImputation LOCF / CausalMean / linear
+  (`uni2ts/src/uni2ts/transform/imputation.py:44-108`)
+- preconditioning = PolynomialPrecondition forward + sequential
+  ReversePrecondition (`uni2ts/src/uni2ts/transform/precondition.py`),
+  applied per series so series boundaries are never crossed
+  (precondition.py:176-185 invariant)
+- chunking = Patchify reshape (`uni2ts/src/uni2ts/transform/patch.py:124-159`)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import TIER_SECONDS
+from ..functions.imputation import IMPUTERS
+from ..functions.precondition import (
+    forward_precondition,
+    precondition_coefficients,
+    reverse_precondition,
+)
+from .rollup import BUCKET_COL
+
+
+def _densify_group(
+    tier: str,
+    value_col: str,
+    method: str,
+    polynomial: str | None,
+    degree: int,
+    key: str,
+):
+    step_us = TIER_SECONDS[tier] * 1_000_000
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(BUCKET_COL)
+        buckets = df[BUCKET_COL].astype("datetime64[us]").astype(np.int64).to_numpy()
+        lo, hi = buckets[0], buckets[-1]
+        grid = np.arange(lo, hi + step_us, step_us)
+        values = np.full(len(grid), np.nan)
+        pos = (buckets - lo) // step_us
+        values[pos] = df[value_col].to_numpy(dtype=np.float64)
+        observed = np.zeros(len(grid), dtype=bool)
+        observed[pos] = True
+        filled = IMPUTERS[method](values)
+        out = {
+            key: np.repeat(df[key].iloc[0], len(grid)),
+            BUCKET_COL: grid.astype("datetime64[us]"),
+            value_col: filled,
+            "observed": observed,
+        }
+        if polynomial:
+            coeffs = precondition_coefficients(polynomial, degree)
+            out[f"{value_col}_precond"] = forward_precondition(filled, coeffs)
+        return pd.DataFrame(out)
+
+    return fn
+
+
+def gap_fill_series(
+    rolled_ds,
+    tier: str,
+    value_col: str = "mean_latency",
+    method: str = "locf",
+    polynomial: str | None = None,
+    degree: int = 4,
+    key: str = "conv_id",
+):
+    """Densify each conversation's rollup series onto the tier grid,
+    gap-fill missing buckets, optionally precondition.
+
+    Output: one row per (key, grid bucket) with the filled value, an
+    ``observed`` flag, and (optionally) the preconditioned value.
+    """
+    ds = rolled_ds.select_columns([key, BUCKET_COL, value_col])
+    return ds.groupby(key).map_groups(
+        _densify_group(tier, value_col, method, polynomial, degree, key),
+        batch_format="pandas",
+    )
+
+
+class SeriesPreconditioner:
+    """Actor-pool stage: forward/reverse preconditioning over packed
+    per-series rows (list-typed value column).
+
+    Coefficients are computed ONCE per actor in ``__init__`` (reference
+    pattern: coefficients cached in ``__post_init__``,
+    precondition.py:58-80; actor-pool mapping SURVEY.md §2.4).
+    Use with ``map_batches(cls, concurrency=N, batch_size=B)`` over
+    chunked rows produced by :func:`pack_series`.
+    """
+
+    def __init__(self, polynomial: str = "chebyshev", degree: int = 4,
+                 value_col: str = "values", mode: str = "forward"):
+        self.coeffs = np.asarray(precondition_coefficients(polynomial, degree))
+        self.value_col = value_col
+        self.mode = mode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fn = forward_precondition if self.mode == "forward" else reverse_precondition
+        batch = batch.copy()
+        batch[self.value_col] = [
+            fn(np.asarray(v, dtype=np.float64), self.coeffs)
+            for v in batch[self.value_col]
+        ]
+        return batch
+
+
+def pack_series(
+    ds,
+    value_col: str,
+    ts_col: str = BUCKET_COL,
+    order_col: str | None = None,
+    key: str = "conv_id",
+    chunk_points: int = 4096,
+):
+    """Pack long rows into per-conversation chunk rows
+    ``(key, chunk_idx, n_points, ts:list<int64 us>, values:list<double>)``.
+
+    Chunks are bounded at ``chunk_points`` so a degenerate conversation
+    cannot blow up a worker; chunk state (compression, precondition)
+    resets at conversation boundaries — the reference's sample_id-reset
+    pattern (`learnable_precondition.py:71-83`).
+    """
+    sort_col = order_col or ts_col
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_col)
+        ts = df[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        rows = []
+        for ci, s in enumerate(range(0, len(df), chunk_points)):
+            e = min(s + chunk_points, len(df))
+            rows.append(
+                {
+                    key: df[key].iloc[0],
+                    "chunk_idx": ci,
+                    "n_points": e - s,
+                    "ts": ts[s:e],
+                    "values": vals[s:e],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ds.groupby(key).map_groups(pack, batch_format="pandas")
+
+
+def unpack_series(ds, key: str = "conv_id"):
+    """Explode chunk rows back to long (key, ts, value) rows."""
+    import pyarrow as pa
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ks, ts, vs = [], [], []
+        for _, row in df.iterrows():
+            n = int(row["n_points"])
+            ks += [row[key]] * n
+            ts.append(np.asarray(row["ts"], dtype=np.int64))
+            vs.append(np.asarray(row["values"], dtype=np.float64))
+        if not ts:
+            return pa.table({key: pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "value": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                key: pa.array(ks, pa.string()),
+                "ts": pa.array(np.concatenate(ts).astype("datetime64[us]")),
+                "value": pa.array(np.concatenate(vs)),
+            }
+        )
+
+    return ds.map_batches(unpack, batch_format="pyarrow")
