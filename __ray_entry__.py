@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript pipeline at sf0.001;
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md
+§2 coverage); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+each SQL-expressible query (same column names, same rounding — DuckDB
+``round`` = half-away-from-zero, mirrored by
+``pipelines.queries.round_half_away``).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import: nothing here calls
+``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,380 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from spectral_time_series_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: read -> features -> tiered rollups
+    -> gap-fill -> precondition -> Gorilla -> spectral. Returns the 1m
+    rollup Dataset."""
+    from spectral_time_series_ray.pipelines.flagship import run_flagship
+
+    results = run_flagship("/root/testdata/sf0.001", out_root=None, spectral=True)
+    # consume the side branches so the whole DAG executes
+    results["gorilla"].count()
+    results["spectral"].count()
+    return results["rollup_1m"]
+
+
+# ------------------------------------------------------- rows-only pipelines
+
+def _tr_rollup_1m(sf_dir: str):
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.features import with_turn_features
+    from spectral_time_series_ray.stages.rollup import rollup_exact
+
+    ds = read_transcripts(sf_dir)
+    return rollup_exact(with_turn_features(ds, include_text=False), "1m")
+
+
+def _tr_cascade_1h(sf_dir: str):
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.features import with_turn_features
+    from spectral_time_series_ray.stages.rollup import cascade, rollup_mergeable
+
+    ds = read_transcripts(sf_dir)
+    m1 = rollup_mergeable(with_turn_features(ds, include_text=False), "1m", salt=4)
+    return cascade(m1, "1h")
+
+
+def _tr_gorilla(sf_dir: str):
+    from spectral_time_series_ray.pipelines.flagship import run_flagship
+
+    res = run_flagship(sf_dir, out_root=None, spectral=False)
+    enc = res["gorilla"].to_pandas()
+    return pd.DataFrame(
+        {
+            "n_chunks": [len(enc)],
+            "n_points": [int(enc["n_points"].sum())],
+            "bytes_per_point": [
+                float((enc["bytes_per_point"] * enc["n_points"]).sum() / max(1, enc["n_points"].sum()))
+            ],
+        }
+    )
+
+
+def _tr_spectral(sf_dir: str):
+    from spectral_time_series_ray.pipelines.flagship import run_flagship
+
+    res = run_flagship(sf_dir, out_root=None, spectral=True)
+    return res["spectral"].select_columns(["conv_id", "chunk_idx", "peak_freq", "method"])
+
+
+def _tr_precondition_roundtrip(sf_dir: str):
+    """Forward+reverse preconditioning through the Ray stage returns the
+    original series (reference test_precondition.py:300-337 invariant,
+    evaluated per conversation)."""
+    from spectral_time_series_ray.functions.precondition import (
+        precondition_coefficients,
+        reverse_precondition,
+    )
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.features import with_turn_features
+    from spectral_time_series_ray.stages.rollup import rollup_exact
+    from spectral_time_series_ray.stages.series import gap_fill_series
+
+    ds = read_transcripts(sf_dir)
+    rolled = rollup_exact(with_turn_features(ds, include_text=False), "1m")
+    filled = gap_fill_series(
+        rolled, "1m", value_col="mean_latency", method="locf",
+        polynomial="chebyshev", degree=4,
+    )
+    df = filled.to_pandas()
+    coeffs = precondition_coefficients("chebyshev", 4)
+    rows = []
+    for conv, g in df.groupby("conv_id"):
+        g = g.sort_values("bucket_ts")
+        rec = reverse_precondition(g["mean_latency_precond"].to_numpy(), coeffs)
+        err = float(np.abs(rec - g["mean_latency"].to_numpy()).max())
+        rows.append({"conv_id": conv, "n_buckets": len(g), "max_err": err, "ok": err < 1e-8})
+    return pd.DataFrame(rows)
+
+
+def _doc_quality(sf_dir: str):
+    import ray.data
+
+    from spectral_time_series_ray.stages.text import analyze_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analyze_documents(ds, concurrency=2)
+    return out.select_columns(["doc_id", "ws_tokens", "bpe_tokens", "lang_pred", "quality"])
+
+
+def _doc_fingerprints(sf_dir: str):
+    import ray.data
+
+    from spectral_time_series_ray.stages.text import fingerprint_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = fingerprint_documents(ds, concurrency=2).to_pandas()
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "n_fingerprints": [len(f) for f in out["fingerprint"]],
+            "simhash": out["simhash"],
+        }
+    )
+
+
+def _doc_minhash_dedup(sf_dir: str):
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = minhash_lsh_dedup(ds, threshold=0.8, concurrency=2)
+    if len(out) == 0:  # corpus has no near-dups: report the (empty) scan result
+        out = pd.DataFrame({"doc_id": [-1], "cluster_id": [-1], "is_keeper": [True]})
+    return out
+
+
+def _doc_simhash_dedup(sf_dir: str):
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = simhash_dedup(ds, max_hamming=3, concurrency=2)
+    if len(out) == 0:
+        out = pd.DataFrame({"doc_id": [-1], "cluster_id": [-1], "is_keeper": [True]})
+    return out
+
+
+def _emb_ann_ivf(sf_dir: str):
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _query_vec
+    from spectral_time_series_ray.stages.similarity import ivf_search
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_search(ds, _query_vec(sf_dir)[None, :], k=10, n_clusters=8, nprobe=3, concurrency=2)
+
+
+def _media_pipeline(sf_dir: str):
+    import ray.data
+
+    from spectral_time_series_ray.stages.multimodal import (
+        decode_media,
+        featurize_media,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = ray.data.from_pandas(synth_media_table(n=200, seed=42))
+    decoded = decode_media(media, concurrency=2)
+    feats = featurize_media(decoded, concurrency=2).to_pandas()
+    frames = sample_frames(media, every_k=4, concurrency=2).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_media": [len(feats)],
+            "n_video_frames": [len(frames)],
+            "mean_byte_mean": [float(feats["byte_mean"].mean())],
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # events: rollup / window / gap-fill family (oracle-checked)
+        "ev_rollup_1m": Q.ev_rollup_1m,
+        "ev_rollup_1h_type": Q.ev_rollup_1h_type,
+        "ev_cascade_1h": Q.ev_cascade_1h,
+        "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
+        "ev_interarrival": Q.ev_interarrival,
+        "ev_sessions": Q.ev_sessions,
+        "ev_gapfill_1h": Q.ev_gapfill_1h,
+        "ev_type_hour_count": Q.ev_type_hour_count,
+        "ev_top_users": Q.ev_top_users,
+        # relational coverage (oracle-checked)
+        "q1_pricing": Q.q1_pricing,
+        "q3_revenue_topk": Q.q3_revenue_topk,
+        "top_customers": Q.top_customers,
+        "supplier_nation": Q.supplier_nation,
+        # documents (oracle-checked)
+        "doc_stats_by_lang": Q.doc_stats_by_lang,
+        "doc_exact_dedup": Q.doc_exact_dedup,
+        # embeddings (oracle-checked)
+        "emb_ann_topk": Q.emb_ann_topk,
+        "emb_label_stats": Q.emb_label_stats,
+        "emb_sim_pairs": Q.emb_sim_pairs,
+        # transcript flagship components (rows-only: non-SQL semantics)
+        "tr_rollup_1m": _tr_rollup_1m,
+        "tr_cascade_1h": _tr_cascade_1h,
+        "tr_gorilla": _tr_gorilla,
+        "tr_spectral": _tr_spectral,
+        "tr_precondition_roundtrip": _tr_precondition_roundtrip,
+        # text / dedup / similarity / multimodal (rows-only)
+        "doc_quality": _doc_quality,
+        "doc_fingerprints": _doc_fingerprints,
+        "doc_minhash_dedup": _doc_minhash_dedup,
+        "doc_simhash_dedup": _doc_simhash_dedup,
+        "emb_ann_ivf": _emb_ann_ivf,
+        "media_pipeline": _media_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rollup_cols = """
+           count(value) as count_value,
+           round(sum(value), 6) as sum_value,
+           round(min(value), 6) as min_value,
+           round(max(value), 6) as max_value,
+           round(avg(value), 6) as mean_value"""
+    return {
+        "ev_rollup_1m": f"""
+            select user_id, date_trunc('minute', ts) as bucket_ts,
+                   count(*) as n_events,{rollup_cols},
+                   round(quantile_cont(value, 0.5), 6) as p50_value,
+                   round(quantile_cont(value, 0.99), 6) as p99_value
+            from events group by 1, 2
+        """,
+        "ev_rollup_1h_type": f"""
+            select event_type, date_trunc('hour', ts) as bucket_ts,
+                   count(*) as n_events,{rollup_cols},
+                   round(quantile_cont(value, 0.5), 6) as p50_value
+            from events group by 1, 2
+        """,
+        "ev_cascade_1h": f"""
+            select user_id, date_trunc('hour', ts) as bucket_ts,{rollup_cols}
+            from events group by 1, 2
+        """,
+        "ev_cascade_1d_salted": f"""
+            select user_id, date_trunc('day', ts) as bucket_ts,{rollup_cols}
+            from events group by 1, 2
+        """,
+        "ev_interarrival": """
+            with d as (
+              select user_id,
+                     epoch_us(ts - lag(ts) over (partition by user_id order by ts, event_id)) / 1e6 as gap
+              from events)
+            select user_id, count(gap) as n_gaps,
+                   round(avg(gap), 6) as mean_gap_s,
+                   round(quantile_cont(gap, 0.5), 6) as p50_gap_s
+            from d group by 1 having count(gap) > 0
+        """,
+        "ev_sessions": """
+            with g as (
+              select user_id, ts, event_id,
+                     epoch_us(ts - lag(ts) over (partition by user_id order by ts, event_id)) / 1e6 as gap
+              from events),
+            f as (
+              select user_id, ts, event_id,
+                     case when gap is null or gap > 1800 then 1 else 0 end as flag
+              from g),
+            s as (
+              select user_id, ts,
+                     sum(flag) over (partition by user_id order by ts, event_id
+                                     rows between unbounded preceding and current row) as session_id
+              from f),
+            per_session as (
+              select user_id, session_id, count(*) as n_ev,
+                     epoch_us(max(ts) - min(ts)) / 1e6 as dur
+              from s group by 1, 2)
+            select user_id,
+                   count(*) as n_sessions,
+                   round(sum(n_ev) * 1.0 / count(*), 6) as mean_session_events,
+                   round(avg(dur), 6) as mean_session_duration_s
+            from per_session group by 1
+        """,
+        "ev_gapfill_1h": """
+            with r as (
+              select user_id, date_trunc('hour', ts) as m, round(avg(value), 6) as v
+              from events group by 1, 2),
+            b as (select user_id, min(m) as lo, max(m) as hi from r group by 1),
+            grid as (
+              select user_id, unnest(generate_series(lo, hi, interval 1 hour)) as bucket_ts
+              from b)
+            select g.user_id, g.bucket_ts,
+                   last_value(r.v ignore nulls) over (
+                     partition by g.user_id order by g.bucket_ts
+                     rows between unbounded preceding and current row) as value_filled,
+                   r.v is not null as observed
+            from grid g left join r on r.user_id = g.user_id and r.m = g.bucket_ts
+        """,
+        "ev_type_hour_count": """
+            select event_type, date_trunc('hour', ts) as bucket_ts, count(*) as n_events
+            from events group by 1, 2
+        """,
+        "ev_top_users": """
+            select user_id, round(sum(value), 2) as total_value
+            from events group by 1
+            order by total_value desc, user_id asc limit 10
+        """,
+        "q1_pricing": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+                   round(sum(l_quantity) / count(*), 6) as avg_qty,
+                   round(sum(l_extendedprice) / count(*), 6) as avg_price,
+                   round(sum(l_discount) / count(*), 6) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by 1, 2
+        """,
+        "q3_revenue_topk": """
+            select l.l_orderkey, o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue
+            from customer c
+            join orders o on o.o_custkey = c.c_custkey
+            join lineitem l on l.l_orderkey = o.o_orderkey
+            where c.c_mktsegment = 'BUILDING'
+              and o.o_orderdate < timestamp '1995-03-15'
+              and l.l_shipdate > timestamp '1995-03-15'
+            group by 1, 2
+            order by revenue desc, l.l_orderkey asc limit 10
+        """,
+        "top_customers": """
+            select c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) as total_spend
+            from orders o join customer c on c.c_custkey = o.o_custkey
+            group by 1, 2
+            order by total_spend desc, c.c_custkey asc limit 10
+        """,
+        "supplier_nation": """
+            select r.r_name, count(*) as n_suppliers,
+                   round(sum(s.s_acctbal), 2) as total_acctbal
+            from supplier s
+            join nation n on n.n_nationkey = s.s_nationkey
+            join region r on r.r_regionkey = n.n_regionkey
+            group by 1
+        """,
+        "doc_stats_by_lang": r"""
+            select lang, count(*) as n_docs,
+                   round(avg(length(text)), 6) as avg_chars,
+                   round(avg(case when trim(text) = '' then 0
+                             else len(string_split_regex(trim(text), '\s+')) end), 6)
+                     as avg_ws_tokens
+            from documents group by 1
+        """,
+        "doc_exact_dedup": """
+            select min(doc_id) as doc_id, count(*) as n_dups
+            from documents group by text
+        """,
+        "emb_ann_topk": """
+            select a.vec_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                     (select embedding::DOUBLE[] from embeddings where vec_id = 0)), 6) as score
+            from embeddings a
+            order by score desc, a.vec_id asc limit 10
+        """,
+        "emb_label_stats": """
+            select a.label, count(*) as n_vecs,
+                   round(avg(list_cosine_similarity(a.embedding::DOUBLE[],
+                     (select embedding::DOUBLE[] from embeddings where vec_id = 0))), 6) as mean_score
+            from embeddings a group by 1
+        """,
+        "emb_sim_pairs": """
+            select a.vec_id as a, b.vec_id as b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as cosine
+            from embeddings a, embeddings b
+            where a.vec_id < b.vec_id and a.vec_id < 200 and b.vec_id < 200
+              and list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+            order by 1, 2
+        """,
+    }

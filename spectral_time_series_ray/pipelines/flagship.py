@@ -1,0 +1,75 @@
+"""The flagship transcript pipeline (SURVEY.md §7.1):
+
+read_parquet(transcripts)
+  -> map_batches: per-turn text features            [stateless, pyarrow]
+  -> groupby(conv_id).map_groups: stable sort, latency   [ordered]
+  -> tiered rollups: 1m exact (count/sum/min/max/mean/p50/p99),
+     1h + 1d cascaded from 1m mergeable partials
+  -> gap-fill (LOCF) on the 1m grid + precondition (Chebyshev d4)
+  -> pack chunks -> Gorilla actor pool (quantized)       [stateful]
+  -> spectral downsample actor pool (Welch / Lomb-Scargle)
+  -> write_parquet tier dirs + per-partition manifests (resume)
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..sources.transcripts import read_transcripts, sf_from_dir, transcripts_path
+from ..stages.compress import compress_chunks
+from ..stages.downsample import spectral_downsample
+from ..stages.features import with_turn_features
+from ..stages.rollup import cascade, rollup_exact, rollup_mergeable
+from ..stages.series import gap_fill_series, pack_series
+from ..state.manifest import input_fingerprint, write_partitioned
+
+
+def run_flagship(
+    sf_dir: str,
+    out_root: str | None = None,
+    compress_concurrency: int = 4,
+    spectral: bool = True,
+    resume: bool = True,
+):
+    """Run the full pipeline; returns a dict of result Datasets.
+
+    When ``out_root`` is given, rollup tiers are persisted partitioned
+    by (tier, date) with checkpoint manifests; otherwise everything
+    stays in-flight.
+    """
+    ds = read_transcripts(sf_dir)
+    feats = with_turn_features(ds, include_text=False)
+
+    # 1m: exact (incl. quantiles). Reused (materialized: it is the
+    # small aggregated result, not the input) for cascade + gap-fill.
+    m1 = rollup_exact(feats, "1m").materialize()
+    h1 = cascade(m1, "1h")
+    d1 = cascade(m1, "1d")
+
+    results = {"rollup_1m": m1, "rollup_1h": h1, "rollup_1d": d1}
+
+    if out_root:
+        fp = input_fingerprint([transcripts_path(sf_from_dir(sf_dir))])
+        lineage = ["read_transcripts", "with_turn_features", "rollup"]
+        for tier, tds in (("1m", m1), ("1h", h1), ("1d", d1)):
+            write_partitioned(
+                tds, out_root, tier, fingerprint=fp,
+                lineage=lineage + [f"tier={tier}"], resume=resume,
+            )
+
+    filled = gap_fill_series(
+        m1, "1m", value_col="mean_latency", method="locf",
+        polynomial="chebyshev", degree=4,
+    )
+    chunks = pack_series(filled, value_col="mean_latency").materialize()
+    encoded = compress_chunks(chunks, quantize_digits=3, concurrency=compress_concurrency)
+    results["gorilla"] = encoded
+    if spectral:
+        results["spectral"] = spectral_downsample(
+            chunks, method="welch", concurrency=compress_concurrency
+        )
+    if out_root:
+        enc_dir = os.path.join(out_root, "gorilla_chunks")
+        encoded.write_parquet(enc_dir)
+        results["gorilla"] = __import__("ray").data.read_parquet(enc_dir)
+    return results

@@ -1,0 +1,427 @@
+"""Driver-checkable queries: each has a Ray-Data implementation here
+and a matching DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+Column names and rounding are part of the contract: every computed
+column is rounded with :func:`round_half_away` (DuckDB ``round``
+semantics) to the same digits in both engines so order-of-summation
+ulp differences cannot break the driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.dedup import exact_dedup
+from ..stages.features import add_text_features
+from ..stages.join import broadcast_join, semi_join_keys
+from ..stages.rollup import BUCKET_COL, add_bucket, cascade, rollup_exact, rollup_mergeable
+from ..stages.series import gap_fill_series
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def round_half_away(x, digits: int):
+    """DuckDB ``round()`` semantics (half away from zero)."""
+    m = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(np.asarray(x, dtype=np.float64)) * m + 0.5) / m
+
+
+def _round_ds(ds, digits_map: dict[str, int]):
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        for col, d in digits_map.items():
+            if col in batch.columns:
+                batch[col] = round_half_away(batch[col].to_numpy(dtype=np.float64), d)
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _rename_ds(ds, mapping: dict[str, str]):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- events
+
+ROLLUP_ROUND = {c: 6 for c in ("sum_value", "min_value", "max_value", "mean_value", "p50_value", "p99_value")}
+
+
+def ev_rollup_1m(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = rollup_exact(ds, "1m", value_cols=("value",), quantiles=(0.5, 0.99), key="user_id")
+    out = _rename_ds(out, {"n_turns": "n_events"})
+    return _round_ds(out, ROLLUP_ROUND)
+
+
+def ev_rollup_1h_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = rollup_exact(ds, "1h", value_cols=("value",), quantiles=(0.5,), key="event_type")
+    out = _rename_ds(out, {"n_turns": "n_events"})
+    return _round_ds(out, {"sum_value": 6, "min_value": 6, "max_value": 6, "mean_value": 6, "p50_value": 6})
+
+
+def ev_cascade_1h(sf_dir: str):
+    """1h rollup CASCADED from 1m mergeable partials (oracle: direct 1h)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    m1 = rollup_mergeable(ds, "1m", value_cols=("value",), key="user_id")
+    h1 = cascade(m1, "1h", value_cols=("value",), key="user_id")
+    return _round_ds(h1, ROLLUP_ROUND)
+
+
+def ev_cascade_1d_salted(sf_dir: str):
+    """1d rollup via salted 1m partials then cascade (salt exercises the
+    hot-key two-level merge; result must equal the direct 1d rollup)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    m1 = rollup_mergeable(ds, "1m", value_cols=("value",), key="user_id", salt=8)
+    d1 = cascade(m1, "1d", value_cols=("value",), key="user_id")
+    return _round_ds(d1, ROLLUP_ROUND)
+
+
+def _gaps_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"])
+    ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    gaps = np.diff(ts) / 1e6
+    if len(gaps) == 0:
+        # single-event users are excluded in both engines (oracle uses
+        # HAVING count(gap) > 0) to avoid NULL-vs-NaN hash ambiguity
+        return pd.DataFrame({"user_id": [], "n_gaps": [], "mean_gap_s": [], "p50_gap_s": []})
+    return pd.DataFrame(
+        {
+            "user_id": [g["user_id"].iloc[0]],
+            "n_gaps": [len(gaps)],
+            "mean_gap_s": round_half_away(gaps.mean(), 6),
+            "p50_gap_s": round_half_away(np.quantile(gaps, 0.5), 6),
+        }
+    )
+
+
+def ev_interarrival(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return ds.groupby("user_id").map_groups(_gaps_group, batch_format="pandas")
+
+
+def _sessions_group(gap_s: float):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        gaps = np.diff(ts_us) / 1e6
+        new = np.concatenate([[True], gaps > gap_s])
+        sid = np.cumsum(new)
+        n_sessions = int(sid[-1])
+        # integer-us subtraction before the single /1e6 division matches
+        # the oracle's epoch_us(max-min)/1e6 bit-for-bit
+        durations = [
+            (ts_us[sid == s].max() - ts_us[sid == s].min()) / 1e6
+            for s in range(1, n_sessions + 1)
+        ]
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "mean_session_events": round_half_away(len(g) / n_sessions, 6),
+                "mean_session_duration_s": round_half_away(float(np.mean(durations)), 6),
+            }
+        )
+
+    return fn
+
+
+def ev_sessions(sf_dir: str):
+    """Session windows: a gap > 1800 s starts a new session (the
+    streaming-window shape of ray_guide.md 'Streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return ds.groupby("user_id").map_groups(_sessions_group(1800.0), batch_format="pandas")
+
+
+def ev_gapfill_1h(sf_dir: str):
+    """Dense hourly grid per user, LOCF gap-fill of the rounded hourly
+    mean (reference LastValueImputation semantics, imputation.py:44-62)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    rolled = rollup_mergeable(ds, "1h", value_cols=("value",), key="user_id")
+    rolled = _round_ds(rolled, {"mean_value": 6})
+    filled = gap_fill_series(rolled, "1h", value_col="mean_value", method="locf", key="user_id")
+    return _rename_ds(filled, {"mean_value": "value_filled"})
+
+
+def ev_type_hour_count(sf_dir: str):
+    """Pre-aggregated count per (event_type, hour): per-batch Arrow
+    partials, then a tiny merge — the mergeable-rollup shuffle shape."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    ds = add_bucket(ds, "1h")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", BUCKET_COL]).aggregate([([], "count_all")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["event_type", BUCKET_COL]).aggregate(
+        Sum("count_all", alias_name="n_events")
+    )
+
+
+def ev_top_users(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id"]).aggregate([("value", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    totals = ds.groupby("user_id").aggregate(Sum("value_sum", alias_name="total_value"))
+    df = totals.to_pandas()
+    df["total_value"] = round_half_away(df["total_value"].to_numpy(), 2)
+    df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+def q1_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        batch = batch.append_column("disc_price", disc_price)
+        batch = batch.append_column("charge", charge)
+        # per-batch partial pre-agg before the shuffle
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
+             ("charge", "sum"), ("l_discount", "sum"), ([], "count_all")]
+        )
+
+    partials = ds.map_batches(prep, batch_format="pyarrow")
+    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("charge_sum", alias_name="sum_charge"),
+        Sum("l_discount_sum", alias_name="_sum_disc"),
+        Sum("count_all", alias_name="count_order"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["count_order"].to_numpy(dtype=np.float64)
+        batch["avg_qty"] = round_half_away(batch["sum_qty"] / n, 6)
+        batch["avg_price"] = round_half_away(batch["sum_base_price"] / n, 6)
+        batch["avg_disc"] = round_half_away(batch["_sum_disc"] / n, 6)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            batch[c] = round_half_away(batch[c].to_numpy(), 2)
+        return batch.drop(columns=["_sum_disc"])
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def q3_revenue_topk(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    date = np.datetime64("1995-03-15", "us")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = semi_join_keys(orders, keys, "o_custkey")
+    odf = orders.to_pandas()
+    odf = odf[odf["o_orderdate"] < date][["o_orderkey", "o_orderdate"]]
+    odf = odf.rename(columns={"o_orderkey": "l_orderkey"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(date)))
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("rev", rev)
+        return batch.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+
+    partials = li.map_batches(prep, batch_format="pyarrow")
+    joined = broadcast_join(partials, odf, on="l_orderkey", how="inner")
+    rev = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_sum", alias_name="revenue")
+    )
+    df = rev.to_pandas()
+    df["revenue"] = round_half_away(df["revenue"].to_numpy(), 2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+def top_customers(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_custkey"]).aggregate([("o_totalprice", "sum")])
+
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+    totals = partials.groupby("o_custkey").aggregate(
+        Sum("o_totalprice_sum", alias_name="total_spend")
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(totals, cust, on="o_custkey", how="inner")
+    df = joined.to_pandas()
+    df["total_spend"] = round_half_away(df["total_spend"].to_numpy(), 2)
+    df = df.sort_values(["total_spend", "o_custkey"], ascending=[False, True]).head(10)
+    return df.rename(columns={"o_custkey": "c_custkey"}).reset_index(drop=True)
+
+
+def supplier_nation(sf_dir: str):
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation").to_pandas().rename(columns={"n_nationkey": "s_nationkey"})
+    reg = _read(sf_dir, "region").to_pandas().rename(columns={"r_regionkey": "n_regionkey"})
+    joined = broadcast_join(sup, nat[["s_nationkey", "n_name", "n_regionkey"]], on="s_nationkey")
+    joined = broadcast_join(joined, reg[["n_regionkey", "r_name"]], on="n_regionkey")
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal")
+    )
+    return _round_ds(out, {"total_acctbal": 2})
+
+
+# ---------------------------------------------------------------- documents
+
+def doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    ds = ds.map_batches(add_text_features, batch_format="pyarrow")
+    ds = ds.select_columns(["lang", "text_len", "ws_tokens"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("text_len", alias_name="avg_chars"),
+        Mean("ws_tokens", alias_name="avg_ws_tokens"),
+    )
+    return _round_ds(out, {"avg_chars": 6, "avg_ws_tokens": 6})
+
+
+def doc_exact_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds)
+    return out.select_columns(["doc_id", "n_dups"])
+
+
+# ---------------------------------------------------------------- embeddings
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    return np.asarray(df.loc[df["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+
+
+class _CosineAll:
+    """Score every vector against one broadcast query (exact)."""
+
+    def __init__(self, q_ref):
+        import ray
+
+        q = np.asarray(ray.get(q_ref), dtype=np.float64)
+        self.q = q / np.linalg.norm(q)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(), "score": m @ self.q}
+        )
+
+
+def emb_ann_topk(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_ref = ray.put(_query_vec(sf_dir))
+    scored = ds.map_batches(
+        _CosineAll, fn_constructor_args=(q_ref,), batch_format="pandas",
+        batch_size=4096, concurrency=2,
+    )
+    df = scored.to_pandas()
+    df["score"] = round_half_away(df["score"].to_numpy(), 6)
+    df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+def emb_label_stats(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q_ref = ray.put(_query_vec(sf_dir))
+
+    class Scorer(_CosineAll):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = super().__call__(batch)
+            out["label"] = batch["label"].to_numpy()
+            return out
+
+    scored = ds.map_batches(
+        Scorer, fn_constructor_args=(q_ref,), batch_format="pandas",
+        batch_size=4096, concurrency=2,
+    )
+    out = scored.groupby("label").aggregate(
+        Count(alias_name="n_vecs"), Mean("score", alias_name="mean_score")
+    )
+    return _round_ds(out, {"mean_score": 6})
+
+
+def emb_sim_pairs(sf_dir: str):
+    """Exact cosine pairs (vec_id < 200, cosine >= 0.3) — brute force
+    numpy matmul per batch against the broadcast subset matrix."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sub = ds.filter(expr="vec_id < 200").to_pandas().sort_values("vec_id")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in sub["embedding"]])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ids = sub["vec_id"].to_numpy()
+    ref = ray.put((ids, m))
+
+    class PairScorer:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch["vec_id"].to_numpy() < 200
+            batch = batch[mask]
+            if not len(batch):
+                return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            bm = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+            bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            sims = bm @ self.m.T
+            bids = batch["vec_id"].to_numpy()
+            rows_a, rows_b, rows_s = [], [], []
+            for i, a in enumerate(bids):
+                keep = (self.ids > a) & (sims[i] >= 0.3)
+                rows_a.append(np.full(keep.sum(), a))
+                rows_b.append(self.ids[keep])
+                rows_s.append(sims[i][keep])
+            return pd.DataFrame(
+                {
+                    "a": np.concatenate(rows_a) if rows_a else [],
+                    "b": np.concatenate(rows_b) if rows_b else [],
+                    "cosine": round_half_away(np.concatenate(rows_s), 6) if rows_s else [],
+                }
+            )
+
+    out = ds.map_batches(PairScorer, batch_format="pandas", batch_size=4096, concurrency=2)
+    return out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)

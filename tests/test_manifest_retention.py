@@ -1,0 +1,110 @@
+"""Resume idempotence + retention (FIXTURES.md §4 oracle invariants)."""
+
+import datetime as dt
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from spectral_time_series_ray.sources.transcripts import generate_transcripts
+from spectral_time_series_ray.stages.features import with_turn_features
+from spectral_time_series_ray.stages.rollup import rollup_exact
+from spectral_time_series_ray.state.manifest import (
+    completed_partitions,
+    read_manifests,
+    write_partitioned,
+)
+from spectral_time_series_ray.state.retention import (
+    apply_retention,
+    expired_partitions,
+)
+
+
+@pytest.fixture(scope="module")
+def rolled(ray_session):
+    import ray.data
+
+    table = generate_transcripts(1500, seed=42)
+    ds = ray.data.from_arrow(table)
+    return rollup_exact(with_turn_features(ds, include_text=False), "1h").materialize()
+
+
+def _read_all(tier_dir):
+    files = sorted(glob.glob(os.path.join(tier_dir, "**", "*.parquet"), recursive=True))
+    import pandas as pd
+
+    return (
+        pd.concat([pq.read_table(f).to_pandas() for f in files])
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+
+def test_write_resume_idempotent(rolled, tmp_path):
+    out = str(tmp_path / "tiers")
+    c1 = write_partitioned(rolled, out, "1h", fingerprint="abc", lineage=["x"])
+    assert c1 and sum(c1.values()) == rolled.count()
+    first = _read_all(os.path.join(out, "tier=1h"))
+
+    # second run with same fingerprint: everything skipped
+    c2 = write_partitioned(rolled, out, "1h", fingerprint="abc")
+    assert c2 == {}
+    second = _read_all(os.path.join(out, "tier=1h"))
+    assert first.equals(second)
+
+    # manifests carry lineage + counts
+    ms = read_manifests(out, "1h")
+    assert {m["date"] for m in ms} == set(c1)
+    assert all(m["input_fingerprint"] == "abc" for m in ms)
+    assert all(m["lineage"] == ["x"] for m in ms)
+    assert sum(m["row_count"] for m in ms) == rolled.count()
+
+
+def test_changed_fingerprint_invalidates(rolled, tmp_path):
+    out = str(tmp_path / "tiers")
+    write_partitioned(rolled, out, "1h", fingerprint="v1")
+    assert completed_partitions(out, "1h", "v1")
+    assert completed_partitions(out, "1h", "v2") == set()
+    c2 = write_partitioned(rolled, out, "1h", fingerprint="v2")
+    assert c2  # recomputed for the new input
+
+
+def test_partial_resume(rolled, tmp_path):
+    """Simulate an interrupted run: drop one manifest, rerun, only that
+    partition is recomputed."""
+    out = str(tmp_path / "tiers")
+    c1 = write_partitioned(rolled, out, "1h", fingerprint="f")
+    victim = sorted(c1)[0]
+    os.remove(os.path.join(out, "_manifests", "1h", f"{victim}.json"))
+    c2 = write_partitioned(rolled, out, "1h", fingerprint="f")
+    assert set(c2) == {victim}
+    assert c2[victim] == c1[victim]
+
+
+def test_retention(rolled, tmp_path):
+    out = str(tmp_path / "tiers")
+    write_partitioned(rolled, out, "1h", fingerprint="f")
+    dates = sorted(completed_partitions(out, "1h", "f"))
+    # pick "now" so that the first date is expired with ttl=7d
+    first = dt.date.fromisoformat(dates[0])
+    now = first + dt.timedelta(days=8)
+    exp = expired_partitions(out, "1h", now, {"1h": 7})
+    assert dates[0] in exp
+    dropped = apply_retention(out, "1h", now, {"1h": 7})
+    assert dates[0] in dropped
+    assert not os.path.isdir(os.path.join(out, "tier=1h", f"date={dates[0]}"))
+    # tombstoned manifest no longer counts as completed
+    assert dates[0] not in completed_partitions(out, "1h", "f")
+
+
+def test_torn_manifest_ignored(rolled, tmp_path):
+    out = str(tmp_path / "tiers")
+    write_partitioned(rolled, out, "1h", fingerprint="f")
+    mdir = os.path.join(out, "_manifests", "1h")
+    name = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, name), "w") as f:
+        f.write('{"tier": "1h", "date"')  # torn write
+    done = completed_partitions(out, "1h", "f")
+    assert dt.date.fromisoformat(name[:-5]) and name[:-5] not in done
