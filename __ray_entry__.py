@@ -39,11 +39,10 @@ def entry() -> Any:
 
 def _tr_rollup_1m(sf_dir: str):
     from spectral_time_series_ray.sources.transcripts import read_transcripts
-    from spectral_time_series_ray.stages.features import with_turn_features
-    from spectral_time_series_ray.stages.rollup import rollup_exact
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
 
     ds = read_transcripts(sf_dir)
-    return rollup_exact(with_turn_features(ds, include_text=False), "1m")
+    return rollup_transcripts(ds, "1m")
 
 
 def _tr_cascade_1h(sf_dir: str):

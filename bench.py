@@ -1,0 +1,162 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under
+``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "turns_per_sec": ..., "gorilla_bytes_per_point": ...}
+
+``--scaling``: runs the headline pipeline at num_cpus=8 and 32 in
+fresh subprocesses on the same (pre-warmed) input and reports both
+throughputs + scaling efficiency — the in-sandbox evidence for the
+north rule's two-cluster-size criterion (8 vs 32 CPUs standing in for
+N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        sf_from_dir,
+        transcripts_path,
+    )
+    from spectral_time_series_ray.stages.compress import compress_chunks
+    from spectral_time_series_ray.stages.downsample import spectral_downsample
+    from spectral_time_series_ray.stages.rollup import cascade, rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_series, pack_series
+
+    sf = sf_from_dir(sf_dir)
+    transcripts_path(sf)  # materialize + warm page cache (untimed)
+    n_turns = read_transcripts(sf_dir).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # headline: full flagship DAG
+    t_head = time.time()
+    with timed("rollup_1m"):
+        m1 = rollup_transcripts(read_transcripts(sf_dir), "1m").materialize()
+    with timed("cascade_1h_1d"):
+        h1 = cascade(m1, "1h").materialize()
+        d1 = cascade(h1, "1d").materialize()
+    with timed("gapfill_precond_pack"):
+        filled = gap_fill_series(
+            m1, "1m", value_col="mean_latency", method="locf",
+            polynomial="chebyshev", degree=4,
+        )
+        chunks = pack_series(filled, value_col="mean_latency").materialize()
+    with timed("gorilla"):
+        enc = compress_chunks(chunks, quantize_digits=3, concurrency=max(2, num_cpus // 4)).materialize()
+    with timed("spectral_welch"):
+        spectral_downsample(chunks, method="welch", concurrency=max(2, num_cpus // 4)).materialize()
+    headline = round(time.time() - t_head, 3)
+
+    encp = enc.to_pandas()
+    bpp = float((encp["bytes_per_point"] * encp["n_points"]).sum() / max(1, encp["n_points"].sum()))
+
+    # secondary: events rollup family (uses the driver tables)
+    if os.path.isdir(sf_dir):
+        import __ray_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        for name in ("ev_rollup_1m", "ev_cascade_1h", "ev_gapfill_1h"):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "count"):
+                res.count()
+            timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "flagship transcript pipeline (rollup 1m/1h/1d + gapfill+precondition + gorilla + welch) wall time",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / headline, 1),
+        "gorilla_bytes_per_point": round(bpp, 3),
+        "rollup_rows_1m": int(m1.count()),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # pre-warm the synthetic input + page cache outside the timed runs
+    from spectral_time_series_ray.sources.transcripts import sf_from_dir, transcripts_path
+
+    p = transcripts_path(sf_from_dir(sf_dir))
+    with open(p, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency, flagship pipeline, 8 vs 32 CPUs (N vs 4N proxy)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "sf": r_hi["sf"],
+        "queries": {"bench_8": t_lo, "bench_32": t_hi},
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

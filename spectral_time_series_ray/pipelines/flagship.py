@@ -18,8 +18,7 @@ import os
 from ..sources.transcripts import read_transcripts, sf_from_dir, transcripts_path
 from ..stages.compress import compress_chunks
 from ..stages.downsample import spectral_downsample
-from ..stages.features import with_turn_features
-from ..stages.rollup import cascade, rollup_exact, rollup_mergeable
+from ..stages.rollup import cascade, rollup_transcripts
 from ..stages.series import gap_fill_series, pack_series
 from ..state.manifest import input_fingerprint, write_partitioned
 
@@ -38,11 +37,11 @@ def run_flagship(
     stays in-flight.
     """
     ds = read_transcripts(sf_dir)
-    feats = with_turn_features(ds, include_text=False)
 
-    # 1m: exact (incl. quantiles). Reused (materialized: it is the
-    # small aggregated result, not the input) for cascade + gap-fill.
-    m1 = rollup_exact(feats, "1m").materialize()
+    # 1m: exact (incl. quantiles), fused single-shuffle path. Reused
+    # (materialized: it is the small aggregated result, not the input)
+    # for cascade + gap-fill.
+    m1 = rollup_transcripts(ds, "1m").materialize()
     h1 = cascade(m1, "1h")
     d1 = cascade(m1, "1d")
 

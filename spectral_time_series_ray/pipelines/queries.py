@@ -24,7 +24,12 @@ from ..stages.series import gap_fill_series
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ..sources.transcripts import default_num_blocks
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/{name}.parquet", columns=columns,
+        override_num_blocks=default_num_blocks(),
+    )
 
 
 def round_half_away(x, digits: int):
@@ -155,8 +160,6 @@ def ev_gapfill_1h(sf_dir: str):
 def ev_type_hour_count(sf_dir: str):
     """Pre-aggregated count per (event_type, hour): per-batch Arrow
     partials, then a tiny merge — the mergeable-rollup shuffle shape."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
     ds = add_bucket(ds, "1h")
 
@@ -164,9 +167,13 @@ def ev_type_hour_count(sf_dir: str):
         return batch.group_by(["event_type", BUCKET_COL]).aggregate([([], "count_all")])
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    return ds.groupby(["event_type", BUCKET_COL]).aggregate(
-        Sum("count_all", alias_name="n_events")
-    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(BUCKET_COL, sort=True)["count_all"].sum().rename("n_events").reset_index()
+        out.insert(0, "event_type", df["event_type"].iloc[0])
+        return out
+
+    return ds.groupby("event_type").map_groups(merge, batch_format="pandas")
 
 
 def ev_top_users(sf_dir: str):

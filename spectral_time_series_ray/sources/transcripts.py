@@ -156,9 +156,25 @@ def transcripts_path(
     return path
 
 
+def default_num_blocks() -> int:
+    """Blocks ~= CPUs: the sort/groupby shuffle creates O(blocks^2)
+    intermediate objects, so fewer, larger blocks win until they limit
+    parallelism (measured: 32 blocks at 32 CPUs is ~2x faster than 64
+    and ~10x faster than 340 auto-split blocks on the sf0.1 rollup)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
+
+
 def read_transcripts(sf_dir: str, seed: int = 42, columns: list[str] | None = None):
     """ray.data.Dataset over the synthetic transcript table for sf_dir."""
     import ray.data
 
     path = transcripts_path(sf_from_dir(sf_dir), seed=seed)
-    return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=default_num_blocks()
+    )

@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .. import TIER_UNIT
+from .. import TIER_SECONDS, TIER_UNIT
 
 BUCKET_COL = "bucket_ts"
 
@@ -57,34 +57,47 @@ def add_bucket(ds, tier: str, ts_col: str = "ts"):
     return ds.map_batches(_bucket, batch_format="pyarrow")
 
 
-def _group_stats(key: str, value_cols: tuple[str, ...], quantiles: tuple[float, ...]):
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        out = {
-            key: [df[key].iloc[0]],
-            BUCKET_COL: [df[BUCKET_COL].iloc[0]],
-            "n_turns": [len(df)],
-        }
-        for col in value_cols:
-            v = df[col].to_numpy(dtype=np.float64)
-            v = v[~np.isnan(v)]
-            s = short_name(col)
-            if len(v):
-                out[f"count_{s}"] = [len(v)]
-                out[f"sum_{s}"] = [float(v.sum())]
-                out[f"min_{s}"] = [float(v.min())]
-                out[f"max_{s}"] = [float(v.max())]
-                out[f"mean_{s}"] = [float(v.mean())]
-                for q in quantiles:
-                    out[f"p{int(q * 100)}_{s}"] = [float(np.quantile(v, q))]
-            else:
-                out[f"count_{s}"] = [0]
-                for k in ("sum", "min", "max", "mean"):
-                    out[f"{k}_{s}"] = [np.nan]
-                for q in quantiles:
-                    out[f"p{int(q * 100)}_{s}"] = [np.nan]
-        return pd.DataFrame(out)
+def _bucket_stats_frame(
+    df: pd.DataFrame,
+    key_value,
+    key: str,
+    bucket_us: np.ndarray,
+    value_cols: tuple[str, ...],
+    quantiles: tuple[float, ...],
+) -> pd.DataFrame:
+    """Vectorized per-bucket stats for ONE key group (pandas groupby —
+    C-implemented — inside the group; no per-bucket Python calls)."""
+    work = pd.DataFrame({"_b": bucket_us})
+    for col in value_cols:
+        work[col] = df[col].to_numpy(dtype=np.float64)
+    g = work.groupby("_b", sort=True)
+    out = pd.DataFrame({"n_turns": g.size()})
+    for col in value_cols:
+        s = short_name(col)
+        gc = g[col]
+        count = gc.count()
+        total = gc.sum()
+        out[f"count_{s}"] = count
+        out[f"sum_{s}"] = total.where(count > 0, np.nan)  # SQL: sum of none = NULL
+        out[f"min_{s}"] = gc.min()
+        out[f"max_{s}"] = gc.max()
+        out[f"mean_{s}"] = gc.mean()
+        for q in quantiles:
+            out[f"p{int(q * 100)}_{s}"] = gc.quantile(q)  # linear interp
+    out.insert(0, BUCKET_COL, out.index.to_numpy().astype("datetime64[us]"))
+    out.insert(0, key, key_value)
+    return out.reset_index(drop=True)
 
-    return stats
+
+def _exact_group_fn(tier: str, key: str, value_cols: tuple[str, ...], quantiles: tuple[float, ...]):
+    step_us = TIER_SECONDS[tier] * 1_000_000
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        bucket_us = (ts_us // step_us) * step_us  # == floor_temporal (UTC)
+        return _bucket_stats_frame(df, df[key].iloc[0], key, bucket_us, value_cols, quantiles)
+
+    return fn
 
 
 def rollup_exact(
@@ -96,15 +109,55 @@ def rollup_exact(
 ):
     """Exact per-(key, bucket) stats incl. quantiles; single shuffle.
 
+    Shuffles on ``key`` only (far fewer groups than (key, bucket)) and
+    computes all buckets of a key vectorized inside the group —
+    per-group Python overhead is O(#keys), not O(#keys x #buckets).
     Projects to the needed columns before the shuffle so wide columns
     (text) never move (SURVEY.md §7.4).
     """
     value_cols = tuple(value_cols)
-    ds = add_bucket(ds, tier)
-    ds = ds.select_columns([key, BUCKET_COL, *value_cols])
-    return ds.groupby([key, BUCKET_COL]).map_groups(
-        _group_stats(key, value_cols, quantiles), batch_format="pandas"
+    ds = ds.select_columns([key, "ts", *value_cols])
+    return ds.groupby(key).map_groups(
+        _exact_group_fn(tier, key, value_cols, quantiles), batch_format="pandas"
     )
+
+
+def rollup_transcripts(
+    ds,
+    tier: str,
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+    key: str = "conv_id",
+):
+    """FUSED transcript rollup: ONE shuffle total.
+
+    text_len derives vectorized pre-shuffle (pyarrow); latency +
+    bucketing + per-bucket stats all happen inside a single
+    ``groupby(conv_id)`` pass (SURVEY.md §7.3: shuffle #1 and #2 fused
+    on the shared conv_id key). Output == features.with_turn_features
+    -> rollup_exact, minus one all-to-all exchange.
+    """
+    import pyarrow.compute as pc_  # noqa: N813
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return batch.append_column("text_len", pc_.utf8_length(batch["text"]))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.select_columns([key, "turn_idx", "ts", "text_len"])
+    step_us = TIER_SECONDS[tier] * 1_000_000
+    value_cols = ("latency_s", "text_len")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("turn_idx")
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        lat = np.empty(len(df))
+        lat[0] = np.nan
+        if len(df) > 1:
+            lat[1:] = np.diff(ts_us) / 1e6
+        df = df.assign(latency_s=lat)
+        bucket_us = (ts_us // step_us) * step_us
+        return _bucket_stats_frame(df, df[key].iloc[0], key, bucket_us, value_cols, quantiles)
+
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
 
 
 def _partial_batch(keys: tuple[str, ...], value_cols: tuple[str, ...]):
@@ -117,28 +170,40 @@ def _partial_batch(keys: tuple[str, ...], value_cols: tuple[str, ...]):
 
 
 def _merge(ds, keys: list[str], value_cols: tuple[str, ...], style: str):
-    """groupby().aggregate merge of partial stats.
+    """Merge partial stats: shuffle on the FIRST key only, then a
+    vectorized pandas groupby over the remaining keys inside each
+    group (per-group Python overhead is O(#keys), not O(#groups) —
+    same pattern as rollup_exact).
 
     style='arrow': input columns are Arrow group_by names
     ('{col}_count', ...); style='merged': input columns are final names
     ('count_{short}', ...). Output always uses final names.
     """
-    from ray.data.aggregate import Max, Min, Sum
-
-    aggs = []
+    head, sub = keys[0], list(keys[1:])
+    colmap = {}
     for col in value_cols:
         s = short_name(col)
         cn = {
             "arrow": (f"{col}_count", f"{col}_sum", f"{col}_min", f"{col}_max"),
             "merged": (f"count_{s}", f"sum_{s}", f"min_{s}", f"max_{s}"),
         }[style]
-        aggs += [
-            Sum(cn[0], alias_name=f"count_{s}"),
-            Sum(cn[1], alias_name=f"sum_{s}"),
-            Min(cn[2], alias_name=f"min_{s}"),
-            Max(cn[3], alias_name=f"max_{s}"),
-        ]
-    return ds.groupby(keys).aggregate(*aggs)
+        colmap[s] = cn
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(sub, sort=True)
+        out = {}
+        for s, (c_count, c_sum, c_min, c_max) in colmap.items():
+            count = g[c_count].sum()
+            total = g[c_sum].sum()  # skipna: null partials drop out
+            out[f"count_{s}"] = count
+            out[f"sum_{s}"] = total.where(count > 0, np.nan)
+            out[f"min_{s}"] = g[c_min].min()
+            out[f"max_{s}"] = g[c_max].max()
+        res = pd.DataFrame(out).reset_index()
+        res.insert(0, head, df[head].iloc[0])
+        return res
+
+    return ds.groupby(head).map_groups(fn, batch_format="pandas")
 
 
 def _with_means(ds, value_cols: tuple[str, ...]):
