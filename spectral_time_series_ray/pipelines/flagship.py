@@ -19,7 +19,7 @@ from ..sources.transcripts import read_transcripts, sf_from_dir, transcripts_pat
 from ..stages.compress import compress_chunks
 from ..stages.downsample import spectral_downsample
 from ..stages.rollup import cascade, rollup_transcripts
-from ..stages.series import gap_fill_series, pack_series
+from ..stages.series import gap_fill_pack_series
 from ..state.manifest import input_fingerprint, write_partitioned
 
 
@@ -56,11 +56,11 @@ def run_flagship(
                 lineage=lineage + [f"tier={tier}"], resume=resume,
             )
 
-    filled = gap_fill_series(
+    chunks = gap_fill_pack_series(
         m1, "1m", value_col="mean_latency", method="locf",
         polynomial="chebyshev", degree=4,
-    )
-    chunks = pack_series(filled, value_col="mean_latency").materialize()
+    ).materialize()
+    chunks = chunks.select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
     encoded = compress_chunks(chunks, quantize_digits=3, concurrency=compress_concurrency)
     results["gorilla"] = encoded
     if spectral:

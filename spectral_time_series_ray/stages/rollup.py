@@ -65,28 +65,56 @@ def _bucket_stats_frame(
     value_cols: tuple[str, ...],
     quantiles: tuple[float, ...],
 ) -> pd.DataFrame:
-    """Vectorized per-bucket stats for ONE key group (pandas groupby —
-    C-implemented — inside the group; no per-bucket Python calls)."""
-    work = pd.DataFrame({"_b": bucket_us})
-    for col in value_cols:
-        work[col] = df[col].to_numpy(dtype=np.float64)
-    g = work.groupby("_b", sort=True)
-    out = pd.DataFrame({"n_turns": g.size()})
+    """Per-bucket stats for ONE key group, pure numpy segmented
+    reductions (bincount / reduceat) — ~10x cheaper than a pandas
+    groupby with per-group quantile calls.
+
+    Semantics: count/sum/min/max/mean over observed (non-NaN) values;
+    sum of an empty set is NaN (SQL NULL); quantiles use linear
+    interpolation at position q*(n-1) — identical to np.quantile /
+    pandas / DuckDB quantile_cont.
+    """
+    buckets, inverse, n_turns = np.unique(bucket_us, return_inverse=True, return_counts=True)
+    nb = len(buckets)
+    out: dict[str, np.ndarray] = {}
+    out[key] = np.repeat(key_value, nb)
+    out[BUCKET_COL] = buckets.astype("datetime64[us]")
+    out["n_turns"] = n_turns
     for col in value_cols:
         s = short_name(col)
-        gc = g[col]
-        count = gc.count()
-        total = gc.sum()
+        v = df[col].to_numpy(dtype=np.float64)
+        mask = ~np.isnan(v)
+        b, vv = inverse[mask], v[mask]
+        count = np.bincount(b, minlength=nb).astype(np.int64)
+        sums = np.bincount(b, weights=vv, minlength=nb)  # row-order accumulation
+        has = count > 0
+        sum_col = np.where(has, sums, np.nan)
+        mean_col = np.where(has, sums / np.maximum(count, 1), np.nan)
+        min_col = np.full(nb, np.nan)
+        max_col = np.full(nb, np.nan)
+        qcols = {q: np.full(nb, np.nan) for q in quantiles}
+        if len(vv):
+            order = np.lexsort((vv, b))
+            b_s, v_s = b[order], vv[order]
+            seg_ids, starts = np.unique(b_s, return_index=True)
+            ends = np.append(starts[1:], len(v_s))
+            min_col[seg_ids] = v_s[starts]
+            max_col[seg_ids] = v_s[ends - 1]
+            cnt = ends - starts
+            for q in quantiles:
+                pos = starts + q * (cnt - 1)
+                lo = np.floor(pos).astype(np.int64)
+                frac = pos - lo
+                hi = np.minimum(lo + 1, ends - 1)
+                qcols[q][seg_ids] = v_s[lo] * (1.0 - frac) + v_s[hi] * frac
         out[f"count_{s}"] = count
-        out[f"sum_{s}"] = total.where(count > 0, np.nan)  # SQL: sum of none = NULL
-        out[f"min_{s}"] = gc.min()
-        out[f"max_{s}"] = gc.max()
-        out[f"mean_{s}"] = gc.mean()
+        out[f"sum_{s}"] = sum_col
+        out[f"min_{s}"] = min_col
+        out[f"max_{s}"] = max_col
+        out[f"mean_{s}"] = mean_col
         for q in quantiles:
-            out[f"p{int(q * 100)}_{s}"] = gc.quantile(q)  # linear interp
-    out.insert(0, BUCKET_COL, out.index.to_numpy().astype("datetime64[us]"))
-    out.insert(0, key, key_value)
-    return out.reset_index(drop=True)
+            out[f"p{int(q * 100)}_{s}"] = qcols[q]
+    return pd.DataFrame(out)
 
 
 def _exact_group_fn(tier: str, key: str, value_cols: tuple[str, ...], quantiles: tuple[float, ...]):
@@ -190,6 +218,29 @@ def _merge(ds, keys: list[str], value_cols: tuple[str, ...], style: str):
         colmap[s] = cn
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(sub) == 1 and sub[0] == BUCKET_COL:
+            # numpy fast path (segmented bincount/reduceat, no pandas
+            # groupby): the hot shape — merge partials per bucket
+            b = df[BUCKET_COL].to_numpy(dtype="datetime64[us]").view("int64")
+            buckets, inverse, _ = np.unique(b, return_inverse=True, return_counts=True)
+            nb = len(buckets)
+            order = np.argsort(inverse, kind="stable")
+            starts = np.searchsorted(inverse[order], np.arange(nb))
+            out: dict[str, np.ndarray] = {
+                head: np.repeat(df[head].iloc[0], nb),
+                BUCKET_COL: buckets.astype("datetime64[us]"),
+            }
+            for s, (c_count, c_sum, c_min, c_max) in colmap.items():
+                count = np.bincount(inverse, weights=df[c_count].to_numpy(dtype=np.float64), minlength=nb).astype(np.int64)
+                sums = np.bincount(inverse, weights=np.nan_to_num(df[c_sum].to_numpy(dtype=np.float64)), minlength=nb)
+                mins = np.minimum.reduceat(np.nan_to_num(df[c_min].to_numpy(dtype=np.float64)[order], nan=np.inf), starts)
+                maxs = np.maximum.reduceat(np.nan_to_num(df[c_max].to_numpy(dtype=np.float64)[order], nan=-np.inf), starts)
+                has = count > 0
+                out[f"count_{s}"] = count
+                out[f"sum_{s}"] = np.where(has, sums, np.nan)
+                out[f"min_{s}"] = np.where(has, mins, np.nan)
+                out[f"max_{s}"] = np.where(has, maxs, np.nan)
+            return pd.DataFrame(out)
         g = df.groupby(sub, sort=True)
         out = {}
         for s, (c_count, c_sum, c_min, c_max) in colmap.items():

@@ -153,6 +153,57 @@ def pack_series(
     return ds.groupby(key).map_groups(pack, batch_format="pandas")
 
 
+def gap_fill_pack_series(
+    rolled_ds,
+    tier: str,
+    value_col: str = "mean_latency",
+    method: str = "locf",
+    polynomial: str | None = None,
+    degree: int = 4,
+    key: str = "conv_id",
+    chunk_points: int = 4096,
+):
+    """FUSED densify + gap-fill + (optional) precondition + chunk-pack
+    in ONE ``groupby(key)`` pass — halves the shuffles of running
+    :func:`gap_fill_series` then :func:`pack_series` (both key on the
+    same column, so the exchange can be shared; SURVEY.md §7.3).
+
+    Output: chunk rows ``(key, chunk_idx, n_points, ts, values[,
+    values_precond])``.
+    """
+    step_us = TIER_SECONDS[tier] * 1_000_000
+    coeffs = (
+        np.asarray(precondition_coefficients(polynomial, degree)) if polynomial else None
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(BUCKET_COL)
+        buckets = df[BUCKET_COL].to_numpy(dtype="datetime64[us]").view("int64")
+        lo, hi = buckets[0], buckets[-1]
+        grid = np.arange(lo, hi + step_us, step_us)
+        values = np.full(len(grid), np.nan)
+        values[(buckets - lo) // step_us] = df[value_col].to_numpy(dtype=np.float64)
+        filled = IMPUTERS[method](values)
+        pre = forward_precondition(filled, coeffs) if coeffs is not None else None
+        rows = []
+        for ci, s in enumerate(range(0, len(grid), chunk_points)):
+            e = min(s + chunk_points, len(grid))
+            row = {
+                key: df[key].iloc[0],
+                "chunk_idx": ci,
+                "n_points": e - s,
+                "ts": grid[s:e],
+                "values": filled[s:e],
+            }
+            if pre is not None:
+                row["values_precond"] = pre[s:e]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    ds = rolled_ds.select_columns([key, BUCKET_COL, value_col])
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
 def unpack_series(ds, key: str = "conv_id"):
     """Explode chunk rows back to long (key, ts, value) rows."""
     import pyarrow as pa

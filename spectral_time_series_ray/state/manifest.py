@@ -32,9 +32,16 @@ MANIFEST_DIR = "_manifests"
 
 
 def input_fingerprint(paths: list[str]) -> str:
-    """Cheap content identity for resume-safety: (path, size, mtime_ns)."""
+    """Cheap content identity for resume-safety: (path, size, mtime_ns)
+    over files (directories are expanded to their files)."""
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += [os.path.join(p, n) for n in os.listdir(p)]
+        else:
+            files.append(p)
     parts = []
-    for p in sorted(paths):
+    for p in sorted(files):
         st = os.stat(p)
         parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
     import hashlib

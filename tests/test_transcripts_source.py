@@ -52,4 +52,4 @@ def test_sf_parse_and_cache(tmp_path):
     assert p1 == p2
     import pyarrow.parquet as pq
 
-    assert pq.read_metadata(p1).num_rows >= 6000
+    assert pq.ParquetDataset(p1).read(columns=["turn_idx"]).num_rows >= 6000
