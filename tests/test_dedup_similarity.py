@@ -1,0 +1,146 @@
+"""Dedup + similarity stages with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spectral_time_series_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    union_find_clusters,
+)
+from spectral_time_series_ray.stages.similarity import (
+    ann_brute_force,
+    embedding_near_dup,
+    ivf_search,
+    kmeans_fit,
+)
+
+
+def corpus():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(words, 60)))
+    # exact dups: 40,41 copy doc0; 42 copies doc1
+    docs.append(docs[0])
+    docs.append(docs[0])
+    docs.append(docs[1])
+    # near dups: doc2 with one word changed (43), two words (44)
+    t = docs[2].split(); t[5] = "CHANGED"; docs.append(" ".join(t))
+    t2 = docs[2].split(); t2[5], t2[30] = "X", "Y"; docs.append(" ".join(t2))
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_pandas(corpus()).materialize()
+
+
+def test_exact_dedup(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas().sort_values("doc_id")
+    assert len(out) == 42  # 45 docs - 3 exact dup copies
+    d0 = out[out["doc_id"] == 0]
+    assert d0["n_dups"].iloc[0] == 3  # doc0 + 2 copies
+    assert out[out["doc_id"] == 1]["n_dups"].iloc[0] == 2
+    assert set(out["doc_id"]).isdisjoint({40, 41, 42})  # keepers are min ids
+
+
+def test_minhash_lsh_dedup_finds_planted(docs_ds):
+    out = minhash_lsh_dedup(docs_ds, threshold=0.5, concurrency=2)
+    clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+    # exact copies cluster with doc0
+    assert clusters.get(40) == clusters.get(0) == 0
+    assert clusters.get(41) == 0
+    # near dups cluster with doc2
+    assert clusters.get(43) == clusters.get(2)
+    assert clusters.get(44) == clusters.get(2)
+    keepers = set(out.loc[out["is_keeper"], "doc_id"])
+    assert 0 in keepers and 40 not in keepers
+
+
+def test_simhash_dedup_exact_copies(docs_ds):
+    out = simhash_dedup(docs_ds, max_hamming=3, concurrency=2)
+    clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert clusters.get(40) == clusters.get(0)
+    assert clusters.get(41) == clusters.get(0)
+
+
+def test_ngram_jaccard_verify():
+    df = corpus()
+    texts = dict(zip(df["doc_id"], df["text"]))
+    pairs = ngram_jaccard_pairs(texts, [(0, 40), (2, 43), (0, 1)])
+    j = dict(zip(zip(pairs["a"], pairs["b"]), pairs["jaccard"]))
+    assert j[(0, 40)] == 1.0          # identical
+    assert 0.7 < j[(2, 43)] < 1.0     # near dup
+    assert j[(0, 1)] < 0.2            # unrelated
+
+
+def test_union_find():
+    c = union_find_clusters([(1, 2), (2, 3), (5, 6)])
+    assert c[1] == c[2] == c[3] == 1
+    assert c[5] == c[6] == 5
+
+
+def embeddings_fixture():
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((50, 16))
+    # plant near-dups: 50 = 0 + tiny noise, 51 = 1 + tiny noise
+    dups = np.vstack([base[0] + 0.001 * rng.standard_normal(16),
+                      base[1] + 0.001 * rng.standard_normal(16)])
+    m = np.vstack([base, dups])
+    return pd.DataFrame({"vec_id": range(len(m)), "embedding": list(m)})
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_pandas(embeddings_fixture()).materialize()
+
+
+def test_ann_brute_force_topk(emb_ds):
+    df = embeddings_fixture()
+    q = np.stack(df["embedding"].iloc[[0]])
+    out = ann_brute_force(emb_ds, q, k=3, concurrency=2).to_pandas()
+    assert len(out) == 3
+    top2 = set(out.sort_values("score", ascending=False)["vec_id"].head(2))
+    assert top2 == {0, 50}  # itself + planted near-dup
+
+
+def test_ann_exact_vs_numpy(emb_ds):
+    df = embeddings_fixture()
+    m = np.stack(df["embedding"])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = mn[5]
+    scores = mn @ q
+    exp_top = set(np.argsort(-scores)[:5])
+    out = ann_brute_force(emb_ds, m[5][None, :], k=5, concurrency=2).to_pandas()
+    assert set(out["vec_id"]) == exp_top
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((200, 8))
+    c1 = kmeans_fit(x, 4, seed=7)
+    c2 = kmeans_fit(x, 4, seed=7)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_ivf_search_finds_neighbor(emb_ds):
+    df = embeddings_fixture()
+    q = np.stack(df["embedding"].iloc[[0]])
+    out = ivf_search(emb_ds, q, k=3, n_clusters=4, nprobe=2, concurrency=2).to_pandas()
+    # the planted near-dup shares the query's cluster -> must be found
+    assert 50 in set(out["vec_id"])
+
+
+def test_embedding_near_dup_pairs(emb_ds):
+    pairs = embedding_near_dup(emb_ds, threshold=0.99, n_planes=8, dim=16, concurrency=2)
+    found = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 50) in found and (1, 51) in found
