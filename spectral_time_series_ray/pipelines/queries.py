@@ -45,14 +45,14 @@ def _round_ds(ds, digits_map: dict[str, int]):
                 batch[col] = round_half_away(batch[col].to_numpy(dtype=np.float64), d)
         return batch
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pandas", batch_size=None)
 
 
 def _rename_ds(ds, mapping: dict[str, str]):
     def f(batch: pa.Table) -> pa.Table:
         return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------- events
@@ -166,7 +166,7 @@ def ev_type_hour_count(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["event_type", BUCKET_COL]).aggregate([([], "count_all")])
 
-    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(BUCKET_COL, sort=True)["count_all"].sum().rename("n_events").reset_index()
@@ -184,7 +184,7 @@ def ev_top_users(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["user_id"]).aggregate([("value", "sum")])
 
-    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     totals = ds.groupby("user_id").aggregate(Sum("value_sum", alias_name="total_value"))
     df = totals.to_pandas()
     df["total_value"] = round_half_away(df["total_value"].to_numpy(), 2)
@@ -216,7 +216,7 @@ def q1_pricing(sf_dir: str):
              ("charge", "sum"), ("l_discount", "sum"), ([], "count_all")]
         )
 
-    partials = ds.map_batches(prep, batch_format="pyarrow")
+    partials = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity_sum", alias_name="sum_qty"),
         Sum("l_extendedprice_sum", alias_name="sum_base_price"),
@@ -235,7 +235,7 @@ def q1_pricing(sf_dir: str):
             batch[c] = round_half_away(batch[c].to_numpy(), 2)
         return batch.drop(columns=["_sum_disc"])
 
-    return merged.map_batches(finish, batch_format="pandas")
+    return merged.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def q3_revenue_topk(sf_dir: str):
@@ -258,7 +258,7 @@ def q3_revenue_topk(sf_dir: str):
         batch = batch.append_column("rev", rev)
         return batch.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
 
-    partials = li.map_batches(prep, batch_format="pyarrow")
+    partials = li.map_batches(prep, batch_format="pyarrow", batch_size=None)
     joined = broadcast_join(partials, odf, on="l_orderkey", how="inner")
     rev = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("rev_sum", alias_name="revenue")
@@ -277,7 +277,7 @@ def top_customers(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(["o_custkey"]).aggregate([("o_totalprice", "sum")])
 
-    partials = orders.map_batches(partial, batch_format="pyarrow")
+    partials = orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
     totals = partials.groupby("o_custkey").aggregate(
         Sum("o_totalprice_sum", alias_name="total_spend")
     )
@@ -310,7 +310,7 @@ def doc_stats_by_lang(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
-    ds = ds.map_batches(add_text_features, batch_format="pyarrow")
+    ds = ds.map_batches(add_text_features, batch_format="pyarrow", batch_size=None)
     ds = ds.select_columns(["lang", "text_len", "ws_tokens"])
     out = ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"),

@@ -136,7 +136,7 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def transcripts_path(
-    sf: float, seed: int = 42, cache_root: str = "/tmp/sts_ray_cache", n_files: int = 32
+    sf: float, seed: int = 42, cache_root: str | None = None, n_files: int = 32
 ) -> str:
     """Materialize (once) and return the parquet DIRECTORY for a scale
     factor.
@@ -146,6 +146,13 @@ def transcripts_path(
     parallelizes (a single parquet file reads as ONE task regardless of
     row groups — measured 3.7 s serialized at sf0.5).
     """
+    if cache_root is None:
+        # /dev/shm when available: this sandbox's /tmp disk reads at
+        # ~100 MB/s with no page-cache retention, which would make every
+        # benchmark I/O-bound; tmpfs reads at memory speed
+        cache_root = (
+            "/dev/shm/sts_ray_cache" if os.path.isdir("/dev/shm") else "/tmp/sts_ray_cache"
+        )
     n_turns = max(200, int(6_000_000 * sf))
     out_dir = os.path.join(cache_root, f"transcripts_n{n_turns}_s{seed}")
     marker = os.path.join(out_dir, "_SUCCESS")

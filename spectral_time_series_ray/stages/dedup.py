@@ -44,7 +44,7 @@ def exact_dedup(ds, id_col: str = "doc_id"):
     The hash-partitioned groupby moves only (hash, id, text); within a
     group exact text equality guards against hash collisions.
     """
-    ds = ds.map_batches(_text_hash_batch, batch_format="pandas")
+    ds = ds.map_batches(_text_hash_batch, batch_format="pandas", batch_size=None)
     ds = ds.select_columns([id_col, "text", "text_hash"])
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -218,7 +218,7 @@ def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4):
             )
         return pd.concat(parts, ignore_index=True)
 
-    exploded = hashes.map_batches(explode, batch_format="pandas")
+    exploded = hashes.map_batches(explode, batch_format="pandas", batch_size=None)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")

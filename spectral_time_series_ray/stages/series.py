@@ -228,4 +228,4 @@ def unpack_series(ds, key: str = "conv_id"):
             }
         )
 
-    return ds.map_batches(unpack, batch_format="pyarrow")
+    return ds.map_batches(unpack, batch_format="pyarrow", batch_size=None)

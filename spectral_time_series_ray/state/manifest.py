@@ -74,7 +74,7 @@ def _add_date(ds):
         day = pc.strftime(pc.floor_temporal(batch[BUCKET_COL], unit="day"), format="%Y-%m-%d")
         return batch.append_column("date", day)
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def skip_completed(ds, done_dates: set[str]):
@@ -89,7 +89,7 @@ def skip_completed(ds, done_dates: set[str]):
         mask = pc.invert(pc.is_in(batch["date"], value_set=pa.array(done)))
         return batch.filter(mask)
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def write_partitioned(

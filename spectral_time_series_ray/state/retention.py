@@ -70,4 +70,4 @@ def filter_expired(ds, tier: str, now: dt.date, ttl_days: dict[str, int] | None 
     def f(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["bucket_ts"], pa.scalar(cutoff)))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,49 @@
+"""The partition-vectorized fused rollup must equal the modular
+with_turn_features -> rollup_exact path exactly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spectral_time_series_ray.sources.transcripts import generate_transcripts
+from spectral_time_series_ray.stages.features import with_turn_features
+from spectral_time_series_ray.stages.rollup import rollup_exact, rollup_transcripts
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["bucket_ts"] = pd.to_datetime(df["bucket_ts"]).astype("datetime64[us]")
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64")
+    return (
+        df.sort_index(axis=1)
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h"])
+def test_fused_equals_modular(ray_session, tier):
+    import ray.data
+
+    table = generate_transcripts(3000, seed=11)
+    ds = ray.data.from_arrow(table)
+    fused = normalize(rollup_transcripts(ds, tier, num_partitions=7).to_pandas())
+    ds2 = ray.data.from_arrow(table)
+    modular = normalize(
+        rollup_exact(with_turn_features(ds2, include_text=False), tier).to_pandas()
+    )
+    assert list(fused.columns) == list(modular.columns)
+    assert len(fused) == len(modular)
+    for c in fused.columns:
+        g, e = fused[c].to_numpy(), modular[c].to_numpy()
+        if fused[c].dtype.kind == "f":
+            both_nan = pd.isna(g) & pd.isna(e)
+            np.testing.assert_allclose(
+                g[~both_nan], e[~both_nan], rtol=1e-12, atol=1e-12, err_msg=c
+            )
+        else:
+            assert (g == e).all(), c
