@@ -108,6 +108,21 @@ def _tr_precondition_roundtrip(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _tr_window_eval(sf_dir: str):
+    """Rolling-window seasonal-naive evaluation over the gap-filled 1m
+    series (EvalCrop/EvalDataset window semantics + metric kernels)."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_series
+    from spectral_time_series_ray.stages.windows import enumerate_windows, evaluate_windows
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m").materialize()
+    filled = gap_fill_series(m1, "1m", value_col="mean_latency", method="locf")
+    wins = enumerate_windows(filled, ctx=32, pred=8, stride=8)
+    return evaluate_windows(wins, season=8, concurrency=2)
+
+
 def _doc_quality(sf_dir: str):
     import ray.data
 
@@ -203,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_type_hour_count": Q.ev_type_hour_count,
         "ev_top_users": Q.ev_top_users,
+        "ev_user_scaler": Q.ev_user_scaler,
+        "ev_naive_forecast": Q.ev_naive_forecast,
         # relational coverage (oracle-checked)
         "q1_pricing": Q.q1_pricing,
         "q3_revenue_topk": Q.q3_revenue_topk,
@@ -221,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_gorilla": _tr_gorilla,
         "tr_spectral": _tr_spectral,
         "tr_precondition_roundtrip": _tr_precondition_roundtrip,
+        "tr_window_eval": _tr_window_eval,
         # text / dedup / similarity / multimodal (rows-only)
         "doc_quality": _doc_quality,
         "doc_fingerprints": _doc_fingerprints,
@@ -317,6 +335,26 @@ def oracle_sql() -> dict[str, str]:
             select user_id, round(sum(value), 2) as total_value
             from events group by 1
             order by total_value desc, user_id asc limit 10
+        """,
+        "ev_user_scaler": """
+            select user_id,
+                   round((cast(sum(cast(value as decimal(18,4))) * 10000 as bigint) / 10000.0)
+                         / count(value), 6) as loc,
+                   round(case when count(value) > 1
+                         then greatest(stddev_samp(value), 0.00001)
+                         else 0.00001 end, 6) as scale
+            from events group by 1
+        """,
+        "ev_naive_forecast": """
+            with lagged as (
+              select user_id, value,
+                     lag(value) over (partition by user_id order by ts, event_id) as prev
+              from events)
+            select user_id, count(*) as n_scored,
+                   round((cast(sum(cast((value - prev) * (value - prev) as decimal(18,4))) * 10000 as bigint) / 10000.0) / count(*), 6) as naive_mse,
+                   round((cast(sum(cast(abs(value - prev) as decimal(18,2))) * 100 as bigint) / 100.0) / count(*), 6) as naive_mae
+            from lagged where prev is not null
+            group by 1 having count(*) > 0
         """,
         "q1_pricing": """
             select l_returnflag, l_linestatus,

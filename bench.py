@@ -8,11 +8,11 @@ Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
      "queries": {...}, "sf": ..., "num_cpus": N,
      "turns_per_sec": ..., "gorilla_bytes_per_point": ...}
 
-``--scaling``: runs the headline pipeline at num_cpus=8 and 32 in
-fresh subprocesses on the same (pre-warmed) input and reports both
+``--scaling``: runs the headline pipeline at two CPU counts (default
+4 and 16 = N vs 4N; see run_scaling for why not 8/32 on this VM) in
+fresh subprocesses on the same pre-warmed input and reports both
 throughputs + scaling efficiency — the in-sandbox evidence for the
-north rule's two-cluster-size criterion (8 vs 32 CPUs standing in for
-N vs 4N nodes).
+north rule's two-cluster-size criterion.
 """
 
 from __future__ import annotations
@@ -149,10 +149,10 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    # Scaling runs use a LARGER synthetic transcript input (default 3M
-    # turns ~ sf0.5) so fixed per-process overheads (ray worker spin-up,
-    # actor-pool startup) amortize — at sf0.1 the whole pipeline runs in
-    # seconds and overheads dominate the ratio. Override with
+    # Scaling runs use a LARGER synthetic transcript input (default 12M
+    # turns ~ sf2) so fixed per-process overheads (ray worker spin-up,
+    # actor-pool startup) amortize — at 6M the 16-CPU leg is still
+    # overhead-bound (measured eff 0.45 vs 0.96 at 12M). Override with
     # GRAFT_SCALING_TURNS.
     n_turns = int(os.environ.get("GRAFT_SCALING_TURNS", "12000000"))
     sf = n_turns / 6_000_000

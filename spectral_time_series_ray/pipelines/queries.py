@@ -432,3 +432,69 @@ def emb_sim_pairs(sf_dir: str):
 
     out = ds.map_batches(PairScorer, batch_format="pandas", batch_size=4096, concurrency=2)
     return out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------ scalers / metrics
+
+def ev_user_scaler(sf_dir: str):
+    """Per-user standardization stats (PackedStdScaler semantics:
+    sample variance, scale clamped at 1e-5 —
+    reference packed_scaler.py:78-122)."""
+    from ..stages.normalize import fit_std_scaler
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = fit_std_scaler(ds, key="user_id", value_col="value")
+    # loc via EXACT integer arithmetic: event values carry 2 decimals, so
+    # float means often land exactly on round-half boundaries where
+    # summation-order ulp noise flips the rounded digit. Both engines
+    # compute sum(value*10^4 as int)/10^4/n in double (oracle: DECIMAL
+    # cast), giving identical floats.
+    def exact_loc(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        scaled = np.rint(v * 10_000).astype(np.int64)
+        loc = (scaled.sum() / 10_000) / len(v)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "loc": [loc]})
+
+    locs = (
+        _read(sf_dir, "events", columns=["user_id", "value"])
+        .groupby("user_id")
+        .map_groups(exact_loc, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.drop(columns=["loc"]).merge(locs, on="user_id")
+    out["loc"] = round_half_away(out["loc"].to_numpy(), 6)
+    out["scale"] = round_half_away(out["scale"].to_numpy(), 6)
+    return out[["user_id", "loc", "scale"]].sort_values("user_id").reset_index(drop=True)
+
+
+def _naive_group(g: pd.DataFrame) -> pd.DataFrame:
+    from ..functions.metrics import mae, mse
+
+    g = g.sort_values(["ts", "event_id"])
+    v = g["value"].to_numpy(dtype=np.float64)
+    if len(v) < 2:
+        return pd.DataFrame({"user_id": [], "n_scored": [], "naive_mse": [], "naive_mae": []})
+    y, p = v[1:], v[:-1]  # lag-1 naive forecast
+    # exact integer arithmetic (values have 2 decimals): diffs*100 are
+    # integers, so SSE*10^4 and SAE*10^2 sum exactly in int64 — both
+    # engines then divide identical numerators (see oracle SQL)
+    d = np.rint((y - p) * 100).astype(np.int64)
+    mse_exact = ((d * d).sum() / 10_000) / len(y)
+    mae_exact = (np.abs(d).sum() / 100) / len(y)
+    assert abs(mse_exact - mse(y, p)) < 1e-6 and abs(mae_exact - mae(y, p)) < 1e-8
+    return pd.DataFrame(
+        {
+            "user_id": [g["user_id"].iloc[0]],
+            "n_scored": [len(y)],
+            "naive_mse": round_half_away(mse_exact, 6),
+            "naive_mae": round_half_away(mae_exact, 6),
+        }
+    )
+
+
+def ev_naive_forecast(sf_dir: str):
+    """Lag-1 naive forecast self-evaluation per user — the windowed-eval
+    metric kernels (MSE/MAE, reference loss/packed/point.py) with a SQL
+    oracle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return ds.groupby("user_id").map_groups(_naive_group, batch_format="pandas")

@@ -1,0 +1,121 @@
+"""Rolling evaluation windows + naive-forecast evaluation per series.
+
+Window semantics from the reference:
+- window count: ``windows = (len - ctx - pred) // stride + 1``
+  (`uni2ts/src/uni2ts/data/builder/simple.py:438,467-471`)
+- window w covers ``[fcst_start - ctx, fcst_start + pred)`` with
+  ``fcst_start = offset + w * stride`` (EvalCrop,
+  `uni2ts/src/uni2ts/transform/crop.py:134-147`)
+- enumeration = cross product series x window (EvalDataset,
+  `uni2ts/src/uni2ts/data/dataset.py:185-211`)
+
+The evaluation stage mirrors the reference's windowed-eval lifecycle
+(SURVEY.md §3.2) with a seasonal-naive "model": forecast the next
+``pred`` buckets with the value ``season`` buckets earlier, score each
+window with the metric kernels, and aggregate per series — the
+incremental-evaluator aggregation shape (`evaluation.py:131-173`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions import metrics as M
+from .rollup import BUCKET_COL
+
+
+def window_count(length: int, ctx: int, pred: int, stride: int) -> int:
+    return max(0, (length - ctx - pred) // stride + 1)
+
+
+def enumerate_windows(
+    series_ds,
+    ctx: int,
+    pred: int,
+    stride: int,
+    key: str = "conv_id",
+    value_col: str = "mean_latency",
+):
+    """One row per (key, window): context + horizon arrays.
+
+    Input: dense per-series rows (key, bucket_ts, value) — e.g. the
+    gap-filled grid. Output rows carry list columns sized ctx / pred.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(BUCKET_COL)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        n_win = window_count(len(v), ctx, pred, stride)
+        rows = []
+        for w in range(n_win):
+            fcst_start = ctx + w * stride
+            rows.append(
+                {
+                    key: df[key].iloc[0],
+                    "window": w,
+                    "fcst_start_ts": df[BUCKET_COL].iloc[fcst_start],
+                    "context": v[fcst_start - ctx : fcst_start],
+                    "horizon": v[fcst_start : fcst_start + pred],
+                }
+            )
+        if not rows:
+            return pd.DataFrame(
+                {key: pd.Series([], dtype=object), "window": pd.Series([], dtype=np.int64),
+                 "fcst_start_ts": pd.Series([], dtype="datetime64[us]"),
+                 "context": pd.Series([], dtype=object), "horizon": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(rows)
+
+    return series_ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
+class NaiveForecastScorer:
+    """Actor-pool eval stage: seasonal-naive forecast per window +
+    per-window metrics (the stateful scorer slot of SURVEY.md §2.4 —
+    a real model would load weights in __init__)."""
+
+    def __init__(self, season: int = 1, quantile: float = 0.5):
+        self.season = season
+        self.q = quantile
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            ctx = np.asarray(r["context"], dtype=np.float64)
+            hor = np.asarray(r["horizon"], dtype=np.float64)
+            season = min(self.season, len(ctx))
+            reps = int(np.ceil(len(hor) / season))
+            fcst = np.tile(ctx[-season:], reps)[: len(hor)]
+            rows.append(
+                {
+                    "conv_id": r.get("conv_id", r.iloc[0]),
+                    "window": r["window"],
+                    "mse": M.mse(hor, fcst),
+                    "mae": M.mae(hor, fcst),
+                    "smape": M.smape(hor, fcst),
+                    "mase": M.mase(hor, fcst, ctx, season),
+                    "q_loss": M.quantile_loss(hor, fcst, self.q),
+                }
+            )
+        return pd.DataFrame(rows)
+
+
+def evaluate_windows(window_ds, season: int = 1, concurrency: int = 2):
+    """Score every window, then aggregate per series (masked-mean
+    reduce over windows, `loss/packed/_base.py:76-106` shape)."""
+    scored = window_ds.map_batches(
+        NaiveForecastScorer,
+        fn_constructor_kwargs={"season": season},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"conv_id": [df["conv_id"].iloc[0]], "n_windows": [len(df)]}
+        for m in ("mse", "mae", "smape", "mase", "q_loss"):
+            out[m] = [float(np.nanmean(df[m].to_numpy(dtype=np.float64)))]
+        return pd.DataFrame(out)
+
+    return scored.groupby("conv_id").map_groups(agg, batch_format="pandas")

@@ -1,0 +1,152 @@
+"""Window enumeration/eval, scalers, metrics, CSV sources, sampling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spectral_time_series_ray.functions import metrics as M
+from spectral_time_series_ray.sources.csv_series import (
+    infer_freq_seconds,
+    read_long_csv,
+    read_wide_csv,
+)
+from spectral_time_series_ray.stages.normalize import (
+    apply_scaler,
+    fit_abs_mean_scaler,
+    fit_std_scaler,
+)
+from spectral_time_series_ray.stages.sampling import sample_series, weighted_union
+from spectral_time_series_ray.stages.windows import (
+    enumerate_windows,
+    evaluate_windows,
+    window_count,
+)
+
+
+def test_metric_kernels():
+    y = np.array([1.0, 2.0, 3.0, 4.0])
+    p = np.array([1.0, 2.0, 3.0, 5.0])
+    assert M.mse(y, p) == 0.25
+    assert M.mae(y, p) == 0.25
+    assert M.rmse(y, p) == 0.5
+    assert abs(M.mape(y, p) - 0.0625) < 1e-12
+    assert M.nd(y, p) == 0.1
+    assert M.quantile_loss(y, p, 0.5) == 0.125
+    # NaNs are jointly masked
+    assert M.mse(np.array([1.0, np.nan]), np.array([2.0, 5.0])) == 1.0
+    # seasonal error / mase
+    ins = np.array([1.0, 2.0, 1.0, 2.0, 1.0])
+    assert M.seasonal_error(ins, 2) == 0.0 or M.seasonal_error(ins, 1) == 1.0
+    assert M.mase(y, p, ins, 1) == 0.25  # mae / seasonal_error(=1)
+
+
+def test_window_count_formula():
+    # reference simple.py:438: windows = (len - ctx - pred) // stride + 1
+    assert window_count(100, 32, 8, 8) == (100 - 32 - 8) // 8 + 1
+    assert window_count(10, 32, 8, 8) == 0
+
+
+@pytest.fixture(scope="module")
+def series_ds(ray_session):
+    import ray.data
+
+    rows = []
+    for conv in ("a", "b"):
+        n = 80
+        ts = np.arange(n, dtype=np.int64) * 60_000_000
+        v = np.sin(2 * np.pi * np.arange(n) / 8.0) + (1.0 if conv == "b" else 0.0)
+        rows.append(pd.DataFrame({
+            "conv_id": conv,
+            "bucket_ts": ts.astype("datetime64[us]"),
+            "mean_latency": v,
+        }))
+    return ray.data.from_pandas(pd.concat(rows, ignore_index=True)).materialize()
+
+
+def test_enumerate_windows(series_ds):
+    wins = enumerate_windows(series_ds, ctx=32, pred=8, stride=8).to_pandas()
+    per_conv = wins.groupby("conv_id").size()
+    assert (per_conv == window_count(80, 32, 8, 8)).all()
+    w0 = wins[(wins["conv_id"] == "a") & (wins["window"] == 0)].iloc[0]
+    assert len(w0["context"]) == 32 and len(w0["horizon"]) == 8
+
+
+def test_evaluate_windows_perfect_seasonal(series_ds):
+    # series has exact period 8 -> seasonal-naive with season=8 is perfect
+    wins = enumerate_windows(series_ds, ctx=32, pred=8, stride=8)
+    out = evaluate_windows(wins, season=8, concurrency=1).to_pandas()
+    assert (out["mse"] < 1e-20).all()
+    # season=1 is imperfect
+    wins2 = enumerate_windows(series_ds, ctx=32, pred=8, stride=8)
+    out2 = evaluate_windows(wins2, season=1, concurrency=1).to_pandas()
+    assert (out2["mse"] > 0.1).all()
+
+
+def test_std_scaler(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"k": ["x"] * 5 + ["y"] * 3, "v": [1, 2, 3, 4, 5, 10, 10, 10.0]})
+    ds = ray.data.from_pandas(df)
+    sc = fit_std_scaler(ds, "k", "v").sort_values("k").reset_index(drop=True)
+    np.testing.assert_allclose(sc["loc"], [3.0, 10.0])
+    np.testing.assert_allclose(sc["scale"], [np.std([1, 2, 3, 4, 5], ddof=1), 1e-5])
+    out = apply_scaler(ray.data.from_pandas(df), sc, "k", "v", concurrency=1).to_pandas()
+    x = out[out["k"] == "x"]["v_std"].to_numpy()
+    assert abs(x.mean()) < 1e-12 and abs(x.std(ddof=1) - 1.0) < 1e-12
+
+
+def test_abs_mean_scaler(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"k": ["x"] * 4, "v": [-2.0, 2.0, -4.0, 4.0]})
+    sc = fit_abs_mean_scaler(ray.data.from_pandas(df), "k", "v")
+    assert sc["loc"].iloc[0] == 0.0 and sc["scale"].iloc[0] == 3.0
+
+
+def test_csv_sources(ray_session, tmp_path):
+    long = tmp_path / "long.csv"
+    pd.DataFrame({
+        "item_id": ["a", "a", "b"],
+        "timestamp": ["2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 00:00:00"],
+        "target": [1.5, 2.5, 9.0],
+    }).to_csv(long, index=False)
+    out = read_long_csv(str(long)).to_pandas()
+    assert list(out.columns) == ["item_id", "ts", "target"]
+    assert len(out) == 3 and out["target"].sum() == 13.0
+
+    wide = tmp_path / "wide.csv"
+    pd.DataFrame({
+        "timestamp": ["2024-01-01 00:00:00", "2024-01-01 01:00:00"],
+        "s1": [1.0, 2.0],
+        "s2": [3.0, 4.0],
+    }).to_csv(wide, index=False)
+    out2 = read_wide_csv(str(wide)).to_pandas()
+    assert sorted(out2["item_id"].unique()) == ["s1", "s2"]
+    assert len(out2) == 4
+
+    ts = out2[out2["item_id"] == "s1"]["ts"].to_numpy()
+    assert infer_freq_seconds(ts) == 3600.0
+
+
+def test_sampling(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 5 + ["c"] * 1, "v": range(16)})
+    ds = ray.data.from_pandas(df).materialize()
+    out = sample_series(ds, "k", 2, mode="uniform", seed=3).to_pandas()
+    assert out["k"].nunique() == 2
+    # deterministic for fixed seed
+    out2 = sample_series(ds, "k", 2, mode="uniform", seed=3).to_pandas()
+    assert set(out["k"]) == set(out2["k"])
+    prop = sample_series(ds, "k", 2, mode="proportional", seed=5).to_pandas()
+    assert prop["k"].nunique() == 2
+    assert sample_series(ds, "k", 99, mode="uniform").count() == 16
+
+
+def test_weighted_union(ray_session):
+    import ray.data
+
+    a = ray.data.from_pandas(pd.DataFrame({"x": [1]}))
+    b = ray.data.from_pandas(pd.DataFrame({"x": [2]}))
+    out = weighted_union([(a, 2), (b, 3)]).to_pandas()
+    assert sorted(out["x"]) == [1, 1, 2, 2, 2]
