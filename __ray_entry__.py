@@ -108,6 +108,25 @@ def _tr_precondition_roundtrip(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _tr_spectral_lomb(sf_dir: str):
+    """Lomb-Scargle over each conversation's RAW inter-turn-interval
+    series (irregular event times — no grid, so FFT methods do not
+    apply; north-star spectral path)."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.downsample import spectral_downsample
+    from spectral_time_series_ray.stages.features import with_turn_features
+    from spectral_time_series_ray.stages.series import pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    feats = with_turn_features(ds, include_text=False)
+    chunks = pack_series(
+        feats, value_col="latency_s", ts_col="ts", order_col="turn_idx",
+        chunk_points=2048,
+    )
+    out = spectral_downsample(chunks, method="lomb", concurrency=2, n_freqs=128)
+    return out.select_columns(["conv_id", "chunk_idx", "n_points", "peak_freq", "method"])
+
+
 def _tr_window_eval(sf_dir: str):
     """Rolling-window seasonal-naive evaluation over the gap-filled 1m
     series (EvalCrop/EvalDataset window semantics + metric kernels)."""
@@ -238,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_gorilla": _tr_gorilla,
         "tr_spectral": _tr_spectral,
         "tr_precondition_roundtrip": _tr_precondition_roundtrip,
+        "tr_spectral_lomb": _tr_spectral_lomb,
         "tr_window_eval": _tr_window_eval,
         # text / dedup / similarity / multimodal (rows-only)
         "doc_quality": _doc_quality,

@@ -92,8 +92,7 @@ def run_bench() -> dict:
             chunks = chunks.select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
         with timed("gorilla_spectral"):
             enc = process_chunks(
-                chunks, quantize_digits=3, method="welch",
-                concurrency=max(2, num_cpus // 4),
+                chunks, quantize_digits=3, method="welch", use_actors=False,
             ).materialize()
         return m1, enc
 
@@ -112,8 +111,7 @@ def run_bench() -> dict:
         chunks = chunks.select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
     with timed("gorilla_spectral"):
         enc = process_chunks(
-            chunks, quantize_digits=3, method="welch",
-            concurrency=max(2, num_cpus // 4),
+            chunks, quantize_digits=3, method="welch", use_actors=False,
         ).materialize()
     headline = round(time.time() - t_head, 3)
 
@@ -184,7 +182,13 @@ def run_scaling() -> dict:
     # GRAFT_SCALING_LO/HI.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    # host noise between runs is 2-3x (see BASELINE.md); min-of-reps is
+    # the standard low-noise estimator
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

@@ -1,8 +1,9 @@
 """The flagship transcript pipeline (SURVEY.md §7.1):
 
-read_parquet(transcripts)
-  -> map_batches: per-turn text features            [stateless, pyarrow]
-  -> groupby(conv_id).map_groups: stable sort, latency   [ordered]
+read_parquet(transcripts, pruned columns)
+  -> map_batches: text_len + hash partition          [stateless, pyarrow]
+  -> ONE int-keyed shuffle; per-partition numpy: stable (conv, turn)
+     sort, boundary-safe latency, tumbling buckets, segmented stats
   -> tiered rollups: 1m exact (count/sum/min/max/mean/p50/p99),
      1h + 1d cascaded from 1m mergeable partials
   -> gap-fill (LOCF) on the 1m grid + precondition (Chebyshev d4)

@@ -33,11 +33,30 @@ class CombinedChunkWorker:
         return enc
 
 
-def process_chunks(chunk_ds, quantize_digits: int | None = 3, method: str = "welch", concurrency: int = 4):
-    return chunk_ds.map_batches(
-        CombinedChunkWorker,
-        fn_constructor_kwargs={"quantize_digits": quantize_digits, "method": method},
-        batch_format="pandas",
-        batch_size=256,
-        concurrency=concurrency,
-    )
+def process_chunks(
+    chunk_ds,
+    quantize_digits: int | None = 3,
+    method: str = "welch",
+    concurrency: int | None = 4,
+    use_actors: bool = True,
+):
+    """``use_actors=True`` (default): actor pool — right when per-actor
+    setup is expensive (model weights, big tables). ``use_actors=False``:
+    stateless tasks over warm workers with a per-process worker cache —
+    right when setup is trivial and pool spawn (~2s x pool size) would
+    dominate, e.g. short benchmark stages."""
+    if use_actors:
+        return chunk_ds.map_batches(
+            CombinedChunkWorker,
+            fn_constructor_kwargs={"quantize_digits": quantize_digits, "method": method},
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=concurrency,
+        )
+
+    def fn(batch):
+        # construction is trivial here (no model state); per-task build
+        # beats paying pool spawn for a short stage
+        return CombinedChunkWorker(quantize_digits=quantize_digits, method=method)(batch)
+
+    return chunk_ds.map_batches(fn, batch_format="pandas", batch_size=256)

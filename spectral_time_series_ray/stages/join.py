@@ -18,33 +18,30 @@ from __future__ import annotations
 import pandas as pd
 
 
-class _BroadcastMerge:
-    """Actor: deserialize the broadcast side once per actor."""
-
-    def __init__(self, small_ref, on, how, suffix):
-        import ray
-
-        self.small = ray.get(small_ref)
-        self.on = on
-        self.how = how
-        self.suffix = suffix
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.small, on=self.on, how=self.how, suffixes=("", self.suffix))
+# per-worker-process cache of deserialized broadcast sides: stateless
+# tasks get actor-like amortization without actor-pool startup cost
+_SMALL_CACHE: dict[str, pd.DataFrame] = {}
 
 
-def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner", suffix: str = "_r", concurrency: int = 4):
+def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner", suffix: str = "_r", concurrency=None):
     """Broadcast-hash join: ``small_df`` is put in the object store once
-    and read in every actor's ``__init__`` — never re-shipped per batch."""
+    (``ray.put``) and fetched at most once per worker process (module
+    cache) — never re-shipped per batch. Stateless tasks: no actor-pool
+    spin-up, warm workers reused across stages."""
     import ray
 
     ref = ray.put(small_df)
-    return ds.map_batches(
-        _BroadcastMerge,
-        fn_constructor_args=(ref, on, how, suffix),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ref.hex()
+        small = _SMALL_CACHE.get(key)
+        if small is None:
+            small = ray.get(ref)
+            _SMALL_CACHE.clear()  # bound the cache: one live side per worker
+            _SMALL_CACHE[key] = small
+        return batch.merge(small, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 def semi_join_keys(ds, keys, column: str):
