@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_type_hour_count": Q.ev_type_hour_count,
         "ev_top_users": Q.ev_top_users,
         "ev_user_scaler": Q.ev_user_scaler,
+        "ev_distinct_exact": Q.ev_distinct_exact,
+        "ev_distinct_hll": Q.ev_distinct_hll,
         "ev_naive_forecast": Q.ev_naive_forecast,
         # relational coverage (oracle-checked)
         "q1_pricing": Q.q1_pricing,
@@ -355,6 +357,10 @@ def oracle_sql() -> dict[str, str]:
             select user_id, round(sum(value), 2) as total_value
             from events group by 1
             order by total_value desc, user_id asc limit 10
+        """,
+        "ev_distinct_exact": """
+            select event_type, count(distinct user_id) as n_distinct
+            from events group by 1
         """,
         "ev_user_scaler": """
             select user_id,

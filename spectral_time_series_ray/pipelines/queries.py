@@ -498,3 +498,27 @@ def ev_naive_forecast(sf_dir: str):
     oracle."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
     return ds.groupby("user_id").map_groups(_naive_group, batch_format="pandas")
+
+
+# ------------------------------------------------ distinct counting
+
+def ev_distinct_exact(sf_dir: str):
+    """Exact distinct users per event type (full-shuffle path)."""
+    from ..stages.distinct import distinct_exact
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return distinct_exact(ds, "event_type", "user_id")
+
+
+def ev_distinct_hll(sf_dir: str):
+    """HLL-sketched distinct users per event type vs exact — the
+    mergeable-sketch scale path (no value shuffle). Rows-only: the
+    estimate is approximate by design; rel_err column shows accuracy."""
+    from ..stages.distinct import distinct_exact, distinct_hll
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    exact = distinct_exact(ds, "event_type", "user_id").to_pandas()
+    approx = distinct_hll(ds, "event_type", "user_id", p=12).to_pandas()
+    out = exact.merge(approx, on="event_type")
+    out["rel_err"] = np.abs(out["n_distinct_approx"] - out["n_distinct"]) / out["n_distinct"]
+    return out.sort_values("event_type").reset_index(drop=True)

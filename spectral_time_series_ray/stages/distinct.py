@@ -1,0 +1,53 @@
+"""Distinct counting: exact (shuffle) and HLL-sketched (mergeable
+partials, no value shuffle).
+
+The sketched path is the canonical scale pattern (ray_guide.md
+"Aggregation at scale"): each batch emits ONE serialized sketch per
+group; the merge stage combines byte blobs — bytes moved per batch is
+O(groups x 2^p), independent of row count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import fnv1a_u64
+from ..functions.sketch import HyperLogLog
+
+
+def distinct_exact(ds, key_col: str, value_col: str):
+    """Exact distinct count of value_col per key_col (full shuffle)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]], "n_distinct": [g[value_col].nunique()]}
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
+
+
+def distinct_hll(ds, key_col: str, value_col: str, p: int = 12):
+    """Approximate distinct count per key: per-batch HLL partials,
+    merged per key. Returns (key, n_distinct_approx)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in batch.groupby(key_col, sort=False):
+            hll = HyperLogLog(p=p)
+            hll.add_hashes(fnv1a_u64([str(v) for v in g[value_col]]))
+            rows.append({key_col: k, "sketch": hll.to_bytes()})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HyperLogLog.from_bytes(g["sketch"].iloc[0])
+        for blob in g["sketch"].iloc[1:]:
+            acc.merge(HyperLogLog.from_bytes(blob))
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]],
+             "n_distinct_approx": [float(np.round(acc.estimate(), 1))]}
+        )
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
