@@ -100,19 +100,32 @@ def run_bench() -> dict:
     t_head = time.time()
     with timed("rollup_1m"):
         m1 = rollup_transcripts(read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"]), "1m").materialize()
-    with timed("cascade_1h_1d"):
+
+    # the two post-rollup branches are independent DAGs over m1; run
+    # them concurrently (Ray executes concurrent datasets fine) so
+    # neither leaves the cluster idle while the other shuffles
+    import concurrent.futures as cf
+
+    def branch_cascade():
         h1 = cascade(m1, "1h").materialize()
         cascade(h1, "1d").materialize()
-    with timed("gapfill_precond_pack"):
+
+    def branch_chunks():
         chunks = gap_fill_pack_series(
             m1, "1m", value_col="mean_latency", method="locf",
             polynomial="chebyshev", degree=4,
         ).materialize()
         chunks = chunks.select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
-    with timed("gorilla_spectral"):
-        enc = process_chunks(
+        return process_chunks(
             chunks, quantize_digits=3, method="welch", use_actors=False,
         ).materialize()
+
+    with timed("cascade_and_chunks_concurrent"):
+        with cf.ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(branch_cascade)
+            f2 = ex.submit(branch_chunks)
+            f1.result()
+            enc = f2.result()
     headline = round(time.time() - t_head, 3)
 
     encp = enc.to_pandas()
