@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_top_users": Q.ev_top_users,
         "ev_user_scaler": Q.ev_user_scaler,
         "ev_distinct_exact": Q.ev_distinct_exact,
+        "ev_asof_purchase": Q.ev_asof_purchase,
+        "ev_pivot_types": Q.ev_pivot_types,
         "ev_distinct_hll": Q.ev_distinct_hll,
         "ev_naive_forecast": Q.ev_naive_forecast,
         # relational coverage (oracle-checked)
@@ -357,6 +359,22 @@ def oracle_sql() -> dict[str, str]:
             select user_id, round(sum(value), 2) as total_value
             from events group by 1
             order by total_value desc, user_id asc limit 10
+        """,
+        "ev_asof_purchase": """
+            select a.event_id, a.user_id, b.ts as purchase_ts,
+                   round(b.value, 2) as purchase_value
+            from (select * from events where event_type = 'error') a
+            asof join (select * from events where event_type = 'purchase') b
+              on a.user_id = b.user_id and a.ts >= b.ts
+        """,
+        "ev_pivot_types": """
+            select user_id,
+                   count(*) filter (where event_type = 'click') as n_click,
+                   count(*) filter (where event_type = 'error') as n_error,
+                   count(*) filter (where event_type = 'purchase') as n_purchase,
+                   count(*) filter (where event_type = 'signup') as n_signup,
+                   count(*) filter (where event_type = 'view') as n_view
+            from events group by 1
         """,
         "ev_distinct_exact": """
             select event_type, count(distinct user_id) as n_distinct

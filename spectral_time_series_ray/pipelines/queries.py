@@ -522,3 +522,60 @@ def ev_distinct_hll(sf_dir: str):
     out = exact.merge(approx, on="event_type")
     out["rel_err"] = np.abs(out["n_distinct_approx"] - out["n_distinct"]) / out["n_distinct"]
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------ as-of join / pivot
+
+def ev_asof_purchase(sf_dir: str):
+    """Each error event matched to the user's most recent
+    prior-or-equal purchase (as-of join; oracle: DuckDB ASOF JOIN)."""
+    from ..stages.join import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
+    left = ev.filter(expr="event_type == 'error'").select_columns(["event_id", "user_id", "ts"])
+
+    def prep_right(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {"user_id": batch["user_id"], "ts": batch["ts"],
+             "purchase_ts": batch["ts"], "purchase_value": batch["value"]}
+        )
+
+    right = ev.map_batches(prep_right, batch_format="pandas", batch_size=None)
+    joined = asof_join(left, right, key="user_id", ts_col="ts", direction="backward")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.dropna(subset=["purchase_ts"])  # inner semantics
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "purchase_ts": batch["purchase_ts"].astype("datetime64[us]"),
+                "purchase_value": round_half_away(batch["purchase_value"].to_numpy(), 2),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def ev_pivot_types(sf_dir: str):
+    """Per-user event-type counts pivoted to columns (melt/pivot op;
+    oracle: COUNT(*) FILTER)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("event_type")["count_all"].sum()
+        row = {"user_id": [g["user_id"].iloc[0]]}
+        for t in EVENT_TYPES:
+            row[f"n_{t}"] = [int(counts.get(t, 0))]
+        return pd.DataFrame(row)
+
+    return partials.groupby("user_id").map_groups(pivot, batch_format="pandas")

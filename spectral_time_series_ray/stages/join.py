@@ -68,3 +68,43 @@ def anti_join_keys(ds, keys, column: str):
         return batch.filter(pc.invert(pc.is_in(batch[column], value_set=vals)))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_r",
+):
+    """As-of join: each left row matched to the most recent right row
+    with right.ts <= left.ts for the same key (ray_guide.md "As-of /
+    range join": sort both sides by (key, ts), pd.merge_asof per key).
+
+    The right side is grouped per key alongside the left via a tagged
+    union + single groupby — one shuffle, both sides co-located.
+    """
+    import pyarrow as pa
+
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column("_side", pa.array([side] * len(batch), pa.int8()))
+
+        return f
+
+    left = left_ds.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+    # union null-fills the symmetric difference of the schemas; the
+    # per-key fn re-projects each side to its original columns
+    both = left.union(right)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g.loc[g["_side"] == 0, left_cols].sort_values(ts_col)
+        rf = g.loc[g["_side"] == 1, [c for c in right_cols if c != key]].sort_values(ts_col)
+        return pd.merge_asof(lf, rf, on=ts_col, direction=direction, suffixes=("", suffix))
+
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")
