@@ -37,8 +37,11 @@ def run_flagship(
     by (tier, date) with checkpoint manifests; otherwise everything
     stays in-flight.
     """
+    from ..stages.validate import validate_transcripts
+
     # prune at the read: the rollup needs 4 of the 6 columns
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    ds = validate_transcripts(ds)  # schema check + vectorized row rules
 
     # 1m: exact (incl. quantiles), fused single-shuffle path. Reused
     # (materialized: it is the small aggregated result, not the input)
