@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_naive_forecast": Q.ev_naive_forecast,
         # relational coverage (oracle-checked)
         "q1_pricing": Q.q1_pricing,
+        "q5_local_supplier": Q.q5_local_supplier,
         "q3_revenue_topk": Q.q3_revenue_topk,
         "top_customers": Q.top_customers,
         "supplier_nation": Q.supplier_nation,
@@ -413,6 +414,19 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             where l_shipdate <= timestamp '1998-09-02'
             group by 1, 2
+        """,
+        "q5_local_supplier": """
+            select n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue
+            from customer c
+            join orders o on o.o_custkey = c.c_custkey
+            join lineitem l on l.l_orderkey = o.o_orderkey
+            join supplier s on s.s_suppkey = l.l_suppkey
+            join nation n on n.n_nationkey = s.s_nationkey
+            join region r on r.r_regionkey = n.n_regionkey
+            where r.r_name = 'ASIA' and c.c_nationkey = s.s_nationkey
+              and o.o_orderdate >= timestamp '1995-01-01'
+              and o.o_orderdate < timestamp '1997-01-01'
+            group by 1
         """,
         "q3_revenue_topk": """
             select l.l_orderkey, o.o_orderdate,

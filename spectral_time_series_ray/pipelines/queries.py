@@ -579,3 +579,51 @@ def ev_pivot_types(sf_dir: str):
         return pd.DataFrame(row)
 
     return partials.groupby("user_id").map_groups(pivot, batch_format="pandas")
+
+
+def q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape: revenue by nation for ASIA orders where the
+    supplier and customer share a nation — a 6-table broadcast-join
+    chain with the big side (lineitem) streamed once."""
+    from ray.data.aggregate import Sum
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    asia_key = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nations = nation[nation["n_regionkey"] == asia_key][["n_nationkey", "n_name"]]
+    nation_keys = set(nations["n_nationkey"])
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nation_keys)]
+    sup_nation = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nation_keys)]
+
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders[(orders["o_orderdate"] >= lo) & (orders["o_orderdate"] < hi)]
+    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    order_nation = dict(zip(orders["o_orderkey"], orders["c_nationkey"]))
+
+    import ray
+
+    ref = ray.put((order_nation, sup_nation))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        onat, snat = ray.get(ref)
+        c_nat = batch["l_orderkey"].map(onat)
+        s_nat = batch["l_suppkey"].map(snat)
+        keep = c_nat.notna() & s_nat.notna() & (c_nat == s_nat)
+        b = batch[keep]
+        rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        out = pd.DataFrame({"n_nationkey": c_nat[keep].astype(np.int64), "rev": rev})
+        return out.groupby("n_nationkey", as_index=False)["rev"].sum()  # per-batch partial
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    partials = li.map_batches(score, batch_format="pandas", batch_size=None)
+    merged = partials.groupby("n_nationkey").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    out = merged.merge(nations, on="n_nationkey")[["n_name", "revenue"]]
+    out["revenue"] = round_half_away(out["revenue"].to_numpy(), 2)
+    return out.sort_values("n_name").reset_index(drop=True)
