@@ -38,11 +38,11 @@ def entry() -> Any:
 # ------------------------------------------------------- rows-only pipelines
 
 def _tr_rollup_1m(sf_dir: str):
-    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
     from spectral_time_series_ray.stages.rollup import rollup_transcripts
 
     ds = read_transcripts(sf_dir)
-    return rollup_transcripts(ds, "1m")
+    return rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
 
 
 def _tr_cascade_1h(sf_dir: str):
@@ -457,8 +457,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": r"""
             select lang, count(*) as n_docs,
                    round(avg(length(text)), 6) as avg_chars,
-                   round(avg(case when trim(text) = '' then 0
-                             else len(string_split_regex(trim(text), '\s+')) end), 6)
+                   round(avg(case when regexp_replace(text, '^\s+|\s+$', '', 'g') = '' then 0
+                             else len(string_split_regex(
+                                  regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) end), 6)
                      as avg_ws_tokens
             from documents group by 1
         """,

@@ -45,6 +45,34 @@ def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def mulmod_p61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact ``(a * x) mod (2^61 - 1)`` for uint64 arrays with
+    ``a, x < 2^61 - 1``, without 128-bit ints.
+
+    Split both operands into 31/30-bit halves and reduce each partial
+    product mod p, using ``2^61 ≡ 1 (mod p)`` (so ``2^62 ≡ 2``). Every
+    intermediate fits in 64 bits:
+
+    - ``a1*x1 < 2^60``, doubled stays ``< 2^61``
+    - ``a1*x0 + a0*x1 < 2^62``
+    - the mid term ``m*2^31`` is re-split as ``m1*2^61 + m0*2^31``
+      with ``m1 < 2^31`` and ``m0*2^31 < 2^61``
+    - ``a0*x0 < 2^62``
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    x = np.asarray(x, dtype=np.uint64)
+    m31 = np.uint64(0x7FFFFFFF)
+    m30 = np.uint64(0x3FFFFFFF)
+    a0, a1 = a & m31, a >> np.uint64(31)  # a = a1*2^31 + a0; a1 < 2^30
+    x0, x1 = x & m31, x >> np.uint64(31)
+    hi = (a1 * x1 << np.uint64(1)) % _MERSENNE61  # *2^62 ≡ *2
+    m = (a1 * x0 + a0 * x1) % _MERSENNE61  # coefficient of 2^31
+    m0, m1 = m & m30, m >> np.uint64(30)  # m*2^31 = m1*2^61 + m0*2^31
+    mid = (m1 + (m0 << np.uint64(31))) % _MERSENNE61
+    lo = (a0 * x0) % _MERSENNE61
+    return (hi + mid + lo) % _MERSENNE61
+
+
 class MinHasher:
     """num_perm universal-hash permutations h_i(x) = (a_i x + b_i) mod p,
     folded into band keys for LSH (bands x rows = num_perm)."""
@@ -63,11 +91,7 @@ class MinHasher:
         if len(shingles) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = (shingles % _MERSENNE61)[None, :]  # [1, S]
-        # (a*x + b) mod p without 128-bit ints: split a into hi/lo 30/31 bits
-        a, b = self.a[:, None], self.b[:, None]
-        lo = (a & np.uint64(0x7FFFFFFF)) * x
-        hi = (a >> np.uint64(31)) * x
-        h = (lo % _MERSENNE61 + ((hi % _MERSENNE61) << np.uint64(31)) % _MERSENNE61 + b) % _MERSENNE61
+        h = (mulmod_p61(self.a[:, None], x) + self.b[:, None]) % _MERSENNE61
         return h.min(axis=1)
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import os
 
-from ..sources.transcripts import read_transcripts, sf_from_dir, transcripts_path
+from ..sources.transcripts import (
+    read_transcripts,
+    sf_from_dir,
+    transcripts_bytes,
+    transcripts_path,
+)
 from ..stages.compress import compress_chunks
 from ..stages.downsample import spectral_downsample
 from ..stages.rollup import cascade, rollup_transcripts
@@ -46,7 +51,7 @@ def run_flagship(
     # 1m: exact (incl. quantiles), fused single-shuffle path. Reused
     # (materialized: it is the small aggregated result, not the input)
     # for cascade + gap-fill.
-    m1 = rollup_transcripts(ds, "1m").materialize()
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
     h1 = cascade(m1, "1h")
     d1 = cascade(m1, "1d")
 
@@ -74,6 +79,10 @@ def run_flagship(
         )
     if out_root:
         enc_dir = os.path.join(out_root, "gorilla_chunks")
+        if os.path.isdir(enc_dir):  # write_parquet appends: clear reruns
+            import shutil
+
+            shutil.rmtree(enc_dir)
         encoded.write_parquet(enc_dir)
         results["gorilla"] = __import__("ray").data.read_parquet(enc_dir)
     return results

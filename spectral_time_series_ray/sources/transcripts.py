@@ -187,6 +187,17 @@ def default_num_blocks() -> int:
     return max(8, cpus)
 
 
+def transcripts_bytes(sf_dir: str, seed: int = 42) -> int:
+    """Total on-disk bytes of the transcript parquet dir (cheap stat;
+    used to size shuffle partition counts by data volume)."""
+    path = transcripts_path(sf_from_dir(sf_dir), seed=seed)
+    return sum(
+        os.path.getsize(os.path.join(path, n))
+        for n in os.listdir(path)
+        if n.endswith(".parquet")
+    )
+
+
 def read_transcripts(sf_dir: str, seed: int = 42, columns: list[str] | None = None):
     """ray.data.Dataset over the synthetic transcript table for sf_dir."""
     import ray.data

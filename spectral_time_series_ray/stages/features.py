@@ -19,10 +19,19 @@ import pyarrow.compute as pc
 
 
 def add_text_features(batch: pa.Table) -> pa.Table:
-    """text_len (chars) + ws_tokens (whitespace token count), vectorized."""
+    """text_len (chars) + ws_tokens (whitespace token count), vectorized.
+
+    Text is whitespace-trimmed before splitting and empty/whitespace-only
+    text counts 0 tokens — otherwise the regex split counts the empty
+    string as 1 token and leading/trailing whitespace as extra tokens,
+    diverging from the documented token semantics (and the SQL oracle)."""
     text = batch["text"]
     batch = batch.append_column("text_len", pc.utf8_length(text))
-    tokens = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+    trimmed = pc.utf8_trim_whitespace(text)
+    tokens = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    tokens = pc.if_else(
+        pc.equal(trimmed, ""), pa.scalar(0, tokens.type), tokens
+    )
     batch = batch.append_column("ws_tokens", tokens)
     return batch
 

@@ -188,12 +188,33 @@ def _segmented_stats(
     return out
 
 
+def partitions_for_input(
+    input_bytes: int | None, target_partition_bytes: int = 256 << 20
+) -> int:
+    """Shuffle partition count sized by INPUT BYTES, floored by cluster
+    parallelism. Each ``groupby(_part).map_groups`` group materializes
+    ``input/P`` rows in one pandas frame, so P must grow with the data
+    (target ~256 MB per partition) — tying P to CPUs alone is a memory
+    cliff at 100 TB on a fixed-size cluster (round-1 verdict)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    floor = 4 * cpus
+    if not input_bytes:
+        return floor
+    return max(floor, -(-int(input_bytes) // target_partition_bytes))
+
+
 def rollup_transcripts(
     ds,
     tier: str,
     quantiles: tuple[float, ...] = (0.5, 0.99),
     key: str = "conv_id",
     num_partitions: int | None = None,
+    input_bytes: int | None = None,
 ):
     """FUSED transcript rollup: ONE int-keyed shuffle, partition-level
     numpy.
@@ -212,12 +233,7 @@ def rollup_transcripts(
     import pyarrow.compute as pc_  # noqa: N813
 
     if num_partitions is None:
-        try:
-            import ray
-
-            num_partitions = 4 * int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            num_partitions = 32
+        num_partitions = partitions_for_input(input_bytes)
     step_us = TIER_SECONDS[tier] * 1_000_000
 
     def derive(batch: pa.Table) -> pa.Table:
@@ -250,8 +266,19 @@ def rollup_transcripts(
         lat[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
         lat[new_conv] = np.nan  # first turn: no predecessor
         bucket_us = (ts_us // step_us) * step_us
-        new_seg = new_conv.copy()
-        new_seg[1:] |= bucket_us[1:] != bucket_us[:-1]  # ts sorted within conv
+        # latency comes from TURN order (above); segmentation needs
+        # bucket-sorted order within each conv — inputs whose ts is not
+        # monotone in turn_idx would otherwise split one (conv, bucket)
+        # into several segments. lexsort is stable and near-free when ts
+        # is already sorted (the common case).
+        order2 = np.lexsort((bucket_us, codes_s))
+        codes_s = codes_s[order2]
+        bucket_us = bucket_us[order2]
+        lat = lat[order2]
+        text_len = text_len[order2]
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (bucket_us[1:] != bucket_us[:-1])
         seg_of_row = np.cumsum(new_seg) - 1
         starts = np.flatnonzero(new_seg)
         ends = np.append(starts[1:], n)

@@ -209,22 +209,32 @@ def unpack_series(ds, key: str = "conv_id"):
     import pyarrow as pa
 
     def unpack(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        ks, ts, vs = [], [], []
-        for _, row in df.iterrows():
-            n = int(row["n_points"])
-            ks += [row[key]] * n
-            ts.append(np.asarray(row["ts"], dtype=np.int64))
-            vs.append(np.asarray(row["values"], dtype=np.float64))
-        if not ts:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
             return pa.table({key: pa.array([], pa.string()),
                              "ts": pa.array([], pa.timestamp("us")),
                              "value": pa.array([], pa.float64())})
+        # list_flatten is zero-copy on the child buffers; keys expand
+        # with one np.repeat — no Python row loop. Ray may store list
+        # columns as its tensor extension type; fall back to per-chunk
+        # concatenate there (rows are chunk-level, so n is small).
+        if pa.types.is_list(batch["ts"].type) or pa.types.is_large_list(batch["ts"].type):
+            lens = pc.list_value_length(batch["ts"]).to_numpy(zero_copy_only=False)
+            ts_flat = pc.list_flatten(batch["ts"]).to_numpy(zero_copy_only=False)
+            vs_flat = pc.list_flatten(batch["values"]).to_numpy(zero_copy_only=False)
+        else:
+            ts_rows = [np.asarray(t, dtype=np.int64) for t in batch["ts"].to_pandas()]
+            vs_rows = [np.asarray(v, dtype=np.float64) for v in batch["values"].to_pandas()]
+            lens = np.fromiter((len(t) for t in ts_rows), dtype=np.int64, count=len(ts_rows))
+            ts_flat = np.concatenate(ts_rows) if ts_rows else np.array([], np.int64)
+            vs_flat = np.concatenate(vs_rows) if vs_rows else np.array([], np.float64)
+        keys = np.repeat(batch[key].to_numpy(zero_copy_only=False), lens)
         return pa.table(
             {
-                key: pa.array(ks, pa.string()),
-                "ts": pa.array(np.concatenate(ts).astype("datetime64[us]")),
-                "value": pa.array(np.concatenate(vs)),
+                key: pa.array(keys, pa.string()),
+                "ts": pa.array(np.asarray(ts_flat, dtype=np.int64).astype("datetime64[us]")),
+                "value": pa.array(np.asarray(vs_flat, dtype=np.float64)),
             }
         )
 

@@ -26,6 +26,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
+def _topk_deterministic(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k scores with ties broken by ascending id —
+    deterministic even at the k-th-position score boundary (a plain
+    argpartition picks arbitrary tie members, so a tied lower-id vector
+    could be dropped from a batch partial and the final merge would
+    disagree with the documented (score desc, id asc) order)."""
+    n = len(s)
+    k = min(k, n)
+    if k == 0:
+        return np.array([], dtype=np.int64)
+    if n > 4 * k:
+        cand = np.argpartition(-s, k - 1)[:k]
+        thr = s[cand].min()
+        cand = np.flatnonzero(s >= thr)  # include ALL ties at the boundary
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((ids[cand], -s[cand]))[:k]
+    return cand[order]
+
+
 class _ScoreBatch:
     """Actor: query matrix fetched from the object store once."""
 
@@ -44,8 +64,7 @@ class _ScoreBatch:
         out = []
         for qi in range(self.q.shape[0]):
             s = scores[:, qi]
-            k = min(self.k, len(s))
-            idx = np.argpartition(-s, k - 1)[:k]
+            idx = _topk_deterministic(s, ids, self.k)
             out.append(
                 pd.DataFrame(
                     {"query_id": qi, self.id_col: ids[idx], "score": s[idx]}

@@ -60,7 +60,16 @@ class BucketAggregator:
 
 class StreamingAggregator:
     """Drive N bucket actors from an event-time-ordered micro-batch
-    stream (``ds.sort(ts).iter_batches``)."""
+    stream (``ds.sort(ts).iter_batches``).
+
+    SCALE NOTE (honest limitation): the global event-time sort is an
+    all-to-all and every micro-batch passes through the DRIVER before
+    fanning out to bucket actors, so the driver NIC is the throughput
+    ceiling. This models the reference's single-process incremental
+    evaluator lifecycle, not a 100-TB stream; the scale path for
+    unordered aggregation is ``rollup_mergeable`` (no order, no driver
+    hop). Use this stage only when strict event-time fold order of a
+    keyed state machine is required."""
 
     def __init__(self, n_buckets: int = 4):
         self.actors = [BucketAggregator.remote() for _ in range(n_buckets)]
@@ -76,10 +85,14 @@ class StreamingAggregator:
                 m = b == i
                 if m.any():
                     pending.append(self.actors[i].update.remote(keys[m], vals[m]))
-            # backpressure: don't let unacked updates grow without bound
+            # backpressure: don't let unacked updates grow without bound.
+            # ray.wait returns WHICH refs completed — keep the not-ready
+            # ones (a positional truncation would drop refs that the
+            # final ray.get then never awaits)
             if len(pending) > 4 * self.n:
-                ray.wait(pending, num_returns=len(pending) - 2 * self.n)
-                pending = pending[-2 * self.n :]
+                _, pending = ray.wait(
+                    pending, num_returns=len(pending) - 2 * self.n
+                )
         ray.get(pending)
         return self
 

@@ -117,6 +117,17 @@ def write_partitioned(
     ds = ds.materialize()
     counts = {r["date"]: r["count()"] for r in ds.groupby("date").count().take_all()}
     if counts:
+        # a partition about to be (re)written may hold stale files from a
+        # run that crashed between the parquet write and the manifest
+        # publish (or from a prior fingerprint): Ray write_parquet appends
+        # by default, so clear exactly the target date dirs first — the
+        # manifest, not the data files, is the completion record.
+        import shutil
+
+        for date in counts:
+            pdir = os.path.join(tier_dir, f"date={date}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
         ds.write_parquet(tier_dir, partition_cols=["date"])
 
     mdir = os.path.join(out_root, MANIFEST_DIR, tier)

@@ -144,3 +144,23 @@ def test_embedding_near_dup_pairs(emb_ds):
     pairs = embedding_near_dup(emb_ds, threshold=0.99, n_planes=8, dim=16, concurrency=2)
     found = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
     assert (0, 50) in found and (1, 51) in found
+
+
+def test_topk_deterministic_ties():
+    """Ties at the k-th score boundary resolve to the LOWEST ids, even
+    on the argpartition fast path (n > 4k)."""
+    import numpy as np
+
+    from spectral_time_series_ray.stages.similarity import _topk_deterministic
+
+    n, k = 40, 3
+    s = np.full(n, 0.1)
+    s[7] = 1.0            # clear winner
+    ties = [29, 4, 17, 11, 23]
+    s[ties] = 0.5         # five-way tie for ranks 2..6
+    ids = np.arange(100, 100 + n)
+    idx = _topk_deterministic(s, ids, k)
+    assert list(ids[idx]) == [107, 104, 111]  # winner, then lowest tied ids
+    # small-n path agrees
+    idx2 = _topk_deterministic(s[:16], ids[:16], k)
+    assert list(ids[idx2]) == [107, 104, 111]

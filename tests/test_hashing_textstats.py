@@ -95,3 +95,19 @@ def test_quality():
     f = quality_features(good)
     assert f["n_words"] > 5 and 0 < f["stopword_ratio"] < 1
     assert quality_score(good) > quality_score(bad)
+
+
+def test_mulmod_p61_exact():
+    """mulmod_p61 must equal exact Python big-int (a*x) mod (2^61-1) —
+    the universal-hash guarantee of MinHash depends on it."""
+    from spectral_time_series_ray.functions.hashing import mulmod_p61
+
+    p = (1 << 61) - 1
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, p, 2000, dtype=np.uint64)
+    x = rng.integers(0, p, 2000, dtype=np.uint64)
+    got = mulmod_p61(a, x)
+    exp = np.array([(int(ai) * int(xi)) % p for ai, xi in zip(a, x)], dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+    for ai, xi in [(p - 1, p - 1), (0, 5), (p - 1, 1), (2**31 - 1, 2**31 - 1), (2**60, 2**60)]:
+        assert int(mulmod_p61(np.uint64(ai), np.uint64(xi))) == (ai * xi) % p

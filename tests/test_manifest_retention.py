@@ -73,7 +73,8 @@ def test_changed_fingerprint_invalidates(rolled, tmp_path):
 
 def test_partial_resume(rolled, tmp_path):
     """Simulate an interrupted run: drop one manifest, rerun, only that
-    partition is recomputed."""
+    partition is recomputed — and its data files are REPLACED, not
+    appended next to the stale ones (crash between write and publish)."""
     out = str(tmp_path / "tiers")
     c1 = write_partitioned(rolled, out, "1h", fingerprint="f")
     victim = sorted(c1)[0]
@@ -81,6 +82,22 @@ def test_partial_resume(rolled, tmp_path):
     c2 = write_partitioned(rolled, out, "1h", fingerprint="f")
     assert set(c2) == {victim}
     assert c2[victim] == c1[victim]
+    vdir = os.path.join(out, "tier=1h", f"date={victim}")
+    n_on_disk = sum(pq.read_table(f).num_rows for f in glob.glob(os.path.join(vdir, "*.parquet")))
+    assert n_on_disk == c1[victim]  # no stale rows appended
+
+
+def test_changed_fingerprint_replaces_files(rolled, tmp_path):
+    """A fingerprint change invalidates manifests; the rewrite must not
+    append next to the old fingerprint's files."""
+    out = str(tmp_path / "tiers")
+    c1 = write_partitioned(rolled, out, "1h", fingerprint="v1")
+    write_partitioned(rolled, out, "1h", fingerprint="v2")
+    total = sum(
+        pq.read_table(f).num_rows
+        for f in glob.glob(os.path.join(out, "tier=1h", "**", "*.parquet"), recursive=True)
+    )
+    assert total == sum(c1.values())  # replaced, not doubled
 
 
 def test_retention(rolled, tmp_path):

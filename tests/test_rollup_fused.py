@@ -25,6 +25,41 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def test_fused_out_of_order_ts(ray_session):
+    """ts NOT monotone in turn_idx: a turn-order bucket segmentation
+    would emit multiple rows per (conv, bucket); the fused rollup must
+    still match the modular path exactly (latency stays turn-ordered)."""
+    import pyarrow as pa
+    import ray.data
+
+    table = generate_transcripts(2000, seed=5)
+    # swap ts between turn pairs within conversations so ts is out of
+    # order in turn_idx for many conversations (deterministic)
+    df = table.to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ts = df["ts"].to_numpy().copy()
+    same_conv = df["conv_id"].to_numpy()[:-1] == df["conv_id"].to_numpy()[1:]
+    swap = np.flatnonzero(same_conv)[::3]  # every 3rd adjacent in-conv pair
+    ts[swap], ts[swap + 1] = ts[swap + 1].copy(), ts[swap].copy()
+    df["ts"] = ts
+    table2 = pa.Table.from_pandas(df, preserve_index=False)
+
+    fused = normalize(rollup_transcripts(ray.data.from_arrow(table2), "1m", num_partitions=5).to_pandas())
+    modular = normalize(
+        rollup_exact(with_turn_features(ray.data.from_arrow(table2), include_text=False), "1m").to_pandas()
+    )
+    assert len(fused) == len(modular)
+    # one row per (conv, bucket) — no duplicate segments
+    assert not fused.duplicated(["conv_id", "bucket_ts"]).any()
+    for c in fused.columns:
+        g, e = fused[c].to_numpy(), modular[c].to_numpy()
+        if fused[c].dtype.kind == "f":
+            both_nan = pd.isna(g) & pd.isna(e)
+            np.testing.assert_allclose(g[~both_nan], e[~both_nan], rtol=1e-12, atol=1e-12, err_msg=c)
+        else:
+            assert (g == e).all(), c
+
+
 @pytest.mark.parametrize("tier", ["1m", "1h"])
 def test_fused_equals_modular(ray_session, tier):
     import ray.data
