@@ -168,28 +168,78 @@ def _doc_fingerprints(sf_dir: str):
     )
 
 
-def _doc_minhash_dedup(sf_dir: str):
+def _plant_near_dups(sf_dir: str, n_plant: int = 20):
+    """Documents dataset UNIONed with deterministic near-dup copies
+    (last word replaced, doc_id += 1_000_000) of the first ``n_plant``
+    long docs. Returns (dataset, planted (orig, copy) pair set) — the
+    self-verification ground truth for the dedup queries."""
     import ray.data
 
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # small driver-side slice (first ids only), NOT the corpus
+    base = ds.filter(expr="doc_id < 200").to_pandas().sort_values("doc_id")
+    base = base[base["text"].str.split().str.len() >= 30].head(n_plant)
+    mut = base.copy()
+    mut["doc_id"] = mut["doc_id"] + 1_000_000
+    mut["text"] = [" ".join(t.split()[:-1] + ["zzzzplanted"]) for t in mut["text"]]
+    planted = set(zip(base["doc_id"].astype(int), mut["doc_id"].astype(int)))
+    import pyarrow as pa
+
+    # from_arrow (not from_pandas): union must not mix block types with
+    # the Arrow blocks coming from read_parquet
+    mut_ds = ray.data.from_arrow(pa.Table.from_pandas(mut, preserve_index=False))
+    return ds.union(mut_ds), planted
+
+
+def _with_recall(out: pd.DataFrame, planted: set) -> pd.DataFrame:
+    clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+    hits = sum(
+        1 for a, b in planted
+        if clusters.get(a) is not None and clusters.get(a) == clusters.get(b)
+    )
+    recall = hits / max(1, len(planted))
+    if len(out) == 0:
+        out = pd.DataFrame({"doc_id": [-1], "cluster_id": [-1], "is_keeper": [True]})
+    out["planted_recall"] = recall
+    out["ok"] = recall >= 0.8
+    return out
+
+
+def _doc_minhash_dedup(sf_dir: str):
     from spectral_time_series_ray.stages.dedup import minhash_lsh_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds, planted = _plant_near_dups(sf_dir)
     out = minhash_lsh_dedup(ds, threshold=0.8, concurrency=2)
-    if len(out) == 0:  # corpus has no near-dups: report the (empty) scan result
-        out = pd.DataFrame({"doc_id": [-1], "cluster_id": [-1], "is_keeper": [True]})
-    return out
+    return _with_recall(out, planted)
 
 
 def _doc_simhash_dedup(sf_dir: str):
-    import ray.data
+    """SimHash near-dup with planted copies; the ok column scores recall
+    over the DETECTABLE planted pairs (actual hamming <= max_hamming) —
+    a one-word mutation can legitimately flip >3 bits, which is outside
+    SimHash's banding guarantee, not a pipeline failure."""
+    import pyarrow.parquet as pq
 
+    from spectral_time_series_ray.functions.hashing import fnv1a_u64, hamming64, simhash64
     from spectral_time_series_ray.stages.dedup import simhash_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = simhash_dedup(ds, max_hamming=3, concurrency=2)
-    if len(out) == 0:
-        out = pd.DataFrame({"doc_id": [-1], "cluster_id": [-1], "is_keeper": [True]})
-    return out
+    max_hamming = 3
+    ds, planted = _plant_near_dups(sf_dir)
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 200)],
+    ).to_pandas().set_index("doc_id")["text"]
+
+    def sh(text: str):
+        return np.uint64(simhash64(fnv1a_u64(text.split())))
+
+    detectable = set()
+    for a, b in planted:
+        mut_text = " ".join(t[a].split()[:-1] + ["zzzzplanted"])
+        if int(hamming64(sh(t[a]), sh(mut_text))[()]) <= max_hamming:
+            detectable.add((a, b))
+    out = simhash_dedup(ds, max_hamming=max_hamming, concurrency=2)
+    return _with_recall(out, detectable)
 
 
 def _emb_ann_ivf(sf_dir: str):

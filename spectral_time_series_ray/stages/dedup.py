@@ -14,19 +14,25 @@ dedup patterns; MMDS ch.3):
   pairs (the verify kernel, usable standalone at small scale).
 - embedding-cosine near-dup lives in ``similarity.py``.
 
-Scale notes: signatures are fixed-width (num_perm * 8 B); the band
-explosion multiplies rows by #bands but each row is (band, key,
-doc_id) — this is the shuffle. Candidate-pair verification uses the
-signature map broadcast via ``ray.put`` (at cluster scale, replace
-with a hash join of pairs against the signature dataset on doc_id).
-Connected components run driver-side over the verified near-dup pair
-list, which is sparse by construction (union-find; bounded rounds).
+Scale notes: signatures are fixed-width binary (num_perm * 8 B); the
+band explosion multiplies rows by #bands but each row is (band, key,
+doc_id) — this is the shuffle. Candidate-pair verification is fully
+distributed: pairs are hash-joined twice against the signature Dataset
+on doc_id (``Dataset.join``) and the signature-agreement estimate is
+computed vectorized per batch. Only the VERIFIED pair list — sparse by
+construction — reaches the driver, for union-find connected components
+(bounded rounds). Oversized LSH buckets (hot keys) are skipped and
+LOGGED, trading recall for boundedness.
 """
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
+
+log = logging.getLogger(__name__)
 
 from ..functions.hashing import MinHasher, fnv1a_u64, hamming64, shingle_hashes, simhash64
 
@@ -63,7 +69,12 @@ def exact_dedup(ds, id_col: str = "doc_id"):
 
 
 class _MinHashStage:
-    """Actor: MinHash permutations generated once per actor."""
+    """Actor: MinHash permutations generated once per actor.
+
+    Signatures are emitted as fixed-width BINARY (num_perm uint64 LE
+    bytes) so they survive hash joins (Arrow Acero rejects tensor-
+    extension non-key columns) and decode vectorized via np.frombuffer.
+    """
 
     def __init__(self, num_perm: int, bands: int, shingle_n: int, seed: int):
         self.mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed)
@@ -73,7 +84,7 @@ class _MinHashStage:
         sigs = []
         for t in batch["text"]:
             sh = shingle_hashes(t.split(), n=self.shingle_n)
-            sigs.append(self.mh.signature(sh).astype(np.int64))
+            sigs.append(self.mh.signature(sh).tobytes())
         out = batch[["doc_id"]].copy()
         out["signature"] = sigs
         return out
@@ -89,32 +100,57 @@ def minhash_signatures(ds, num_perm=128, bands=16, shingle_n=3, seed=42, concurr
     )
 
 
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """[n, num_perm] uint64 from a binary signature column — one
+    frombuffer over the concatenated bytes, no per-row decode."""
+    blob = b"".join(col)
+    if not blob:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    return np.frombuffer(blob, dtype=np.uint64).reshape(-1, num_perm)
+
+
 def _explode_bands(bands: int, rows: int):
+    num_perm = bands * rows
+
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        mh_bands = []
-        for sig in batch["signature"]:
-            sig = np.asarray(sig, dtype=np.int64).view(np.uint64)
-            mh = MinHasher.__new__(MinHasher)
-            mh.bands, mh.rows = bands, rows
-            mh_bands.append(mh.band_keys(sig).astype(np.int64))
         n = len(batch)
+        sigs = _sig_matrix(batch["signature"], num_perm)  # [n, num_perm]
+        # band keys for ALL docs at once: FNV-style fold over each
+        # band's rows, vectorized across (doc, band)
+        blocks = sigs.reshape(n, bands, rows) if n else sigs.reshape(0, bands, rows)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.full((n, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc ^ blocks[:, :, r]) * mult
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
                 "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
-                "band_key": np.concatenate(mh_bands) if n else np.array([], np.int64),
+                "band_key": acc.reshape(-1).astype(np.int64),
             }
         )
 
     return f
 
 
+_EMPTY_PAIRS = pd.DataFrame(
+    {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+)
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2 or len(ids) > 200:  # degenerate bucket guard
-        return pd.DataFrame({"a": [], "b": []})
+    if len(ids) < 2:
+        return _EMPTY_PAIRS
+    if len(ids) > 200:  # degenerate hot bucket: skip, but SAY so
+        log.warning(
+            "minhash-lsh: skipping oversized bucket (band_id=%s, %d docs) — "
+            "recall may drop; raise the guard or add more bands for this corpus",
+            g["band_id"].iloc[0], len(ids),
+        )
+        return _EMPTY_PAIRS
     a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[a], "b": ids[b]})
+    return pd.DataFrame({"a": ids[a].astype(np.int64), "b": ids[b].astype(np.int64)})
 
 
 def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -134,7 +170,7 @@ def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def minhash_lsh_dedup(
+def minhash_verified_pairs(
     ds,
     threshold: float = 0.8,
     num_perm: int = 128,
@@ -142,11 +178,25 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     seed: int = 42,
     concurrency: int = 4,
+    join_partitions: int | None = None,
 ):
-    """Full MinHash-LSH near-dup pipeline. Returns a pandas DataFrame
-    (doc_id, cluster_id, is_keeper) covering docs in near-dup clusters.
+    """Candidate generation + DISTRIBUTED verification: returns a
+    Dataset ``(a, b, est_jaccard)`` of verified near-dup pairs.
+
+    Scale path (round-2 redesign): candidate pairs from the banded-LSH
+    shuffle are hash-joined TWICE against the signature Dataset on
+    doc_id (``Dataset.join``), and the signature-agreement Jaccard
+    estimate is computed vectorized per batch — no O(corpus)
+    ``take_all``/``to_pandas``, no per-pair Python loop. Only the
+    verified pairs (sparse by construction) ever reach the driver.
     """
-    import ray
+    if join_partitions is None:
+        try:
+            import ray
+
+            join_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            join_partitions = 4
 
     sigs = minhash_signatures(
         ds, num_perm=num_perm, bands=bands, shingle_n=shingle_n, seed=seed,
@@ -158,19 +208,84 @@ def minhash_lsh_dedup(
     pairs_ds = exploded.groupby(["band_id", "band_key"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-    pairs = pairs_ds.to_pandas().drop_duplicates()
+    # within-batch dedup trims the multi-band duplication cheaply; the
+    # exact global dedup happens on the sparse verified list
+    pairs_ds = pairs_ds.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]),
+        batch_format="pandas", batch_size=None,
+    ).materialize()  # sparse candidate pairs, not the corpus
+    if pairs_ds.count() == 0:
+        # joining a zero-block left side loses its schema in the hash
+        # shuffle; short-circuit to a typed empty result instead
+        import ray.data
 
-    # verify candidates with signature-estimated Jaccard (broadcast map;
-    # at cluster scale: hash-join pairs against sigs on doc_id instead)
-    sig_map = {
-        int(r["doc_id"]): np.asarray(r["signature"], dtype=np.int64).view(np.uint64)
-        for r in sigs.take_all()
-    }
-    keep = []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        est = float((sig_map[int(a)] == sig_map[int(b)]).mean())
-        if est >= threshold:
-            keep.append((int(a), int(b)))
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        )
+    def _rename(mapping):
+        # map_batches projection (not Dataset.rename_columns, which can
+        # leave mixed-schema blocks in flight and break the next join)
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns=mapping)
+
+        return f
+
+    withs_a = pairs_ds.join(
+        sigs, join_type="inner", num_partitions=join_partitions,
+        on=("a",), right_on=("doc_id",), right_suffix="_a",
+    ).map_batches(_rename({"signature": "sig_a"}), batch_format="pandas", batch_size=None)
+    withs_b = withs_a.join(
+        sigs, join_type="inner", num_partitions=join_partitions,
+        on=("b",), right_on=("doc_id",), right_suffix="_b",
+    ).map_batches(_rename({"signature": "sig_b"}), batch_format="pandas", batch_size=None)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        sa = _sig_matrix(df["sig_a"], num_perm)
+        sb = _sig_matrix(df["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"a": df["a"].to_numpy()[keep], "b": df["b"].to_numpy()[keep],
+             "est_jaccard": est[keep]}
+        )
+
+    return withs_b.map_batches(estimate, batch_format="pandas", batch_size=None)
+
+
+def minhash_lsh_dedup(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    concurrency: int = 4,
+):
+    """Full MinHash-LSH near-dup pipeline. Returns a pandas DataFrame
+    (doc_id, cluster_id, is_keeper) covering docs in near-dup clusters.
+
+    Everything up to verified pairs runs distributed
+    (:func:`minhash_verified_pairs`); only the sparse verified pair
+    list lands on the driver for union-find (bounded rounds).
+    """
+    verified = minhash_verified_pairs(
+        ds, threshold=threshold, num_perm=num_perm, bands=bands,
+        shingle_n=shingle_n, seed=seed, concurrency=concurrency,
+    ).to_pandas()  # sparse: verified near-dup pairs only
+    if len(verified) == 0:
+        return pd.DataFrame({"doc_id": [], "cluster_id": [], "is_keeper": []})
+    verified = verified.drop_duplicates(["a", "b"])
+    keep = list(zip(verified["a"].astype(int), verified["b"].astype(int)))
     clusters = union_find_clusters(keep)
     if not clusters:
         return pd.DataFrame({"doc_id": [], "cluster_id": [], "is_keeper": []})
@@ -222,7 +337,14 @@ def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > 500:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        if len(g) > 500:  # degenerate hot bucket: skip, but SAY so
+            log.warning(
+                "simhash: skipping oversized bucket (band_id=%s, %d docs) — "
+                "recall may drop for this corpus",
+                g["band_id"].iloc[0], len(g),
+            )
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
