@@ -243,13 +243,23 @@ def _doc_simhash_dedup(sf_dir: str):
 
 
 def _emb_ann_ivf(sf_dir: str):
+    """IVF ANN top-k with a distributed exactness check: recall_vs_brute
+    compares the IVF result set against the brute-force exact top-k
+    (both computed distributed; only the two k-row results meet on the
+    driver). ok = recall >= 0.9 at the default nprobe/n_clusters."""
     import ray.data
 
     from spectral_time_series_ray.pipelines.queries import _query_vec
-    from spectral_time_series_ray.stages.similarity import ivf_search
+    from spectral_time_series_ray.stages.similarity import ann_brute_force, ivf_search
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_search(ds, _query_vec(sf_dir)[None, :], k=10, n_clusters=8, nprobe=3, concurrency=2)
+    q = _query_vec(sf_dir)[None, :]
+    ivf = ivf_search(ds, q, k=10, n_clusters=8, nprobe=6, concurrency=2).to_pandas()
+    exact = ann_brute_force(ds, q, k=10, concurrency=2).to_pandas()
+    recall = len(set(ivf["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
+    ivf["recall_vs_brute"] = recall
+    ivf["ok"] = recall >= 0.9
+    return ivf.sort_values(["query_id", "score"], ascending=[True, False]).reset_index(drop=True)
 
 
 def _media_pipeline(sf_dir: str):

@@ -32,6 +32,16 @@ def _read(sf_dir: str, name: str, columns=None):
     )
 
 
+def _join_partitions() -> int:
+    """Partition count for Dataset.join (hash-shuffle) stages."""
+    try:
+        import ray
+
+        return max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        return 4
+
+
 def round_half_away(x, digits: int):
     """DuckDB ``round()`` semantics (half away from zero)."""
     m = 10.0**digits
@@ -239,16 +249,31 @@ def q1_pricing(sf_dir: str):
 
 
 def q3_revenue_topk(sf_dir: str):
+    """TPC-H Q3 shape, scale path: orders is NEVER materialized on the
+    driver. BUILDING customers semi-filter orders via ``Dataset.join``
+    (hash shuffle), lineitem pre-aggregates revenue partials per batch,
+    a second hash join attaches the order date, and only per-batch
+    partial top-50s reach the driver for the final top-10 merge."""
     from ray.data.aggregate import Sum
 
     date = np.datetime64("1995-03-15", "us")
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    P = _join_partitions()
+    cust_f = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = semi_join_keys(orders, keys, "o_custkey")
-    odf = orders.to_pandas()
-    odf = odf[odf["o_orderdate"] < date][["o_orderkey", "o_orderdate"]]
-    odf = odf.rename(columns={"o_orderkey": "l_orderkey"})
+    cutoff = pa.scalar(date)
+
+    def date_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"], cutoff))
+
+    orders_f = orders.map_batches(date_filter, batch_format="pyarrow", batch_size=None)
+    orders_j = orders_f.join(
+        cust_f, join_type="inner", num_partitions=P,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_orderdate"])
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
@@ -259,11 +284,20 @@ def q3_revenue_topk(sf_dir: str):
         return batch.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
 
     partials = li.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    joined = broadcast_join(partials, odf, on="l_orderkey", how="inner")
+    joined = partials.join(
+        orders_j, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
     rev = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("rev_sum", alias_name="revenue")
     )
-    df = rev.to_pandas()
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        # unrounded partial top-50 bounds driver data while keeping every
+        # candidate that could enter the ROUNDED top-10
+        return df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(50)
+
+    df = rev.map_batches(part_top, batch_format="pandas").to_pandas()
     df["revenue"] = round_half_away(df["revenue"].to_numpy(), 2)
     df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return df.reset_index(drop=True)
@@ -354,18 +388,19 @@ class _CosineAll:
 
 
 def emb_ann_topk(sf_dir: str):
-    import ray
+    """Exact cosine top-10 via the distributed partial-top-k path
+    (``ann_brute_force``): per-batch deterministic top-50 partials, tiny
+    driver merge — never the full (vec_id, score) set. top-50 (not 10)
+    so every candidate that could enter the ROUNDED top-10 survives the
+    unrounded partial selection."""
+    from ..stages.similarity import ann_brute_force
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q_ref = ray.put(_query_vec(sf_dir))
-    scored = ds.map_batches(
-        _CosineAll, fn_constructor_args=(q_ref,), batch_format="pandas",
-        batch_size=4096, concurrency=2,
-    )
-    df = scored.to_pandas()
+    q = _query_vec(sf_dir)[None, :]
+    df = ann_brute_force(ds, q, k=50, concurrency=2).to_pandas()  # 50 rows
     df["score"] = round_half_away(df["score"].to_numpy(), 6)
     df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
-    return df.reset_index(drop=True)
+    return df[["vec_id", "score"]].reset_index(drop=True)
 
 
 def emb_label_stats(sf_dir: str):
@@ -582,48 +617,79 @@ def ev_pivot_types(sf_dir: str):
 
 
 def q5_local_supplier(sf_dir: str):
-    """TPC-H Q5 shape: revenue by nation for ASIA orders where the
-    supplier and customer share a nation — a 6-table broadcast-join
-    chain with the big side (lineitem) streamed once."""
+    """TPC-H Q5 shape, scale path: revenue by nation for ASIA orders
+    where supplier and customer share a nation. The genuinely tiny
+    sides (region, nation, supplier — TPC-H supplier is 1/150th of
+    customer) are broadcast; customer x orders co-locate via
+    ``Dataset.join`` (hash shuffle); lineitem streams ONCE emitting
+    per-batch (l_orderkey, s_nation) revenue partials that hash-join
+    the order->customer-nation side — orders is never driver-
+    materialized."""
     from ray.data.aggregate import Sum
 
+    P = _join_partitions()
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     asia_key = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
     nations = nation[nation["n_regionkey"] == asia_key][["n_nationkey", "n_name"]]
-    nation_keys = set(nations["n_nationkey"])
+    nation_keys = set(int(k) for k in nations["n_nationkey"])
 
     sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
     sup = sup[sup["s_nationkey"].isin(nation_keys)]
-    sup_nation = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    # dense array lookup (vectorized fancy-index, not a dict .map)
+    snat_lut = np.full(int(sup["s_suppkey"].max()) + 1 if len(sup) else 1, -1, np.int64)
+    snat_lut[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(nation_keys)]
+    cust_f = semi_join_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        nation_keys, "c_nationkey",
+    )
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
 
-    lo = np.datetime64("1995-01-01", "us")
-    hi = np.datetime64("1997-01-01", "us")
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders[(orders["o_orderdate"] >= lo) & (orders["o_orderdate"] < hi)]
-    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    order_nation = dict(zip(orders["o_orderkey"], orders["c_nationkey"]))
+    def date_filter(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo), pc.less(batch["o_orderdate"], hi)
+        )
+        return batch.filter(m)
+
+    orders_f = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(date_filter, batch_format="pyarrow", batch_size=None)
+    orders_j = orders_f.join(
+        cust_f, join_type="inner", num_partitions=P,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
 
     import ray
 
-    ref = ray.put((order_nation, sup_nation))
+    lut_ref = ray.put(snat_lut)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        onat, snat = ray.get(ref)
-        c_nat = batch["l_orderkey"].map(onat)
-        s_nat = batch["l_suppkey"].map(snat)
-        keep = c_nat.notna() & s_nat.notna() & (c_nat == s_nat)
+        lut = ray.get(lut_ref)
+        sk = batch["l_suppkey"].to_numpy()
+        s_nat = np.where(sk < len(lut), lut[np.minimum(sk, len(lut) - 1)], -1)
+        keep = s_nat >= 0
         b = batch[keep]
         rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
-        out = pd.DataFrame({"n_nationkey": c_nat[keep].astype(np.int64), "rev": rev})
-        return out.groupby("n_nationkey", as_index=False)["rev"].sum()  # per-batch partial
+        out = pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].to_numpy(), "s_nat": s_nat[keep], "rev": rev}
+        )
+        return out.groupby(["l_orderkey", "s_nat"], as_index=False)["rev"].sum()
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     partials = li.map_batches(score, batch_format="pandas", batch_size=None)
-    merged = partials.groupby("n_nationkey").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
-    out = merged.merge(nations, on="n_nationkey")[["n_name", "revenue"]]
+    joined = partials.join(
+        orders_j, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["s_nat"], batch["c_nationkey"]))
+
+    local = joined.map_batches(local_only, batch_format="pyarrow", batch_size=None)
+    merged = local.groupby("s_nat").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    out = merged.rename(columns={"s_nat": "n_nationkey"}).merge(nations, on="n_nationkey")
+    out = out[["n_name", "revenue"]]
     out["revenue"] = round_half_away(out["revenue"].to_numpy(), 2)
     return out.sort_values("n_name").reset_index(drop=True)

@@ -157,27 +157,54 @@ def ivf_search(
     from .join import semi_join_keys
 
     candidates = semi_join_keys(assigned, wanted, "cluster")
-    scored = ann_brute_force(candidates, q, k=k, id_col=id_col, concurrency=concurrency)
+    # cluster stays a COLUMN on every scored row: each batch filters its
+    # rows against the per-query probe mask (a tiny [nq, n_clusters]
+    # boolean broadcast) and emits deterministic partial top-k — no
+    # driver-side id->cluster map, no per-row Python loop
+    probe_mask = np.zeros((len(q), int(max(wanted)) + 1), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[qi, probe[qi]] = True
+    q_ref = ray.put((q, probe_mask))
 
-    # drop results for clusters a given query did not probe is already
-    # implicit: candidates are unioned across queries, so re-verify per
-    # query against its own probe set
-    probe_sets = {qi: set(map(int, probe[qi])) for qi in range(len(q))}
-    cl_map = {
-        int(r[id_col]): int(r["cluster"])
-        for r in candidates.select_columns([id_col, "cluster"]).take_all()
-    }
+    class _ProbeScore:
+        def __init__(self):
+            self.q, self.mask = ray.get(q_ref)
 
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        keep = [
-            cl_map.get(int(v), -1) in probe_sets[int(qi)]
-            for qi, v in zip(df["query_id"], df[id_col])
-        ]
-        return df[keep].reset_index(drop=True)
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_to_matrix(batch["embedding"]))
+            scores = m @ self.q.T  # [batch, nq]
+            ids = batch[id_col].to_numpy()
+            cl = batch["cluster"].to_numpy()
+            out = []
+            for qi in range(self.q.shape[0]):
+                keep = self.mask[qi, cl]
+                if not keep.any():
+                    continue
+                idx = _topk_deterministic(scores[keep, qi], ids[keep], k)
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qi, id_col: ids[keep][idx],
+                         "score": scores[keep, qi][idx]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     id_col: pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")}
+                )
+            return pd.concat(out, ignore_index=True)
 
-    return scored.map_batches(
-        lambda df: filt(df), batch_format="pandas"
+    partials = candidates.map_batches(
+        _ProbeScore, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency,
     )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        return g.reset_index(drop=True)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
 class _HyperplaneLSH:
