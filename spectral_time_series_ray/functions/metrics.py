@@ -98,6 +98,40 @@ def quantile_loss(y, p, q: float):
     return float(np.mean(np.maximum(q * diff, (q - 1) * diff)))
 
 
+def weighted_quantile_loss(y, p, q: float):
+    """wQL[q] = 2 * sum(pinball) / sum|y| — the gluonts evaluator's
+    weighted quantile loss (reference eval metric list,
+    `uni2ts/cli/eval_precond_space.py:256-267`)."""
+    y, p = _mask(y, p)
+    denom = np.abs(y).sum()
+    if not len(y) or denom <= 0:
+        return np.nan
+    diff = y - p
+    return float(2.0 * np.maximum(q * diff, (q - 1) * diff).sum() / denom)
+
+
+def msis(y, lower, upper, y_insample, alpha: float = 0.05, season: int = 1):
+    """Mean Scaled Interval Score (gluonts / M4 definition; reference
+    eval metric list `eval_precond_space.py:256-267`):
+
+    ``IS = (u - l) + (2/alpha)(l - y)[y < l] + (2/alpha)(y - u)[y > u]``
+    scaled by the in-sample seasonal naive error.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    lower = np.asarray(lower, dtype=np.float64)
+    upper = np.asarray(upper, dtype=np.float64)
+    m = ~(np.isnan(y) | np.isnan(lower) | np.isnan(upper))
+    y, lower, upper = y[m], lower[m], upper[m]
+    if not len(y):
+        return np.nan
+    penalty = (2.0 / alpha) * (
+        np.where(y < lower, lower - y, 0.0) + np.where(y > upper, y - upper, 0.0)
+    )
+    score = float(np.mean((upper - lower) + penalty))
+    se = seasonal_error(y_insample, season)
+    return float(score / se) if se and se > 0 else np.nan
+
+
 METRICS = {
     "mse": mse,
     "mae": mae,

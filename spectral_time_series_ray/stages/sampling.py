@@ -36,14 +36,158 @@ def sample_series(ds, key: str, n: int, mode: str = "uniform", seed: int = 42):
     return semi_join_keys(ds, set(chosen.tolist()), key)
 
 
-def weighted_union(datasets_with_weights):
-    """UNION ALL with integer replication weights (ConcatDatasetBuilder
-    + dataset_weight semantics)."""
+def weighted_union(datasets_with_weights, key: str | None = None):
+    """UNION ALL with replication weights (ConcatDatasetBuilder +
+    dataset_weight semantics, reference dataset.py:100-110: logical
+    length = ceil(num_series x weight), indices wrap modulo
+    num_series).
+
+    FRACTIONAL weights are honored like the reference: each dataset is
+    replicated floor(w) times, and the remainder ceil(n*w) - floor(w)*n
+    series (first in sorted ``key`` order — the indexer order) get one
+    extra copy. ``key`` is required for fractional weights.
+    """
+    import math
+
     parts = []
     for ds, weight in datasets_with_weights:
-        for _ in range(int(weight)):
-            parts.append(ds)
+        w = float(weight)
+        if w < 0:
+            raise ValueError("negative dataset weight")
+        full = int(w)
+        parts.extend([ds] * full)
+        if w - full > 1e-9:
+            if key is None:
+                raise ValueError("fractional dataset weights need a series key")
+            # one row per series: the aggregated key list is small
+            keys = sorted(r[key] for r in ds.groupby(key).count().take_all())
+            n = len(keys)
+            r = math.ceil(n * w) - full * n
+            if r > 0:
+                parts.append(semi_join_keys(ds, set(keys[:r]), key))
     if not parts:
         raise ValueError("empty union")
     first, rest = parts[0], parts[1:]
     return first.union(*rest) if rest else first
+
+
+# ------------------------------------------------------------- samplers
+# Reference `uni2ts/src/uni2ts/common/sampler.py:25-55`, seeded: every
+# sampler draws an integer in [1, n] (vectorized over arrays).
+
+def uniform_sampler(n, rng: np.random.Generator):
+    return rng.integers(1, np.asarray(n) + 1)
+
+
+def binomial_sampler(n, rng: np.random.Generator, p: float = 0.5):
+    return rng.binomial(np.asarray(n) - 1, p) + 1
+
+
+def beta_binomial_sampler(n, rng: np.random.Generator, a: float = 1.0, b: float = 1.0):
+    # a = b = 1 reduces to the uniform sampler
+    n = np.asarray(n)
+    pp = rng.beta(a, b, size=n.shape if n.shape else None)
+    return rng.binomial(n - 1, pp) + 1
+
+
+def get_sampler(distribution: str, **kwargs):
+    from functools import partial
+
+    if distribution == "uniform":
+        return uniform_sampler
+    if distribution == "binomial":
+        return partial(binomial_sampler, p=kwargs.get("p", 0.5))
+    if distribution == "beta_binomial":
+        return partial(
+            beta_binomial_sampler, a=kwargs.get("a", 1.0), b=kwargs.get("b", 1.0)
+        )
+    raise NotImplementedError(f"distribution {distribution} not implemented")
+
+
+class TrainCropStage:
+    """Actor-pool stage: random whole-patch training crops over packed
+    chunk rows (reference PatchCrop + GetPatchSize train semantics,
+    crop.py:31-108 / patch.py:78-120).
+
+    Determinism at scale: the rng for each row is seeded from
+    (seed, fnv(conv_id), chunk_idx), so results do not depend on batch
+    boundaries or task scheduling — rerunning a failed partition
+    reproduces identical crops (resume-safe).
+    """
+
+    def __init__(
+        self,
+        freq: str = "1m",
+        min_time_patches: int = 2,
+        max_patches: int = 512,
+        patch_sizes=(8, 16, 32, 64, 128),
+        num_patches_sampler: str = "uniform",
+        seed: int = 42,
+    ):
+        from ..functions.patch import get_patch_size, patch_crop_bounds
+
+        self._get_patch_size = get_patch_size
+        self._bounds = patch_crop_bounds
+        self.freq = freq
+        self.min_time_patches = min_time_patches
+        self.max_patches = max_patches
+        self.patch_sizes = patch_sizes
+        self.sampler = get_sampler(num_patches_sampler)
+        self.seed = seed
+
+    def __call__(self, batch) -> "pd.DataFrame":
+        import pandas as pd
+
+        from ..functions.hashing import fnv1a_u64
+
+        rows = []
+        for _, r in batch.iterrows():
+            vals = np.asarray(r["values"], dtype=np.float64)
+            ts = np.asarray(r["ts"], dtype=np.int64)
+            rng = np.random.default_rng(
+                [self.seed, int(fnv1a_u64([str(r["conv_id"])])[0]) & 0x7FFFFFFF,
+                 int(r["chunk_idx"])]
+            )
+            try:
+                psize = self._get_patch_size(
+                    len(vals), self.freq, self.min_time_patches,
+                    self.patch_sizes, rng,
+                )
+                a, b = self._bounds(
+                    len(vals), psize, self.min_time_patches, self.max_patches, rng,
+                    num_patches_sampler=self.sampler,
+                )
+            except ValueError:
+                continue  # series too short for any candidate: skip
+            rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "chunk_idx": int(r["chunk_idx"]),
+                    "patch_size": psize,
+                    "crop_start": a,
+                    "crop_stop": b,
+                    "n_points": b - a,
+                    "ts": ts[a:b],
+                    "values": vals[a:b],
+                }
+            )
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in
+                 (("conv_id", object), ("chunk_idx", np.int64), ("patch_size", np.int64),
+                  ("crop_start", np.int64), ("crop_stop", np.int64),
+                  ("n_points", np.int64), ("ts", object), ("values", object))}
+            )
+        return pd.DataFrame(rows)
+
+
+def train_crop_series(ds, concurrency: int = 4, batch_size: int = 256, **kwargs):
+    """Random training crops over packed series rows (see
+    :class:`TrainCropStage`)."""
+    return ds.map_batches(
+        TrainCropStage,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -87,6 +87,11 @@ class NaiveForecastScorer:
             season = min(self.season, len(ctx))
             reps = int(np.ceil(len(hor) / season))
             fcst = np.tile(ctx[-season:], reps)[: len(hor)]
+            # naive 95% interval from the in-sample seasonal error
+            # (deterministic; a real model would emit quantile heads)
+            sigma = M.seasonal_error(ctx, season)
+            sigma = 0.0 if not sigma or np.isnan(sigma) else sigma
+            lower, upper = fcst - 1.96 * sigma, fcst + 1.96 * sigma
             rows.append(
                 {
                     "conv_id": r.get("conv_id", r.iloc[0]),
@@ -96,6 +101,8 @@ class NaiveForecastScorer:
                     "smape": M.smape(hor, fcst),
                     "mase": M.mase(hor, fcst, ctx, season),
                     "q_loss": M.quantile_loss(hor, fcst, self.q),
+                    "wql": M.weighted_quantile_loss(hor, fcst, self.q),
+                    "msis": M.msis(hor, lower, upper, ctx, season=season),
                 }
             )
         return pd.DataFrame(rows)
@@ -114,7 +121,7 @@ def evaluate_windows(window_ds, season: int = 1, concurrency: int = 2):
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         out = {"conv_id": [df["conv_id"].iloc[0]], "n_windows": [len(df)]}
-        for m in ("mse", "mae", "smape", "mase", "q_loss"):
+        for m in ("mse", "mae", "smape", "mase", "q_loss", "wql", "msis"):
             out[m] = [float(np.nanmean(df[m].to_numpy(dtype=np.float64)))]
         return pd.DataFrame(out)
 

@@ -1,0 +1,195 @@
+"""Random training-crop, patch-size selection, samplers, fractional
+weights, and per-freq padding — property tests mirroring the
+reference's test strategy (`uni2ts/test/transform/test_crop.py:27-60`:
+every crop is a contiguous slice of whole-patch multiples)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spectral_time_series_ray.functions.patch import (
+    get_patch_size,
+    pad_freq,
+    pad_to_min_length,
+    patch_crop_bounds,
+    patch_size_constraints,
+)
+from spectral_time_series_ray.stages.sampling import (
+    beta_binomial_sampler,
+    binomial_sampler,
+    get_sampler,
+    uniform_sampler,
+    weighted_union,
+)
+
+
+def test_min_max_validation():
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError):
+        patch_crop_bounds(100, 8, 32, 31, rng)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    time=st.integers(20, 5000),
+    patch_size=st.sampled_from([1, 2, 8, 16, 32]),
+    seed=st.integers(0, 1000),
+    offset=st.booleans(),
+)
+def test_patch_crop_properties(time, patch_size, seed, offset):
+    """Every crop: in-bounds, contiguous, whole-patch multiple, patch
+    count within [min, max] (reference test_crop.py invariants)."""
+    rng = np.random.default_rng(seed)
+    min_tp, max_p = 2, 64
+    if time // patch_size < min_tp:
+        return
+    a, b = patch_crop_bounds(time, patch_size, min_tp, max_p, rng, offset=offset)
+    assert 0 <= a < b <= time
+    n = (b - a) // patch_size
+    assert (b - a) % patch_size == 0
+    assert min_tp <= n <= max_p
+    if not offset:
+        assert a % patch_size == 0
+    # contiguity: the crop of arange IS a contiguous run
+    v = np.arange(time, dtype=float)[a:b]
+    assert (np.diff(v) == 1.0).all()
+
+
+def test_patch_crop_flatten_divides_budget():
+    rng = np.random.default_rng(1)
+    # nvar=4 with flatten: max time-patches = 64 // 4 = 16
+    for _ in range(50):
+        a, b = patch_crop_bounds(
+            4096, 8, 2, 64, rng, nvar=4, will_flatten=True
+        )
+        assert (b - a) // 8 <= 16
+
+
+def test_get_patch_size_constraint_intersection():
+    rng = np.random.default_rng(0)
+    # 1m tier -> 'T' range (32, 128]; candidates also must fit
+    # length // min_time_patches
+    sizes = {get_patch_size(4096, "1m", 2, rng=rng) for _ in range(100)}
+    assert sizes <= {32, 64, 128}
+    # hourly: (32, 64)
+    sizes_h = {get_patch_size(4096, "1h", 2, rng=rng) for _ in range(100)}
+    assert sizes_h <= {32, 64}
+    # short series clamps the ceiling: length 70, min 2 -> ceil 35 -> {32}
+    assert get_patch_size(70, "T", 2, rng=rng) == 32
+    # no candidate -> ValueError (too short)
+    with pytest.raises(ValueError):
+        get_patch_size(10, "1m", 2, rng=rng)
+    # range-typed candidate set
+    s = get_patch_size(4096, "D", 2, patch_sizes=range(1, 256), rng=rng)
+    assert 16 <= s <= 32
+
+
+def test_patch_size_constraints_parsing():
+    assert patch_size_constraints("10T") == range(32, 129)
+    assert patch_size_constraints("min") == range(32, 129)
+    assert patch_size_constraints("H") == range(32, 65)
+    assert patch_size_constraints("1h") == range(32, 65)
+    assert patch_size_constraints("1d") == range(16, 33)
+    with pytest.raises(ValueError):
+        patch_size_constraints("fortnight")
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(1, 1000), seed=st.integers(0, 100))
+def test_samplers_in_range(n, seed):
+    rng = np.random.default_rng(seed)
+    for fn in (uniform_sampler,
+               lambda m, r: binomial_sampler(m, r, p=0.3),
+               lambda m, r: beta_binomial_sampler(m, r, a=2, b=5)):
+        v = int(fn(n, rng))
+        assert 1 <= v <= n
+    # vectorized
+    arr = np.full(32, n)
+    vs = binomial_sampler(arr, rng)
+    assert ((1 <= vs) & (vs <= n)).all()
+
+
+def test_get_sampler_registry():
+    rng = np.random.default_rng(0)
+    for name in ("uniform", "binomial", "beta_binomial"):
+        assert 1 <= int(get_sampler(name)(10, rng)) <= 10
+    with pytest.raises(NotImplementedError):
+        get_sampler("zipf")
+
+
+def test_pad_to_min_length_and_pad_freq():
+    rng = np.random.default_rng(3)
+    v = np.arange(5, dtype=float)
+    out = pad_to_min_length(v, 12, rng)
+    assert out.shape == (12,)
+    assert np.isnan(out).sum() == 7
+    # the original run survives contiguously
+    obs = out[~np.isnan(out)]
+    np.testing.assert_array_equal(obs, v)
+    # already long enough: unchanged
+    np.testing.assert_array_equal(pad_to_min_length(v, 3, rng), v)
+    # per-freq minimums
+    m = {"1m": 16, "1h": 4}
+    assert pad_freq(v, "1m", m, rng).shape == (16,)
+    assert pad_freq(v, "1h", m, rng).shape == (5,)
+    # 2-D pads last axis only
+    mv = np.ones((3, 5))
+    assert pad_freq(mv, "1m", m, rng).shape == (3, 16)
+
+
+def test_weighted_union_fractional(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {"conv_id": np.repeat([f"c{i}" for i in range(4)], 5),
+         "v": np.arange(20, dtype=np.float64)}
+    )
+    ds = ray.data.from_pandas(df).materialize()
+    # weight 2.5 over 4 series -> ceil(4*2.5)=10 logical series =
+    # 2 full copies + first 2 series extra
+    out = weighted_union([(ds, 2.5)], key="conv_id").to_pandas()
+    counts = out.groupby("conv_id")["v"].count()
+    assert counts["c0"] == 15 and counts["c1"] == 15
+    assert counts["c2"] == 10 and counts["c3"] == 10
+    # integer weights unchanged; no key needed
+    out2 = weighted_union([(ds, 2)]).to_pandas()
+    assert len(out2) == 40
+    with pytest.raises(ValueError):
+        weighted_union([(ds, 1.5)])  # fractional without key
+
+
+def test_train_crop_series(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.sampling import train_crop_series
+
+    rows = []
+    for ci, conv in enumerate(["a", "b", "c"]):
+        n = 700 + 100 * ci
+        rows.append(
+            {"conv_id": conv, "chunk_idx": 0, "n_points": n,
+             "ts": np.arange(n, dtype=np.int64) * 60_000_000,
+             "values": np.arange(n, dtype=np.float64)}
+        )
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = train_crop_series(
+        ds, concurrency=2, freq="1m", min_time_patches=2, max_patches=16, seed=7
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        assert r["n_points"] == r["crop_stop"] - r["crop_start"]
+        assert r["n_points"] % r["patch_size"] == 0
+        assert 2 <= r["n_points"] // r["patch_size"] <= 16
+        v = np.asarray(r["values"])
+        assert (np.diff(v) == 1.0).all()  # contiguous slice
+        assert v[0] == r["crop_start"]
+    # deterministic: rerun gives identical crops (resume invariant)
+    out2 = train_crop_series(
+        ds, concurrency=2, freq="1m", min_time_patches=2, max_patches=16, seed=7
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["conv_id", "crop_start", "crop_stop", "patch_size"]],
+        out2[["conv_id", "crop_start", "crop_stop", "patch_size"]],
+    )

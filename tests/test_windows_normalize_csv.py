@@ -40,6 +40,33 @@ def test_metric_kernels():
     assert M.mase(y, p, ins, 1) == 0.25  # mae / seasonal_error(=1)
 
 
+def test_weighted_quantile_loss_hand_fixture():
+    y = np.array([1.0, 2.0, 3.0, 4.0])
+    p = np.array([1.0, 2.0, 3.0, 5.0])
+    # pinball sum at q=0.5: 0.5*|4-5| = 0.5; wQL = 2*0.5 / 10 = 0.1
+    assert abs(M.weighted_quantile_loss(y, p, 0.5) - 0.1) < 1e-12
+    # q=0.9, under-forecast y=4 < p=5: (q-1)*(y-p) = 0.1*1 = 0.1
+    assert abs(M.weighted_quantile_loss(y, p, 0.9) - 2 * 0.1 / 10.0) < 1e-12
+    # all-zero actuals -> NaN (undefined denominator)
+    assert np.isnan(M.weighted_quantile_loss(np.zeros(3), np.ones(3), 0.5))
+
+
+def test_msis_hand_fixture():
+    # horizon y=[1, 5], interval [0, 2]: width=2 each;
+    # y=5 exceeds upper by 3 -> penalty (2/0.05)*3 = 120
+    # IS = mean([2, 2 + 120]) = 62
+    y = np.array([1.0, 5.0])
+    lower = np.array([0.0, 0.0])
+    upper = np.array([2.0, 2.0])
+    ins = np.array([1.0, 2.0, 3.0, 4.0])  # seasonal_error(season=1) = 1
+    assert abs(M.msis(y, lower, upper, ins, alpha=0.05, season=1) - 62.0) < 1e-12
+    # scaled: seasonal_error = 2 halves the score
+    ins2 = np.array([1.0, 3.0, 5.0, 7.0])
+    assert abs(M.msis(y, lower, upper, ins2, alpha=0.05, season=1) - 31.0) < 1e-12
+    # inside-interval horizon: IS = width only
+    assert abs(M.msis(np.array([1.0]), np.array([0.0]), np.array([2.0]), ins) - 2.0) < 1e-12
+
+
 def test_window_count_formula():
     # reference simple.py:438: windows = (len - ctx - pred) // stride + 1
     assert window_count(100, 32, 8, 8) == (100 - 32 - 8) // 8 + 1
