@@ -142,6 +142,25 @@ def _tr_window_eval(sf_dir: str):
     return evaluate_windows(wins, season=8, concurrency=2)
 
 
+def _tr_hybrid_reversal(sf_dir: str):
+    """Hybrid-reversal pipeline (reference eval_precond_hybrid.py:63-170)
+    over the gap-filled 1m series: seasonal-naive predictions in
+    preconditioned space, reversed with (a) GT context — the ok column
+    asserts the reference's consistency invariant that precond-space
+    metrics are reproduced exactly (CLAUDE.md 'AFTER FIX' oracle) — and
+    (b) median-of-base-samples context (the hybrid flavor)."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_series
+    from spectral_time_series_ray.stages.windows import enumerate_windows, hybrid_reversal_eval
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
+    filled = gap_fill_series(m1, "1m", value_col="mean_latency", method="locf")
+    wins = enumerate_windows(filled, ctx=32, pred=8, stride=8)
+    return hybrid_reversal_eval(wins, season=8, degree=4, concurrency=2)
+
+
 def _doc_quality(sf_dir: str):
     import ray.data
 
@@ -303,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_pivot_types": Q.ev_pivot_types,
         "ev_distinct_hll": Q.ev_distinct_hll,
         "ev_naive_forecast": Q.ev_naive_forecast,
+        "ev_multivariate_precond": Q.ev_multivariate_precond,
         # relational coverage (oracle-checked)
         "q1_pricing": Q.q1_pricing,
         "q5_local_supplier": Q.q5_local_supplier,
@@ -324,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_precondition_roundtrip": _tr_precondition_roundtrip,
         "tr_spectral_lomb": _tr_spectral_lomb,
         "tr_window_eval": _tr_window_eval,
+        "tr_hybrid_reversal": _tr_hybrid_reversal,
         # text / dedup / similarity / multimodal (rows-only)
         "doc_quality": _doc_quality,
         "doc_fingerprints": _doc_fingerprints,
@@ -460,6 +481,21 @@ def oracle_sql() -> dict[str, str]:
                    round((cast(sum(cast(abs(value - prev) as decimal(18,2))) * 100 as bigint) / 100.0) / count(*), 6) as naive_mae
             from lagged where prev is not null
             group by 1 having count(*) > 0
+        """,
+        "ev_multivariate_precond": """
+            with r as (
+              select user_id, date_trunc('hour', ts) as bucket_ts,
+                     count(*)::double as v0, sum(value) as v1
+              from events group by 1, 2)
+            select user_id, 0 as variate, count(*) as n_buckets,
+                   round(avg(v0), 6) as mean_v, round(min(v0), 6) as min_v,
+                   round(max(v0), 6) as max_v
+            from r group by user_id
+            union all
+            select user_id, 1 as variate, count(*) as n_buckets,
+                   round(avg(v1), 6) as mean_v, round(min(v1), 6) as min_v,
+                   round(max(v1), 6) as max_v
+            from r group by user_id
         """,
         "q1_pricing": """
             select l_returnflag, l_linestatus,

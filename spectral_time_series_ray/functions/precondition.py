@@ -81,6 +81,46 @@ def forward_precondition(x: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
     return result
 
 
+def reverse_with_base_context(
+    precond_seq: np.ndarray,
+    full_base_context: np.ndarray,
+    input_len: int,
+    coeffs: np.ndarray,
+) -> np.ndarray:
+    """Hybrid reversal: map precond-space predictions back to original
+    space using a FIXED base context for every lag (reference
+    `uni2ts/cli/eval_precond_hybrid.py:63-170`):
+
+    ``y[t] = ỹ[t] - Σ_{i=1..n} c_i * base_ctx[input_len + t - i]``
+
+    ``full_base_context`` is the original-space input window
+    concatenated with base predictions (or the ground truth — the GT
+    flavor). Positions with insufficient history keep the
+    preconditioned value, as in the reference.
+
+    Consistency invariant (reference CLAUDE.md "Ground Truth Context
+    AFTER FIX"): with GT context, pointwise errors in original space
+    equal pointwise errors in precond space exactly —
+    ``rev(ŷ)[t] - y_true[t] == ŷ[t] - precond(y_true)[t]``.
+    """
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    y = np.asarray(precond_seq, dtype=np.float64)
+    ctx = np.asarray(full_base_context, dtype=np.float64)
+    n = len(coeffs)
+    pred_len = len(y)
+    result = y.copy()
+    # vectorized over t: coeffs[i] multiplies ctx[input_len + t - i - 1]
+    for i in range(n):
+        lo = input_len - i - 1
+        seg = ctx[max(lo, 0) : lo + pred_len]
+        dst = result[pred_len - len(seg) :]
+        dst -= coeffs[i] * seg
+    # not-enough-history guard: t with input_len + t < n stays precond
+    short = max(0, n - input_len)
+    result[:short] = y[:short]
+    return result
+
+
 def reverse_precondition(
     y: np.ndarray, coeffs: np.ndarray, context: np.ndarray | None = None
 ) -> np.ndarray:

@@ -535,6 +535,28 @@ def ev_naive_forecast(sf_dir: str):
     return ds.groupby("user_id").map_groups(_naive_group, batch_format="pandas")
 
 
+def ev_multivariate_precond(sf_dir: str):
+    """Multivariate ([2, T] per user: hourly event count + value sum)
+    through the 2-D forward+reverse precondition kernels; emits
+    per-variate stats of the ROUNDTRIPPED values so the DuckDB oracle
+    over the raw rollup verifies the multivariate path end-to-end."""
+    from ..stages.series import multivariate_precondition_stats
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    rolled = rollup_mergeable(ds, "1h", value_cols=("value",), key="user_id")
+
+    def variates(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("v0", pc.cast(batch["count_value"], pa.float64()))
+        batch = batch.append_column("v1", pc.cast(batch["sum_value"], pa.float64()))
+        return batch.select(["user_id", BUCKET_COL, "v0", "v1"])
+
+    rolled = rolled.map_batches(variates, batch_format="pyarrow", batch_size=None)
+    out = multivariate_precondition_stats(
+        rolled, ("v0", "v1"), key="user_id", polynomial="chebyshev", degree=4
+    )
+    return _round_ds(out, {"mean_v": 6, "min_v": 6, "max_v": 6})
+
+
 # ------------------------------------------------ distinct counting
 
 def ev_distinct_exact(sf_dir: str):

@@ -204,6 +204,51 @@ def gap_fill_pack_series(
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
 
 
+def multivariate_precondition_stats(
+    rolled_ds,
+    value_cols: tuple[str, ...],
+    key: str = "conv_id",
+    polynomial: str = "chebyshev",
+    degree: int = 4,
+    tol: float = 1e-8,
+):
+    """Multivariate end-to-end: per key, stack ``value_cols`` into a
+    ``[variates, time]`` target (the reference's nested
+    ``list<list<float>>`` layout, `data/builder/simple.py:173-182`),
+    run the 2-D forward + reverse precondition kernels (per-variate
+    independence, reference precondition.py:382-426), and emit
+    per-variate stats OF THE ROUNDTRIPPED values — so a DuckDB oracle
+    over the raw rollup checks the whole multivariate path: any
+    roundtrip or variate-crossing error breaks the value hash.
+
+    Output: one row per (key, variate): n_buckets, mean_v, min_v, max_v.
+    Raises if the roundtrip error exceeds ``tol``.
+    """
+    coeffs = np.asarray(precondition_coefficients(polynomial, degree))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(BUCKET_COL)
+        mat = np.stack([df[c].to_numpy(dtype=np.float64) for c in value_cols])
+        rec = reverse_precondition(forward_precondition(mat, coeffs), coeffs)
+        err = float(np.nanmax(np.abs(rec - mat))) if mat.size else 0.0
+        if err > tol:
+            raise ValueError(f"multivariate precondition roundtrip err={err}")
+        v = len(value_cols)
+        return pd.DataFrame(
+            {
+                key: np.repeat(df[key].iloc[0], v),
+                "variate": np.arange(v, dtype=np.int64),
+                "n_buckets": np.full(v, mat.shape[1], dtype=np.int64),
+                "mean_v": rec.mean(axis=1),
+                "min_v": rec.min(axis=1),
+                "max_v": rec.max(axis=1),
+            }
+        )
+
+    ds = rolled_ds.select_columns([key, BUCKET_COL, *value_cols])
+    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+
+
 def unpack_series(ds, key: str = "conv_id"):
     """Explode chunk rows back to long (key, ts, value) rows."""
     import pyarrow as pa

@@ -108,6 +108,112 @@ class NaiveForecastScorer:
         return pd.DataFrame(rows)
 
 
+class HybridReversalScorer:
+    """Actor-pool eval stage for the hybrid-reversal pipeline
+    (reference `uni2ts/cli/eval_precond_hybrid.py:63-170`): a
+    seasonal-naive 'model' predicts in PRECONDITIONED space, and the
+    predictions are mapped back to original space two ways —
+
+    - GT context: reversal against the ground-truth sequence. The
+      reference's consistency oracle (CLAUDE.md 'AFTER FIX') requires
+      original-space errors to equal precond-space errors EXACTLY.
+    - median-of-base-samples: reversal against the input window
+      concatenated with the median of S base-model sample paths (the
+      hybrid flavor; approximate by design).
+
+    Coefficients are computed once per actor; the base-sample rng is
+    seeded per (conv, window) so results are scheduling-independent.
+    """
+
+    def __init__(self, polynomial: str = "chebyshev", degree: int = 4,
+                 season: int = 8, n_base_samples: int = 5, seed: int = 42):
+        from ..functions.precondition import precondition_coefficients
+
+        self.coeffs = np.asarray(precondition_coefficients(polynomial, degree))
+        self.season = season
+        self.n_base = n_base_samples
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import fnv1a_u64
+        from ..functions.precondition import (
+            forward_precondition,
+            reverse_with_base_context,
+        )
+
+        rows = []
+        for _, r in batch.iterrows():
+            ctx = np.asarray(r["context"], dtype=np.float64)
+            hor = np.asarray(r["horizon"], dtype=np.float64)
+            L, H = len(ctx), len(hor)
+            full = np.concatenate([ctx, hor])
+            pre_full = forward_precondition(full, self.coeffs)
+            pre_ctx, pre_hor = pre_full[:L], pre_full[L:]
+            season = min(self.season, L)
+            reps = int(np.ceil(H / season))
+            fcst_pre = np.tile(pre_ctx[-season:], reps)[:H]
+            mse_precond = M.mse(pre_hor, fcst_pre)
+            # GT-context reversal: must reproduce precond-space errors
+            rev_gt = reverse_with_base_context(fcst_pre, full, L, self.coeffs)
+            mse_gt = M.mse(hor, rev_gt)
+            # hybrid: median of S jittered base sample paths as context
+            rng = np.random.default_rng(
+                [self.seed, int(fnv1a_u64([str(r["conv_id"])])[0]) & 0x7FFFFFFF,
+                 int(r["window"])]
+            )
+            base_naive = np.tile(ctx[-season:], reps)[:H]
+            scale = max(1e-9, float(np.nanstd(ctx)))
+            samples = base_naive[None, :] + 0.1 * scale * rng.standard_normal((self.n_base, H))
+            base_med = np.median(samples, axis=0)
+            rev_hy = reverse_with_base_context(
+                fcst_pre, np.concatenate([ctx, base_med]), L, self.coeffs
+            )
+            rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "window": r["window"],
+                    "mse_precond": mse_precond,
+                    "mse_gt_reversed": mse_gt,
+                    "mse_hybrid": M.mse(hor, rev_hy),
+                }
+            )
+        return pd.DataFrame(rows)
+
+
+def hybrid_reversal_eval(
+    window_ds, season: int = 8, degree: int = 4, concurrency: int = 2
+):
+    """Per-series hybrid-reversal evaluation with the reference's
+    consistency invariant as an ``ok`` column: GT-context reversal must
+    reproduce preconditioned-space metrics exactly."""
+    scored = window_ds.map_batches(
+        HybridReversalScorer,
+        fn_constructor_kwargs={"season": season, "degree": degree},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        mp = df["mse_precond"].to_numpy(dtype=np.float64)
+        mg = df["mse_gt_reversed"].to_numpy(dtype=np.float64)
+        denom = np.maximum(np.abs(mp), 1.0)
+        max_rel = float(np.nanmax(np.abs(mp - mg) / denom)) if len(df) else 0.0
+        return pd.DataFrame(
+            {
+                "conv_id": [df["conv_id"].iloc[0]],
+                "n_windows": [len(df)],
+                "mse_precond": [float(np.nanmean(mp))],
+                "mse_gt_reversed": [float(np.nanmean(mg))],
+                "mse_hybrid": [float(np.nanmean(df["mse_hybrid"]))],
+                "max_rel_diff": [max_rel],
+                "ok": [max_rel < 1e-9],
+            }
+        )
+
+    return scored.groupby("conv_id").map_groups(agg, batch_format="pandas")
+
+
 def evaluate_windows(window_ds, season: int = 1, concurrency: int = 2):
     """Score every window, then aggregate per series (masked-mean
     reduce over windows, `loss/packed/_base.py:76-106` shape)."""

@@ -106,3 +106,52 @@ def test_short_series_identity():
     c = precondition_coefficients("chebyshev", 5)
     np.testing.assert_array_equal(forward_precondition(x, c), x)
     np.testing.assert_array_equal(reverse_precondition(x, c), x)
+
+
+def test_reverse_with_base_context_matches_reference_loop():
+    """Vectorized hybrid reversal equals the reference's per-timestep
+    loop (eval_precond_hybrid.py:135-170), incl. short-history guard."""
+    from spectral_time_series_ray.functions.precondition import (
+        forward_precondition,
+        precondition_coefficients,
+        reverse_with_base_context,
+    )
+
+    rng = np.random.default_rng(0)
+    co = precondition_coefficients("chebyshev", 4)
+    n = len(co)
+    for input_len in (32, 4, 3, 1, 0):
+        pred_len = 8
+        full = rng.standard_normal(input_len + pred_len)
+        yhat = rng.standard_normal(pred_len)
+        ref = yhat.copy()
+        for t in range(pred_len):
+            pos = input_len + t
+            if pos >= n:
+                for i in range(n):
+                    ref[t] -= co[i] * full[pos - i - 1]
+        got = reverse_with_base_context(yhat, full, input_len, co)
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_gt_context_reversal_consistency_invariant():
+    """The reference's consistency oracle (CLAUDE.md 'AFTER FIX'):
+    with ground-truth context, original-space pointwise errors equal
+    precond-space errors exactly, so MSE/MAE match."""
+    from spectral_time_series_ray.functions.precondition import (
+        forward_precondition,
+        precondition_coefficients,
+        reverse_with_base_context,
+    )
+
+    rng = np.random.default_rng(1)
+    co = precondition_coefficients("chebyshev", 4)
+    L, H = 32, 8
+    full = rng.standard_normal(L + H) * 10
+    pre_full = forward_precondition(full, co)
+    yhat = pre_full[L:] + rng.standard_normal(H)  # imperfect predictions
+    rev = reverse_with_base_context(yhat, full, L, co)
+    err_orig = rev - full[L:]
+    err_pre = yhat - pre_full[L:]
+    np.testing.assert_allclose(err_orig, err_pre, atol=1e-12)
+    assert abs(np.mean(err_orig**2) - np.mean(err_pre**2)) < 1e-12

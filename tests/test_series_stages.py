@@ -159,3 +159,35 @@ def test_spectral_downsampler_lomb_irregular(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame(rows))
     out = spectral_downsample(ds, method="lomb", concurrency=1, max_freq=0.01).to_pandas()
     assert abs(out["peak_freq"].iloc[0] - 1.0 / 600.0) < 2e-4
+
+
+def test_multivariate_precondition_stats(ray_session):
+    """[2, T] multivariate target through 2-D forward+reverse kernels:
+    stats of the roundtripped values equal stats of the raw values
+    (variate independence + roundtrip, end-to-end through Ray)."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.series import multivariate_precondition_stats
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for u in range(5):
+        n = 40 + u
+        ts = (np.arange(n, dtype=np.int64) * 3_600_000_000) + 1_700_000_000_000_000
+        rows.append(pd.DataFrame({
+            "user_id": u, "bucket_ts": ts.astype("datetime64[us]"),
+            "v0": rng.integers(1, 50, n).astype(np.float64),
+            "v1": np.round(rng.lognormal(2, 1, n), 2),
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    ds = ray.data.from_pandas(df)
+    out = multivariate_precondition_stats(ds, ("v0", "v1"), key="user_id").to_pandas()
+    assert len(out) == 10  # 5 users x 2 variates
+    for u in range(5):
+        g = df[df["user_id"] == u]
+        for vi, col in enumerate(("v0", "v1")):
+            r = out[(out["user_id"] == u) & (out["variate"] == vi)].iloc[0]
+            assert r["n_buckets"] == len(g)
+            np.testing.assert_allclose(r["mean_v"], g[col].mean(), rtol=1e-10)
+            np.testing.assert_allclose(r["min_v"], g[col].min(), rtol=1e-10)
+            np.testing.assert_allclose(r["max_v"], g[col].max(), rtol=1e-10)
