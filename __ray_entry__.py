@@ -56,26 +56,69 @@ def _tr_cascade_1h(sf_dir: str):
 
 
 def _tr_gorilla(sf_dir: str):
-    from spectral_time_series_ray.pipelines.flagship import run_flagship
+    """Gorilla compression over the flagship chunk rows with a
+    SELF-VERIFYING roundtrip: every chunk is encoded, decoded, and
+    compared distributed (timestamps bit-exact, values within the
+    quantization half-step); ok aggregates all per-chunk flags."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.compress import verify_roundtrip_chunks
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
 
-    res = run_flagship(sf_dir, out_root=None, spectral=False)
-    enc = res["gorilla"].to_pandas()
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+    ver = verify_roundtrip_chunks(chunks, quantize_digits=3, concurrency=4).to_pandas()
+    n_pts = int(ver["n_points"].sum())
     return pd.DataFrame(
         {
-            "n_chunks": [len(enc)],
-            "n_points": [int(enc["n_points"].sum())],
+            "n_chunks": [len(ver)],
+            "n_points": [n_pts],
             "bytes_per_point": [
-                float((enc["bytes_per_point"] * enc["n_points"]).sum() / max(1, enc["n_points"].sum()))
+                float((ver["bytes_per_point"] * ver["n_points"]).sum() / max(1, n_pts))
             ],
+            "max_err": [float(ver["max_err"].max())],
+            "ok": [bool(ver["roundtrip_ok"].all())],
         }
     )
 
 
 def _tr_spectral(sf_dir: str):
-    from spectral_time_series_ray.pipelines.flagship import run_flagship
+    """Welch spectral summaries over the gap-filled 1m latency series,
+    SELF-VERIFYING via a planted tone: a synthetic conversation with a
+    known 16-bucket (960 s) period rides through gapfill -> pack ->
+    Welch, and its ok flag asserts the detected peak frequency."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.downsample import spectral_downsample
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
 
-    res = run_flagship(sf_dir, out_root=None, spectral=True)
-    return res["spectral"].select_columns(["conv_id", "chunk_idx", "peak_freq", "method"])
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    period_buckets, n_buckets = 16, 512
+    k = np.arange(n_buckets)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    planted = pd.DataFrame(
+        {
+            "conv_id": ["__planted_tone__"] * n_buckets,
+            "bucket_ts": pd.Series(grid),
+            "mean_latency": 5.0 + 2.0 * np.sin(2 * np.pi * k / period_buckets),
+        }
+    )
+    import ray.data
+
+    # from_pandas: the rollup's map_groups blocks are pandas — union
+    # must not mix block types
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = spectral_downsample(chunks, method="welch", concurrency=4).to_pandas()
+    f0 = 1.0 / (period_buckets * 60.0)
+    is_planted = out["conv_id"] == "__planted_tone__"
+    out["ok"] = np.where(is_planted, np.abs(out["peak_freq"] - f0) < 2e-4, True)
+    assert is_planted.any(), "planted tone missing from spectral output"
+    return out[["conv_id", "chunk_idx", "peak_freq", "method", "ok"]]
 
 
 def _tr_precondition_roundtrip(sf_dir: str):

@@ -78,6 +78,51 @@ def compress_chunks(chunk_ds, quantize_digits: int | None = 3, concurrency: int 
     )
 
 
+class GorillaRoundtripVerifier:
+    """Encode + decode + compare per chunk in one actor pass: emits
+    (n_points, bytes_per_point, max_err, roundtrip_ok) where ok means
+    timestamps are bit-exact and values are within the quantization
+    half-step (exact when quantize_digits is None)."""
+
+    def __init__(self, quantize_digits: int | None = 3):
+        self.qd = quantize_digits
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        scale = None if self.qd is None else 10.0 ** self.qd
+        tol = 0.0 if scale is None else 0.5 / scale + 1e-12
+        rows = []
+        for _, r in batch.iterrows():
+            ts = np.asarray(r["ts"], dtype=np.int64)
+            vals = np.asarray(r["values"], dtype=np.float64)
+            enc_vals = np.round(vals * scale) if scale is not None else vals
+            tb, vb, bpp = encode_chunk(ts, enc_vals)
+            ts2, vals2 = decode_chunk(tb, vb)
+            if scale is not None:
+                vals2 = vals2 / scale
+            finite = np.isfinite(vals)
+            err = float(np.abs(vals2[finite] - vals[finite]).max()) if finite.any() else 0.0
+            ok = bool((ts2 == ts).all()) and err <= tol and (
+                np.isfinite(vals) == np.isfinite(vals2)
+            ).all()
+            rows.append(
+                {"conv_id": r["conv_id"], "chunk_idx": int(r["chunk_idx"]),
+                 "n_points": len(vals), "bytes_per_point": bpp,
+                 "max_err": err, "roundtrip_ok": ok}
+            )
+        return pd.DataFrame(rows)
+
+
+def verify_roundtrip_chunks(chunk_ds, quantize_digits: int | None = 3, concurrency: int = 4):
+    """Distributed encode->decode->compare over packed chunk rows."""
+    return chunk_ds.map_batches(
+        GorillaRoundtripVerifier,
+        fn_constructor_kwargs={"quantize_digits": quantize_digits},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
 def decompress_chunks(enc_ds, concurrency: int = 4):
     return enc_ds.map_batches(
         GorillaChunkDecoder,

@@ -82,3 +82,17 @@ def test_fused_equals_modular(ray_session, tier):
             )
         else:
             assert (g == e).all(), c
+
+
+def test_partitions_scale_with_input_bytes(ray_session):
+    """Shuffle partition count grows with input bytes (~256MB each) and
+    never drops below the cluster-parallelism floor."""
+    from spectral_time_series_ray.stages.rollup import partitions_for_input
+
+    floor = partitions_for_input(None)
+    assert floor >= 8
+    assert partitions_for_input(0) == floor
+    assert partitions_for_input(100 << 20) == floor  # small input: floor
+    one_tb = partitions_for_input(1 << 40)
+    assert one_tb == (1 << 40) // (256 << 20)  # 4096 partitions at 1 TiB
+    assert partitions_for_input(2 << 40) == 2 * one_tb  # linear growth
