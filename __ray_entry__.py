@@ -324,6 +324,112 @@ def _emb_ann_ivf(sf_dir: str):
     return ivf.sort_values(["query_id", "score"], ascending=[True, False]).reset_index(drop=True)
 
 
+def _tr_train_crop(sf_dir: str):
+    """Random training-crop sampling (reference PatchCrop + GetPatchSize
+    train semantics) over the flagship chunk rows; self-verifying ok
+    column asserts every crop is an in-bounds contiguous whole-patch
+    multiple within the patch budget."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.sampling import train_crop_series
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+    crops = train_crop_series(
+        ds=chunks, concurrency=2, freq="1m", min_time_patches=2, max_patches=64, seed=11
+    ).to_pandas()
+    n = crops["n_points"].to_numpy()
+    ps = crops["patch_size"].to_numpy()
+    ok = (
+        (crops["crop_start"] >= 0)
+        & (n == crops["crop_stop"] - crops["crop_start"])
+        & (n % ps == 0)
+        & (n // ps >= 2)
+        & (n // ps <= 64)
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": crops["conv_id"],
+            "chunk_idx": crops["chunk_idx"],
+            "patch_size": ps,
+            "n_points": n,
+            "ok": ok,
+        }
+    )
+
+
+def _ev_streaming_incremental(sf_dir: str):
+    """Keyed incremental aggregation through the persistent bucket-actor
+    stage, self-verified against the batch rollup of the same data
+    (incremental == batch invariant, SURVEY.md §2.9)."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.streaming import StreamingAggregator
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    agg = StreamingAggregator(n_buckets=4).consume(ds, "user_id", "value")
+    inc = agg.result().rename(columns={"key": "user_id"})
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    # batch oracle computed DISTRIBUTED; only the per-user aggregate
+    # (one row per key) reaches the driver
+    batch = ds.groupby("user_id").aggregate(
+        Count(alias_name="count_b"), Sum("value", alias_name="sum_b"),
+        Min("value", alias_name="min_b"), Max("value", alias_name="max_b"),
+    ).to_pandas()
+    merged = inc.merge(batch, on="user_id")
+    ok = (
+        (merged["count"] == merged["count_b"])
+        & (np.abs(merged["sum"] - merged["sum_b"]) < 1e-6)
+        & (merged["min"] == merged["min_b"])
+        & (merged["max"] == merged["max_b"])
+    )
+    inc["ok"] = ok.to_numpy() if len(merged) == len(inc) else False
+    return inc
+
+
+def _emb_near_dup(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup with planted duplicates: copies
+    of the first 10 vectors with tiny noise must pair with their
+    originals (planted_recall / ok columns)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from spectral_time_series_ray.stages.similarity import embedding_near_dup
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(10)  # tiny planted slice
+    rng = np.random.default_rng(5)
+    base_ids = df["vec_id"].to_numpy()
+    copies = pd.DataFrame(
+        {
+            "vec_id": base_ids + 1_000_000,
+            "embedding": [
+                np.asarray(v, dtype=np.float64) + 1e-3 * rng.standard_normal(len(v))
+                for v in df["embedding"]
+            ],
+        }
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow as pa
+
+    full = ds.union(ray.data.from_arrow(pa.Table.from_pandas(copies, preserve_index=False)))
+    dim = len(np.asarray(df["embedding"].iloc[0]))
+    pairs = embedding_near_dup(full, threshold=0.98, dim=dim, concurrency=2)
+    found = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    hits = sum(1 for b in base_ids if (int(b), int(b) + 1_000_000) in found)
+    recall = hits / len(base_ids)
+    if len(pairs) == 0:
+        pairs = pd.DataFrame({"a": [-1], "b": [-1], "cosine": [0.0]})
+    pairs["planted_recall"] = recall
+    pairs["ok"] = recall >= 0.8
+    return pairs
+
+
 def _media_pipeline(sf_dir: str):
     import ray.data
 
@@ -394,6 +500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": _doc_minhash_dedup,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
+        "emb_near_dup": _emb_near_dup,
+        "tr_train_crop": _tr_train_crop,
+        "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }
 
