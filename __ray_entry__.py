@@ -360,6 +360,51 @@ def _tr_train_crop(sf_dir: str):
     )
 
 
+def _tr_masked_prediction(sf_dir: str):
+    """Random masked-prediction task construction (reference
+    MaskedPrediction + ExtendMask, transform/task.py:28-113) over the
+    flagship chunk rows; self-verifying ok column asserts the mask is a
+    trailing contiguous block whose length lands in the sampled-ratio
+    bounds and that aux truncation keeps exactly the context steps."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.sampling import masked_prediction_series
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+    lo, hi = 0.15, 0.5
+    tasks = masked_prediction_series(
+        chunks, concurrency=2, min_mask_ratio=lo, max_mask_ratio=hi, seed=13
+    ).to_pandas()
+    n = tasks["n_points"].to_numpy()
+    mlen = tasks["mask_length"].to_numpy()
+    lo_len = np.maximum(1, np.round(n * lo)).astype(np.int64)
+    hi_len = np.maximum(1, np.round(n * hi)).astype(np.int64)
+    ctx_len = np.fromiter(
+        (len(c) for c in tasks["context_ts"]), dtype=np.int64, count=len(tasks)
+    )
+    trailing = np.fromiter(
+        (
+            bool(np.all(m[-l:]) and not np.any(m[:-l]))
+            for m, l in zip(tasks["prediction_mask"], mlen)
+        ),
+        dtype=bool,
+        count=len(tasks),
+    )
+    ok = (lo_len <= mlen) & (mlen <= hi_len) & (ctx_len == n - mlen) & trailing
+    return pd.DataFrame(
+        {
+            "conv_id": tasks["conv_id"],
+            "chunk_idx": tasks["chunk_idx"],
+            "n_points": n,
+            "mask_length": mlen,
+            "ok": ok,
+        }
+    )
+
+
 def _ev_streaming_incremental(sf_dir: str):
     """Keyed incremental aggregation through the persistent bucket-actor
     stage, self-verified against the batch rollup of the same data
@@ -502,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_ivf": _emb_ann_ivf,
         "emb_near_dup": _emb_near_dup,
         "tr_train_crop": _tr_train_crop,
+        "tr_masked_prediction": _tr_masked_prediction,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

@@ -191,3 +191,82 @@ def train_crop_series(ds, concurrency: int = 4, batch_size: int = 256, **kwargs)
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MaskedPredictionStage:
+    """Actor-pool stage: random trailing prediction mask per packed
+    series row (reference MaskedPrediction + ExtendMask,
+    `uni2ts/src/uni2ts/transform/task.py:28-113`): mask length =
+    ``max(1, round(time * U[min_ratio, max_ratio]))`` trailing steps;
+    auxiliary fields (here ``ts``) are truncated to the unmasked
+    context so horizon information cannot leak into features.
+
+    Determinism at scale: rng seeded per (seed, fnv(conv_id),
+    chunk_idx) — batch-boundary and scheduling independent,
+    resume-safe (same contract as :class:`TrainCropStage`).
+    """
+
+    def __init__(
+        self,
+        min_mask_ratio: float = 0.15,
+        max_mask_ratio: float = 0.5,
+        seed: int = 42,
+    ):
+        from ..functions.task import masked_prediction
+
+        if min_mask_ratio > max_mask_ratio:
+            raise ValueError("min_mask_ratio must be <= max_mask_ratio")
+        self._masked = masked_prediction
+        self.lo = min_mask_ratio
+        self.hi = max_mask_ratio
+        self.seed = seed
+
+    def __call__(self, batch) -> "pd.DataFrame":
+        import pandas as pd
+
+        from ..functions.hashing import fnv1a_u64
+
+        rows = []
+        for _, r in batch.iterrows():
+            vals = np.asarray(r["values"], dtype=np.float64)
+            ts = np.asarray(r["ts"], dtype=np.int64)
+            rng = np.random.default_rng(
+                [self.seed, int(fnv1a_u64([str(r["conv_id"])])[0]) & 0x7FFFFFFF,
+                 int(r["chunk_idx"])]
+            )
+            mask, trunc = self._masked(
+                vals, self.lo, self.hi, truncate={"ts": ts[None, :]}, rng=rng
+            )
+            mask_len = int(mask[0].sum())
+            rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "chunk_idx": int(r["chunk_idx"]),
+                    "n_points": len(vals),
+                    "mask_length": mask_len,
+                    "values": vals,
+                    "prediction_mask": mask[0],
+                    "context_ts": trunc["ts"][0],
+                }
+            )
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in
+                 (("conv_id", object), ("chunk_idx", np.int64),
+                  ("n_points", np.int64), ("mask_length", np.int64),
+                  ("values", object), ("prediction_mask", object),
+                  ("context_ts", object))}
+            )
+        return pd.DataFrame(rows)
+
+
+def masked_prediction_series(ds, concurrency: int = 4, batch_size: int = 256, **kwargs):
+    """Random masked-prediction task rows over packed series (see
+    :class:`MaskedPredictionStage`)."""
+    return ds.map_batches(
+        MaskedPredictionStage,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

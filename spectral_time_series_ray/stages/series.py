@@ -175,33 +175,62 @@ def gap_fill_pack_series(
     coeffs = (
         np.asarray(precondition_coefficients(polynomial, degree)) if polynomial else None
     )
+    from .rollup import partitions_for_input
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(BUCKET_COL)
-        buckets = df[BUCKET_COL].to_numpy(dtype="datetime64[us]").view("int64")
-        lo, hi = buckets[0], buckets[-1]
-        grid = np.arange(lo, hi + step_us, step_us)
-        values = np.full(len(grid), np.nan)
-        values[(buckets - lo) // step_us] = df[value_col].to_numpy(dtype=np.float64)
-        filled = IMPUTERS[method](values)
-        pre = forward_precondition(filled, coeffs) if coeffs is not None else None
-        rows = []
-        for ci, s in enumerate(range(0, len(grid), chunk_points)):
-            e = min(s + chunk_points, len(grid))
-            row = {
-                key: df[key].iloc[0],
-                "chunk_idx": ci,
-                "n_points": e - s,
-                "ts": grid[s:e],
-                "values": filled[s:e],
-            }
-            if pre is not None:
-                row["values_precond"] = pre[s:e]
-            rows.append(row)
-        return pd.DataFrame(rows)
+    P = partitions_for_input(None)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, BUCKET_COL, value_col]].copy()
+        df["_part"] = (
+            pd.util.hash_pandas_object(df[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return df
 
     ds = rolled_ds.select_columns([key, BUCKET_COL, value_col])
-    return ds.groupby(key).map_groups(fn, batch_format="pandas")
+    ds = ds.map_batches(add_part, batch_format="pandas", batch_size=None)
+
+    # ONE int-keyed shuffle on P partitions (not one Ray group per
+    # conversation — per-group map_groups overhead at 10k+ convs was
+    # the stage's wall-time); inside a partition every conversation is
+    # a contiguous numpy slice
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(df[key], sort=False)
+        b = df[BUCKET_COL].to_numpy(dtype="datetime64[us]").view("int64")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((b, codes))
+        codes_s, b_s, v_s = codes[order], b[order], v[order]
+        n = len(df)
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_conv)
+        ends = np.append(starts[1:], n)
+        rows = []
+        keys_arr = np.asarray(uniques)
+        for s, e in zip(starts, ends):
+            buckets = b_s[s:e]
+            lo, hi = buckets[0], buckets[-1]
+            grid = np.arange(lo, hi + step_us, step_us)
+            values = np.full(len(grid), np.nan)
+            values[(buckets - lo) // step_us] = v_s[s:e]
+            filled = IMPUTERS[method](values)
+            pre = forward_precondition(filled, coeffs) if coeffs is not None else None
+            kv = keys_arr[codes_s[s]]
+            for ci, cs in enumerate(range(0, len(grid), chunk_points)):
+                ce = min(cs + chunk_points, len(grid))
+                row = {
+                    key: kv,
+                    "chunk_idx": ci,
+                    "n_points": ce - cs,
+                    "ts": grid[cs:ce],
+                    "values": filled[cs:ce],
+                }
+                if pre is not None:
+                    row["values_precond"] = pre[cs:ce]
+                rows.append(row)
+        return pd.DataFrame(rows)
+
+    return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
 
 
 def multivariate_precondition_stats(

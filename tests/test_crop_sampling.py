@@ -193,3 +193,88 @@ def test_train_crop_series(ray_session):
         out[["conv_id", "crop_start", "crop_stop", "patch_size"]],
         out2[["conv_id", "crop_start", "crop_stop", "patch_size"]],
     )
+
+
+@given(
+    time=st.integers(4, 400),
+    lo=st.floats(0.05, 0.5),
+    span=st.floats(0.0, 0.4),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_masked_prediction_properties(time, lo, span, seed):
+    """Mirrors reference MaskedPrediction semantics (task.py:54-63):
+    mask length in [max(1,round(t*lo)), max(1,round(t*hi))], trailing
+    block, aux truncated to context."""
+    from spectral_time_series_ray.functions.task import masked_prediction
+
+    hi = min(lo + span, 0.9)
+    rng = np.random.default_rng(seed)
+    target = np.arange(time, dtype=np.float64)[None, :]
+    aux = np.arange(time, dtype=np.int64)[None, :]
+    mask, trunc = masked_prediction(target, lo, hi, truncate={"ts": aux}, rng=rng)
+    assert mask.shape == (1, time)
+    mlen = int(mask[0].sum())
+    assert max(1, round(time * lo)) <= mlen <= max(1, round(time * hi))
+    # trailing contiguous block
+    assert mask[0, -mlen:].all() and not mask[0, : time - mlen].any()
+    # aux truncated to context steps, values preserved
+    assert trunc["ts"].shape == (1, time - mlen)
+    assert (trunc["ts"][0] == np.arange(time - mlen)).all()
+
+
+def test_extend_mask_and_reshape_kernels():
+    from spectral_time_series_ray.functions.task import (
+        extend_mask,
+        flat_pack,
+        pack_fields,
+        prediction_mask,
+        sequencify,
+        transpose,
+    )
+
+    m = prediction_mask(2, 10, 3)
+    masks = extend_mask(m, {"feat_a": (2, 10), "feat_b": (1, 10)})
+    assert len(masks) == 3
+    assert masks[0].sum() == 6 and not masks[1].any() and not masks[2].any()
+    assert masks[1].shape == (2, 10) and masks[2].shape == (1, 10)
+
+    # PackFields: concat along variate axis, 1-D inputs promoted
+    packed = pack_fields([np.ones(5), np.zeros((2, 5))])
+    assert packed.shape == (3, 5)
+    assert flat_pack([np.ones((2, 3)), np.zeros(4)]).shape == (10,)
+    assert transpose(packed).shape == (5, 3)
+    # SequencifyField: repeat along axis by target length
+    seq = sequencify(np.array([[7.0]]), packed, axis=0, target_axis=0)
+    assert seq.shape == (3, 1) and (seq == 7.0).all()
+
+
+def test_masked_prediction_series(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.sampling import masked_prediction_series
+
+    rows = []
+    for ci, conv in enumerate(["a", "b", "c"]):
+        n = 60 + 20 * ci
+        rows.append(
+            {"conv_id": conv, "chunk_idx": 0, "n_points": n,
+             "ts": np.arange(n, dtype=np.int64) * 60_000_000,
+             "values": np.arange(n, dtype=np.float64)}
+        )
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = masked_prediction_series(
+        ds, concurrency=2, min_mask_ratio=0.2, max_mask_ratio=0.4, seed=9
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        n, mlen = int(r["n_points"]), int(r["mask_length"])
+        assert max(1, round(n * 0.2)) <= mlen <= max(1, round(n * 0.4))
+        pm = np.asarray(r["prediction_mask"])
+        assert pm[-mlen:].all() and not pm[: n - mlen].any()
+        assert len(np.asarray(r["context_ts"])) == n - mlen
+    # deterministic rerun (resume invariant)
+    out2 = masked_prediction_series(
+        ds, concurrency=2, min_mask_ratio=0.2, max_mask_ratio=0.4, seed=9
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert (out["mask_length"].to_numpy() == out2["mask_length"].to_numpy()).all()
