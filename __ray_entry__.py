@@ -275,6 +275,19 @@ def _doc_minhash_dedup(sf_dir: str):
     return _with_recall(out, planted)
 
 
+def _doc_ngram_dedup(sf_dir: str):
+    """Exact n-gram Jaccard dedup (LSH candidates, exact shingle-set
+    verify). Threshold 0.7: a last-word mutation on a W-word doc keeps
+    exact 3-gram Jaccard >= (W-5)/(W+1) ~ 0.81 at the W>=30 planting
+    floor, so 0.7 verifies the planted pairs with margin while still
+    rejecting unrelated docs (corpus pairs score near 0)."""
+    from spectral_time_series_ray.stages.dedup import ngram_jaccard_dedup
+
+    ds, planted = _plant_near_dups(sf_dir)
+    out = ngram_jaccard_dedup(ds, threshold=0.7, concurrency=2)
+    return _with_recall(out, planted)
+
+
 def _doc_simhash_dedup(sf_dir: str):
     """SimHash near-dup with planted copies; the ok column scores recall
     over the DETECTABLE planted pairs (actual hamming <= max_hamming) —
@@ -507,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
         "ev_interarrival": Q.ev_interarrival,
         "ev_sessions": Q.ev_sessions,
+        "ev_window_funcs": Q.ev_window_funcs,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_type_hour_count": Q.ev_type_hour_count,
         "ev_top_users": Q.ev_top_users,
@@ -544,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "doc_minhash_dedup": _doc_minhash_dedup,
         "doc_simhash_dedup": _doc_simhash_dedup,
+        "doc_ngram_dedup": _doc_ngram_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
         "emb_near_dup": _emb_near_dup,
         "tr_train_crop": _tr_train_crop,
@@ -615,6 +630,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_ev) * 1.0 / count(*), 6) as mean_session_events,
                    round(avg(dur), 6) as mean_session_duration_s
             from per_session group by 1
+        """,
+        "ev_window_funcs": """
+            select event_id, user_id,
+                   row_number() over w as rn,
+                   lag(value) over w as prev_value,
+                   round(sum(value) over (partition by user_id
+                                          order by ts, event_id
+                                          rows between unbounded preceding
+                                          and current row), 6) as running_value
+            from events
+            window w as (partition by user_id order by ts, event_id)
         """,
         "ev_gapfill_1h": """
             with r as (

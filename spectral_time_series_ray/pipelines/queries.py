@@ -157,6 +157,23 @@ def ev_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(_sessions_group(1800.0), batch_format="pandas")
 
 
+def ev_window_funcs(sf_dir: str):
+    """SQL analytic window functions per user — row_number(),
+    lag(value), running sum(value) over (partition by user_id order by
+    ts, event_id) — via ONE int-keyed hash shuffle + a segmented numpy
+    pass per partition (`features.analytic_window_funcs`). Running sum
+    accumulates in scaled int64 (2-decimal inputs) so it matches the
+    SQL engine exactly regardless of float summation order."""
+    from ..stages.features import analytic_window_funcs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = analytic_window_funcs(
+        ds, key="user_id", order_cols=("ts", "event_id"), value_col="value",
+    )
+    out = out.select_columns(["event_id", "user_id", "rn", "prev_value", "running_value"])
+    return _round_ds(out, {"running_value": 6})
+
+
 def ev_gapfill_1h(sf_dir: str):
     """Dense hourly grid per user, LOCF gap-fill of the rounded hourly
     mean (reference LastValueImputation semantics, imputation.py:44-62)."""

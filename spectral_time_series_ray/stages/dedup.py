@@ -369,6 +369,139 @@ def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4):
     return df.reset_index(drop=True)
 
 
+class _ShingleMinHashStage(_MinHashStage):
+    """Actor: one tokenize+shingle pass emits BOTH the MinHash
+    signature (for LSH candidate banding) and the sorted-unique shingle
+    set as a binary blob (for exact Jaccard verification)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs, blobs = [], []
+        for t in batch["text"]:
+            sh = shingle_hashes(t.split(), n=self.shingle_n)
+            sigs.append(self.mh.signature(sh).tobytes())
+            blobs.append(np.unique(sh).tobytes())
+        out = batch[["doc_id"]].copy()
+        out["signature"] = sigs
+        out["shingles"] = blobs
+        return out
+
+
+def ngram_jaccard_dedup(
+    ds,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    concurrency: int = 4,
+    join_partitions: int | None = None,
+):
+    """EXACT n-gram Jaccard near-dup pipeline: MinHash-LSH banding
+    proposes candidates, then each candidate pair is verified with the
+    exact shingle-set Jaccard (not the signature estimate) — the
+    highest-precision tier of the dedup family. Returns (doc_id,
+    cluster_id, is_keeper, jaccard of the joining edge).
+
+    Scale path mirrors :func:`minhash_verified_pairs`: ONE
+    tokenize+shingle pass per doc emits signature + sorted-unique
+    shingle blob; candidate pairs hash-join TWICE against the shingle
+    Dataset on doc_id; exact Jaccard per pair via
+    ``np.intersect1d(assume_unique=True)`` inside the batch (pairs are
+    sparse post-LSH, so the per-pair loop is over candidates, not the
+    corpus). Only verified pairs reach the driver for union-find.
+    """
+    if join_partitions is None:
+        try:
+            import ray
+
+            join_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            join_partitions = 4
+
+    feat = ds.map_batches(
+        _ShingleMinHashStage,
+        fn_constructor_args=(num_perm, bands, shingle_n, seed),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=concurrency,
+    ).materialize()
+    shing = feat.drop_columns(["signature"]).materialize()
+    exploded = feat.drop_columns(["shingles"]).map_batches(
+        _explode_bands(bands, num_perm // bands), batch_format="pandas"
+    )
+    pairs_ds = exploded.groupby(["band_id", "band_key"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    pairs_ds = pairs_ds.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "cluster_id": pd.Series([], dtype="int64"),
+         "is_keeper": pd.Series([], dtype=bool),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+    if pairs_ds.count() == 0:
+        return empty
+
+    def _rename(mapping):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns=mapping)
+
+        return f
+
+    with_a = pairs_ds.join(
+        shing, join_type="inner", num_partitions=join_partitions,
+        on=("a",), right_on=("doc_id",), right_suffix="_a",
+    ).map_batches(_rename({"shingles": "sh_a"}), batch_format="pandas", batch_size=None)
+    with_b = with_a.join(
+        shing, join_type="inner", num_partitions=join_partitions,
+        on=("b",), right_on=("doc_id",), right_suffix="_b",
+    ).map_batches(_rename({"shingles": "sh_b"}), batch_format="pandas", batch_size=None)
+
+    def exact_verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        jac = np.empty(len(df))
+        for i, (ba, bb) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {"a": df["a"].to_numpy()[keep], "b": df["b"].to_numpy()[keep],
+             "jaccard": jac[keep]}
+        )
+
+    verified = (
+        with_b.map_batches(exact_verify, batch_format="pandas", batch_size=None)
+        .to_pandas()  # sparse: verified near-dup pairs only
+        .drop_duplicates(["a", "b"])
+    )
+    if len(verified) == 0:
+        return empty
+    clusters = union_find_clusters(
+        list(zip(verified["a"].astype(int), verified["b"].astype(int)))
+    )
+    best_edge: dict[int, float] = {}
+    for a, b, j in zip(verified["a"], verified["b"], verified["jaccard"]):
+        for d in (int(a), int(b)):
+            best_edge[d] = max(best_edge.get(d, 0.0), float(j))
+    df = pd.DataFrame(
+        {"doc_id": list(clusters), "cluster_id": [clusters[d] for d in clusters]}
+    ).sort_values("doc_id")
+    df["is_keeper"] = df["doc_id"] == df["cluster_id"]
+    df["jaccard"] = [best_edge[d] for d in df["doc_id"]]
+    return df.reset_index(drop=True)
+
+
 def ngram_jaccard_pairs(texts_by_id: dict[int, str], pairs, shingle_n: int = 3) -> pd.DataFrame:
     """Exact n-gram Jaccard for given candidate pairs (verify kernel)."""
     cache: dict[int, set] = {}

@@ -55,6 +55,95 @@ def _latency_group(batch: pa.Table) -> pa.Table:
     return batch.append_column("latency_s", pa.array(lat, pa.float64(), from_pandas=True))
 
 
+def analytic_window_funcs(
+    ds,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    value_scale: int | None = 100,
+    num_partitions: int | None = None,
+):
+    """SQL analytic window functions per key: ``row_number()``,
+    ``lag(value)`` and a running ``sum(value)`` over
+    ``(partition by key order by order_cols rows unbounded preceding)``
+    — the positional/ordered-state operator class of SURVEY.md §2.9.
+
+    Scale path: ONE int-keyed hash shuffle (same partition-level design
+    as ``rollup_transcripts``) and one numpy lexsort + segmented
+    cumsum/shift pass per partition — per-key Python overhead is O(P),
+    not O(#keys). When ``value_scale`` is set (inputs with fixed
+    decimals), the running sum accumulates in scaled int64 so the
+    result is EXACT — float accumulation-order differences vs a SQL
+    engine's windowed sum vanish.
+    """
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, *order_cols, value_col, *id_cols)))
+    ds = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+
+    def partition_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=df[c].dtype if c in df else object)
+                    for c in keep}
+            cols["rn"] = pd.Series([], dtype=np.int64)
+            cols["prev_value"] = pd.Series([], dtype=np.float64)
+            cols["running_value"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        sort_keys = [df[c].to_numpy() for c in reversed(order_cols)]
+        order = np.lexsort((*sort_keys, codes))
+        codes_s = codes[order]
+        v = df[value_col].to_numpy(dtype=np.float64)[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        # row_number: position within segment
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, n))) + 1
+        # lag(value): shift by one, null at each segment start
+        prev = np.empty(n, dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = v[:-1]
+        prev[new_key] = np.nan
+        # running sum with per-segment reset; exact int64 path when the
+        # values are fixed-decimal
+        if value_scale:
+            vi = np.round(v * value_scale).astype(np.int64)
+            cs = np.cumsum(vi)
+            base = np.repeat(np.concatenate([[0], cs[starts[1:] - 1]]), np.diff(np.append(starts, n)))
+            running = (cs - base) / value_scale
+        else:
+            cs = np.cumsum(v)
+            base = np.repeat(np.concatenate([[0.0], cs[starts[1:] - 1]]), np.diff(np.append(starts, n)))
+            running = cs - base
+        out = df.iloc[order][keep].reset_index(drop=True)
+        out["rn"] = rn
+        out["prev_value"] = prev
+        out["running_value"] = running
+        return out
+
+    return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+
+
 def with_turn_features(ds, include_text: bool = True):
     """Full feature derivation: vectorized text features, then grouped
     latency. ``include_text=False`` projects the wide text column out

@@ -395,6 +395,16 @@ def _merge_partitioned(
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
+        if n == 0:
+            cols: dict[str, pd.Series] = {
+                key: pd.Series([], dtype=object),
+                BUCKET_COL: pd.Series([], dtype="datetime64[us]"),
+            }
+            for s in colmap:
+                cols[f"count_{s}"] = pd.Series([], dtype=np.int64)
+                for stat in ("sum", "min", "max"):
+                    cols[f"{stat}_{s}"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
         codes, uniques = pd.factorize(df[key], sort=False)
         b = df[BUCKET_COL].to_numpy(dtype="datetime64[us]").view("int64")
         order = np.lexsort((b, codes))

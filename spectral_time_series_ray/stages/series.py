@@ -193,13 +193,27 @@ def gap_fill_pack_series(
     # conversation — per-group map_groups overhead at 10k+ convs was
     # the stage's wall-time); inside a partition every conversation is
     # a contiguous numpy slice
+    def _empty_out() -> pd.DataFrame:
+        cols = {
+            key: pd.Series([], dtype=object),
+            "chunk_idx": pd.Series([], dtype=np.int64),
+            "n_points": pd.Series([], dtype=np.int64),
+            "ts": pd.Series([], dtype=object),
+            "values": pd.Series([], dtype=object),
+        }
+        if coeffs is not None:
+            cols["values_precond"] = pd.Series([], dtype=object)
+        return pd.DataFrame(cols)
+
     def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return _empty_out()
         codes, uniques = pd.factorize(df[key], sort=False)
         b = df[BUCKET_COL].to_numpy(dtype="datetime64[us]").view("int64")
         v = df[value_col].to_numpy(dtype=np.float64)
         order = np.lexsort((b, codes))
         codes_s, b_s, v_s = codes[order], b[order], v[order]
-        n = len(df)
         new_conv = np.empty(n, dtype=bool)
         new_conv[0] = True
         new_conv[1:] = codes_s[1:] != codes_s[:-1]

@@ -71,6 +71,29 @@ def test_simhash_dedup_exact_copies(docs_ds):
     assert clusters.get(41) == clusters.get(0)
 
 
+def test_ngram_jaccard_dedup_distributed(docs_ds):
+    """Distributed exact-Jaccard dedup: LSH candidates verified with
+    the true shingle-set Jaccard — exact copies join at threshold near
+    1, near-dups join at 0.5, unrelated docs never join."""
+    from spectral_time_series_ray.stages.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(docs_ds, threshold=0.5, concurrency=2)
+    clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert clusters.get(40) == clusters.get(0) == 0
+    assert clusters.get(41) == 0
+    assert clusters.get(43) == clusters.get(2)
+    jac = dict(zip(out["doc_id"], out["jaccard"]))
+    assert jac[40] == 1.0  # exact copy: exact jaccard is exactly 1
+    assert 0.5 <= jac[43] < 1.0  # near dup
+    # unrelated docs (1 vs 0) never share a cluster
+    assert clusters.get(1) is None or clusters.get(1) != clusters.get(0)
+    # high threshold drops the near-dup edge but keeps exact copies
+    strict = ngram_jaccard_dedup(docs_ds, threshold=0.99, concurrency=2)
+    sc = dict(zip(strict["doc_id"], strict["cluster_id"]))
+    assert sc.get(40) == sc.get(0) == 0
+    assert sc.get(43) is None or sc.get(43) != sc.get(2)
+
+
 def test_ngram_jaccard_verify():
     df = corpus()
     texts = dict(zip(df["doc_id"], df["text"]))

@@ -96,3 +96,43 @@ def test_partitions_scale_with_input_bytes(ray_session):
     one_tb = partitions_for_input(1 << 40)
     assert one_tb == (1 << 40) // (256 << 20)  # 4096 partitions at 1 TiB
     assert partitions_for_input(2 << 40) == 2 * one_tb  # linear growth
+
+
+def test_analytic_window_funcs(ray_session):
+    """row_number / lag / running sum per key match a hand-computed
+    pandas reference, including segment resets at key boundaries and
+    the exact int64-scaled running sum."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import analytic_window_funcs
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        analytic_window_funcs(ds, key="user_id", num_partitions=5)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = exp.groupby("user_id")
+    exp["rn"] = g.cumcount() + 1
+    exp["prev_value"] = g["value"].shift(1)
+    exp["running_value"] = (
+        (exp["value"] * 100).round().astype(np.int64).groupby(exp["user_id"]).cumsum() / 100
+    )
+    assert len(out) == n
+    for c in ("rn", "prev_value", "running_value"):
+        a, b = out[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float)
+        nan = np.isnan(a) & np.isnan(b)
+        assert (a[~nan] == b[~nan]).all(), c
