@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_interarrival": Q.ev_interarrival,
         "ev_sessions": Q.ev_sessions,
         "ev_window_funcs": Q.ev_window_funcs,
+        "ev_range_join": Q.ev_range_join,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_type_hour_count": Q.ev_type_hour_count,
         "ev_top_users": Q.ev_top_users,
@@ -641,6 +642,17 @@ def oracle_sql() -> dict[str, str]:
                                           and current row), 6) as running_value
             from events
             window w as (partition by user_id order by ts, event_id)
+        """,
+        "ev_range_join": """
+            select a.event_id, a.user_id,
+                   count(*) as n_in_window,
+                   round(sum(b.value), 6) as sum_in_window
+            from events a
+            join events b
+              on a.user_id = b.user_id
+             and b.ts >= a.ts - interval 1 day
+             and b.ts <= a.ts + interval 1 day
+            group by a.event_id, a.user_id
         """,
         "ev_gapfill_1h": """
             with r as (

@@ -174,6 +174,22 @@ def ev_window_funcs(sf_dir: str):
     return _round_ds(out, {"running_value": 6})
 
 
+def ev_range_join(sf_dir: str):
+    """Range (band) self-join: for each event, count + sum the same
+    user's events within ±1 day (self included) — one int-keyed
+    shuffle, two searchsorted calls per partition over a segment-offset
+    time axis (`join.range_join_aggregate`)."""
+    from ..stages.join import range_join_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = range_join_aggregate(
+        ds, key="user_id", ts_col="ts", value_col="value",
+        lo_s=-86400.0, hi_s=86400.0,
+    )
+    out = out.select_columns(["event_id", "user_id", "n_in_window", "sum_in_window"])
+    return _round_ds(out, {"sum_in_window": 6})
+
+
 def ev_gapfill_1h(sf_dir: str):
     """Dense hourly grid per user, LOCF gap-fill of the rounded hourly
     mean (reference LastValueImputation semantics, imputation.py:44-62)."""

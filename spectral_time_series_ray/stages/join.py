@@ -70,6 +70,111 @@ def anti_join_keys(ds, keys, column: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def range_join_aggregate(
+    ds,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo_s: float = -3600.0,
+    hi_s: float = 3600.0,
+    id_cols: tuple[str, ...] = ("event_id",),
+    value_scale: int | None = 100,
+    num_partitions: int | None = None,
+):
+    """Range (band) self-join aggregate: for every row, count and sum
+    the same-key rows whose ``ts`` lies in ``[ts+lo_s, ts+hi_s]``
+    (inclusive, self included) — the interval-join operator class the
+    Dataset API lacks (ray_guide.md "As-of / range join").
+
+    Scale path: ONE int-keyed hash shuffle co-locates each key's rows
+    (same partition-level design as ``rollup_transcripts``); inside a
+    partition one lexsort + two ``np.searchsorted`` calls over a
+    segment-offset timestamp axis answer EVERY row's window bounds at
+    once (segments are separated by an offset larger than any window,
+    so windows cannot cross keys), and window sums come from prefix
+    sums. Per-key Python overhead is O(P), not O(#keys). With
+    ``value_scale`` set (fixed-decimal inputs) sums accumulate in
+    int64, matching a SQL engine exactly.
+
+    Partitioning assumption: one key's rows fit in one partition (same
+    contract as every keyed map_groups in this repo); window length
+    does not affect memory — output is one row per input row.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    lo_us = int(round(lo_s * 1e6))
+    hi_us = int(round(hi_s * 1e6))
+    if lo_us > hi_us:
+        raise ValueError("lo_s must be <= hi_s")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, ts_col, value_col, *id_cols)))
+    ds = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=object) for c in keep}
+            cols["n_in_window"] = pd.Series([], dtype=np.int64)
+            cols["sum_in_window"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        t = df[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+        order = np.lexsort((t, codes))
+        codes_s, t_s = codes[order], t[order]
+        v_s = df[value_col].to_numpy(dtype=np.float64)[order]
+        # segment-offset axis: shift each key's timestamps by
+        # seg_id * SPAN so no window can reach a neighboring segment
+        t0 = t_s.min()
+        # span must exceed R+hi (upper probes) AND R-lo (lower probes)
+        # independently — hi and lo can each be of either sign
+        span = int(t_s.max() - t0) + max(hi_us, 0) + max(-lo_us, 0) + 2
+        nseg = int(codes_s.max()) + 1
+        if nseg * span < 2**62:  # single searchsorted over the partition
+            axis = (t_s - t0) + codes_s.astype(np.int64) * span
+            lo_idx = np.searchsorted(axis, axis + lo_us, side="left")
+            hi_idx = np.searchsorted(axis, axis + hi_us, side="right")
+        else:  # astronomically wide data: per-segment fallback
+            lo_idx = np.empty(n, dtype=np.int64)
+            hi_idx = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(
+                np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+            )
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                seg = t_s[s:e]
+                lo_idx[s:e] = s + np.searchsorted(seg, seg + lo_us, side="left")
+                hi_idx[s:e] = s + np.searchsorted(seg, seg + hi_us, side="right")
+        counts = hi_idx - lo_idx
+        if value_scale:
+            vi = np.round(v_s * value_scale).astype(np.int64)
+            prefix = np.concatenate([[0], np.cumsum(vi)])
+            sums = (prefix[hi_idx] - prefix[lo_idx]) / value_scale
+        else:
+            prefix = np.concatenate([[0.0], np.cumsum(v_s)])
+            sums = prefix[hi_idx] - prefix[lo_idx]
+        out = df.iloc[order][keep].reset_index(drop=True)
+        out["n_in_window"] = counts
+        out["sum_in_window"] = sums
+        return out
+
+    return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+
+
 def asof_join(
     left_ds,
     right_ds,

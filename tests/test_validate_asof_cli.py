@@ -95,3 +95,56 @@ def test_cli_run_and_retention(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     ret = json.loads(r2.stdout.strip().splitlines()[-1])
     assert ret["dropped"]  # everything is past TTL by 2030
+
+
+def test_range_join_aggregate(ray_session):
+    """Band-join counts/sums match a brute-force per-pair reference for
+    symmetric, future-only, and past-only windows (the segment-offset
+    searchsorted must never let a window cross into a neighboring
+    key's rows)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import range_join_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 8, n).astype(np.int64),
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 7200, n), unit="s"),
+            "value": np.round(rng.uniform(0, 20, n), 2),
+        }
+    )
+
+    def brute(lo_s, hi_s):
+        t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        cnt = np.zeros(n, dtype=np.int64)
+        sm = np.zeros(n)
+        for i in range(n):
+            m = (
+                (df["user_id"].to_numpy() == df["user_id"].iloc[i])
+                & (t >= t[i] + lo_s * 1_000_000)
+                & (t <= t[i] + hi_s * 1_000_000)
+            )
+            cnt[i] = m.sum()
+            sm[i] = np.round(df["value"].to_numpy()[m] * 100).astype(np.int64).sum() / 100
+        return cnt, sm
+
+    ds = ray.data.from_pandas(df)
+    for lo_s, hi_s in ((-600, 600), (10, 900), (-900, -10)):
+        out = (
+            range_join_aggregate(
+                ds, key="user_id", lo_s=float(lo_s), hi_s=float(hi_s),
+                num_partitions=3,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        cnt, sm = brute(lo_s, hi_s)
+        assert (out["n_in_window"].to_numpy() == cnt).all(), (lo_s, hi_s)
+        assert np.allclose(out["sum_in_window"].to_numpy(), sm), (lo_s, hi_s)
