@@ -38,21 +38,65 @@ def entry() -> Any:
 # ------------------------------------------------------- rows-only pipelines
 
 def _tr_rollup_1m(sf_dir: str):
+    """Fused 1m transcript rollup; the ok column carries two
+    self-checks: per-row min <= mean <= max for both stats families,
+    and global turn conservation (sum of n_turns across all buckets ==
+    the distributed input row count — no row lost or duplicated by the
+    hash shuffle)."""
+    from ray.data.aggregate import Sum
+
     from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
     from spectral_time_series_ray.stages.rollup import rollup_transcripts
 
     ds = read_transcripts(sf_dir)
-    return rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    n_in = ds.count()
+    out = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
+    n_out = int(out.aggregate(Sum("n_turns", alias_name="s"))["s"])
+    conserved = n_out == n_in
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        ok = np.ones(len(df), dtype=bool)
+        for s in ("latency", "text_len"):
+            has = df[f"count_{s}"].to_numpy() > 0
+            lo = df[f"min_{s}"].to_numpy(dtype=np.float64)
+            mid = df[f"mean_{s}"].to_numpy(dtype=np.float64)
+            hi = df[f"max_{s}"].to_numpy(dtype=np.float64)
+            ok &= ~has | ((lo <= mid + 1e-12) & (mid <= hi + 1e-12))
+        df = df.copy()
+        df["ok"] = ok & conserved
+        return df
+
+    return out.map_batches(check, batch_format="pandas", batch_size=None)
 
 
 def _tr_cascade_1h(sf_dir: str):
+    """1h cascade from 1m mergeable partials; the ok column checks
+    mass conservation across the cascade: total observed-latency count
+    and (scaled-int) sum at 1h equal the 1m totals exactly."""
+    from ray.data.aggregate import Sum
+
     from spectral_time_series_ray.sources.transcripts import read_transcripts
     from spectral_time_series_ray.stages.features import with_turn_features
     from spectral_time_series_ray.stages.rollup import cascade, rollup_mergeable
 
     ds = read_transcripts(sf_dir)
-    m1 = rollup_mergeable(with_turn_features(ds, include_text=False), "1m", salt=4)
-    return cascade(m1, "1h")
+    m1 = rollup_mergeable(with_turn_features(ds, include_text=False), "1m", salt=4).materialize()
+    h1 = cascade(m1, "1h").materialize()
+
+    def totals(d):
+        r = d.aggregate(Sum("count_latency", alias_name="c"), Sum("sum_latency", alias_name="s"))
+        return int(r["c"]), float(r["s"])
+
+    c1, s1 = totals(m1)
+    ch, sh = totals(h1)
+    conserved = (c1 == ch) and abs(s1 - sh) <= 1e-6 * max(1.0, abs(s1))
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ok"] = conserved
+        return df
+
+    return h1.map_batches(check, batch_format="pandas", batch_size=None)
 
 
 def _tr_gorilla(sf_dir: str):
@@ -161,18 +205,53 @@ def _tr_spectral_lomb(sf_dir: str):
     from spectral_time_series_ray.stages.series import pack_series
 
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
-    feats = with_turn_features(ds, include_text=False)
+
+    # planted irregular tone: 512 turns whose inter-turn latency is
+    # 5 + 2*sin(2*pi*k/16) s — event times are the cumsum, so the
+    # series is genuinely off-grid; dominant period = 16 * 5 s = 80 s
+    # (measured peak lands within one Lomb grid bin of 1/80 Hz)
+    k = np.arange(512)
+    lat = 5.0 + 2.0 * np.sin(2 * np.pi * k / 16.0)
+    ts_us = np.int64(1_700_000_000_000_000) + np.cumsum(lat * 1e6).astype(np.int64)
+    planted = pd.DataFrame(
+        {
+            "conv_id": ["__planted_tone__"] * len(k),
+            "turn_idx": k.astype(np.int32),
+            "ts": pd.Series(ts_us.astype("datetime64[us]")),
+            "text": [""] * len(k),
+        }
+    )
+    import pyarrow as pa
+    import ray.data
+
+    both = ds.union(
+        ray.data.from_arrow(pa.Table.from_pandas(planted, preserve_index=False))
+    )
+    feats = with_turn_features(both, include_text=False)
     chunks = pack_series(
         feats, value_col="latency_s", ts_col="ts", order_col="turn_idx",
         chunk_points=2048,
     )
     out = spectral_downsample(chunks, method="lomb", concurrency=2, n_freqs=128)
-    return out.select_columns(["conv_id", "chunk_idx", "n_points", "peak_freq", "method"])
+    out = out.select_columns(
+        ["conv_id", "chunk_idx", "n_points", "peak_freq", "method"]
+    ).to_pandas()
+    f0 = 1.0 / 80.0
+    is_planted = out["conv_id"] == "__planted_tone__"
+    assert is_planted.any(), "planted tone missing from lomb output"
+    out["ok"] = np.where(
+        is_planted, np.abs(out["peak_freq"] - f0) < 2.7e-3, True
+    )
+    return out
 
 
 def _tr_window_eval(sf_dir: str):
     """Rolling-window seasonal-naive evaluation over the gap-filled 1m
-    series (EvalCrop/EvalDataset window semantics + metric kernels)."""
+    series (EvalCrop/EvalDataset window semantics + metric kernels).
+    The ok column checks the metric kernels' analytic invariants
+    distributed: every window count >= 1 and every non-NaN metric is
+    non-negative (all these losses are by definition >= 0); rmse-like
+    consistency mse >= mae^2/ n is NOT assumed — only sign bounds."""
     from spectral_time_series_ray.sources.transcripts import read_transcripts
     from spectral_time_series_ray.stages.rollup import rollup_transcripts
     from spectral_time_series_ray.stages.series import gap_fill_series
@@ -182,7 +261,18 @@ def _tr_window_eval(sf_dir: str):
     m1 = rollup_transcripts(ds, "1m").materialize()
     filled = gap_fill_series(m1, "1m", value_col="mean_latency", method="locf")
     wins = enumerate_windows(filled, ctx=32, pred=8, stride=8)
-    return evaluate_windows(wins, season=8, concurrency=2)
+    out = evaluate_windows(wins, season=8, concurrency=2)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["n_windows"].to_numpy() >= 1
+        for m in ("mse", "mae", "smape", "mase", "q_loss", "wql", "msis"):
+            v = df[m].to_numpy(dtype=np.float64)
+            ok &= ~(v < 0)  # NaN passes (metric undefined), negatives fail
+        df = df.copy()
+        df["ok"] = ok
+        return df
+
+    return out.map_batches(check, batch_format="pandas", batch_size=None)
 
 
 def _tr_hybrid_reversal(sf_dir: str):
@@ -205,28 +295,59 @@ def _tr_hybrid_reversal(sf_dir: str):
 
 
 def _doc_quality(sf_dir: str):
+    """Language-ID / token counts / quality scoring; the ok column
+    checks the kernels' analytic invariants distributed: quality in
+    (0, 1] (multiplicative-penalty floor > 0), bpe_tokens >=
+    ws_tokens (sub-word splitting never merges across whitespace), and
+    lang_pred drawn from the known tag set."""
     import ray.data
 
+    from spectral_time_series_ray.functions.textstats import STOPWORDS
     from spectral_time_series_ray.stages.text import analyze_documents
+
+    langs = set(STOPWORDS) | {"zh", "und"}
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "ws_tokens", "bpe_tokens", "lang_pred", "quality"]].copy()
+        df["ok"] = (
+            (df["quality"] > 0)
+            & (df["quality"] <= 1)
+            & (df["bpe_tokens"] >= df["ws_tokens"])
+            & df["lang_pred"].isin(langs)
+        )
+        return df
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = analyze_documents(ds, concurrency=2)
-    return out.select_columns(["doc_id", "ws_tokens", "bpe_tokens", "lang_pred", "quality"])
+    return out.map_batches(check, batch_format="pandas", batch_size=None)
 
 
 def _doc_fingerprints(sf_dir: str):
+    """Winnowing fingerprints + SimHash; the ok column checks the
+    winnowing guarantee distributed: >= 1 fingerprint whenever the doc
+    has >= k tokens, and never more fingerprints than k-grams."""
     import ray.data
 
     from spectral_time_series_ray.stages.text import fingerprint_documents
 
+    k = 5
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        nfp = np.fromiter((len(f) for f in df["fingerprint"]), dtype=np.int64, count=len(df))
+        ntok = np.fromiter((len(t.split()) for t in df["text"]), dtype=np.int64, count=len(df))
+        n_kgrams = np.maximum(0, ntok - k + 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_fingerprints": nfp,
+                "simhash": df["simhash"],
+                "ok": np.where(ntok >= k, (nfp >= 1) & (nfp <= n_kgrams), nfp == 0),
+            }
+        )
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = fingerprint_documents(ds, concurrency=2).to_pandas()
-    return pd.DataFrame(
-        {
-            "doc_id": out["doc_id"],
-            "n_fingerprints": [len(f) for f in out["fingerprint"]],
-            "simhash": out["simhash"],
-        }
+    return fingerprint_documents(ds, concurrency=2).map_batches(
+        check, batch_format="pandas", batch_size=None
     )
 
 
@@ -498,15 +619,31 @@ def _media_pipeline(sf_dir: str):
         synth_media_table,
     )
 
-    media = ray.data.from_pandas(synth_media_table(n=200, seed=42))
+    tbl = synth_media_table(n=200, seed=42)
+    media = ray.data.from_pandas(tbl)
     decoded = decode_media(media, concurrency=2)
     feats = featurize_media(decoded, concurrency=2).to_pandas()
     frames = sample_frames(media, every_k=4, concurrency=2).to_pandas()
+    # self-checks: header/payload consistency (n_bytes == 10 + w*h*c),
+    # payload stats in byte range, and the frame count the sampler MUST
+    # produce (every 4th of h frames per video, knowable from headers)
+    sizes_ok = bool(
+        (feats["n_bytes"] == 10 + feats["width"] * feats["height"] * feats["channels"]).all()
+    )
+    stats_ok = bool(feats["byte_mean"].between(0, 255).all())
+    from spectral_time_series_ray.stages.multimodal import parse_header
+
+    exp_frames = 0
+    for b in tbl["blob"]:
+        m = parse_header(b)
+        if m["mode"] == "video":
+            exp_frames += -(-m["height"] // 4)  # ceil(n_frames / every_k)
     return pd.DataFrame(
         {
             "n_media": [len(feats)],
             "n_video_frames": [len(frames)],
             "mean_byte_mean": [float(feats["byte_mean"].mean())],
+            "ok": [sizes_ok and stats_ok and len(frames) == exp_frames and len(feats) == 200],
         }
     )
 

@@ -611,6 +611,9 @@ def ev_distinct_hll(sf_dir: str):
     approx = distinct_hll(ds, "event_type", "user_id", p=12).to_pandas()
     out = exact.merge(approx, on="event_type")
     out["rel_err"] = np.abs(out["n_distinct_approx"] - out["n_distinct"]) / out["n_distinct"]
+    # p=12 -> 4096 registers -> typical error 1.04/sqrt(4096) ~ 1.6%;
+    # 6.5% is a ~4-sigma acceptance bound
+    out["ok"] = out["rel_err"] <= 0.065
     return out.sort_values("event_type").reset_index(drop=True)
 
 
