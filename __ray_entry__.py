@@ -539,6 +539,51 @@ def _tr_masked_prediction(sf_dir: str):
     )
 
 
+def _tr_ffd_pack(sf_dir: str):
+    """First-fit-decreasing sequence packing over the flagship chunk
+    rows (reference PackCollate, loader.py:103-209; headline claim:
+    padding 61% -> 0.38%, CLAUDE.md:153). The ok row asserts the
+    packing invariants distributed-checkably: every sequence placed
+    exactly once, no bin over capacity, and packed padding strictly
+    below naive padding."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.packing import pack_bins, packing_stats
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    max_length = 4096
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+    packed = pack_bins(
+        chunks.select_columns(["conv_id", "chunk_idx", "n_points"]),
+        max_length=max_length,
+    ).to_pandas()  # id rows only (3 small cols), not the series payloads
+    stats = packing_stats(packed, max_length)
+    per_bin = packed.groupby("bin_id").agg(
+        fill=("n_points", "sum"),
+        n=("sample_id", "max"),
+        cnt=("sample_id", "size"),
+        uniq=("sample_id", "nunique"),
+    )
+    ok = (
+        bool((per_bin["fill"] <= max_length).all())
+        # slots are exactly 1..n: max == count == distinct
+        and bool(((per_bin["n"] == per_bin["cnt"]) & (per_bin["uniq"] == per_bin["cnt"])).all())
+        and len(packed) == stats["n_seqs"]
+        and stats["packed_padding_frac"] < stats["naive_padding_frac"]
+    )
+    return pd.DataFrame(
+        {
+            "n_seqs": [stats["n_seqs"]],
+            "n_bins": [stats["n_bins"]],
+            "naive_padding_frac": [round(stats["naive_padding_frac"], 6)],
+            "packed_padding_frac": [round(stats["packed_padding_frac"], 6)],
+            "ok": [ok],
+        }
+    )
+
+
 def _ev_streaming_incremental(sf_dir: str):
     """Keyed incremental aggregation through the persistent bucket-actor
     stage, self-verified against the batch rollup of the same data
@@ -701,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _emb_near_dup,
         "tr_train_crop": _tr_train_crop,
         "tr_masked_prediction": _tr_masked_prediction,
+        "tr_ffd_pack": _tr_ffd_pack,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

@@ -61,6 +61,35 @@ def read_wide_csv(path: str, ts_col: str = "timestamp"):
     return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
 
 
+def read_wide_csv_multivariate(path: str, ts_col: str = "timestamp", item_id: str = "mv0"):
+    """Wide -> ONE multivariate series: per row, the non-timestamp
+    columns become a ``list<float>`` target (reference
+    ``_from_wide_dataframe_multivariate``, simple.py:140-182: all
+    columns stacked into a single [var, time] series). Output schema
+    ``(item_id, ts, target: list<double>, n_var)`` — feeds the
+    multivariate precondition/stats stages (variate order = column
+    order, as in the reference)."""
+    import ray.data
+
+    ds = ray.data.read_csv(path)
+
+    def stack(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        var_cols = [c for c in df.columns if c != ts_col]
+        mat = df[var_cols].to_numpy(dtype=np.float64)
+        out = pd.DataFrame(
+            {
+                "item_id": item_id,
+                "ts": pd.to_datetime(df[ts_col]).astype("datetime64[us]"),
+                "target": list(mat),
+                "n_var": len(var_cols),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(stack, batch_format="pyarrow", batch_size=None)
+
+
 def infer_freq_seconds(ts: np.ndarray) -> float:
     """Median grid step in seconds over a sorted timestamp array."""
     ts = np.sort(np.asarray(ts, dtype="datetime64[us]").view("int64"))

@@ -154,6 +154,15 @@ def test_csv_sources(ray_session, tmp_path):
     ts = out2[out2["item_id"] == "s1"]["ts"].to_numpy()
     assert infer_freq_seconds(ts) == 3600.0
 
+    # multivariate: one list<float> target per timestamp, column order
+    # = variate order (reference _from_wide_dataframe_multivariate)
+    from spectral_time_series_ray.sources.csv_series import read_wide_csv_multivariate
+
+    out3 = read_wide_csv_multivariate(str(wide)).to_pandas().sort_values("ts")
+    assert len(out3) == 2 and (out3["n_var"] == 2).all()
+    np.testing.assert_array_equal(np.asarray(out3["target"].iloc[0]), [1.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(out3["target"].iloc[1]), [2.0, 4.0])
+
 
 def test_sampling(ray_session):
     import ray.data
