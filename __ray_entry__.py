@@ -709,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_top_users": Q.ev_top_users,
         "ev_user_scaler": Q.ev_user_scaler,
         "ev_distinct_exact": Q.ev_distinct_exact,
+        "ev_quantile_tdigest": Q.ev_quantile_tdigest,
         "ev_asof_purchase": Q.ev_asof_purchase,
         "ev_pivot_types": Q.ev_pivot_types,
         "ev_distinct_hll": Q.ev_distinct_hll,

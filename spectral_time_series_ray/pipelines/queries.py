@@ -619,6 +619,41 @@ def ev_distinct_hll(sf_dir: str):
 
 # ------------------------------------------------ as-of join / pivot
 
+def ev_quantile_tdigest(sf_dir: str):
+    """Mergeable t-digest quantiles per event_type vs the exact values,
+    judged on RANK error (the guarantee a quantile sketch actually
+    makes): ok = the exact rank of each estimate is within 2% of the
+    target quantile. Rows-only: approximate by design."""
+    from ..stages.distinct import quantile_tdigest
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    approx = quantile_tdigest(ds, "event_type", "value", quantiles=(0.5, 0.99)).to_pandas()
+
+    def rank_err(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        row = approx[approx["event_type"] == g["event_type"].iloc[0]].iloc[0]
+        out = {"event_type": [g["event_type"].iloc[0]], "n": [len(v)]}
+        worst = 0.0
+        for p in (0.5, 0.99):
+            est = float(row[f"q{int(p * 100)}_approx"])
+            # rank of the estimate in the exact data (mid-rank of ties)
+            r = (np.searchsorted(v, est, "left") + np.searchsorted(v, est, "right")) / 2.0
+            err = abs(r / len(v) - p)
+            out[f"q{int(p * 100)}_approx"] = [round_half_away(est, 6)]
+            out[f"q{int(p * 100)}_rank_err"] = [round_half_away(err, 6)]
+            worst = max(worst, err)
+        out["ok"] = [worst <= 0.02]
+        return pd.DataFrame(out)
+
+    return (
+        ds.groupby("event_type")
+        .map_groups(rank_err, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def ev_asof_purchase(sf_dir: str):
     """Each error event matched to the user's most recent
     prior-or-equal purchase (as-of join; oracle: DuckDB ASOF JOIN)."""

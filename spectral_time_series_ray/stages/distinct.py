@@ -27,6 +27,44 @@ def distinct_exact(ds, key_col: str, value_col: str):
     return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
 
 
+def quantile_tdigest(
+    ds,
+    key_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+    delta: int = 100,
+):
+    """Approximate per-key quantiles via mergeable t-digest partials
+    (same shuffle shape as :func:`distinct_hll`): each batch emits ONE
+    serialized digest per key — bytes moved per batch is
+    O(groups x delta), independent of row count — then digests merge
+    per key. Returns (key, q<p>_approx, n). The scale path for
+    quantiles over groups too large for the exact segmented path."""
+    from ..functions.tdigest import TDigest
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in batch.groupby(key_col, sort=False):
+            d = TDigest(delta=delta)
+            d.add(g[value_col].to_numpy(dtype=np.float64))
+            rows.append({key_col: k, "sketch": d.to_bytes()})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = TDigest.from_bytes(g["sketch"].iloc[0])
+        for blob in g["sketch"].iloc[1:]:
+            acc.merge(TDigest.from_bytes(blob))
+        out = {key_col: [g[key_col].iloc[0]]}
+        for p in quantiles:
+            out[f"q{int(p * 100)}_approx"] = [acc.quantile(p)]
+        out["n"] = [int(acc.n)]
+        return pd.DataFrame(out)
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
 def distinct_hll(ds, key_col: str, value_col: str, p: int = 12):
     """Approximate distinct count per key: per-batch HLL partials,
     merged per key. Returns (key, n_distinct_approx)."""

@@ -54,3 +54,81 @@ def test_distinct_stages(ray_session):
     approx = distinct_hll(ds, "k", "v", p=12).to_pandas().set_index("k")["n_distinct_approx"]
     for k in ("a", "b"):
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, exact[k], approx[k])
+
+
+# ---------------------------------------------------------------- t-digest
+
+def test_tdigest_accuracy_uniform_and_normal():
+    from spectral_time_series_ray.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(0)
+    for data in (rng.uniform(0, 1, 50_000), rng.normal(0, 1, 50_000),
+                 rng.lognormal(0, 2, 50_000)):
+        d = TDigest(delta=100).add(data)
+        v = np.sort(data)
+        for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = d.quantile(p)
+            r = (np.searchsorted(v, est, "left") + np.searchsorted(v, est, "right")) / 2
+            assert abs(r / len(v) - p) < 0.01, (p, est)
+
+
+def test_tdigest_merge_equals_union_bound():
+    """Digest-of-union and merge-of-digests both stay within the rank
+    bound (mergeability — the property that makes partials shuffle-safe)."""
+    from spectral_time_series_ray.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(1)
+    parts = [rng.normal(i, 1 + i, 10_000) for i in range(4)]
+    allv = np.sort(np.concatenate(parts))
+    merged = TDigest(delta=100)
+    for p_ in parts:
+        merged.merge(TDigest(delta=100).add(p_))
+    assert merged.n == len(allv)
+    for p in (0.05, 0.5, 0.95):
+        est = merged.quantile(p)
+        r = (np.searchsorted(allv, est, "left") + np.searchsorted(allv, est, "right")) / 2
+        assert abs(r / len(allv) - p) < 0.015, p
+
+
+def test_tdigest_serialization_roundtrip():
+    from spectral_time_series_ray.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(2)
+    d = TDigest(delta=64).add(rng.uniform(-5, 5, 5000))
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert d2.n == d.n and d2.delta == d.delta
+    for p in (0.1, 0.5, 0.9):
+        assert d2.quantile(p) == d.quantile(p)
+    # serialized size is fixed-order: O(delta), not O(n)
+    assert len(d.to_bytes()) < 64 * 2 * 8 * 4
+
+
+def test_tdigest_edge_cases():
+    from spectral_time_series_ray.functions.tdigest import TDigest
+
+    assert np.isnan(TDigest().quantile(0.5))
+    d = TDigest().add([7.0])
+    assert d.quantile(0.0) == d.quantile(1.0) == 7.0
+    d2 = TDigest().add([np.nan, 1.0, np.nan, 3.0])
+    assert d2.n == 2 and 1.0 <= d2.quantile(0.5) <= 3.0
+
+
+def test_quantile_tdigest_stage(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.distinct import quantile_tdigest
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"k": np.repeat(["a", "b"], 20_000),
+         "v": np.concatenate([rng.normal(10, 2, 20_000), rng.lognormal(1, 1, 20_000)])}
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = quantile_tdigest(ds, "k", "v").to_pandas().set_index("k")
+    for k, sub in df.groupby("k"):
+        v = np.sort(sub["v"].to_numpy())
+        for p in (0.5, 0.99):
+            est = out.loc[k, f"q{int(p*100)}_approx"]
+            r = (np.searchsorted(v, est, "left") + np.searchsorted(v, est, "right")) / 2
+            assert abs(r / len(v) - p) < 0.015, (k, p)
+        assert out.loc[k, "n"] == len(sub)
