@@ -704,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessions": Q.ev_sessions,
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_range_join": Q.ev_range_join,
+        "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_type_hour_count": Q.ev_type_hour_count,
         "ev_top_users": Q.ev_top_users,
@@ -826,6 +827,19 @@ def oracle_sql() -> dict[str, str]:
                                           and current row), 6) as running_value
             from events
             window w as (partition by user_id order by ts, event_id)
+        """,
+        "ev_rank_funcs": """
+            select event_id, user_id,
+                   lead(value) over w as lead_value,
+                   round(avg(value) over (partition by user_id
+                                          order by ts, event_id
+                                          rows between 4 preceding
+                                          and current row), 6) as ma_value,
+                   rank() over v as rnk,
+                   dense_rank() over v as drnk
+            from events
+            window w as (partition by user_id order by ts, event_id),
+                   v as (partition by user_id order by value)
         """,
         "ev_range_join": """
             select a.event_id, a.user_id,

@@ -144,6 +144,116 @@ def analytic_window_funcs(
     return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
 
 
+def analytic_rank_funcs(
+    ds,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    ma_window: int = 5,
+    num_partitions: int | None = None,
+):
+    """Second analytic family per key, one shuffle + one numpy pass:
+
+    - ``lead_value`` = next value in (order_cols) order (NULL at segment
+      end) — lead()
+    - ``ma_value``   = mean over the trailing ``ma_window`` rows
+      including current (ROWS BETWEEN ma_window-1 PRECEDING AND CURRENT
+      ROW)
+    - ``rnk`` / ``drnk`` = rank() / dense_rank() over (partition by key
+      ORDER BY value) — tie-aware, a different ordering axis than the
+      time-ordered functions.
+
+    Same partition-level design as :func:`analytic_window_funcs`.
+    """
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, *order_cols, value_col, *id_cols)))
+    ds = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+
+    def partition_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=object) for c in keep}
+            for c in ("lead_value", "ma_value"):
+                cols[c] = pd.Series([], dtype=np.float64)
+            for c in ("rnk", "drnk"):
+                cols[c] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        sort_keys = [df[c].to_numpy() for c in reversed(order_cols)]
+        order = np.lexsort((*sort_keys, codes))
+        codes_s = codes[order]
+        v = df[value_col].to_numpy(dtype=np.float64)[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        seg_start_of = np.repeat(starts, seg_len)
+        # lead: shift -1, null at segment end
+        lead = np.empty(n, dtype=np.float64)
+        lead[:-1] = v[1:]
+        lead[-1] = np.nan
+        seg_end = np.append(starts[1:] - 1, n - 1)
+        lead[seg_end] = np.nan
+        # trailing moving average via prefix sums clamped to segment
+        # start; scaled-int64 accumulation (2-decimal inputs) so the
+        # window sum is exact regardless of segment length
+        vi = np.round(v * 100).astype(np.int64)
+        prefix = np.concatenate([[0], np.cumsum(vi)])
+        idx = np.arange(n)
+        lo = np.maximum(idx - (ma_window - 1), seg_start_of)
+        ma = (prefix[idx + 1] - prefix[lo]) / 100.0 / (idx + 1 - lo)
+        # rank/dense_rank over (key, value): one lexsort on (value)
+        # within segments — reuse the segment structure
+        # codes_s is already non-decreasing, so order2 keeps segment
+        # blocks in place — starts/seg_start_of stay valid here
+        order2 = np.lexsort((v, codes_s))
+        v2 = v[order2]
+        new_val = np.empty(n, dtype=bool)
+        new_val[0] = True
+        new_val[1:] = (codes_s[order2][1:] != codes_s[order2][:-1]) | (
+            v2[1:] != v2[:-1]
+        )
+        # rank (competition): 1 + offset of the value-run's first row
+        # from its segment start; dense_rank: distinct-value runs seen
+        # in the segment up to and including this run
+        first_pos = np.maximum.accumulate(np.where(new_val, np.arange(n), -1))
+        rnk2 = first_pos - seg_start_of + 1
+        cnv = np.cumsum(new_val)
+        drnk2 = cnv - np.repeat(cnv[starts], seg_len) + 1
+        rnk = np.empty(n, dtype=np.int64)
+        drnk = np.empty(n, dtype=np.int64)
+        rnk[order2] = rnk2
+        drnk[order2] = drnk2
+        out = df.iloc[order][keep].reset_index(drop=True)
+        out["lead_value"] = lead
+        out["ma_value"] = ma
+        out["rnk"] = rnk
+        out["drnk"] = drnk
+        return out
+
+    return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+
+
 def with_turn_features(ds, include_text: bool = True):
     """Full feature derivation: vectorized text features, then grouped
     latency. ``include_text=False`` projects the wide text column out

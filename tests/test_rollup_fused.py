@@ -136,3 +136,43 @@ def test_analytic_window_funcs(ray_session):
         a, b = out[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float)
         nan = np.isnan(a) & np.isnan(b)
         assert (a[~nan] == b[~nan]).all(), c
+
+
+def test_analytic_rank_funcs(ray_session):
+    """lead / trailing moving-average / rank / dense_rank per key match
+    a pandas reference, with forced value ties."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import analytic_rank_funcs
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 6, n).astype(np.int64),
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            # coarse grid forces plenty of ties for rank vs dense_rank
+            "value": np.round(rng.integers(0, 20, n) * 0.25, 2),
+        }
+    )
+    out = (
+        analytic_rank_funcs(ray.data.from_pandas(df), key="user_id", num_partitions=4)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = exp.groupby("user_id")
+    exp["lead_value"] = g["value"].shift(-1)
+    exp["ma_value"] = g["value"].rolling(5, min_periods=1).mean().reset_index(drop=True)
+    exp["rnk"] = g["value"].rank(method="min").astype(np.int64)
+    exp["drnk"] = g["value"].rank(method="dense").astype(np.int64)
+    assert len(out) == n
+    assert (out["rnk"] != out["drnk"]).any()  # ties actually exercised
+    for c in ("lead_value", "ma_value", "rnk", "drnk"):
+        a = out[c].to_numpy(dtype=float)
+        b = exp[c].to_numpy(dtype=float)
+        nan = np.isnan(a) & np.isnan(b)
+        assert np.allclose(a[~nan], b[~nan]), c
