@@ -157,12 +157,16 @@ def run_bench() -> dict:
     encp = enc.to_pandas()
     bpp = float((encp["bytes_per_point"] * encp["n_points"]).sum() / max(1, encp["n_points"].sum()))
 
-    # secondary: events rollup family (uses the driver tables)
+    # secondary: events rollup family + round-2 operator breadth
+    # (window funcs, range join, dedup, quantile sketch) over the
+    # driver tables
     if os.path.isdir(sf_dir):
         import __ray_entry__ as entry_mod
 
         qs = entry_mod.queries()
-        for name in ("ev_rollup_1m", "ev_cascade_1h", "ev_gapfill_1h"):
+        for name in ("ev_rollup_1m", "ev_cascade_1h", "ev_gapfill_1h",
+                     "ev_window_funcs", "ev_range_join",
+                     "ev_quantile_tdigest", "doc_exact_dedup"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

@@ -107,6 +107,47 @@ def patch_size_constraints(freq: str, ranges: dict | None = None) -> range:
     return range(start, stop + 1)
 
 
+# Seasonality table in the gluonts ``get_seasonality`` style (public
+# convention; the reference calls it for MASE/MSIS seasonal error at
+# `uni2ts/src/uni2ts/eval_util/evaluation.py:77`): season length = one
+# natural cycle at the given sampling frequency.
+DEFAULT_SEASONALITIES: dict[str, int] = {
+    "S": 3600,  # secondly: one hour
+    "T": 1440,  # minutely: one day
+    "H": 24,    # hourly: one day
+    "D": 7,     # daily: one week
+    "B": 5,     # business-daily: one week
+    "W": 1,
+    "M": 12,    # monthly: one year
+    "Q": 4,
+    "Y": 1,
+    "A": 1,
+}
+
+
+def get_seasonality(freq: str, seasonalities: dict[str, int] | None = None) -> int:
+    """Season length for a frequency string ('T', '10T', 'H', engine
+    tiers '1m'/'1h'/'1d', ...). Multiplier divides the base season
+    (gluonts convention: seasonality('10T') = 1440/10 = 144); falls
+    back to 1 when the cycle does not divide evenly."""
+    seasonalities = seasonalities or DEFAULT_SEASONALITIES
+    name = freq.strip().upper()
+    mult = 1
+    if name in _FREQ_ALIASES:
+        name = _FREQ_ALIASES[name]
+    else:
+        digits = ""
+        while name and name[0].isdigit():
+            digits += name[0]
+            name = name[1:]
+        name = _FREQ_ALIASES.get(name.strip(), name.strip())
+        mult = int(digits) if digits else 1
+    if name not in seasonalities:
+        raise ValueError(f"unknown frequency {freq!r}")
+    base = seasonalities[name]
+    return base // mult if base % mult == 0 and base >= mult else 1
+
+
 def get_patch_size(
     length: int,
     freq: str,

@@ -278,3 +278,21 @@ def test_masked_prediction_series(ray_session):
         ds, concurrency=2, min_mask_ratio=0.2, max_mask_ratio=0.4, seed=9
     ).to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert (out["mask_length"].to_numpy() == out2["mask_length"].to_numpy()).all()
+
+
+def test_get_seasonality():
+    """gluonts-convention season lengths incl. multiplier division and
+    engine tier aliases (reference calls get_seasonality for MASE at
+    evaluation.py:77)."""
+    from spectral_time_series_ray.functions.patch import get_seasonality
+
+    assert get_seasonality("H") == 24
+    assert get_seasonality("D") == 7
+    assert get_seasonality("T") == 1440
+    assert get_seasonality("10T") == 144
+    assert get_seasonality("7D") == 1  # 7 does not leave a whole cycle
+    assert get_seasonality("1m") == 1440  # engine tier = minutely
+    assert get_seasonality("1h") == 24
+    assert get_seasonality("1d") == 7
+    with pytest.raises(ValueError):
+        get_seasonality("fortnight")
