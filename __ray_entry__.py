@@ -539,6 +539,54 @@ def _tr_masked_prediction(sf_dir: str):
     )
 
 
+def _tr_resample(sf_dir: str):
+    """Gaussian anti-aliased downsample (x2) over the gap-filled 1m
+    chunks — real implementations of the reference's declared-but-empty
+    Subsample/GaussianFilterSubsample/Upsample stubs (resample.py:
+    70-93). Self-verifying: a planted 960 s tone (period 16 buckets,
+    still below the post-decimation Nyquist) must keep its Welch peak
+    frequency on the new 2-minute grid; mean level must be preserved
+    (unit-sum kernel)."""
+    import pyarrow as pa
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.downsample import resample_series, spectral_downsample
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    period_buckets, n_buckets = 16, 512
+    k = np.arange(n_buckets)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    planted = pd.DataFrame(
+        {
+            "conv_id": ["__planted_tone__"] * n_buckets,
+            "bucket_ts": pd.Series(grid),
+            "mean_latency": 5.0 + 2.0 * np.sin(2 * np.pi * k / period_buckets),
+        }
+    )
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    down = resample_series(chunks, factor=2, mode="gaussian").materialize()
+    spec = spectral_downsample(down, method="welch", concurrency=2).to_pandas()
+    f0 = 1.0 / (period_buckets * 60.0)
+    is_planted = spec["conv_id"] == "__planted_tone__"
+    assert is_planted.any(), "planted tone missing from resampled output"
+    spec["ok"] = np.where(is_planted, np.abs(spec["peak_freq"] - f0) < 2e-4, True)
+    # mean preservation on the planted chunk (unit-sum kernel)
+    dp = down.to_pandas()
+    pm = dp[dp["conv_id"] == "__planted_tone__"]
+    mean_ok = all(
+        abs(float(np.mean(np.asarray(v))) - 5.0) < 0.05 for v in pm["values"]
+    )
+    spec.loc[is_planted, "ok"] &= mean_ok
+    return spec[["conv_id", "chunk_idx", "peak_freq", "method", "ok"]]
+
+
 def _tr_ffd_pack(sf_dir: str):
     """First-fit-decreasing sequence packing over the flagship chunk
     rows (reference PackCollate, loader.py:103-209; headline claim:
@@ -749,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_train_crop": _tr_train_crop,
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_ffd_pack": _tr_ffd_pack,
+        "tr_resample": _tr_resample,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

@@ -96,3 +96,58 @@ def spectral_downsample(chunk_ds, method: str = "welch", concurrency: int = 4, *
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+class SeriesResampler:
+    """Actor-pool resample stage over packed chunk rows (reference
+    Subsample / GaussianFilterSubsample / Upsample declared-stubs,
+    resample.py:70-93 — real implementations in
+    ``functions/resample``). Emits the same chunk-row schema with
+    resampled ts/values."""
+
+    def __init__(self, factor: int = 4, mode: str = "gaussian"):
+        from ..functions.resample import gaussian_subsample, subsample, upsample_linear
+
+        assert mode in ("gaussian", "decimate", "upsample")
+        self.factor = factor
+        self.mode = mode
+        self._fns = {
+            "gaussian": gaussian_subsample,
+            "decimate": subsample,
+            "upsample": upsample_linear,
+        }
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fn = self._fns[self.mode]
+        rows = []
+        for _, r in batch.iterrows():
+            ts = np.asarray(r["ts"], dtype=np.int64)
+            vals = fn(np.asarray(r["values"], dtype=np.float64), self.factor)
+            if self.mode == "upsample":
+                x_out = np.arange(len(vals), dtype=np.float64) / self.factor
+                new_ts = np.interp(
+                    x_out, np.arange(len(ts), dtype=np.float64), ts.astype(np.float64)
+                ).astype(np.int64)
+            else:
+                new_ts = ts[:: self.factor][: len(vals)]
+            rows.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "chunk_idx": int(r["chunk_idx"]),
+                    "n_points": len(vals),
+                    "ts": new_ts,
+                    "values": vals,
+                }
+            )
+        return pd.DataFrame(rows)
+
+
+def resample_series(chunk_ds, factor: int = 4, mode: str = "gaussian", concurrency: int = 2):
+    """Resample packed chunk rows (see :class:`SeriesResampler`)."""
+    return chunk_ds.map_batches(
+        SeriesResampler,
+        fn_constructor_kwargs={"factor": factor, "mode": mode},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )
