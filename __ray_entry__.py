@@ -766,6 +766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_multivariate_precond": Q.ev_multivariate_precond,
         # relational coverage (oracle-checked)
         "q1_pricing": Q.q1_pricing,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "q12_priority_lines": Q.q12_priority_lines,
         "q5_local_supplier": Q.q5_local_supplier,
         "q3_revenue_topk": Q.q3_revenue_topk,
         "top_customers": Q.top_customers,
@@ -979,6 +981,26 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(v1), 6) as mean_v, round(min(v1), 6) as min_v,
                    round(max(v1), 6) as max_v
             from r group by user_id
+        """,
+        "q6_forecast_revenue": """
+            select round(sum(l_extendedprice * l_discount), 2) as revenue,
+                   count(*) as n_lines
+            from lineitem
+            where l_shipdate >= date '1996-01-01'
+              and l_shipdate <  date '1997-01-01'
+              and l_discount between 0.05 and 0.07
+              and l_quantity < 24
+        """,
+        "q12_priority_lines": """
+            select o_orderpriority,
+                   count(*) as n_lines,
+                   sum(case when l_returnflag = 'R' then 1 else 0 end) as return_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from orders join lineitem on l_orderkey = o_orderkey
+            where l_shipdate >= date '1996-01-01'
+              and l_shipdate <  date '1997-01-01'
+            group by o_orderpriority
+            order by o_orderpriority
         """,
         "q1_pricing": """
             select l_returnflag, l_linestatus,

@@ -299,6 +299,106 @@ def q1_pricing(sf_dir: str):
     return merged.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filtered aggregate, fully streaming — a
+    pruned read, one vectorized Arrow filter+sum per batch, and a
+    single-row final merge. No shuffle of row data at any scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(batch["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        batch = batch.filter(m)
+        rev = pc.multiply(batch["l_extendedprice"], batch["l_discount"])
+        return pa.table(
+            {"rev": [pc.sum(rev).as_py() or 0.0],
+             "n": [batch.num_rows]}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .aggregate(Sum("rev", alias_name="revenue"), Sum("n", alias_name="n_lines"))
+    )
+    return pd.DataFrame(
+        {"revenue": round_half_away(float(agg["revenue"]), 2),
+         "n_lines": [int(agg["n_lines"])]}
+    )
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape (adapted to this schema subset): large-large
+    hash join of date-filtered lineitem against orders (Dataset.join —
+    orders never on the driver), per-batch conditional partials, tiny
+    per-priority merge."""
+    from ray.data.aggregate import Sum
+
+    P = _join_partitions()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], lo),
+                pc.less(batch["l_shipdate"], hi),
+            )
+        )
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        is_ret = pc.cast(pc.equal(batch["l_returnflag"], pa.scalar("R")), pa.int64())
+        return pa.table(
+            {"l_orderkey": batch["l_orderkey"], "rev": rev, "is_ret": is_ret}
+        )
+
+    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li_f.join(
+        orders, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_orderpriority"]).aggregate(
+            [("rev", "sum"), ("is_ret", "sum"), ([], "count_all")]
+        )
+
+    merged = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("count_all", alias_name="n_lines"),
+            Sum("is_ret_sum", alias_name="return_lines"),
+            Sum("rev_sum", alias_name="revenue"),
+        )
+        .to_pandas()  # one row per priority (5)
+    )
+    merged["revenue"] = round_half_away(merged["revenue"].to_numpy(), 2)
+    return merged.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q3_revenue_topk(sf_dir: str):
     """TPC-H Q3 shape, scale path: orders is NEVER materialized on the
     driver. BUILDING customers semi-filter orders via ``Dataset.join``
