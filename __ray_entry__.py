@@ -587,6 +587,46 @@ def _tr_resample(sf_dir: str):
     return spec[["conv_id", "chunk_idx", "peak_freq", "method", "ok"]]
 
 
+def _tr_heavy_conversations(sf_dir: str):
+    """Misra-Gries heavy hitters over conv_id (transcript conversation
+    sizes are Zipf-skewed by construction). Self-verifying against the
+    sketch's own guarantee: exact counts (computed distributed for the
+    candidate set only) must show every conv with true count > n/k in
+    the summary, and every reported count within n/k of exact."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.distinct import heavy_hitters
+    from spectral_time_series_ray.stages.join import semi_join_keys
+
+    k = 64
+    ds = read_transcripts(sf_dir, columns=["conv_id"]).materialize()
+    n = ds.count()
+    hh = heavy_hitters(ds, "conv_id", k=k)
+    bound = n / k
+    cand = set(hh["item"])
+    # exact candidate counts: semi-join + tiny groupby (distributed)
+    exact = (
+        semi_join_keys(ds, cand, "conv_id")
+        .groupby("conv_id")
+        .count()
+        .to_pandas()
+        .set_index("conv_id")["count()"]
+    )
+    hh = hh.rename(columns={"item": "conv_id"})
+    hh["exact_count"] = hh["conv_id"].map(exact).fillna(0).astype(np.int64)
+    undercount_ok = bool(
+        ((hh["exact_count"] - hh["approx_count"] >= 0)
+         & (hh["exact_count"] - hh["approx_count"] <= bound)).all()
+    )
+    # guarantee: every conv above n/k true count must be reported —
+    # checked against the FULL distributed count (the count table is
+    # one row per conv, small), not just the candidate set
+    full = ds.groupby("conv_id").count().to_pandas()
+    big = set(full.loc[full["count()"] > bound, "conv_id"])
+    coverage_ok = big <= cand
+    hh["ok"] = undercount_ok and coverage_ok
+    return hh[["conv_id", "approx_count", "exact_count", "ok"]]
+
+
 def _tr_ffd_pack(sf_dir: str):
     """First-fit-decreasing sequence packing over the flagship chunk
     rows (reference PackCollate, loader.py:103-209; headline claim:
@@ -800,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_ffd_pack": _tr_ffd_pack,
         "tr_resample": _tr_resample,
+        "tr_heavy_conversations": _tr_heavy_conversations,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

@@ -373,8 +373,15 @@ def q12_priority_lines(sf_dir: str):
             {"l_orderkey": batch["l_orderkey"], "rev": rev, "is_ret": is_ret}
         )
 
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None).materialize()
+    # Bloom semi-join pushdown: orders rows whose key cannot appear in
+    # the filtered lineitem side never enter the hash-shuffle (false
+    # positives pass harmlessly; the join stays exact — same oracle)
+    from ..stages.join import bloom_semi_filter, build_bloom
+
+    bloom = build_bloom(li_f, "l_orderkey")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = bloom_semi_filter(orders, "o_orderkey", bloom)
     joined = li_f.join(
         orders, join_type="inner", num_partitions=P,
         on=("l_orderkey",), right_on=("o_orderkey",),

@@ -65,6 +65,34 @@ def quantile_tdigest(
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
 
 
+def heavy_hitters(ds, column: str, k: int = 64):
+    """Approximate frequent items via mergeable Misra-Gries summaries:
+    one size-k summary per block (O(k) counters shuffle, independent
+    of cardinality), merged on the driver. Returns a pandas DataFrame
+    (item, approx_count) with the n/k undercount guarantee — every
+    item with true count > n/k survives."""
+    from ..functions.heavy import mg_merge, mg_summarize
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = mg_summarize(batch[column].to_numpy(), k)
+        return pd.DataFrame(
+            {"item": list(s.keys()), "cnt": list(s.values())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    # num_blocks x k counter rows — small by construction. Same item
+    # from different blocks must SUM before the truncation pass.
+    if len(parts):
+        agg = parts.groupby("item")["cnt"].sum()
+        merged = mg_merge([dict(zip(agg.index.tolist(), agg.to_numpy()))], k)
+    else:
+        merged = {}
+    out = pd.DataFrame(
+        {"item": list(merged.keys()), "approx_count": list(merged.values())}
+    )
+    return out.sort_values("approx_count", ascending=False).reset_index(drop=True)
+
+
 def distinct_hll(ds, key_col: str, value_col: str, p: int = 12):
     """Approximate distinct count per key: per-batch HLL partials,
     merged per key. Returns (key, n_distinct_approx)."""

@@ -70,6 +70,60 @@ def anti_join_keys(ds, keys, column: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def build_bloom(ds, column: str, n_bits: int = 1 << 20, k: int = 5):
+    """Build a Bloom filter over a Dataset column: per-batch partial
+    filters (O(n_bits) bytes each, OR-mergeable) reduced on the driver
+    — only bitsets cross the wire, never keys."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.bloom import BloomFilter, hash_u64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits=n_bits, k=k)
+        col = batch[column]
+        if np.issubdtype(col.dtype, np.integer):
+            bf.add_hashes(hash_u64(col.to_numpy()))
+        else:
+            bf.add_values(col.tolist())
+        return pd.DataFrame({"bloom": [bf.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).take_all()
+    acc = BloomFilter(n_bits=n_bits, k=k)
+    for row in parts:  # one O(n_bits) blob per block
+        acc.merge(BloomFilter.from_bytes(row["bloom"]))
+    return acc
+
+
+def bloom_semi_filter(ds, column: str, bloom):
+    """Semi-join pushdown: broadcast the Bloom bitset once (``ray.put``)
+    and drop rows whose key cannot exist on the other join side before
+    the shuffle. False positives pass through harmlessly — the join
+    stays exact; false negatives are impossible."""
+    import numpy as np
+    import ray
+
+    from ..functions.bloom import BloomFilter, hash_u64
+
+    ref = ray.put(bloom.to_bytes())
+
+    def f(batch):
+        key = "bloom:" + ref.hex()
+        bf = _SMALL_CACHE.get(key)
+        if bf is None:
+            bf = BloomFilter.from_bytes(ray.get(ref))
+            _SMALL_CACHE.clear()
+            _SMALL_CACHE[key] = bf
+        col = batch[column]
+        if np.issubdtype(col.dtype, np.integer):
+            m = bf.contains_hashes(hash_u64(col.to_numpy()))
+        else:
+            m = bf.contains_values(col.tolist())
+        return batch[m]
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=None)
+
+
 def range_join_aggregate(
     ds,
     key: str,

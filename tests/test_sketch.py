@@ -132,3 +132,113 @@ def test_quantile_tdigest_stage(ray_session):
             r = (np.searchsorted(v, est, "left") + np.searchsorted(v, est, "right")) / 2
             assert abs(r / len(v) - p) < 0.015, (k, p)
         assert out.loc[k, "n"] == len(sub)
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from spectral_time_series_ray.functions.bloom import BloomFilter, hash_u64
+
+    rng = np.random.default_rng(0)
+    members = rng.integers(0, 1 << 60, 20_000)
+    bf = BloomFilter(n_bits=1 << 18, k=5).add_hashes(hash_u64(members))
+    # no false negatives, ever
+    assert bf.contains_hashes(hash_u64(members)).all()
+    others = rng.integers(0, 1 << 60, 20_000)
+    others = np.setdiff1d(others, members)
+    fp = bf.contains_hashes(hash_u64(others)).mean()
+    # m/n ~ 13 bits/key, k=5 -> theoretical fp ~ 1.5%; allow 3x
+    assert fp < 0.05, fp
+
+
+def test_bloom_merge_and_serialization():
+    from spectral_time_series_ray.functions.bloom import BloomFilter, hash_u64
+
+    a = BloomFilter(n_bits=1 << 12).add_hashes(hash_u64(np.arange(100)))
+    b = BloomFilter(n_bits=1 << 12).add_hashes(hash_u64(np.arange(100, 200)))
+    a.merge(b)
+    assert a.contains_hashes(hash_u64(np.arange(200))).all()
+    c = BloomFilter.from_bytes(a.to_bytes())
+    assert (c.bits == a.bits).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        a.merge(BloomFilter(n_bits=1 << 13))
+
+
+def test_bloom_semi_filter_stage(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import bloom_semi_filter, build_bloom
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": np.arange(0, 1000, 2)}))  # evens
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(1000), "v": np.arange(1000)})
+    ).repartition(4)
+    bloom = build_bloom(left, "k", n_bits=1 << 14)
+    out = bloom_semi_filter(right, "k", bloom).to_pandas()
+    kept = set(out["k"])
+    # every true member survives (no false negatives)
+    assert set(range(0, 1000, 2)) <= kept
+    # most non-members dropped (false positives only)
+    assert len(kept) < 650
+
+
+# ----------------------------------------------------------- misra-gries
+
+def test_misra_gries_guarantees():
+    from spectral_time_series_ray.functions.heavy import mg_merge, mg_summarize
+
+    rng = np.random.default_rng(0)
+    # zipf stream: few heavy items, long tail
+    stream = rng.zipf(1.5, 100_000) % 10_000
+    vals, true_counts = np.unique(stream, return_counts=True)
+    truth = dict(zip(vals.tolist(), true_counts.tolist()))
+    k = 50
+    n = len(stream)
+    s = mg_summarize(stream, k)
+    assert len(s) <= k
+    for item, c in s.items():
+        assert 0 < c <= truth[item]              # never overcount
+        assert truth[item] - c <= n / k          # undercount bound
+    for item, c in truth.items():
+        if c > n / k:
+            assert item in s, item               # heavy items survive
+
+
+def test_misra_gries_merge_bound():
+    from spectral_time_series_ray.functions.heavy import mg_merge, mg_summarize
+
+    rng = np.random.default_rng(1)
+    parts = [rng.zipf(1.5, 25_000) % 5_000 for _ in range(4)]
+    allv = np.concatenate(parts)
+    vals, cts = np.unique(allv, return_counts=True)
+    truth = dict(zip(vals.tolist(), cts.tolist()))
+    k, n = 50, len(allv)
+    merged = mg_merge([mg_summarize(p, k) for p in parts], k)
+    assert len(merged) <= k
+    for item, c in merged.items():
+        assert truth[item] - c <= n / k and c <= truth[item]
+    for item, c in truth.items():
+        if c > n / k:
+            assert item in merged
+
+
+def test_heavy_hitters_stage(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.distinct import heavy_hitters
+
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([
+        np.repeat(np.arange(5), 2000),           # 5 heavy items
+        rng.integers(100, 5000, 10_000),         # tail
+    ])
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(6)
+    out = heavy_hitters(ds, "x", k=32)
+    top = set(out.head(5)["item"])
+    assert top == {0, 1, 2, 3, 4}
+    n = len(vals)
+    truth = pd.Series(vals).value_counts()
+    for _, r in out.iterrows():
+        assert truth[r["item"]] - r["approx_count"] <= n / 32
