@@ -587,6 +587,52 @@ def _tr_resample(sf_dir: str):
     return spec[["conv_id", "chunk_idx", "peak_freq", "method", "ok"]]
 
 
+def _tr_split_assign(sf_dir: str):
+    """Deterministic key-coherent 80/10/10 split over conversations.
+    Self-verifying: (a) key coherence — no conversation spans two
+    splits (checked distributed); (b) per-split key fractions within a
+    4-sigma binomial band of the targets; (c) rerun determinism."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.sampling import split_assign
+
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    ds = read_transcripts(sf_dir, columns=["conv_id"])
+    tagged = split_assign(ds, "conv_id", fracs, seed=7)
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]],
+             "split": [g["split"].iloc[0]],
+             "n_splits_seen": [g["split"].nunique()],
+             "n_rows": [len(g)]}
+        )
+
+    per = tagged.groupby("conv_id").map_groups(per_conv, batch_format="pandas").to_pandas()
+    coherent = bool((per["n_splits_seen"] == 1).all())
+    n_keys = len(per)
+    out_rows = []
+    ok_frac = True
+    for s, f in fracs.items():
+        got = int((per["split"] == s).sum())
+        sigma = (n_keys * f * (1 - f)) ** 0.5
+        in_band = abs(got - n_keys * f) <= 4 * sigma + 1
+        ok_frac &= in_band
+        out_rows.append({"split": s, "n_keys": got, "target_frac": f,
+                         "got_frac": round(got / n_keys, 4)})
+    # determinism: second pass assigns identically (sample the driver
+    # side with a small slice)
+    again = split_assign(ds, "conv_id", fracs, seed=7)
+    s2 = again.groupby("conv_id").map_groups(per_conv, batch_format="pandas").to_pandas()
+    det = bool(
+        per.sort_values("conv_id")["split"].reset_index(drop=True).equals(
+            s2.sort_values("conv_id")["split"].reset_index(drop=True)
+        )
+    )
+    out = pd.DataFrame(out_rows)
+    out["ok"] = coherent and ok_frac and det
+    return out
+
+
 def _tr_heavy_conversations(sf_dir: str):
     """Misra-Gries heavy hitters over conv_id (transcript conversation
     sizes are Zipf-skewed by construction). Self-verifying against the
@@ -841,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_ffd_pack": _tr_ffd_pack,
         "tr_resample": _tr_resample,
         "tr_heavy_conversations": _tr_heavy_conversations,
+        "tr_split_assign": _tr_split_assign,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

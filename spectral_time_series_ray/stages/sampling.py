@@ -260,6 +260,48 @@ class MaskedPredictionStage:
         return pd.DataFrame(rows)
 
 
+def split_assign(
+    ds,
+    key: str,
+    fracs: dict[str, float],
+    seed: int = 42,
+    column: str = "split",
+):
+    """Deterministic KEY-COHERENT train/val/test assignment: every row
+    of a key lands in the same split (no leakage of a conversation /
+    document across splits), assignment depends only on (key, seed) —
+    stable across reruns, resume-safe, and independent of partitioning.
+
+    Vectorized per batch: splitmix64(key-hash ^ seed) -> [0,1) ->
+    threshold lookup. No shuffle; composes with any downstream stage.
+    """
+    import pyarrow as pa
+
+    from ..functions.bloom import hash_u64
+    from ..functions.hashing import fnv1a_u64
+
+    total = sum(fracs.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    names = list(fracs)
+    edges = np.cumsum([fracs[s] for s in names])
+    edges[-1] = 1.0 + 1e-12  # closed top edge
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if pa.types.is_integer(col.type):
+            h = hash_u64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = fnv1a_u64([str(v) for v in col.to_pylist()])
+        u = (hash_u64(h ^ np.uint64(seed)) >> np.uint64(11)) / float(1 << 53)
+        idx = np.searchsorted(edges, u, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        arr = pa.array(np.asarray(names, dtype=object)[idx])
+        return batch.append_column(column, arr)
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
 def masked_prediction_series(ds, concurrency: int = 4, batch_size: int = 256, **kwargs):
     """Random masked-prediction task rows over packed series (see
     :class:`MaskedPredictionStage`)."""

@@ -296,3 +296,42 @@ def test_get_seasonality():
     assert get_seasonality("1d") == 7
     with pytest.raises(ValueError):
         get_seasonality("fortnight")
+
+
+def test_split_assign(ray_session):
+    """Key-coherent deterministic splits: same key -> same split across
+    batches/partitions/reruns; fractions near targets; bad fracs raise."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.sampling import split_assign
+
+    rng = np.random.default_rng(0)
+    n_keys = 2000
+    df = pd.DataFrame({
+        "conv_id": np.repeat([f"c{i}" for i in range(n_keys)], 3),
+        "v": np.arange(n_keys * 3),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = split_assign(ds, "conv_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=3).to_pandas()
+    per = out.groupby("conv_id")["split"].nunique()
+    assert (per == 1).all()  # key coherence across partitions
+    key_split = out.drop_duplicates("conv_id").set_index("conv_id")["split"]
+    fr = key_split.value_counts(normalize=True)
+    assert abs(fr["train"] - 0.8) < 0.05 and abs(fr["val"] - 0.1) < 0.04
+    # deterministic rerun
+    out2 = split_assign(ds, "conv_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                        seed=3).to_pandas()
+    k2 = out2.drop_duplicates("conv_id").set_index("conv_id")["split"]
+    assert key_split.sort_index().equals(k2.sort_index())
+    # different seed -> different assignment (with overwhelming prob.)
+    out3 = split_assign(ds, "conv_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                        seed=4).to_pandas()
+    k3 = out3.drop_duplicates("conv_id").set_index("conv_id")["split"]
+    assert not key_split.sort_index().equals(k3.sort_index())
+    # integer keys take the vectorized hash path
+    dsi = ray.data.from_pandas(pd.DataFrame({"k": np.arange(1000), "v": 1.0}))
+    oi = split_assign(dsi, "k", {"a": 0.5, "b": 0.5}).to_pandas()
+    assert set(oi["split"]) == {"a", "b"}
+    with pytest.raises(ValueError):
+        split_assign(ds, "conv_id", {"a": 0.5, "b": 0.6})
