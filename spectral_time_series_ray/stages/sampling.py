@@ -36,16 +36,25 @@ def sample_series(ds, key: str, n: int, mode: str = "uniform", seed: int = 42):
     return semi_join_keys(ds, set(chosen.tolist()), key)
 
 
-def weighted_union(datasets_with_weights, key: str | None = None):
+def weighted_union(datasets_with_weights, key: str | None = None, fractional_mode: str = "sorted"):
     """UNION ALL with replication weights (ConcatDatasetBuilder +
     dataset_weight semantics, reference dataset.py:100-110: logical
     length = ceil(num_series x weight), indices wrap modulo
     num_series).
 
     FRACTIONAL weights are honored like the reference: each dataset is
-    replicated floor(w) times, and the remainder ceil(n*w) - floor(w)*n
-    series (first in sorted ``key`` order — the indexer order) get one
-    extra copy. ``key`` is required for fractional weights.
+    replicated floor(w) times, plus one extra copy for a w-floor(w)
+    fraction of series. ``key`` is required for fractional weights.
+
+    ``fractional_mode``:
+    - ``"sorted"`` (default, reference parity): the remainder series
+      are the FIRST ceil(n*w) - floor(w)*n in sorted key order (the
+      indexer order). Needs the per-series count table on the driver —
+      one row per series, fine up to millions of series.
+    - ``"hash"`` (scale path): series whose splitmix64(key) draw falls
+      below the fraction get the extra copy — no driver-side key list
+      at any cardinality; the realized weight is exact in expectation
+      (binomial around the target).
     """
     import math
 
@@ -59,12 +68,20 @@ def weighted_union(datasets_with_weights, key: str | None = None):
         if w - full > 1e-9:
             if key is None:
                 raise ValueError("fractional dataset weights need a series key")
-            # one row per series: the aggregated key list is small
-            keys = sorted(r[key] for r in ds.groupby(key).count().take_all())
-            n = len(keys)
-            r = math.ceil(n * w) - full * n
-            if r > 0:
-                parts.append(semi_join_keys(ds, set(keys[:r]), key))
+            frac = w - full
+            if fractional_mode == "hash":
+                tagged = split_assign(
+                    ds, key, {"extra": frac, "base": 1.0 - frac}, column="_split"
+                )
+                extra = tagged.filter(expr="_split == 'extra'").drop_columns(["_split"])
+                parts.append(extra)
+            else:
+                # one row per series: the aggregated key list is small
+                keys = sorted(r[key] for r in ds.groupby(key).count().take_all())
+                n = len(keys)
+                r = math.ceil(n * w) - full * n
+                if r > 0:
+                    parts.append(semi_join_keys(ds, set(keys[:r]), key))
     if not parts:
         raise ValueError("empty union")
     first, rest = parts[0], parts[1:]

@@ -335,3 +335,25 @@ def test_split_assign(ray_session):
     assert set(oi["split"]) == {"a", "b"}
     with pytest.raises(ValueError):
         split_assign(ds, "conv_id", {"a": 0.5, "b": 0.6})
+
+
+def test_weighted_union_hash_mode(ray_session):
+    """Scale-path fractional weights: hash-threshold extra copies, no
+    driver key list; realized weight lands near the target."""
+    import ray.data
+
+    n_keys = 1000
+    df = pd.DataFrame(
+        {"conv_id": np.repeat([f"c{i}" for i in range(n_keys)], 2),
+         "v": np.arange(2 * n_keys, dtype=np.float64)}
+    )
+    ds = ray.data.from_pandas(df).materialize()
+    out = weighted_union([(ds, 1.3)], key="conv_id", fractional_mode="hash").to_pandas()
+    counts = out.groupby("conv_id")["v"].count()
+    extra_keys = int((counts == 4).sum())
+    assert (counts.isin([2, 4])).all()  # whole-key replication only
+    sigma = (n_keys * 0.3 * 0.7) ** 0.5
+    assert abs(extra_keys - 300) <= 4 * sigma + 1
+    # deterministic
+    out2 = weighted_union([(ds, 1.3)], key="conv_id", fractional_mode="hash").to_pandas()
+    assert len(out2) == len(out)
