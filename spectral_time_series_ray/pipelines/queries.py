@@ -21,13 +21,16 @@ from ..stages.rollup import BUCKET_COL, add_bucket, cascade, rollup_exact, rollu
 from ..stages.series import gap_fill_series
 
 
-def _read(sf_dir: str, name: str, columns=None):
+def _read(sf_dir: str, name: str, columns=None, filter=None):
+    """Pruned parquet read: ``columns`` projects at the scan;
+    ``filter`` (a pyarrow expression) prunes row groups / rows at the
+    scan, so filtered rows never leave storage."""
     import ray.data
 
     from ..sources.transcripts import default_num_blocks
 
     return ray.data.read_parquet(
-        f"{sf_dir}/{name}.parquet", columns=columns,
+        f"{sf_dir}/{name}.parquet", columns=columns, filter=filter,
         override_num_blocks=default_num_blocks(),
     )
 
@@ -305,26 +308,25 @@ def q6_forecast_revenue(sf_dir: str):
     single-row final merge. No shuffle of row data at any scale."""
     from ray.data.aggregate import Sum
 
+    # row-filter pushdown: the shipdate range prunes row groups AT THE
+    # SCAN (pyarrow expression), so out-of-range rows never leave
+    # storage; the residual predicates stay vectorized per batch
+    expr = (pc.field("l_shipdate") >= np.datetime64("1996-01-01", "us")) & (
+        pc.field("l_shipdate") < np.datetime64("1997-01-01", "us")
+    )
     ds = _read(
         sf_dir, "lineitem",
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=expr,
     )
-    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
 
     def partial(batch: pa.Table) -> pa.Table:
         m = pc.and_(
             pc.and_(
-                pc.greater_equal(batch["l_shipdate"], lo),
-                pc.less(batch["l_shipdate"], hi),
+                pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
+                pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
             ),
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(batch["l_discount"], pa.scalar(0.05)),
-                    pc.less_equal(batch["l_discount"], pa.scalar(0.07)),
-                ),
-                pc.less(batch["l_quantity"], pa.scalar(24.0)),
-            ),
+            pc.less(batch["l_quantity"], pa.scalar(24.0)),
         )
         batch = batch.filter(m)
         rev = pc.multiply(batch["l_extendedprice"], batch["l_discount"])
@@ -351,20 +353,17 @@ def q12_priority_lines(sf_dir: str):
     from ray.data.aggregate import Sum
 
     P = _join_partitions()
-    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    # row-filter pushdown: date range pruned at the scan
+    expr = (pc.field("l_shipdate") >= np.datetime64("1996-01-01", "us")) & (
+        pc.field("l_shipdate") < np.datetime64("1997-01-01", "us")
+    )
     li = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=expr,
     )
 
     def li_prep(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.and_(
-                pc.greater_equal(batch["l_shipdate"], lo),
-                pc.less(batch["l_shipdate"], hi),
-            )
-        )
         rev = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
@@ -421,13 +420,11 @@ def q3_revenue_topk(sf_dir: str):
         .filter(expr="c_mktsegment == 'BUILDING'")
         .select_columns(["c_custkey"])
     )
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    cutoff = pa.scalar(date)
-
-    def date_filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch["o_orderdate"], cutoff))
-
-    orders_f = orders.map_batches(date_filter, batch_format="pyarrow", batch_size=None)
+    # row-filter pushdown: the date predicate prunes at the scan
+    orders_f = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < date,
+    )
     orders_j = orders_f.join(
         cust_f, join_type="inner", num_partitions=P,
         on=("o_custkey",), right_on=("c_custkey",),
