@@ -839,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_range_join": Q.ev_range_join,
         "ev_rank_funcs": Q.ev_rank_funcs,
+        "ev_incremental_rollup": Q.ev_incremental_rollup,
+        "ev_no_purchase_users": Q.ev_no_purchase_users,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_type_hour_count": Q.ev_type_hour_count,
         "ev_top_users": Q.ev_top_users,
@@ -990,6 +992,30 @@ def oracle_sql() -> dict[str, str]:
              and b.ts >= a.ts - interval 1 day
              and b.ts <= a.ts + interval 1 day
             group by a.event_id, a.user_id
+        """,
+        "ev_incremental_rollup": """
+            select user_id, date_trunc('hour', ts) as bucket_ts,
+                   count(value) as count_value,
+                   round(sum(value), 6) as sum_value,
+                   round(min(value), 6) as min_value,
+                   round(max(value), 6) as max_value,
+                   round(avg(value), 6) as mean_value
+            from events group by 1, 2
+        """,
+        "ev_no_purchase_users": """
+            with c as (
+              select user_id, date_trunc('day', ts) as day,
+                     count(*) as n_clicks,
+                     round(sum(value), 6) as click_value
+              from events where event_type = 'click'
+              group by 1, 2)
+            select user_id, day, n_clicks, click_value
+            from c
+            where not exists (
+              select 1 from events p
+              where p.event_type = 'purchase'
+                and p.user_id = c.user_id
+                and date_trunc('day', p.ts) = c.day)
         """,
         "ev_gapfill_1h": """
             with r as (

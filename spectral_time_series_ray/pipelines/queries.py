@@ -211,6 +211,62 @@ def ev_range_join(sf_dir: str):
     return _round_ds(out, {"sum_in_window": 6})
 
 
+def ev_incremental_rollup(sf_dir: str):
+    """Incremental view maintenance: the first half-month's 1h rollup
+    merged with the second half's (two pushdown-pruned reads -> two
+    mergeable rollups -> `merge_rollups`) must equal the direct rollup
+    of everything — the keep-yesterday's-partials update path. Oracle:
+    the plain full rollup."""
+    from ..stages.rollup import merge_rollups, rollup_mergeable
+
+    split = np.datetime64("2024-01-15", "us")
+    a = _read(sf_dir, "events", columns=["user_id", "ts", "value"],
+              filter=pc.field("ts") < split)
+    b = _read(sf_dir, "events", columns=["user_id", "ts", "value"],
+              filter=pc.field("ts") >= split)
+    ra = rollup_mergeable(a, "1h", value_cols=("value",), key="user_id")
+    rb = rollup_mergeable(b, "1h", value_cols=("value",), key="user_id")
+    out = merge_rollups(ra, rb, value_cols=("value",), key="user_id")
+    return _round_ds(out, {"sum_value": 6, "min_value": 6, "max_value": 6, "mean_value": 6})
+
+
+def ev_no_purchase_users(sf_dir: str):
+    """Anti-join / EXCEPT shape: (user, day) pairs with clicks but no
+    purchase that day. The purchase key set (one composite int per
+    (user, day) — small) is aggregated distributed, broadcast once,
+    and clicks are anti-filtered per batch before the final groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import anti_join_keys
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        epoch_days = pc.divide(
+            pc.cast(pc.cast(day, pa.int64()), pa.int64()), pa.scalar(86_400_000_000)
+        )
+        key = pc.add(
+            pc.multiply(batch["user_id"], pa.scalar(1_000_000)), epoch_days
+        )
+        batch = batch.append_column("day", day)
+        return batch.append_column("_ud", key)
+
+    ds = ds.map_batches(with_key, batch_format="pyarrow", batch_size=None)
+    purchase_days = set(
+        r["_ud"]
+        for r in ds.filter(expr="event_type == 'purchase'")
+        .groupby("_ud").count().take_all()  # one int per (buyer, day)
+    )
+    clicks = ds.filter(expr="event_type == 'click'")
+    out = (
+        anti_join_keys(clicks, purchase_days, "_ud")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="n_clicks"), Sum("value", alias_name="click_value"))
+    )
+    return _round_ds(out, {"click_value": 6})
+
+
 def ev_gapfill_1h(sf_dir: str):
     """Dense hourly grid per user, LOCF gap-fill of the rounded hourly
     mean (reference LastValueImputation semantics, imputation.py:44-62)."""

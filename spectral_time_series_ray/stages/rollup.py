@@ -553,6 +553,27 @@ def rollup_mergeable(
     return _with_means(merged, value_cols)
 
 
+def merge_rollups(
+    rolled_a,
+    rolled_b,
+    value_cols: Iterable[str] = ("latency_s", "text_len"),
+    key: str = "conv_id",
+):
+    """Incremental view maintenance: combine two mergeable rollups
+    (same tier) into the rollup of their combined input — count/sum/
+    min/max merge exactly, mean is re-derived from merged sums. The
+    incremental-update path: keep yesterday's rollup, roll up only
+    today's new data, merge — O(today + touched buckets), never a full
+    recompute. Inputs may overlap in (key, bucket); groups merge."""
+    value_cols = tuple(value_cols)
+    cols = [key, BUCKET_COL] + [
+        f"{k}_{short_name(c)}" for c in value_cols for k in ("count", "sum", "min", "max")
+    ]
+    ds = rolled_a.select_columns(cols).union(rolled_b.select_columns(cols))
+    merged = _merge_partitioned(ds, key, value_cols, style="merged")
+    return _with_means(merged, value_cols)
+
+
 def cascade(
     rolled_ds,
     to_tier: str,

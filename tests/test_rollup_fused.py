@@ -176,3 +176,48 @@ def test_analytic_rank_funcs(ray_session):
         b = exp[c].to_numpy(dtype=float)
         nan = np.isnan(a) & np.isnan(b)
         assert np.allclose(a[~nan], b[~nan]), c
+
+
+def test_merge_rollups_incremental_equals_full(ray_session):
+    """Incremental view maintenance: rollup(A) merged with rollup(B)
+    equals rollup(A union B) exactly, including overlapping buckets."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.rollup import merge_rollups, rollup_mergeable
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "conv_id": rng.integers(0, 20, n).astype(str),
+            "ts": pd.to_datetime("2026-02-01")
+            + pd.to_timedelta(rng.integers(0, 7200, n), unit="s"),
+            "latency_s": np.round(rng.uniform(0, 9, n), 2),
+            "text_len": rng.integers(1, 500, n).astype(np.float64),
+        }
+    )
+    # split at a mid timestamp so many (conv, bucket) groups OVERLAP
+    cut = pd.to_datetime("2026-02-01 01:00:00")
+    a, b = df[df["ts"] < cut], df[df["ts"] >= cut]
+    ra = rollup_mergeable(ray.data.from_pandas(a), "1h")
+    rb = rollup_mergeable(ray.data.from_pandas(b), "1h")
+    inc = (
+        merge_rollups(ra, rb)
+        .to_pandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    full = (
+        rollup_mergeable(ray.data.from_pandas(df), "1h")
+        .to_pandas()
+        .sort_values(["conv_id", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(inc) == len(full)
+    for c in full.columns:
+        g, e = inc[c].to_numpy(), full[c].to_numpy()
+        if g.dtype.kind == "f":
+            both_nan = pd.isna(g) & pd.isna(e)
+            np.testing.assert_allclose(g[~both_nan], e[~both_nan], rtol=1e-12, err_msg=c)
+        else:
+            assert (g == e).all(), c
