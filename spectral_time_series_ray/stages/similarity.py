@@ -94,6 +94,88 @@ def ann_brute_force(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def kmeans_fit_distributed(
+    ds,
+    n_clusters: int = 8,
+    iters: int = 8,
+    col: str = "embedding",
+    seed: int = 42,
+    sample_frac: float = 0.2,
+):
+    """Distributed spherical k-means (Lloyd): centroids broadcast per
+    iteration (``ray.put`` once per iter), each batch emits ONE
+    (vector-sum, count, sim-sum) partial row per cluster — per
+    iteration the driver sees O(blocks x k) small rows, never vectors.
+    Initialization = driver-side sample k-means (:func:`kmeans_fit`).
+
+    Returns ``(centroids [k, d] unit-norm, objective history)`` where
+    objective = mean max-cosine-similarity; Lloyd steps make it
+    non-decreasing (the self-check used by emb_kmeans).
+    """
+    import ray
+
+    sample = _to_matrix(
+        ds.random_sample(sample_frac, seed=seed).to_pandas()[col]
+    )
+    centroids = kmeans_fit(sample, n_clusters, iters=3, seed=seed)
+    k = len(centroids)
+    history: list[float] = []
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)  # object-store local after first fetch
+            m = _normalize(_to_matrix(batch[col]))
+            sims = m @ c.T
+            a = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(m)), a]
+            d = m.shape[1]
+            sums = np.zeros((len(c), d))
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            sim_sums = np.zeros(len(c))
+            np.add.at(sim_sums, a, best)
+            return pd.DataFrame(
+                {
+                    "cluster": np.arange(len(c), dtype=np.int32),
+                    "vec_sum": [s.tobytes() for s in sums],
+                    "count": counts,
+                    "sim_sum": sim_sums,
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pandas", batch_size=None
+        ).to_pandas()  # blocks x k tiny rows
+        d = centroids.shape[1]
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        sim_total = 0.0
+        for _, r in parts.iterrows():
+            sums[r["cluster"]] += np.frombuffer(r["vec_sum"], dtype=np.float64)
+            counts[r["cluster"]] += int(r["count"])
+            sim_total += float(r["sim_sum"])
+        n = int(counts.sum())
+        history.append(sim_total / max(1, n))
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = _normalize(centroids)
+    return centroids, history
+
+
+def kmeans_predict(ds, centroids: np.ndarray, concurrency: int = 4):
+    """Assign every ``embedding`` to its nearest centroid (broadcast
+    once); adds a ``cluster`` column."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    return ds.map_batches(
+        _IVFAssign, fn_constructor_args=(ref,), batch_format="pandas",
+        batch_size=4096, concurrency=concurrency,
+    )
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 20, seed: int = 42) -> np.ndarray:
     """Plain seeded Lloyd's k-means on a (driver-side) sample."""
     rng = np.random.default_rng(seed)

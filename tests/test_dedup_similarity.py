@@ -187,3 +187,37 @@ def test_topk_deterministic_ties():
     # small-n path agrees
     idx2 = _topk_deterministic(s[:16], ids[:16], k)
     assert list(ids[idx2]) == [107, 104, 111]
+
+
+def test_kmeans_fit_distributed(ray_session):
+    """Distributed Lloyd recovers planted clusters; objective (mean
+    max-cosine) is non-decreasing; predict covers every vector."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.similarity import (
+        kmeans_fit_distributed,
+        kmeans_predict,
+    )
+
+    rng = np.random.default_rng(0)
+    # 3 well-separated directions + small noise
+    base = np.eye(3, 16, dtype=np.float64)
+    vecs = np.vstack([
+        base[i] + 0.05 * rng.standard_normal((200, 16)) for i in range(3)
+    ])
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4).materialize()
+    cents, hist = kmeans_fit_distributed(ds, n_clusters=3, iters=5, seed=1)
+    assert all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+    assert hist[-1] > 0.95  # tight clusters: near-unit mean cosine
+    out = kmeans_predict(ds, cents).to_pandas()
+    assert len(out) == len(vecs)
+    # planted groups land in distinct clusters with >95% purity
+    labels = out.sort_values("vec_id")["cluster"].to_numpy()
+    majors = set()
+    for i in range(3):
+        grp = labels[i * 200 : (i + 1) * 200]
+        maj = np.bincount(grp).argmax()
+        assert (grp == maj).mean() > 0.95
+        majors.add(int(maj))
+    assert len(majors) == 3
