@@ -587,6 +587,70 @@ def _tr_resample(sf_dir: str):
     return spec[["conv_id", "chunk_idx", "peak_freq", "method", "ok"]]
 
 
+def _doc_training_pipeline(sf_dir: str):
+    """END-TO-END training-data pipeline over documents — the composite
+    a reference user would actually run, every stage from this engine:
+
+      read -> quality/language analysis (actor pool) -> quality+lang
+      filter -> exact dedup -> MinHash near-dup dedup -> token counts
+      -> deterministic key-coherent split
+
+    Self-verifying invariants: survivor counts are monotone
+    non-increasing across stages; survivors' texts are unique (exact
+    dedup worked); near-dup keepers exclude planted copies; every
+    survivor has a split and splits are key-coherent by construction.
+    """
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
+    from spectral_time_series_ray.stages.join import semi_join_keys
+    from spectral_time_series_ray.stages.sampling import split_assign
+    from spectral_time_series_ray.stages.text import analyze_documents
+
+    ds, planted = _plant_near_dups(sf_dir)
+    n0 = ds.count()
+    analyzed = analyze_documents(ds, concurrency=2).materialize()
+    kept = analyzed.filter(expr="quality >= 0.2 and lang_pred != 'und'")
+    n1 = kept.count()
+    # exact dedup -> keeper ids joined back as a DATASET (hash join —
+    # the keeper set is O(corpus), it must never become a driver set)
+    from spectral_time_series_ray.pipelines.queries import _join_partitions
+
+    keepers_exact = exact_dedup(kept.select_columns(["doc_id", "text"]))
+    deduped = kept.join(
+        keepers_exact.select_columns(["doc_id"]), join_type="inner",
+        num_partitions=_join_partitions(), on=("doc_id",),
+    ).materialize()
+    n2 = deduped.count()
+    # near-dup dedup: drop non-keeper cluster members (the DROP list is
+    # sparse — near-dup cluster members only — so a broadcast anti-set
+    # is the right shape)
+    from spectral_time_series_ray.stages.join import anti_join_keys
+
+    clusters = minhash_lsh_dedup(
+        deduped.select_columns(["doc_id", "text"]), threshold=0.8, concurrency=2
+    )
+    drop = set(clusters.loc[~clusters["is_keeper"], "doc_id"].astype(int))
+    final = anti_join_keys(deduped, drop, "doc_id") if drop else deduped
+    final = split_assign(final, "doc_id", {"train": 0.9, "val": 0.1}, seed=11)
+    fdf = final.select_columns(
+        ["doc_id", "ws_tokens", "bpe_tokens", "lang_pred", "quality", "split"]
+    ).to_pandas()
+    n3 = len(fdf)
+    # invariants
+    monotone = n0 >= n1 >= n2 >= n3
+    copies_gone = not ({b for _, b in planted} & set(fdf["doc_id"]))
+    has_split = set(fdf["split"]) <= {"train", "val"} and fdf["split"].notna().all()
+    out = pd.DataFrame(
+        {
+            "stage": ["input", "quality_lang", "exact_dedup", "near_dedup_split"],
+            "n_docs": [n0, n1, n2, n3],
+        }
+    )
+    out["ok"] = monotone and copies_gone and has_split and n3 > 0
+    return out
+
+
 def _emb_kmeans(sf_dir: str):
     """Distributed spherical k-means over the embeddings table.
     Self-verifying: (a) the Lloyd objective (mean max-cosine) is
@@ -924,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_heavy_conversations": _tr_heavy_conversations,
         "tr_split_assign": _tr_split_assign,
         "emb_kmeans": _emb_kmeans,
+        "doc_training_pipeline": _doc_training_pipeline,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

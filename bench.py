@@ -220,9 +220,18 @@ def run_scaling() -> dict:
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
             GRAFT_BENCH_ENGINE_ONLY=os.environ.get("GRAFT_BENCH_ENGINE_ONLY", "1"),
         )
+        cmd = [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")]
+        # CPU-affinity pinning: Ray's num_cpus is only a scheduling
+        # token — unpinned, a 4-worker session borrows the host's idle
+        # cores (numpy/arrow/raylet threads), measured 20-30% faster
+        # than an honest 4-core box and deflating the ratio. taskset
+        # gives each leg EXACTLY its cores (raylet + object store +
+        # driver share them, as they would share a node), which is the
+        # faithful model of an N- vs 4N-node cluster.
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
