@@ -915,18 +915,12 @@ def q5_local_supplier(sf_dir: str):
         _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
         nation_keys, "c_nationkey",
     )
-    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
-
-    def date_filter(batch: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater_equal(batch["o_orderdate"], lo), pc.less(batch["o_orderdate"], hi)
-        )
-        return batch.filter(m)
-
+    # row-filter pushdown: date range pruned at the scan
     orders_f = _read(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(date_filter, batch_format="pyarrow", batch_size=None)
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= np.datetime64("1995-01-01", "us"))
+        & (pc.field("o_orderdate") < np.datetime64("1997-01-01", "us")),
+    )
     orders_j = orders_f.join(
         cust_f, join_type="inner", num_partitions=P,
         on=("o_custkey",), right_on=("c_custkey",),
