@@ -587,6 +587,56 @@ def _tr_resample(sf_dir: str):
     return spec[["conv_id", "chunk_idx", "peak_freq", "method", "ok"]]
 
 
+def _tr_partitioned_sink(sf_dir: str):
+    """Resumable partitioned sink round-trip: write the 1m rollup as
+    ``tier=/date=`` parquet with per-partition manifests, read it back,
+    and re-run. Self-verifying: (a) reread row count and per-date
+    counts equal the manifests; (b) the second run (same fingerprint)
+    writes ZERO partitions — resume skips completed work; (c) reread
+    aggregate sum matches the computed rollup exactly."""
+    import shutil
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.state.manifest import read_manifests, write_partitioned
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
+    n_rows = m1.count()
+    sum_turns = int(m1.aggregate(Sum("n_turns", alias_name="s"))["s"])
+    out_root = tempfile.mkdtemp(prefix="sink_", dir="/tmp")
+    try:
+        c1 = write_partitioned(m1, out_root, "1m", fingerprint="q")
+        c2 = write_partitioned(m1, out_root, "1m", fingerprint="q")  # resume
+        manifests = read_manifests(out_root, "1m")
+        reread = ray.data.read_parquet(f"{out_root}/tier=1m").materialize()
+        reread_rows = reread.count()
+        reread_sum = int(reread.aggregate(Sum("n_turns", alias_name="s"))["s"])
+        man_rows = sum(m["row_count"] for m in manifests)
+        ok = (
+            sum(c1.values()) == n_rows
+            and len(c2) == 0  # resume wrote nothing
+            and reread_rows == n_rows
+            and man_rows == n_rows
+            and reread_sum == sum_turns
+        )
+        return pd.DataFrame(
+            {
+                "n_partitions": [len(c1)],
+                "rows_written": [int(sum(c1.values()))],
+                "rows_reread": [int(reread_rows)],
+                "resume_partitions": [len(c2)],
+                "ok": [ok],
+            }
+        )
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 def _doc_training_pipeline(sf_dir: str):
     """END-TO-END training-data pipeline over documents — the composite
     a reference user would actually run, every stage from this engine:
@@ -989,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_split_assign": _tr_split_assign,
         "emb_kmeans": _emb_kmeans,
         "doc_training_pipeline": _doc_training_pipeline,
+        "tr_partitioned_sink": _tr_partitioned_sink,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }
