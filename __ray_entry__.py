@@ -1003,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": Q.q1_pricing,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q12_priority_lines": Q.q12_priority_lines,
+        "ri_orphans": Q.ri_orphans,
         "q5_local_supplier": Q.q5_local_supplier,
         "q3_revenue_topk": Q.q3_revenue_topk,
         "top_customers": Q.top_customers,
@@ -1254,6 +1255,19 @@ def oracle_sql() -> dict[str, str]:
               and l_shipdate <  date '1997-01-01'
               and l_discount between 0.05 and 0.07
               and l_quantity < 24
+        """,
+        "ri_orphans": """
+            select 'lineitem.l_orderkey->orders.o_orderkey' as relationship,
+                   (select count(*) from lineitem) as n_child_rows,
+                   (select count(*) from lineitem l
+                    where not exists (select 1 from orders o
+                                      where o.o_orderkey = l.l_orderkey)) as n_orphans
+            union all
+            select 'orders.o_custkey->customer.c_custkey',
+                   (select count(*) from orders),
+                   (select count(*) from orders o
+                    where not exists (select 1 from customer c
+                                      where c.c_custkey = o.o_custkey))
         """,
         "q12_priority_lines": """
             select o_orderpriority,

@@ -461,6 +461,30 @@ def q12_priority_lines(sf_dir: str):
     return merged.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def ri_orphans(sf_dir: str):
+    """Referential-integrity audit: orphan-row counts for two foreign
+    keys (lineitem->orders, orders->customer) via the Bloom-prefilter +
+    distributed left-outer-join verifier
+    (`validate.orphan_key_count`)."""
+    from ..stages.validate import orphan_key_count
+
+    rows = []
+    for child, ckey, parent, pkey in (
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+    ):
+        n_child, n_orph = orphan_key_count(
+            _read(sf_dir, child, columns=[ckey]),
+            _read(sf_dir, parent, columns=[pkey]),
+            ckey, pkey,
+        )
+        rows.append(
+            {"relationship": f"{child}.{ckey}->{parent}.{pkey}",
+             "n_child_rows": n_child, "n_orphans": n_orph}
+        )
+    return pd.DataFrame(rows)
+
+
 def q3_revenue_topk(sf_dir: str):
     """TPC-H Q3 shape, scale path: orders is NEVER materialized on the
     driver. BUILDING customers semi-filter orders via ``Dataset.join``

@@ -70,3 +70,78 @@ def validate_transcripts(ds):
     :func:`dedup_turns` inside their grouped stage."""
     check_schema(ds)
     return ds.map_batches(clean_batch, batch_format="pyarrow", batch_size=None)
+
+
+def orphan_key_count(child_ds, parent_ds, child_col: str, parent_col: str):
+    """Referential-integrity check: how many child rows reference a
+    key absent from the parent (data-quality gate before a join-heavy
+    pipeline run).
+
+    Scale path: a Bloom filter over the parent keys (OR-merged
+    per-block bitsets, O(bits) each) prefilters the child — rows whose
+    key IS in the filter are definitely-or-probably fine; only the
+    Bloom REJECTS are certain orphans (no false negatives), and the
+    Bloom's false-positive survivors are verified exactly against the
+    parent key set restricted to the sparse suspect keys. Returns
+    ``(n_child, n_orphans)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.bloom import BloomFilter, hash_u64
+    from .join import build_bloom
+
+    bloom = build_bloom(parent_ds, parent_col)
+    n_child = child_ds.count()
+
+    import ray
+
+    ref = ray.put(bloom.to_bytes())
+
+    def rejects(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter.from_bytes(ray.get(ref))
+        col = batch[child_col]
+        if np.issubdtype(col.dtype, np.integer):
+            m = bf.contains_hashes(hash_u64(col.to_numpy()))
+        else:
+            m = bf.contains_values(col.tolist())
+        return batch.loc[~m, [child_col]]
+
+    certain = child_ds.map_batches(rejects, batch_format="pandas", batch_size=None)
+    n_certain = certain.count()  # bloom rejects: orphans for sure
+    # Bloom false positives: verify exactly with a DISTRIBUTED
+    # left-outer join on the distinct-key level — neither key set ever
+    # lands on the driver
+    try:
+        import ray as _ray
+
+        P = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        P = 4
+    child_keys = child_ds.select_columns([child_col]).groupby(child_col).count()
+    parent_keys = (
+        parent_ds.select_columns([parent_col]).groupby(parent_col).count()
+    )
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[parent_col]].copy()
+        out["_present"] = np.int8(1)
+        return out
+
+    parent_marked = parent_keys.map_batches(mark, batch_format="pandas", batch_size=None)
+    joined = child_keys.join(
+        parent_marked, join_type="left_outer", num_partitions=P,
+        on=(child_col,), right_on=(parent_col,),
+    )
+
+    def orphan_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        absent = batch["_present"].isna()
+        return pd.DataFrame({"n": [int(batch.loc[absent, "count()"].sum())]})
+
+    parts = joined.map_batches(
+        orphan_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    n_orphans = int(parts["n"].sum()) if len(parts) else 0
+    # consistency: bloom certain-orphans can never exceed the exact count
+    assert n_certain <= n_orphans, (n_certain, n_orphans)
+    return n_child, n_orphans

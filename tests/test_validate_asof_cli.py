@@ -148,3 +148,27 @@ def test_range_join_aggregate(ray_session):
         cnt, sm = brute(lo_s, hi_s)
         assert (out["n_in_window"].to_numpy() == cnt).all(), (lo_s, hi_s)
         assert np.allclose(out["sum_in_window"].to_numpy(), sm), (lo_s, hi_s)
+
+
+def test_orphan_key_count_planted(ray_session):
+    """Planted orphans are counted exactly; zero-orphan case returns 0
+    (Bloom certain-rejects never exceed the exact count)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.stages.validate import orphan_key_count
+
+    parent = ray.data.from_pandas(pd.DataFrame({"pk": np.arange(1000)}))
+    # child: 3000 valid refs + 37 orphans pointing past the parent range
+    rng = np.random.default_rng(0)
+    child_keys = np.concatenate([
+        rng.integers(0, 1000, 3000),
+        rng.integers(5000, 6000, 37),
+    ])
+    child = ray.data.from_pandas(pd.DataFrame({"fk": child_keys})).repartition(4)
+    n_child, n_orph = orphan_key_count(child, parent, "fk", "pk")
+    assert n_child == 3037 and n_orph == 37
+    clean = ray.data.from_pandas(pd.DataFrame({"fk": rng.integers(0, 1000, 500)}))
+    n_child2, n_orph2 = orphan_key_count(clean, parent, "fk", "pk")
+    assert n_child2 == 500 and n_orph2 == 0
