@@ -985,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessions": Q.ev_sessions,
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_range_join": Q.ev_range_join,
+        "ev_trailing_window": Q.ev_trailing_window,
         "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_incremental_rollup": Q.ev_incremental_rollup,
         "ev_no_purchase_users": Q.ev_no_purchase_users,
@@ -1132,6 +1133,15 @@ def oracle_sql() -> dict[str, str]:
             from events
             window w as (partition by user_id order by ts, event_id),
                    v as (partition by user_id order by value)
+        """,
+        "ev_trailing_window": """
+            select event_id, user_id,
+                   count(*) over w as n_in_window,
+                   round(sum(value) over w, 6) as sum_in_window
+            from events
+            window w as (partition by user_id order by ts
+                         range between interval 1 hour preceding
+                         and current row)
         """,
         "ev_range_join": """
             select a.event_id, a.user_id,

@@ -211,6 +211,22 @@ def ev_range_join(sf_dir: str):
     return _round_ds(out, {"sum_in_window": 6})
 
 
+def ev_trailing_window(sf_dir: str):
+    """Time-RANGE window frame: per event, count + sum of the same
+    user's events in the TRAILING hour (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW) — the one-sided case of the band-join
+    kernel (`join.range_join_aggregate` with lo=-3600, hi=0)."""
+    from ..stages.join import range_join_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = range_join_aggregate(
+        ds, key="user_id", ts_col="ts", value_col="value",
+        lo_s=-3600.0, hi_s=0.0,
+    )
+    out = out.select_columns(["event_id", "user_id", "n_in_window", "sum_in_window"])
+    return _round_ds(out, {"sum_in_window": 6})
+
+
 def ev_incremental_rollup(sf_dir: str):
     """Incremental view maintenance: the first half-month's 1h rollup
     merged with the second half's (two pushdown-pruned reads -> two
