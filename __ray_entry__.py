@@ -682,15 +682,23 @@ def _doc_training_pipeline(sf_dir: str):
     )
     drop = set(clusters.loc[~clusters["is_keeper"], "doc_id"].astype(int))
     final = anti_join_keys(deduped, drop, "doc_id") if drop else deduped
-    final = split_assign(final, "doc_id", {"train": 0.9, "val": 0.1}, seed=11)
-    fdf = final.select_columns(
-        ["doc_id", "ws_tokens", "bpe_tokens", "lang_pred", "quality", "split"]
-    ).to_pandas()
-    n3 = len(fdf)
-    # invariants
+    final = split_assign(
+        final, "doc_id", {"train": 0.9, "val": 0.1}, seed=11
+    ).materialize()
+    n3 = final.count()
+    # invariants — all computed DISTRIBUTED (no O(corpus) driver pull):
     monotone = n0 >= n1 >= n2 >= n3
-    copies_gone = not ({b for _, b in planted} & set(fdf["doc_id"]))
-    has_split = set(fdf["split"]) <= {"train", "val"} and fdf["split"].notna().all()
+    # planted copies must be gone: semi-join on the tiny planted set
+    from spectral_time_series_ray.stages.join import semi_join_keys as _semi
+
+    copies_left = _semi(final, {b for _, b in planted}, "doc_id").count()
+    copies_gone = copies_left == 0
+    # split coverage: per-split counts (2 rows) must sum to n3
+    split_counts = final.groupby("split").count().to_pandas()
+    has_split = (
+        set(split_counts["split"]) <= {"train", "val"}
+        and int(split_counts["count()"].sum()) == n3
+    )
     out = pd.DataFrame(
         {
             "stage": ["input", "quality_lang", "exact_dedup", "near_dedup_split"],
@@ -811,10 +819,16 @@ def _tr_heavy_conversations(sf_dir: str):
          & (hh["exact_count"] - hh["approx_count"] <= bound)).all()
     )
     # guarantee: every conv above n/k true count must be reported —
-    # checked against the FULL distributed count (the count table is
-    # one row per conv, small), not just the candidate set
-    full = ds.groupby("conv_id").count().to_pandas()
-    big = set(full.loc[full["count()"] > bound, "conv_id"])
+    # checked against the full count FILTERED DISTRIBUTED (at most k
+    # keys can exceed n/k, so only those rows reach the driver)
+    def only_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["count()"] > bound]
+
+    full = ds.groupby("conv_id").count()
+    big = set(
+        full.map_batches(only_heavy, batch_format="pandas", batch_size=None)
+        .to_pandas()["conv_id"]
+    )
     coverage_ok = big <= cand
     hh["ok"] = undercount_ok and coverage_ok
     return hh[["conv_id", "approx_count", "exact_count", "ok"]]
