@@ -758,31 +758,49 @@ def _tr_split_assign(sf_dir: str):
         return pd.DataFrame(
             {"conv_id": [g["conv_id"].iloc[0]],
              "split": [g["split"].iloc[0]],
-             "n_splits_seen": [g["split"].nunique()],
-             "n_rows": [len(g)]}
+             "n_splits_seen": [g["split"].nunique()]}
         )
 
-    per = tagged.groupby("conv_id").map_groups(per_conv, batch_format="pandas").to_pandas()
-    coherent = bool((per["n_splits_seen"] == 1).all())
-    n_keys = len(per)
+    per = tagged.groupby("conv_id").map_groups(
+        per_conv, batch_format="pandas"
+    ).materialize()
+    # coherence: pull VIOLATIONS only (empty when the operator works)
+    violations = per.map_batches(
+        lambda df: df[df["n_splits_seen"] > 1],
+        batch_format="pandas", batch_size=None,
+    ).count()
+    coherent = violations == 0
+    # per-split KEY counts: len(fracs) rows, computed distributed
+    split_counts = {
+        r["split"]: r["count()"]
+        for r in per.groupby("split").count().take_all()
+    }
+    n_keys = sum(split_counts.values())
     out_rows = []
     ok_frac = True
     for s, f in fracs.items():
-        got = int((per["split"] == s).sum())
+        got = int(split_counts.get(s, 0))
         sigma = (n_keys * f * (1 - f)) ** 0.5
         in_band = abs(got - n_keys * f) <= 4 * sigma + 1
         ok_frac &= in_band
         out_rows.append({"split": s, "n_keys": got, "target_frac": f,
                          "got_frac": round(got / n_keys, 4)})
-    # determinism: second pass assigns identically (sample the driver
-    # side with a small slice)
+    # determinism: a second assignment pass must agree on every key —
+    # join the two per-key assignments and pull DISAGREEMENTS only
     again = split_assign(ds, "conv_id", fracs, seed=7)
-    s2 = again.groupby("conv_id").map_groups(per_conv, batch_format="pandas").to_pandas()
-    det = bool(
-        per.sort_values("conv_id")["split"].reset_index(drop=True).equals(
-            s2.sort_values("conv_id")["split"].reset_index(drop=True)
-        )
+    per2 = again.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    import ray as _ray
+
+    P = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = per.select_columns(["conv_id", "split"]).join(
+        per2.select_columns(["conv_id", "split"]), join_type="inner",
+        num_partitions=P, on=("conv_id",), right_suffix="_b",
     )
+    mismatches = joined.map_batches(
+        lambda df: df[df["split"] != df["split_b"]],
+        batch_format="pandas", batch_size=None,
+    ).count()
+    det = mismatches == 0
     out = pd.DataFrame(out_rows)
     out["ok"] = coherent and ok_frac and det
     return out
