@@ -20,7 +20,13 @@ from .join import semi_join_keys
 
 
 def sample_series(ds, key: str, n: int, mode: str = "uniform", seed: int = 42):
-    """Keep all rows of ``n`` sampled series."""
+    """Keep all rows of exactly ``n`` sampled series (reference
+    SampleTimeSeriesType semantics, dataset.py:36-91: the indexer holds
+    every series id, so the per-key count table on the driver — one row
+    per series — matches the reference's own memory model; for
+    cardinalities where that is too big, use
+    :func:`split_assign`-style hash selection, which trades the exact
+    ``n`` for a binomial ``n`` with no driver state)."""
     counts = ds.groupby(key).count().to_pandas()
     keys = counts[key].to_numpy()
     if n >= len(keys) or mode == "none":
