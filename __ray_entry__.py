@@ -1018,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_range_join": Q.ev_range_join,
         "ev_trailing_window": Q.ev_trailing_window,
+        "ev_trend": Q.ev_trend,
         "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_incremental_rollup": Q.ev_incremental_rollup,
         "ev_no_purchase_users": Q.ev_no_purchase_users,
@@ -1165,6 +1166,17 @@ def oracle_sql() -> dict[str, str]:
             from events
             window w as (partition by user_id order by ts, event_id),
                    v as (partition by user_id order by value)
+        """,
+        "ev_trend": """
+            with e as (
+              select user_id, value,
+                     cast(floor(epoch(ts)) as bigint) - 1704067200 as x
+              from events)
+            select user_id, count(*) as n,
+                   round(regr_slope(value, x), 9) as slope,
+                   round(regr_intercept(value, x), 6) as intercept,
+                   round(corr(value, x), 9) as corr
+            from e group by user_id
         """,
         "ev_trailing_window": """
             select event_id, user_id,

@@ -211,6 +211,19 @@ def ev_range_join(sf_dir: str):
     return _round_ds(out, {"sum_in_window": 6})
 
 
+def ev_trend(sf_dir: str):
+    """Per-user least-squares trend of value over time — slope /
+    intercept / correlation as an algebraic aggregate with exact
+    scaled-int64 moment partials (`rollup.linear_trend`). Oracle:
+    DuckDB regr_slope / regr_intercept / corr on the same centered
+    x axis."""
+    from ..stages.rollup import linear_trend
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = linear_trend(ds, key="user_id", ts_col="ts", value_col="value")
+    return _round_ds(out, {"slope": 9, "intercept": 6, "corr": 9})
+
+
 def ev_trailing_window(sf_dir: str):
     """Time-RANGE window frame: per event, count + sum of the same
     user's events in the TRAILING hour (RANGE BETWEEN INTERVAL 1 HOUR

@@ -553,6 +553,88 @@ def rollup_mergeable(
     return _with_means(merged, value_cols)
 
 
+def linear_trend(
+    ds,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    x_epoch_s: int = 1_704_067_200,  # x = epoch(ts) - this, in seconds
+    value_scale: int = 100,
+):
+    """Per-key least-squares trend (slope / intercept / correlation) as
+    an ALGEBRAIC aggregate: each batch emits exact scaled-int64 moment
+    partials (n, Σx, Σy, Σxy, Σx², Σy²) per key — one tiny row per
+    (key, batch) shuffles, never the points — and the closed-form
+    estimators are evaluated from the exactly-merged moments.
+
+    ``x`` is centered on a fixed epoch so x² stays within int64 for
+    century-scale data; with ``value_scale`` set (fixed-decimal y) the
+    moments are EXACT, so the only float step is the final division.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df_key = batch[key].to_pandas()
+        x = (
+            batch[ts_col].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // 1_000_000
+            - x_epoch_s
+        )
+        y = np.round(
+            batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * value_scale
+        ).astype(np.int64)
+        codes, uniques = pd.factorize(df_key, sort=False)
+        k = len(uniques)
+        # int64 np.add.at (NOT float-weight bincount: float64 loses
+        # integer exactness past 2^53). Envelope: sum(x^2) per key per
+        # batch must stay < 2^63 — at a 30-day span (|x| <= 2.6e6 s)
+        # that is ~1e6 rows/key; for wider spans re-center x per shard
+        # and merge with moment-shift formulas.
+        out: dict = {key: np.asarray(uniques), "n": np.bincount(codes, minlength=k)}
+        for name, w in (
+            ("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x), ("syy", y * y)
+        ):
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, w)
+            out[name] = acc
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = partials.groupby(key).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        sx = df["sx"].to_numpy(dtype=np.float64)
+        sy = df["sy"].to_numpy(dtype=np.float64) / value_scale
+        sxy = df["sxy"].to_numpy(dtype=np.float64) / value_scale
+        sxx = df["sxx"].to_numpy(dtype=np.float64)
+        syy = df["syy"].to_numpy(dtype=np.float64) / value_scale**2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            den_x = n * sxx - sx * sx
+            den_y = n * syy - sy * sy
+            slope = np.where(den_x > 0, (n * sxy - sx * sy) / den_x, np.nan)
+            intercept = (sy - slope * sx) / n
+            corr = np.where(
+                (den_x > 0) & (den_y > 0),
+                (n * sxy - sx * sy) / np.sqrt(den_x * den_y),
+                np.nan,
+            )
+        return pd.DataFrame(
+            {key: df[key], "n": df["n"].astype(np.int64),
+             "slope": slope, "intercept": intercept, "corr": corr}
+        )
+
+    return merged.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 def merge_rollups(
     rolled_a,
     rolled_b,

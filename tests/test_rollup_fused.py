@@ -221,3 +221,34 @@ def test_merge_rollups_incremental_equals_full(ray_session):
             np.testing.assert_allclose(g[~both_nan], e[~both_nan], rtol=1e-12, err_msg=c)
         else:
             assert (g == e).all(), c
+
+
+def test_linear_trend_matches_polyfit(ray_session):
+    """Algebraic trend aggregate equals numpy lstsq per key, and the
+    partials merge exactly across partitions."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.rollup import linear_trend
+
+    rng = np.random.default_rng(6)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 10, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-05")
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+            "value": np.round(rng.uniform(0, 80, n), 2),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = linear_trend(ds, key="user_id").to_pandas().set_index("user_id")
+    x0 = 1_704_067_200
+    for uid, sub in df.groupby("user_id"):
+        x = sub["ts"].astype("datetime64[us]").astype(np.int64).to_numpy() // 1_000_000 - x0
+        y = sub["value"].to_numpy()
+        slope, intercept = np.polyfit(x.astype(float), y, 1)
+        r = np.corrcoef(x.astype(float), y)[0, 1]
+        assert out.loc[uid, "n"] == len(sub)
+        np.testing.assert_allclose(out.loc[uid, "slope"], slope, rtol=1e-8)
+        np.testing.assert_allclose(out.loc[uid, "intercept"], intercept, rtol=1e-8)
+        np.testing.assert_allclose(out.loc[uid, "corr"], r, rtol=1e-8)
