@@ -786,19 +786,23 @@ def _tr_split_assign(sf_dir: str):
         out_rows.append({"split": s, "n_keys": got, "target_frac": f,
                          "got_frac": round(got / n_keys, 4)})
     # determinism: a second assignment pass must agree on every key —
-    # join the two per-key assignments and pull DISAGREEMENTS only
+    # union both per-key assignments and pull DISAGREEMENTS only (a
+    # key with >1 distinct split across the two passes). Union +
+    # sort-groupby, not Dataset.join: Ray 2.49's hash-shuffle join
+    # errors on the mostly-empty partitions a tiny input produces.
     again = split_assign(ds, "conv_id", fracs, seed=7)
     per2 = again.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
-    import ray as _ray
-
-    P = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    joined = per.select_columns(["conv_id", "split"]).join(
-        per2.select_columns(["conv_id", "split"]), join_type="inner",
-        num_partitions=P, on=("conv_id",), right_suffix="_b",
+    both = per.select_columns(["conv_id", "split"]).union(
+        per2.select_columns(["conv_id", "split"])
     )
-    mismatches = joined.map_batches(
-        lambda df: df[df["split"] != df["split_b"]],
-        batch_format="pandas", batch_size=None,
+
+    def disagreements(g: pd.DataFrame) -> pd.DataFrame:
+        if g["split"].nunique() == 1:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object)})
+        return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]]})
+
+    mismatches = both.groupby("conv_id").map_groups(
+        disagreements, batch_format="pandas"
     ).count()
     det = mismatches == 0
     out = pd.DataFrame(out_rows)
