@@ -1025,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_trend": Q.ev_trend,
         "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_incremental_rollup": Q.ev_incremental_rollup,
+        "ev_retained_users": Q.ev_retained_users,
         "ev_no_purchase_users": Q.ev_no_purchase_users,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_type_hour_count": Q.ev_type_hour_count,
@@ -1201,6 +1202,14 @@ def oracle_sql() -> dict[str, str]:
              and b.ts >= a.ts - interval 1 day
              and b.ts <= a.ts + interval 1 day
             group by a.event_id, a.user_id
+        """,
+        "ev_retained_users": """
+            with a as (select user_id, count(*) as n_first_half
+                       from events where ts < date '2024-01-15' group by 1),
+                 b as (select user_id, count(*) as n_second_half
+                       from events where ts >= date '2024-01-15' group by 1)
+            select a.user_id, a.n_first_half, b.n_second_half
+            from a join b using (user_id)
         """,
         "ev_incremental_rollup": """
             select user_id, date_trunc('hour', ts) as bucket_ts,

@@ -240,6 +240,24 @@ def ev_trailing_window(sf_dir: str):
     return _round_ds(out, {"sum_in_window": 6})
 
 
+def ev_retained_users(sf_dir: str):
+    """INTERSECT shape: users active in BOTH halves of the month, with
+    per-user counts from each half. Two pushdown-pruned reads, per-key
+    counts computed distributed, inner-merged on the small per-key
+    tables (one row per active user)."""
+    from ray.data.aggregate import Count
+
+    split = np.datetime64("2024-01-15", "us")
+    a = _read(sf_dir, "events", columns=["user_id", "ts"],
+              filter=pc.field("ts") < split)
+    b = _read(sf_dir, "events", columns=["user_id", "ts"],
+              filter=pc.field("ts") >= split)
+    ca = a.groupby("user_id").aggregate(Count(alias_name="n_first_half")).to_pandas()
+    cb = b.groupby("user_id").aggregate(Count(alias_name="n_second_half")).to_pandas()
+    out = ca.merge(cb, on="user_id", how="inner")  # per-key tables: small
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def ev_incremental_rollup(sf_dir: str):
     """Incremental view maintenance: the first half-month's 1h rollup
     merged with the second half's (two pushdown-pruned reads -> two
