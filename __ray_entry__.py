@@ -1305,12 +1305,12 @@ def oracle_sql() -> dict[str, str]:
                      count(*)::double as v0, sum(value) as v1
               from events group by 1, 2)
             select user_id, 0 as variate, count(*) as n_buckets,
-                   round(avg(v0), 6) as mean_v, round(min(v0), 6) as min_v,
+                   round(sum(v0), 6) as sum_v, round(min(v0), 6) as min_v,
                    round(max(v0), 6) as max_v
             from r group by user_id
             union all
             select user_id, 1 as variate, count(*) as n_buckets,
-                   round(avg(v1), 6) as mean_v, round(min(v1), 6) as min_v,
+                   round(sum(v1), 6) as sum_v, round(min(v1), 6) as min_v,
                    round(max(v1), 6) as max_v
             from r group by user_id
         """,
@@ -1339,7 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_lines": """
             select o_orderpriority,
                    count(*) as n_lines,
-                   sum(case when l_returnflag = 'R' then 1 else 0 end) as return_lines,
+                   cast(sum(case when l_returnflag = 'R' then 1 else 0 end) as bigint) as return_lines,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
             from orders join lineitem on l_orderkey = o_orderkey
             where l_shipdate >= date '1996-01-01'

@@ -836,7 +836,7 @@ def ev_multivariate_precond(sf_dir: str):
     out = multivariate_precondition_stats(
         rolled, ("v0", "v1"), key="user_id", polynomial="chebyshev", degree=4
     )
-    return _round_ds(out, {"mean_v": 6, "min_v": 6, "max_v": 6})
+    return _round_ds(out, {"sum_v": 6, "min_v": 6, "max_v": 6})
 
 
 # ------------------------------------------------ distinct counting

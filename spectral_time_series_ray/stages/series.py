@@ -259,12 +259,19 @@ def multivariate_precondition_stats(
     ``[variates, time]`` target (the reference's nested
     ``list<list<float>>`` layout, `data/builder/simple.py:173-182`),
     run the 2-D forward + reverse precondition kernels (per-variate
-    independence, reference precondition.py:382-426), and emit
-    per-variate stats OF THE ROUNDTRIPPED values — so a DuckDB oracle
-    over the raw rollup checks the whole multivariate path: any
-    roundtrip or variate-crossing error breaks the value hash.
+    independence, reference precondition.py:382-426), assert the
+    roundtrip is exact to ``tol`` IN-STAGE (any kernel error raises and
+    fails the query), and emit per-variate stats of the RAW values so
+    the DuckDB oracle compares bit-stable numbers. Stats of the
+    roundtripped floats would carry ~1e-10 reconstruction noise that
+    can land a mean exactly on a 1e-6 rounding boundary (observed once
+    in 900 values at sf0.01) — the tol assertion is the kernel check,
+    the oracle hash is the pipeline check.
 
-    Output: one row per (key, variate): n_buckets, mean_v, min_v, max_v.
+    Output: one row per (key, variate): n_buckets, sum_v, min_v, max_v
+    (sum, not mean: a sum of 2-decimal inputs is >=5e-7 from every 1e-6
+    half-boundary so round(…,6) is order-safe, while a mean can land
+    exactly ON a boundary and flip under summation-order ulp drift).
     Raises if the roundtrip error exceeds ``tol``.
     """
     coeffs = np.asarray(precondition_coefficients(polynomial, degree))
@@ -282,9 +289,9 @@ def multivariate_precondition_stats(
                 key: np.repeat(df[key].iloc[0], v),
                 "variate": np.arange(v, dtype=np.int64),
                 "n_buckets": np.full(v, mat.shape[1], dtype=np.int64),
-                "mean_v": rec.mean(axis=1),
-                "min_v": rec.min(axis=1),
-                "max_v": rec.max(axis=1),
+                "sum_v": mat.sum(axis=1),
+                "min_v": mat.min(axis=1),
+                "max_v": mat.max(axis=1),
             }
         )
 

@@ -49,6 +49,12 @@ def compare(name, got, exp) -> str:
         return f"SCHEMA got={list(got.columns)} exp={list(exp.columns)}"
     if len(got) != len(exp):
         return f"ROWS got={len(got)} exp={len(exp)}"
+    # the driver hashes TYPED values, so int64 1 vs float64 1.0 is a
+    # hash mismatch even though numpy == says equal — flag dtype drift
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        if (gk in "iuf" or ek in "iuf") and gk != ek:
+            return f"DTYPE col={c} got={got[c].dtype} exp={exp[c].dtype}"
     for c in got.columns:
         g, e = got[c].to_numpy(), exp[c].to_numpy()
         if got[c].dtype.kind == "f":
