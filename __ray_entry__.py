@@ -442,7 +442,10 @@ def _emb_ann_ivf(sf_dir: str):
     """IVF ANN top-k with a distributed exactness check: recall_vs_brute
     compares the IVF result set against the brute-force exact top-k
     (both computed distributed; only the two k-row results meet on the
-    driver). ok = recall >= 0.9 at the default nprobe/n_clusters."""
+    driver). ok = recall >= 0.9 with real margin: spill=2 multiple
+    assignment indexes each vector in its 2 nearest lists, so a vector
+    is missed only when BOTH go unprobed (measured recall 1.0 at
+    sf0.001/0.01/0.1; was exactly 0.9 / 0.8 single-assigned)."""
     import ray.data
 
     from spectral_time_series_ray.pipelines.queries import _query_vec

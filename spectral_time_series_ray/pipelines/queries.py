@@ -243,8 +243,9 @@ def ev_trailing_window(sf_dir: str):
 def ev_retained_users(sf_dir: str):
     """INTERSECT shape: users active in BOTH halves of the month, with
     per-user counts from each half. Two pushdown-pruned reads, per-key
-    counts computed distributed, inner-merged on the small per-key
-    tables (one row per active user)."""
+    counts computed distributed, then a hash-shuffle ``Dataset.join``
+    — the per-user tables never land on the driver (the user domain is
+    unbounded at 100 TB)."""
     from ray.data.aggregate import Count
 
     split = np.datetime64("2024-01-15", "us")
@@ -252,10 +253,12 @@ def ev_retained_users(sf_dir: str):
               filter=pc.field("ts") < split)
     b = _read(sf_dir, "events", columns=["user_id", "ts"],
               filter=pc.field("ts") >= split)
-    ca = a.groupby("user_id").aggregate(Count(alias_name="n_first_half")).to_pandas()
-    cb = b.groupby("user_id").aggregate(Count(alias_name="n_second_half")).to_pandas()
-    out = ca.merge(cb, on="user_id", how="inner")  # per-key tables: small
-    return out.sort_values("user_id").reset_index(drop=True)
+    ca = a.groupby("user_id").aggregate(Count(alias_name="n_first_half"))
+    cb = b.groupby("user_id").aggregate(Count(alias_name="n_second_half"))
+    out = ca.join(
+        cb, join_type="inner", num_partitions=_join_partitions(), on=("user_id",)
+    )
+    return out.select_columns(["user_id", "n_first_half", "n_second_half"])
 
 
 def ev_incremental_rollup(sf_dir: str):
@@ -279,12 +282,14 @@ def ev_incremental_rollup(sf_dir: str):
 
 def ev_no_purchase_users(sf_dir: str):
     """Anti-join / EXCEPT shape: (user, day) pairs with clicks but no
-    purchase that day. The purchase key set (one composite int per
-    (user, day) — small) is aggregated distributed, broadcast once,
-    and clicks are anti-filtered per batch before the final groupby."""
+    purchase that day — fully distributed: a Bloom over the purchase
+    keys keeps certain non-buyers with zero shuffle, and only the
+    sparse Bloom-hit rows enter a hash-shuffle left-outer verify
+    (`join.anti_join_distributed`). No key set ever materializes on
+    the driver (the (user, day) domain is unbounded at 100 TB)."""
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.join import anti_join_keys
+    from ..stages.join import anti_join_distributed
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
 
@@ -300,14 +305,10 @@ def ev_no_purchase_users(sf_dir: str):
         return batch.append_column("_ud", key)
 
     ds = ds.map_batches(with_key, batch_format="pyarrow", batch_size=None)
-    purchase_days = set(
-        r["_ud"]
-        for r in ds.filter(expr="event_type == 'purchase'")
-        .groupby("_ud").count().take_all()  # one int per (buyer, day)
-    )
+    purchases = ds.filter(expr="event_type == 'purchase'").select_columns(["_ud"])
     clicks = ds.filter(expr="event_type == 'click'")
     out = (
-        anti_join_keys(clicks, purchase_days, "_ud")
+        anti_join_distributed(clicks, purchases, "_ud")
         .groupby(["user_id", "day"])
         .aggregate(Count(alias_name="n_clicks"), Sum("value", alias_name="click_value"))
     )
@@ -344,6 +345,11 @@ def ev_type_hour_count(sf_dir: str):
 
 
 def ev_top_users(sf_dir: str):
+    """Top-10 users by total value: per-batch Arrow partials, hash
+    groupby merge, then only per-block partial top-50s reach the
+    driver (q3's bounded-candidate pattern — never the full per-user
+    table, whose size is unbounded at 100 TB). 50 unrounded candidates
+    per block guard every tie that could enter the ROUNDED top-10."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "value"])
@@ -353,7 +359,11 @@ def ev_top_users(sf_dir: str):
 
     ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     totals = ds.groupby("user_id").aggregate(Sum("value_sum", alias_name="total_value"))
-    df = totals.to_pandas()
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(50)
+
+    df = totals.map_batches(part_top, batch_format="pandas").to_pandas()
     df["total_value"] = round_half_away(df["total_value"].to_numpy(), 2)
     df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
     return df.reset_index(drop=True)
@@ -586,6 +596,11 @@ def q3_revenue_topk(sf_dir: str):
 
 
 def top_customers(sf_dir: str):
+    """Top-10 customers by lifetime spend: distributed per-customer
+    totals, per-block partial top-50s (bounded driver data — q3's
+    pattern), final rounded top-10 on ≤50/block candidates, and the
+    customer NAMES fetched with a key-filter-pushdown read of exactly
+    the 10 winners — the customer dimension is never materialized."""
     from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -597,12 +612,20 @@ def top_customers(sf_dir: str):
     totals = partials.groupby("o_custkey").aggregate(
         Sum("o_totalprice_sum", alias_name="total_spend")
     )
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    joined = broadcast_join(totals, cust, on="o_custkey", how="inner")
-    df = joined.to_pandas()
-    df["total_spend"] = round_half_away(df["total_spend"].to_numpy(), 2)
-    df = df.sort_values(["total_spend", "o_custkey"], ascending=[False, True]).head(10)
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["total_spend", "o_custkey"], ascending=[False, True]).head(50)
+
+    cand = totals.map_batches(part_top, batch_format="pandas").to_pandas()
+    cand["total_spend"] = round_half_away(cand["total_spend"].to_numpy(), 2)
+    top = cand.sort_values(["total_spend", "o_custkey"], ascending=[False, True]).head(10)
+    names = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey").isin(top["o_custkey"].tolist()),
+    ).to_pandas()
+    df = top.merge(
+        names.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey", how="inner"
+    )
     return df.rename(columns={"o_custkey": "c_custkey"}).reset_index(drop=True)
 
 

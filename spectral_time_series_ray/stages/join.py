@@ -70,41 +70,99 @@ def anti_join_keys(ds, keys, column: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
-def build_bloom(ds, column: str, n_bits: int = 1 << 20, k: int = 5):
-    """Build a Bloom filter over a Dataset column: per-batch partial
-    filters (O(n_bits) bytes each, OR-mergeable) reduced on the driver
-    — only bitsets cross the wire, never keys."""
+def key_hash_scheme(ds, column: str) -> str:
+    """Resolve the Bloom hashing scheme ("int" → splitmix64 over int64,
+    "str" → FNV over str()) ONCE from the Dataset SCHEMA, never from a
+    batch's pandas dtype: a null in one batch silently promotes an
+    int64 key column to float64 there, and a per-batch dtype sniff
+    would then hash the two batches differently — Bloom false
+    negatives, i.e. wrong join results. Float key columns are rejected
+    outright (hash-joining on floats is a correctness smell)."""
+    import numpy as np
+    import pyarrow as pa
+
+    sch = ds.schema()
+    try:
+        t = dict(zip(sch.names, sch.types))[column]
+    except KeyError:
+        raise KeyError(f"column {column!r} not in schema {sch.names}") from None
+    if isinstance(t, pa.DataType):
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            raise TypeError(f"refusing to hash float join key {column!r} ({t})")
+        return "str"
+    dt = np.dtype(t)
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.floating):
+        raise TypeError(f"refusing to hash float join key {column!r} ({dt})")
+    return "str"
+
+
+def _hash_key_column(col, scheme: str, column: str):
+    """Hash a pandas key Series under a pre-resolved scheme. Null keys
+    raise: SQL semantics say NULL matches nothing, and silently hashing
+    NaN (or letting it promote the dtype) corrupts the filter."""
     import numpy as np
     import pandas as pd
 
-    from ..functions.bloom import BloomFilter, hash_u64
+    from ..functions.bloom import hash_u64
+    from ..functions.hashing import fnv1a_u64
+
+    if pd.isna(col).any():
+        raise ValueError(f"null join key in column {column!r}; drop nulls first")
+    if scheme == "int":
+        return hash_u64(col.to_numpy(dtype=np.int64))
+    return fnv1a_u64([str(v) for v in col])
+
+
+def build_bloom(ds, column: str, n_bits: int = 1 << 20, k: int = 5):
+    """Build a Bloom filter over a Dataset column: per-batch partial
+    filters (O(n_bits) bytes each, OR-mergeable) reduced on the driver
+    — only bitsets cross the wire, never keys. The hash scheme is
+    resolved once from the schema (see :func:`key_hash_scheme`) and
+    recorded on the returned filter so probe sides can verify they
+    canonicalize identically."""
+    import pandas as pd
+
+    from ..functions.bloom import BloomFilter
+
+    scheme = key_hash_scheme(ds, column)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         bf = BloomFilter(n_bits=n_bits, k=k)
-        col = batch[column]
-        if np.issubdtype(col.dtype, np.integer):
-            bf.add_hashes(hash_u64(col.to_numpy()))
-        else:
-            bf.add_values(col.tolist())
+        bf.add_hashes(_hash_key_column(batch[column], scheme, column))
         return pd.DataFrame({"bloom": [bf.to_bytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).take_all()
     acc = BloomFilter(n_bits=n_bits, k=k)
     for row in parts:  # one O(n_bits) blob per block
         acc.merge(BloomFilter.from_bytes(row["bloom"]))
+    acc.scheme = scheme
     return acc
 
 
-def bloom_semi_filter(ds, column: str, bloom):
+def bloom_semi_filter(ds, column: str, bloom, invert: bool = False):
     """Semi-join pushdown: broadcast the Bloom bitset once (``ray.put``)
     and drop rows whose key cannot exist on the other join side before
     the shuffle. False positives pass through harmlessly — the join
-    stays exact; false negatives are impossible."""
-    import numpy as np
+    stays exact; false negatives are impossible (both sides hash under
+    the same schema-resolved scheme, enforced here). With
+    ``invert=True`` keeps only the Bloom REJECTS — rows whose key is
+    certainly absent from the build side (the exact half of a
+    distributed anti-join)."""
     import ray
 
-    from ..functions.bloom import BloomFilter, hash_u64
+    from ..functions.bloom import BloomFilter
 
+    scheme = key_hash_scheme(ds, column)
+    built = getattr(bloom, "scheme", None)
+    if built is not None and built != scheme:
+        raise TypeError(
+            f"bloom built with scheme {built!r} but probe column {column!r} "
+            f"resolves to {scheme!r}; cast one side so keys canonicalize identically"
+        )
     ref = ray.put(bloom.to_bytes())
 
     def f(batch):
@@ -114,14 +172,62 @@ def bloom_semi_filter(ds, column: str, bloom):
             bf = BloomFilter.from_bytes(ray.get(ref))
             _SMALL_CACHE.clear()
             _SMALL_CACHE[key] = bf
-        col = batch[column]
-        if np.issubdtype(col.dtype, np.integer):
-            m = bf.contains_hashes(hash_u64(col.to_numpy()))
-        else:
-            m = bf.contains_values(col.tolist())
-        return batch[m]
+        m = bf.contains_hashes(_hash_key_column(batch[column], scheme, column))
+        return batch[~m] if invert else batch[m]
 
     return ds.map_batches(f, batch_format="pandas", batch_size=None)
+
+
+def anti_join_distributed(
+    left_ds,
+    right_ds,
+    key: str,
+    right_key: str | None = None,
+    n_bits: int = 1 << 20,
+    num_partitions: int | None = None,
+):
+    """Distributed anti-join: rows of ``left_ds`` whose ``key`` appears
+    nowhere in ``right_ds[right_key]`` — with NO driver-side key set.
+
+    Scale path: a Bloom filter over the right keys (mergeable bitsets,
+    never keys, on the driver) splits the left into (a) Bloom REJECTS —
+    certainly unmatched, kept immediately with zero shuffle, and (b)
+    Bloom hits — actual matches plus ~fp-rate false positives, the only
+    rows that enter a hash-shuffle ``Dataset.join`` (left_outer against
+    the DISTINCT right keys) where null-marker rows are kept. At 100 TB
+    the shuffle carries only the sparse suspect rows, and no key set
+    ever materializes on the driver (contrast ``anti_join_keys``, the
+    broadcast-set variant for known-small right sides).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    right_key = right_key or key
+    P = num_partitions or partitions_for_input(None)
+    bloom = build_bloom(right_ds.select_columns([right_key]), right_key, n_bits=n_bits)
+    certain = bloom_semi_filter(left_ds, key, bloom, invert=True)
+    suspects = bloom_semi_filter(left_ds, key, bloom)
+    right_keys = right_ds.select_columns([right_key]).groupby(right_key).count()
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[right_key]].copy()
+        out["_present"] = np.int8(1)
+        return out
+
+    marked = right_keys.map_batches(mark, batch_format="pandas", batch_size=None)
+    joined = suspects.join(
+        marked, join_type="left_outer", num_partitions=P,
+        on=(key,), right_on=(right_key,),
+    )
+    left_cols = list(left_ds.schema().names)
+
+    def keep_unmatched(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["_present"].isna(), left_cols]
+
+    verified = joined.map_batches(keep_unmatched, batch_format="pandas", batch_size=None)
+    return certain.select_columns(left_cols).union(verified)
 
 
 def range_join_aggregate(

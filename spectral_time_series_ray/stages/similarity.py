@@ -94,19 +94,34 @@ def ann_brute_force(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _bounded_sample_matrix(ds, col: str, max_rows: int, seed: int) -> np.ndarray:
+    """Driver-side init sample capped at an ABSOLUTE row count: a
+    corpus-fraction sample would pull terabytes at 100 TB. ``count()``
+    on a parquet-backed Dataset is metadata-only; the sampled rows are
+    additionally ``limit``-ed so the bound holds even where the
+    fraction over-delivers."""
+    n = ds.count()
+    keep = ds.select_columns([col])
+    frac = min(1.0, max_rows / max(1, n))
+    if frac < 1.0:
+        keep = keep.random_sample(frac, seed=seed)
+    return _to_matrix(keep.limit(max_rows).to_pandas()[col])
+
+
 def kmeans_fit_distributed(
     ds,
     n_clusters: int = 8,
     iters: int = 8,
     col: str = "embedding",
     seed: int = 42,
-    sample_frac: float = 0.2,
+    max_sample_rows: int = 50_000,
 ):
     """Distributed spherical k-means (Lloyd): centroids broadcast per
     iteration (``ray.put`` once per iter), each batch emits ONE
     (vector-sum, count, sim-sum) partial row per cluster — per
     iteration the driver sees O(blocks x k) small rows, never vectors.
-    Initialization = driver-side sample k-means (:func:`kmeans_fit`).
+    Initialization = driver-side k-means over a sample capped at
+    ``max_sample_rows`` (absolute, not a corpus fraction).
 
     Returns ``(centroids [k, d] unit-norm, objective history)`` where
     objective = mean max-cosine-similarity; Lloyd steps make it
@@ -114,9 +129,7 @@ def kmeans_fit_distributed(
     """
     import ray
 
-    sample = _to_matrix(
-        ds.random_sample(sample_frac, seed=seed).to_pandas()[col]
-    )
+    sample = _bounded_sample_matrix(ds, col, max_sample_rows, seed)
     centroids = kmeans_fit(sample, n_clusters, iters=3, seed=seed)
     k = len(centroids)
     history: list[float] = []
@@ -176,11 +189,28 @@ def kmeans_predict(ds, centroids: np.ndarray, concurrency: int = 4):
     )
 
 
+def _kmeanspp_init(x: np.ndarray, k: int, rng) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii, SODA 2007) under
+    cosine distance: D²-weighted draws keep seeds spread across real
+    clusters — uniform seeding can land all k seeds in one dense
+    cluster and Lloyd never recovers (merged centroids)."""
+    k = min(k, len(x))
+    cents = np.empty((k, x.shape[1]))
+    cents[0] = x[rng.integers(len(x))]
+    d2 = np.maximum(0.0, 1.0 - x @ cents[0]) ** 2
+    for i in range(1, k):
+        tot = d2.sum()
+        j = rng.choice(len(x), p=d2 / tot) if tot > 0 else rng.integers(len(x))
+        cents[i] = x[j]
+        d2 = np.minimum(d2, np.maximum(0.0, 1.0 - x @ cents[i]) ** 2)
+    return cents
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 20, seed: int = 42) -> np.ndarray:
-    """Plain seeded Lloyd's k-means on a (driver-side) sample."""
+    """Seeded Lloyd's k-means (k-means++ init) on a driver-side sample."""
     rng = np.random.default_rng(seed)
     x = _normalize(sample)
-    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    centroids = _kmeanspp_init(x, n_clusters, rng)
     for _ in range(iters):
         d = x @ centroids.T
         assign = np.argmax(d, axis=1)
@@ -205,6 +235,27 @@ class _IVFAssign:
         return out
 
 
+class _IVFSpillAssign:
+    """Index each vector under its ``spill`` nearest centroids: rows
+    are replicated per assigned list with the list id in ``cluster``
+    (multiple assignment; dedup happens at query-merge time)."""
+
+    def __init__(self, cent_ref, spill: int = 2):
+        import ray
+
+        self.centroids = ray.get(cent_ref)
+        self.spill = max(1, int(spill))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_to_matrix(batch["embedding"]))
+        sims = m @ self.centroids.T
+        s = min(self.spill, sims.shape[1])
+        top = np.argpartition(-sims, s - 1, axis=1)[:, :s].astype(np.int32)
+        out = pd.concat([batch] * s, ignore_index=True)
+        out["cluster"] = top.T.reshape(-1)  # column-major: copy i gets top[:, i]
+        return out
+
+
 def ivf_search(
     ds,
     queries: np.ndarray,
@@ -212,26 +263,33 @@ def ivf_search(
     n_clusters: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
-    sample_frac: float = 0.2,
+    max_sample_rows: int = 50_000,
     seed: int = 42,
     concurrency: int = 4,
+    spill: int = 2,
 ):
     """IVF ANN: probe only the nprobe nearest inverted lists per query.
 
     Returns (query_id, id, score) — approximate: recall depends on
     nprobe/n_clusters; exactness is NOT guaranteed (use
     ann_brute_force as the oracle baseline).
+
+    ``spill`` indexes each vector in its ``spill`` nearest lists
+    (multiple assignment — the standard IVF fix for boundary vectors,
+    cf. Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 §V): a vector is missed only when ALL its
+    lists go unprobed, which lifts recall margin at every corpus size
+    for ``spill/n_clusters`` extra index storage. Duplicated
+    candidates are deduped in the final per-query merge.
     """
     import ray
 
-    sample = _to_matrix(
-        ds.random_sample(sample_frac, seed=seed).to_pandas()["embedding"]
-    )
+    sample = _bounded_sample_matrix(ds, "embedding", max_sample_rows, seed)
     centroids = kmeans_fit(sample, n_clusters, seed=seed)
     cent_ref = ray.put(centroids)
     assigned = ds.map_batches(
-        _IVFAssign, fn_constructor_args=(cent_ref,), batch_format="pandas",
-        batch_size=4096, concurrency=concurrency,
+        _IVFSpillAssign, fn_constructor_args=(cent_ref, spill),
+        batch_format="pandas", batch_size=4096, concurrency=concurrency,
     )
     q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # [nq, nprobe]
@@ -262,11 +320,16 @@ def ivf_search(
                 keep = self.mask[qi, cl]
                 if not keep.any():
                     continue
-                idx = _topk_deterministic(scores[keep, qi], ids[keep], k)
+                kid, kscore = ids[keep], scores[keep, qi]
+                # spilled copies of a vector may BOTH be probed in this
+                # batch; dedup ids first or duplicates crowd real
+                # candidates out of the k partial slots
+                _, first = np.unique(kid, return_index=True)
+                kid, kscore = kid[first], kscore[first]
+                idx = _topk_deterministic(kscore, kid, k)
                 out.append(
                     pd.DataFrame(
-                        {"query_id": qi, id_col: ids[keep][idx],
-                         "score": scores[keep, qi][idx]}
+                        {"query_id": qi, id_col: kid[idx], "score": kscore[idx]}
                     )
                 )
             if not out:
@@ -283,7 +346,10 @@ def ivf_search(
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        # spilled assignment can surface the same id from two probed
+        # lists — dedup before the final cut
+        g = g.sort_values(["score", id_col], ascending=[False, True])
+        g = g.drop_duplicates(subset=id_col, keep="first").head(k)
         return g.reset_index(drop=True)
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

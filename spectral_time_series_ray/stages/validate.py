@@ -88,26 +88,16 @@ def orphan_key_count(child_ds, parent_ds, child_col: str, parent_col: str):
     import numpy as np
     import pandas as pd
 
-    from ..functions.bloom import BloomFilter, hash_u64
-    from .join import build_bloom
+    from .join import bloom_semi_filter, build_bloom
 
     bloom = build_bloom(parent_ds, parent_col)
     n_child = child_ds.count()
-
-    import ray
-
-    ref = ray.put(bloom.to_bytes())
-
-    def rejects(batch: pd.DataFrame) -> pd.DataFrame:
-        bf = BloomFilter.from_bytes(ray.get(ref))
-        col = batch[child_col]
-        if np.issubdtype(col.dtype, np.integer):
-            m = bf.contains_hashes(hash_u64(col.to_numpy()))
-        else:
-            m = bf.contains_values(col.tolist())
-        return batch.loc[~m, [child_col]]
-
-    certain = child_ds.map_batches(rejects, batch_format="pandas", batch_size=None)
+    # schema-resolved hashing on BOTH sides (see join.key_hash_scheme):
+    # a per-batch dtype sniff could hash a null-promoted batch
+    # differently and manufacture false negatives / phantom orphans
+    certain = bloom_semi_filter(
+        child_ds.select_columns([child_col]), child_col, bloom, invert=True
+    )
     n_certain = certain.count()  # bloom rejects: orphans for sure
     # Bloom false positives: verify exactly with a DISTRIBUTED
     # left-outer join on the distinct-key level — neither key set ever
