@@ -306,55 +306,158 @@ class _SimHashStage:
         return out
 
 
-def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4):
-    """SimHash near-dup: band the 64-bit hash into 4x16-bit keys (any
-    pair within Hamming<=3 shares at least one band by pigeonhole),
-    verify Hamming distance in-bucket. Returns (doc_id, cluster_id,
-    is_keeper)."""
+def _simhash_block_tables(n_blocks: int, key_blocks: int):
+    """Block widths + per-table block combinations for Manku-style
+    multi-table banding (Manku/Jain/Das Sarma, WWW 2007 §3): split the
+    64-bit fingerprint into ``n_blocks`` blocks; a pair within Hamming
+    distance h differs in at most h blocks, so whenever
+    ``n_blocks - key_blocks >= h`` it shares ALL key blocks of at least
+    one of the C(n_blocks, key_blocks) tables — pigeonhole, no recall
+    loss. Each table's bucket key concatenates ``key_blocks`` blocks
+    (~``64 * key_blocks / n_blocks`` bits), so expected bucket
+    occupancy is ``corpus_size / 2**key_bits`` — a tuning parameter
+    independent of corpus size, unlike fixed 16-bit bands whose
+    occupancy grows linearly with the corpus."""
+    from itertools import combinations
+
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    combos = list(combinations(range(n_blocks), key_blocks))
+    return widths, offsets, combos
+
+
+def simhash_dedup(
+    ds,
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    n_blocks: int = 6,
+    key_blocks: int = 3,
+    bucket_cap: int = 500,
+):
+    """SimHash near-dup via multi-table block banding (Manku et al.,
+    WWW'07): C(n_blocks, key_blocks) tables, each keyed on a distinct
+    combination of ``key_blocks`` of the ``n_blocks`` fingerprint
+    blocks. Pigeonhole guarantees every pair within
+    ``max_hamming <= n_blocks - key_blocks`` collides in some table;
+    the default 3-of-6 gives 20 tables with ~32-bit keys, so bucket
+    occupancy stays O(corpus / 2^32) at any corpus size. Hamming is
+    verified exactly in-bucket. Returns (doc_id, cluster_id,
+    is_keeper).
+
+    Oversized buckets (> ``bucket_cap`` DISTINCT fingerprints — e.g.
+    an adversarial key collision) are skipped with a warning; but
+    identical fingerprints are first chained in O(n) (mass-duplicated
+    content floods buckets legitimately and loses no recall), so the
+    cap applies only to the distinct-fingerprint pair verification.
+    """
+    if n_blocks - key_blocks < max_hamming:
+        raise ValueError(
+            f"need n_blocks - key_blocks >= max_hamming for full recall "
+            f"(got {n_blocks}-{key_blocks} < {max_hamming})"
+        )
+    widths, offsets, combos = _simhash_block_tables(n_blocks, key_blocks)
     hashes = ds.map_batches(
         _SimHashStage, batch_format="pandas", batch_size=2048, concurrency=concurrency
     ).materialize()
 
+    from .rollup import partitions_for_input
+
+    P = partitions_for_input(None)
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
         n = len(batch)
+        blocks = [
+            ((h >> np.uint64(offsets[b])) & np.uint64((1 << widths[b]) - 1))
+            for b in range(n_blocks)
+        ]
         parts = []
-        for band in range(4):
-            key = ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+        for t, combo in enumerate(combos):
+            key = np.uint64(t)  # table id folded into one combined key
+            for b in combo:
+                key = (key << np.uint64(widths[b])) | blocks[b]
             parts.append(
                 pd.DataFrame(
                     {
                         "doc_id": batch["doc_id"].to_numpy(),
                         "simhash": batch["simhash"].to_numpy(),
-                        "band_id": np.full(n, band, np.int32),
-                        "band_key": key,
+                        "bkey": key.astype(np.int64),
                     }
                 )
             )
-        return pd.concat(parts, ignore_index=True)
+        out = pd.concat(parts, ignore_index=True)
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["bkey"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
 
     exploded = hashes.map_batches(explode, batch_format="pandas", batch_size=None)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one hash partition in ONE vectorized pass:
+        lexsort by (bucket, fingerprint, doc), chain identical
+        fingerprints via segment boundaries (O(n), mass duplicates
+        never hit the pairwise cap), and run exact pairwise Hamming
+        only over the rare buckets with >=2 DISTINCT fingerprints."""
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+             "hamming": pd.Series([], dtype=np.int64)}
+        )
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        if len(g) > 500:  # degenerate hot bucket: skip, but SAY so
-            log.warning(
-                "simhash: skipping oversized bucket (band_id=%s, %d docs) — "
-                "recall may drop for this corpus",
-                g["band_id"].iloc[0], len(g),
-            )
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        ids = g["doc_id"].to_numpy()
+            return empty
+        bk = g["bkey"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        hd = hamming64(hs[ai], hs[bi])
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi], "hamming": hd})
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, hs, bk))
+        bk, hs, ids = bk[order], hs[order], ids[order]
+        new_bucket = np.concatenate([[True], bk[1:] != bk[:-1]])
+        starts = new_bucket | np.concatenate([[True], hs[1:] != hs[:-1]])
+        rep_idx = np.flatnonzero(starts)
+        grp = np.cumsum(starts) - 1
+        dup_mask = ~starts
+        frames = []
+        if dup_mask.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "a": ids[rep_idx[grp[dup_mask]]],
+                        "b": ids[dup_mask],
+                        "hamming": np.zeros(int(dup_mask.sum()), dtype=np.int64),
+                    }
+                )
+            )
+        # pairwise over distinct fingerprints, bucket by bucket
+        bucket_of_rep = (np.cumsum(new_bucket) - 1)[rep_idx]
+        reps_per_bucket = np.bincount(bucket_of_rep)
+        multi = np.flatnonzero(reps_per_bucket >= 2)
+        if len(multi):
+            rep_starts = np.concatenate([[0], np.cumsum(reps_per_bucket)])
+            r_ids, r_hs = ids[rep_idx], hs[rep_idx]
+            for b in multi:
+                s, e = rep_starts[b], rep_starts[b + 1]
+                m = e - s
+                if m > bucket_cap:  # adversarial key collision: skip, but SAY so
+                    log.warning(
+                        "simhash: skipping pairwise verify in oversized bucket "
+                        "(%d distinct fingerprints) — recall may drop for this corpus",
+                        m,
+                    )
+                    continue
+                ai, bi = np.triu_indices(m, k=1)
+                frames.append(
+                    pd.DataFrame(
+                        {"a": r_ids[s:e][ai], "b": r_ids[s:e][bi],
+                         "hamming": hamming64(r_hs[s:e][ai], r_hs[s:e][bi])}
+                    )
+                )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
-        exploded.groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        exploded.groupby("_part")
+        .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates(["a", "b"])
     )
