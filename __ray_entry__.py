@@ -168,7 +168,9 @@ def _tr_spectral(sf_dir: str):
 def _tr_precondition_roundtrip(sf_dir: str):
     """Forward+reverse preconditioning through the Ray stage returns the
     original series (reference test_precondition.py:300-337 invariant,
-    evaluated per conversation)."""
+    evaluated per conversation — DISTRIBUTED: the per-conversation
+    reversal runs inside groupby().map_groups; only the tiny one-row-
+    per-conversation verdicts reach the driver)."""
     from spectral_time_series_ray.functions.precondition import (
         precondition_coefficients,
         reverse_precondition,
@@ -184,15 +186,40 @@ def _tr_precondition_roundtrip(sf_dir: str):
         rolled, "1m", value_col="mean_latency", method="locf",
         polynomial="chebyshev", degree=4,
     )
-    df = filled.to_pandas()
-    coeffs = precondition_coefficients("chebyshev", 4)
-    rows = []
-    for conv, g in df.groupby("conv_id"):
+    coeffs = np.asarray(precondition_coefficients("chebyshev", 4))
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("bucket_ts")
         rec = reverse_precondition(g["mean_latency_precond"].to_numpy(), coeffs)
         err = float(np.abs(rec - g["mean_latency"].to_numpy()).max())
-        rows.append({"conv_id": conv, "n_buckets": len(g), "max_err": err, "ok": err < 1e-8})
-    return pd.DataFrame(rows)
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]], "n_buckets": [len(g)],
+             "max_err": [err], "ok": [err < 1e-8]}
+        )
+
+    return filled.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+def _tr_patch_precond(sf_dir: str):
+    """Patch-axis precondition (reference PatchPolynomialPrecondition /
+    PatchReversePrecondition, patch_precondition.py:27-305): flagship
+    1m chunks patchified to [time, patch], convolved along TIME with
+    patch elements as channels. Self-verifying: per chunk, the patched
+    forward must equal the 1-D kernel per channel BIT-EXACTLY
+    (xcheck_err == 0), the no-context reverse must roundtrip, and the
+    GT-context reverse must restore the tail from the original head."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import (
+        gap_fill_pack_series,
+        patched_precondition_stats,
+    )
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+    out = patched_precondition_stats(chunks, patch_size=8, degree=4).to_pandas()
+    return out.sort_values(["conv_id", "chunk_idx"]).reset_index(drop=True)
 
 
 def _tr_spectral_lomb(sf_dir: str):
@@ -1066,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_spectral_lomb": _tr_spectral_lomb,
         "tr_window_eval": _tr_window_eval,
         "tr_hybrid_reversal": _tr_hybrid_reversal,
+        "tr_patch_precond": _tr_patch_precond,
         # text / dedup / similarity / multimodal (rows-only)
         "doc_quality": _doc_quality,
         "doc_fingerprints": _doc_fingerprints,

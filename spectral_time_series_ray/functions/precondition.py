@@ -121,6 +121,71 @@ def reverse_with_base_context(
     return result
 
 
+def forward_precondition_patched(x: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    """Patched-layout forward: ``x`` is ``(..., time, patch)`` and the
+    causal convolution runs along the TIME axis (axis -2) with each
+    patch element as an independent channel; identity for t < n.
+    Matches the reference's `PatchPolynomialPrecondition`
+    (`uni2ts/src/uni2ts/transform/patch_precondition.py:82-142`):
+    ``y'[t] = y[t] + sum_{i=1..n} c_i * y[t-i]`` where y[t] is the
+    patch vector at time t. Dtype preserved."""
+    coeffs = np.asarray(coeffs)
+    n = len(coeffs)
+    x = np.asarray(x)
+    if x.ndim < 2:
+        raise ValueError("patched layout requires at least (time, patch) dims")
+    result = x.copy()
+    t_len = x.shape[-2]
+    if t_len > n:
+        weighted = np.zeros(
+            x.shape[:-2] + (t_len - n,) + x.shape[-1:], dtype=x.dtype
+        )
+        for i in range(n):
+            weighted += (coeffs[i] * x[..., n - i - 1 : t_len - i - 1, :]).astype(
+                x.dtype, copy=False
+            )
+        result[..., n:, :] = x[..., n:, :] + weighted
+    return result
+
+
+def reverse_precondition_patched(
+    y: np.ndarray, coeffs: np.ndarray, context: np.ndarray | None = None
+) -> np.ndarray:
+    """Sequential reversal of :func:`forward_precondition_patched` —
+    recursive along time (uses already-restored lags), vectorized
+    across every batch and patch dimension per step. Matches the
+    reference's `PatchReversePrecondition`
+    (`uni2ts/src/uni2ts/transform/patch_precondition.py:205-305`):
+    without ``context`` the first n steps are identity; with
+    ``context`` (``(..., ctx_time, patch)`` original-scale history)
+    every step uses history. Dtype preserved."""
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    n = len(coeffs)
+    y = np.asarray(y)
+    if y.ndim < 2:
+        raise ValueError("patched layout requires at least (time, patch) dims")
+    t_len = y.shape[-2]
+    if context is not None:
+        ctx = np.asarray(context)
+        buf = np.concatenate([ctx, y], axis=-2).astype(np.float64)
+        start = ctx.shape[-2]
+        for t in range(t_len):
+            tf = start + t
+            acc = 0.0
+            for i in range(n):
+                if tf - i - 1 >= 0:
+                    acc = acc + coeffs[i] * buf[..., tf - i - 1, :]
+            buf[..., tf, :] -= acc
+        return buf[..., start:, :].astype(y.dtype, copy=False)
+    result = y.astype(np.float64).copy()
+    for t in range(n, t_len):
+        acc = 0.0
+        for i in range(n):
+            acc = acc + coeffs[i] * result[..., t - i - 1, :]
+        result[..., t, :] = result[..., t, :] - acc
+    return result.astype(y.dtype, copy=False)
+
+
 def reverse_precondition(
     y: np.ndarray, coeffs: np.ndarray, context: np.ndarray | None = None
 ) -> np.ndarray:

@@ -47,25 +47,41 @@ def exact_dedup(ds, id_col: str = "doc_id"):
     """One keeper (min id) per distinct text. Returns
     (doc_id, n_dups, text_hash).
 
-    The hash-partitioned groupby moves only (hash, id, text); within a
-    group exact text equality guards against hash collisions.
+    Scale path: the shuffle carries ONLY fixed-width columns. Each
+    batch hashes its texts TWICE with independent functions (FNV-1a
+    64, and pandas' vectorized C hasher over the same strings) and
+    pre-aggregates (min id, count) per 128-bit hash pair — duplicate
+    payloads collapse before the exchange and the text column never
+    leaves the scan. Two different texts merge only on a simultaneous
+    128-bit collision: at 10^12 docs the expected number of false
+    merges is ~(10^12)^2 / 2^129 ≈ 1.5e-15 — accepted (and the
+    collision, unlike a single-hash scheme, is detectable by carrying
+    a third hash if ever needed).
     """
-    ds = ds.map_batches(_text_hash_batch, batch_format="pandas", batch_size=None)
-    ds = ds.select_columns([id_col, "text", "text_hash"])
+    from ray.data.aggregate import Min, Sum
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for text, sub in g.groupby("text", sort=True):
-            rows.append(
-                {
-                    id_col: int(sub[id_col].min()),
-                    "n_dups": len(sub),
-                    "text_hash": int(g["text_hash"].iloc[0]),
-                }
-            )
-        return pd.DataFrame(rows)
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        h1 = fnv1a_u64(batch["text"].tolist()).astype(np.int64)
+        h2 = (
+            pd.util.hash_pandas_object(batch["text"], index=False)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"text_hash": h1, "_h2": h2, id_col: batch[id_col].to_numpy()}
+        )
+        agg = (
+            df.groupby(["text_hash", "_h2"], sort=False)[id_col]
+            .agg(["min", "size"])
+            .reset_index()
+        )
+        return agg.rename(columns={"min": "_min_id", "size": "_n"})
 
-    return ds.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+    partials = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+    merged = partials.groupby(["text_hash", "_h2"]).aggregate(
+        Min("_min_id", alias_name=id_col), Sum("_n", alias_name="n_dups")
+    )
+    return merged.select_columns([id_col, "n_dups", "text_hash"])
 
 
 class _MinHashStage:

@@ -299,6 +299,81 @@ def multivariate_precondition_stats(
     return ds.groupby(key).map_groups(fn, batch_format="pandas")
 
 
+def patched_precondition_stats(
+    chunks_ds,
+    patch_size: int = 8,
+    polynomial: str = "chebyshev",
+    degree: int = 4,
+    tol: float = 1e-8,
+    key: str = "conv_id",
+):
+    """Patch-axis precondition end-to-end over chunk rows: patchify each
+    chunk's values to ``[time, patch]``, run the patched forward kernel
+    (convolution along TIME with patch elements as channels — reference
+    `patch_precondition.py:27-142`), and verify three invariants
+    per chunk, all emitted as columns so the query self-checks:
+
+    - ``xcheck_err``: the patched forward must equal the 1-D kernel
+      applied per patch-channel (bit-exact — same op order);
+    - ``roundtrip_err``: no-context patched reverse restores the
+      original to ``tol`` (first n time-steps identity);
+    - ``ctx_err``: GT-context patched reverse restores the tail
+      exactly from the original head (reference
+      `patch_precondition.py:205-280` context path).
+
+    Output: one row per chunk with n_time_patches + the three errors +
+    ``ok``. Runs as a stateless ``map_batches`` over chunk rows (each
+    row's kernel is vectorized; rows per batch are few).
+    """
+    from ..functions.patch import patchify
+    from ..functions.precondition import (
+        forward_precondition,
+        forward_precondition_patched,
+        precondition_coefficients,
+        reverse_precondition_patched,
+    )
+
+    coeffs = np.asarray(precondition_coefficients(polynomial, degree))
+    n = len(coeffs)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            vals = np.asarray(r["values"], dtype=np.float64)
+            pat = patchify(vals, patch_size, pad_value=0.0)  # [T, P]
+            fwd = forward_precondition_patched(pat, coeffs)
+            ref = forward_precondition(pat.T.copy(), coeffs).T  # per-channel 1-D
+            xcheck = float(np.max(np.abs(fwd - ref))) if pat.size else 0.0
+            rec = reverse_precondition_patched(fwd, coeffs)
+            rt = float(np.max(np.abs(rec - pat))) if pat.size else 0.0
+            if pat.shape[0] > n:
+                ctx_rec = reverse_precondition_patched(
+                    fwd[n:], coeffs, context=pat[:n]
+                )
+                ctx = float(np.max(np.abs(ctx_rec - pat[n:])))
+            else:
+                ctx = 0.0
+            rows.append(
+                {
+                    key: r[key],
+                    "chunk_idx": int(r["chunk_idx"]),
+                    "n_time_patches": int(pat.shape[0]),
+                    "patch_size": patch_size,
+                    "xcheck_err": xcheck,
+                    "roundtrip_err": rt,
+                    "ctx_err": ctx,
+                    "ok": bool(xcheck == 0.0 and rt <= tol and ctx <= tol),
+                }
+            )
+        cols = [key, "chunk_idx", "n_time_patches", "patch_size",
+                "xcheck_err", "roundtrip_err", "ctx_err", "ok"]
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    return chunks_ds.map_batches(fn, batch_format="pandas", batch_size=None)
+
+
 def unpack_series(ds, key: str = "conv_id"):
     """Explode chunk rows back to long (key, ts, value) rows."""
     import pyarrow as pa

@@ -80,10 +80,17 @@ class NaiveForecastScorer:
         self.q = quantile
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # column-wise numpy access + zip, not iterrows(): rows hold
+        # ragged arrays so the per-window kernels stay per-row, but the
+        # pandas row-Series construction (the former hot cost) is gone
+        key_col = "conv_id" if "conv_id" in batch.columns else batch.columns[0]
         rows = []
-        for _, r in batch.iterrows():
-            ctx = np.asarray(r["context"], dtype=np.float64)
-            hor = np.asarray(r["horizon"], dtype=np.float64)
+        for cid, win, ctx, hor in zip(
+            batch[key_col].to_numpy(), batch["window"].to_numpy(),
+            batch["context"].to_numpy(), batch["horizon"].to_numpy(),
+        ):
+            ctx = np.asarray(ctx, dtype=np.float64)
+            hor = np.asarray(hor, dtype=np.float64)
             season = min(self.season, len(ctx))
             reps = int(np.ceil(len(hor) / season))
             fcst = np.tile(ctx[-season:], reps)[: len(hor)]
@@ -94,8 +101,8 @@ class NaiveForecastScorer:
             lower, upper = fcst - 1.96 * sigma, fcst + 1.96 * sigma
             rows.append(
                 {
-                    "conv_id": r.get("conv_id", r.iloc[0]),
-                    "window": r["window"],
+                    "conv_id": cid,
+                    "window": win,
                     "mse": M.mse(hor, fcst),
                     "mae": M.mae(hor, fcst),
                     "smape": M.smape(hor, fcst),

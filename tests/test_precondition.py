@@ -1,6 +1,7 @@
 """Golden fixtures from FIXTURES.md §3 / reference test_precondition.py."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from spectral_time_series_ray.functions.precondition import (
@@ -155,3 +156,94 @@ def test_gt_context_reversal_consistency_invariant():
     err_pre = yhat - pre_full[L:]
     np.testing.assert_allclose(err_orig, err_pre, atol=1e-12)
     assert abs(np.mean(err_orig**2) - np.mean(err_pre**2)) < 1e-12
+
+
+# --------------------------------------------- patch-axis kernels
+
+
+@pytest.mark.parametrize("poly,degree", [("chebyshev", 2), ("chebyshev", 4), ("legendre", 3)])
+def test_patched_forward_equals_per_channel_1d(poly, degree):
+    """Patched forward along time == the 1-D kernel applied to each
+    patch channel, bit-exactly (same op order) — the cross-check the
+    reference implies by deriving PatchPolynomialPrecondition from
+    PolynomialPrecondition (patch_precondition.py:27-40)."""
+    from spectral_time_series_ray.functions.precondition import (
+        forward_precondition,
+        forward_precondition_patched,
+        precondition_coefficients,
+    )
+
+    rng = np.random.default_rng(7)
+    co = precondition_coefficients(poly, degree)
+    x = rng.standard_normal((40, 8)) * 5  # [time, patch]
+    got = forward_precondition_patched(x, co)
+    for p in range(x.shape[1]):
+        np.testing.assert_array_equal(got[:, p], forward_precondition(x[:, p], co))
+    # leading batch dims broadcast
+    xb = rng.standard_normal((3, 17, 4))
+    gb = forward_precondition_patched(xb, co)
+    for b in range(3):
+        np.testing.assert_array_equal(gb[b], forward_precondition_patched(xb[b], co))
+
+
+@pytest.mark.parametrize("tlen", [1, 3, 4, 5, 64])
+def test_patched_roundtrip_and_identity_prefix(tlen):
+    from spectral_time_series_ray.functions.precondition import (
+        forward_precondition_patched,
+        precondition_coefficients,
+        reverse_precondition_patched,
+    )
+
+    rng = np.random.default_rng(11)
+    co = precondition_coefficients("chebyshev", 4)
+    n = len(co)
+    x = rng.standard_normal((tlen, 6)) * 10
+    fwd = forward_precondition_patched(x, co)
+    # first n time steps are identity
+    np.testing.assert_array_equal(fwd[: min(n, tlen)], x[: min(n, tlen)])
+    rec = reverse_precondition_patched(fwd, co)
+    np.testing.assert_allclose(rec, x, atol=1e-9)
+
+
+def test_patched_reverse_with_context():
+    """GT-context reversal restores the tail exactly from the original
+    head (reference patch_precondition.py:205-280 context path)."""
+    from spectral_time_series_ray.functions.precondition import (
+        forward_precondition_patched,
+        precondition_coefficients,
+        reverse_precondition_patched,
+    )
+
+    rng = np.random.default_rng(3)
+    co = precondition_coefficients("chebyshev", 4)
+    n = len(co)
+    x = rng.standard_normal((32, 5))
+    fwd = forward_precondition_patched(x, co)
+    rec_tail = reverse_precondition_patched(fwd[n:], co, context=x[:n])
+    np.testing.assert_allclose(rec_tail, x[n:], atol=1e-10)
+    # dtype preserved
+    xf32 = x.astype(np.float32)
+    assert forward_precondition_patched(xf32, co).dtype == np.float32
+    assert reverse_precondition_patched(fwd.astype(np.float32), co).dtype == np.float32
+
+
+def test_patched_precondition_stage(ray_session):
+    """Chunk rows through the Ray stage: every chunk self-verifies."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.series import patched_precondition_stats
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for c in range(4):
+        npts = int(rng.integers(5, 200))
+        rows.append(
+            {"conv_id": f"c{c}", "chunk_idx": 0, "n_points": npts,
+             "ts": np.arange(npts, dtype=np.int64),
+             "values": rng.standard_normal(npts) * 3}
+        )
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = patched_precondition_stats(ds, patch_size=8).to_pandas()
+    assert len(out) == 4
+    assert out["ok"].all()
+    assert (out["xcheck_err"] == 0.0).all()
