@@ -38,7 +38,7 @@ def mg_merge(summaries: list[dict], k: int) -> dict:
     return {item: c - dec for item, c in acc.items() if c - dec > 0}
 
 
-def mg_error_bound(n_total: int, k: int, n_merges: int = 1) -> float:
+def mg_error_bound(n_total: int, k: int) -> float:
     """Upper bound on undercount: n/k regardless of merge tree shape
     (errors add but total decrements are bounded by n/k)."""
     return n_total / k

@@ -30,14 +30,20 @@ class TDigest:
     # ------------------------------------------------------------ build
     def add(self, values, weights=None) -> "TDigest":
         v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[~np.isnan(v)]
-        if not len(v):
-            return self
-        w = (
-            np.ones(len(v))
-            if weights is None
-            else np.asarray(weights, dtype=np.float64).ravel()[: len(v)]
-        )
+        if weights is None:
+            v = v[np.isfinite(v)]
+            if not len(v):
+                return self
+            w = np.ones(len(v))
+        else:
+            w = np.asarray(weights, dtype=np.float64).ravel()
+            if len(w) != len(v):
+                raise ValueError(f"weights length {len(w)} != values length {len(v)}")
+            # mask BOTH arrays so weights stay paired with their values
+            m = np.isfinite(v)
+            v, w = v[m], w[m]
+            if not len(v):
+                return self
         self._buf_v.append(v)
         self._buf_w.append(w)
         if sum(len(b) for b in self._buf_v) > 32 * self.delta:

@@ -205,6 +205,11 @@ def minhash_verified_pairs(
     estimate is computed vectorized per batch — no O(corpus)
     ``take_all``/``to_pandas``, no per-pair Python loop. Only the
     verified pairs (sparse by construction) ever reach the driver.
+
+    The returned pairs are globally DISTINCT on (a, b): the same pair
+    can surface from different LSH bands in different blocks, so the
+    sparse verified list goes through one (a, b) groupby before
+    returning — consumers may count/aggregate pairs directly.
     """
     if join_partitions is None:
         try:
@@ -275,7 +280,15 @@ def minhash_verified_pairs(
              "est_jaccard": est[keep]}
         )
 
-    return withs_b.map_batches(estimate, batch_format="pandas", batch_size=None)
+    verified = withs_b.map_batches(estimate, batch_format="pandas", batch_size=None)
+    # global distinct on the SPARSE verified list (same pair can arrive
+    # from different bands in different blocks); est_jaccard is a pure
+    # function of the two signatures, so min == the single value
+    from ray.data.aggregate import Min
+
+    return verified.groupby(["a", "b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
+    )
 
 
 def minhash_lsh_dedup(

@@ -151,6 +151,7 @@ def analytic_rank_funcs(
     value_col: str = "value",
     id_cols: tuple[str, ...] = ("event_id",),
     ma_window: int = 5,
+    value_scale: int | None = 100,
     num_partitions: int | None = None,
 ):
     """Second analytic family per key, one shuffle + one numpy pass:
@@ -164,7 +165,11 @@ def analytic_rank_funcs(
       ORDER BY value) — tie-aware, a different ordering axis than the
       time-ordered functions.
 
-    Same partition-level design as :func:`analytic_window_funcs`.
+    Same partition-level design as :func:`analytic_window_funcs`,
+    including ``value_scale``: with fixed-decimal inputs the moving-
+    average window sums accumulate in exact scaled int64; with
+    ``value_scale=None`` plain float prefix sums are used (NOT a
+    silent round — arbitrary-precision inputs stay unrounded).
     """
     import pandas as pd
 
@@ -215,13 +220,17 @@ def analytic_rank_funcs(
         seg_end = np.append(starts[1:] - 1, n - 1)
         lead[seg_end] = np.nan
         # trailing moving average via prefix sums clamped to segment
-        # start; scaled-int64 accumulation (2-decimal inputs) so the
-        # window sum is exact regardless of segment length
-        vi = np.round(v * 100).astype(np.int64)
-        prefix = np.concatenate([[0], np.cumsum(vi)])
+        # start; scaled-int64 accumulation (fixed-decimal inputs) keeps
+        # the window sum exact regardless of segment length
         idx = np.arange(n)
         lo = np.maximum(idx - (ma_window - 1), seg_start_of)
-        ma = (prefix[idx + 1] - prefix[lo]) / 100.0 / (idx + 1 - lo)
+        if value_scale:
+            vi = np.round(v * value_scale).astype(np.int64)
+            prefix = np.concatenate([[0], np.cumsum(vi)])
+            ma = (prefix[idx + 1] - prefix[lo]) / value_scale / (idx + 1 - lo)
+        else:
+            prefix = np.concatenate([[0.0], np.cumsum(v)])
+            ma = (prefix[idx + 1] - prefix[lo]) / (idx + 1 - lo)
         # rank/dense_rank over (key, value): one lexsort on (value)
         # within segments — reuse the segment structure
         # codes_s is already non-decreasing, so order2 keeps segment

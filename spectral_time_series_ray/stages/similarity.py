@@ -13,8 +13,12 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
+
+log = logging.getLogger(__name__)
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -395,7 +399,14 @@ def embedding_near_dup(
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 1000:
+        if len(g) > 1000:  # degenerate hot bucket: skip, but SAY so
+            log.warning(
+                "embedding_near_dup: skipping oversized LSH bucket (%d docs) "
+                "— recall may drop for this corpus; raise n_planes",
+                len(g),
+            )
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        if len(g) < 2:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})
         g = g.sort_values(id_col)
         m = _normalize(_to_matrix(g["embedding"]))

@@ -221,16 +221,28 @@ def hybrid_reversal_eval(
     return scored.groupby("conv_id").map_groups(agg, batch_format="pandas")
 
 
-def evaluate_windows(window_ds, season: int = 1, concurrency: int = 2):
+def evaluate_windows(window_ds, season: int = 1, concurrency: int = 2, backoff: bool = False):
     """Score every window, then aggregate per series (masked-mean
-    reduce over windows, `loss/packed/_base.py:76-106` shape)."""
-    scored = window_ds.map_batches(
-        NaiveForecastScorer,
-        fn_constructor_kwargs={"season": season},
-        batch_format="pandas",
-        batch_size=256,
-        concurrency=concurrency,
-    )
+    reduce over windows, `loss/packed/_base.py:76-106` shape).
+    ``backoff=True`` wraps the scorer in the halving-retry dead-letter
+    policy (stages/backoff.py — the reference's eval.py:39-76 OOM
+    loop) so one pathological window degrades, not dies."""
+    if backoff:
+        from .backoff import backoff_map_batches
+
+        scored = backoff_map_batches(
+            window_ds, NaiveForecastScorer,
+            fn_constructor_kwargs={"season": season},
+            batch_size=256, concurrency=concurrency,
+        )
+    else:
+        scored = window_ds.map_batches(
+            NaiveForecastScorer,
+            fn_constructor_kwargs={"season": season},
+            batch_format="pandas",
+            batch_size=256,
+            concurrency=concurrency,
+        )
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
         out = {"conv_id": [df["conv_id"].iloc[0]], "n_windows": [len(df)]}
