@@ -186,3 +186,64 @@ def test_weighted_union(ray_session):
     b = ray.data.from_pandas(pd.DataFrame({"x": [2]}))
     out = weighted_union([(a, 2), (b, 3)]).to_pandas()
     assert sorted(out["x"]) == [1, 1, 2, 2, 2]
+
+
+def test_read_lsf_wide_csv_modes(ray_session, tmp_path):
+    """Multi-mode LSF reader vs a direct pandas replication of the
+    reference's scale+split semantics (_lsf_dataset.py:36-76)."""
+    import numpy as np
+    import pandas as pd
+
+    from spectral_time_series_ray.sources.csv_series import read_lsf_wide_csv
+
+    rng = np.random.default_rng(6)
+    n, v = 100, 3
+    dates = pd.date_range("2024-01-01", periods=n, freq="h")
+    df = pd.DataFrame({"date": dates})
+    for i in range(v):
+        df[f"c{i}"] = np.round(rng.normal(10 * i, 2 + i, n), 3)
+    p = tmp_path / "lsf.csv"
+    df.to_csv(p, index=False)
+
+    train_len, val_len, test_len = 70, 10, 20
+    train = df[[f"c{i}" for i in range(v)]].iloc[:train_len]
+    mean, std = train.mean(), train.std()  # ddof=1, like pandas .std()
+    scaled = (df[[f"c{i}" for i in range(v)]] - mean) / std
+
+    # mode S, split=train: 3 rows, each the scaled train prefix
+    out = read_lsf_wide_csv(
+        str(p), mode="S", split="train", split_lengths=(train_len, val_len, test_len)
+    ).to_pandas().set_index("item_id")
+    assert len(out) == 3
+    for i in range(v):
+        r = out.loc[f"c{i}"]
+        assert r["length"] == train_len
+        np.testing.assert_allclose(
+            np.asarray(r["target"]), scaled[f"c{i}"].iloc[:train_len], atol=1e-12
+        )
+
+    # mode S, split=val covers train+val rows (reference: data[:train+val])
+    out_v = read_lsf_wide_csv(
+        str(p), mode="S", split="val", split_lengths=(train_len, val_len, test_len)
+    ).to_pandas()
+    assert (out_v["length"] == train_len + val_len).all()
+
+    # mode M: one [var, time] row over everything
+    out_m = read_lsf_wide_csv(
+        str(p), mode="M", split="test", split_lengths=(train_len, val_len, test_len)
+    ).to_pandas()
+    assert len(out_m) == 1
+    m = np.asarray(out_m["target"].iloc[0])
+    assert m.shape == (v, n)
+    np.testing.assert_allclose(m[1], scaled["c1"], atol=1e-12)
+
+    # mode MS: per-variate target + [v-1, time] covariates
+    out_ms = read_lsf_wide_csv(
+        str(p), mode="MS", split="test", split_lengths=(train_len, val_len, test_len)
+    ).to_pandas().set_index("item_id")
+    cov = np.asarray(out_ms.loc["c0"]["past_feat_dynamic_real"])
+    assert cov.shape == (v - 1, n)
+    np.testing.assert_allclose(cov[0], scaled["c1"], atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out_ms.loc["c2"]["target"]), scaled["c2"], atol=1e-12
+    )
