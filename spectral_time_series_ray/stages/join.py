@@ -206,10 +206,15 @@ def anti_join_distributed(
 
     right_key = right_key or key
     P = num_partitions or partitions_for_input(None)
-    bloom = build_bloom(right_ds.select_columns([right_key]), right_key, n_bits=n_bits)
+    # ONE scan of the right side: the distinct-key Dataset (the hash
+    # join's build side) is materialized once in the object store and
+    # feeds BOTH the Bloom build and the verify join
+    right_keys = (
+        right_ds.select_columns([right_key]).groupby(right_key).count().materialize()
+    )
+    bloom = build_bloom(right_keys, right_key, n_bits=n_bits)
     certain = bloom_semi_filter(left_ds, key, bloom, invert=True)
     suspects = bloom_semi_filter(left_ds, key, bloom)
-    right_keys = right_ds.select_columns([right_key]).groupby(right_key).count()
 
     def mark(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[right_key]].copy()

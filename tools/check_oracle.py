@@ -100,8 +100,9 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"{name:28s} rows-only rows={len(got)} ({dt:.1f}s)")
-            if len(got) == 0:
+            ok = bool(got["ok"].all()) if "ok" in got.columns else None
+            print(f"{name:28s} rows-only rows={len(got)} ok={ok} ({dt:.1f}s)")
+            if len(got) == 0 or ok is False:
                 fails += 1
             continue
         try:
