@@ -1086,23 +1086,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": Q.emb_ann_topk,
         "emb_label_stats": Q.emb_label_stats,
         "emb_sim_pairs": Q.emb_sim_pairs,
+        # round-3 analytics family (oracle-checked)
+        "ev_outliers_mad": Q.ev_outliers_mad,
+        "ev_new_users_cum": Q.ev_new_users_cum,
+        "doc_above_p90": Q.doc_above_p90,
+        "ev_dow_profile": Q.ev_dow_profile,
+        "ev_value_histogram": Q.ev_value_histogram,
         # strongest self-verifying rows-only families (inside the
         # 50-entry window: one entry per rounds-2/3 operator family)
         "tr_gorilla": _tr_gorilla,
-        "tr_spectral": _tr_spectral,
         "tr_patch_precond": _tr_patch_precond,
-        "ev_quantile_tdigest": Q.ev_quantile_tdigest,
-        "ev_distinct_hll": Q.ev_distinct_hll,
         "doc_minhash_dedup": _doc_minhash_dedup,
-        "doc_simhash_dedup": _doc_simhash_dedup,
         "doc_ngram_dedup": _doc_ngram_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
         "emb_kmeans": _emb_kmeans,
         "tr_ffd_pack": _tr_ffd_pack,
         "tr_split_assign": _tr_split_assign,
         "doc_training_pipeline": _doc_training_pipeline,
-        "tr_partitioned_sink": _tr_partitioned_sink,
         # ---- entries past the driver window (all self-verify green) --
+        "tr_spectral": _tr_spectral,
+        "ev_quantile_tdigest": Q.ev_quantile_tdigest,
+        "ev_distinct_hll": Q.ev_distinct_hll,
+        "doc_simhash_dedup": _doc_simhash_dedup,
+        "tr_partitioned_sink": _tr_partitioned_sink,
         "tr_rollup_1m": _tr_rollup_1m,
         "tr_cascade_1h": _tr_cascade_1h,
         "tr_precondition_roundtrip": _tr_precondition_roundtrip,
@@ -1469,5 +1475,61 @@ def oracle_sql() -> dict[str, str]:
             where a.vec_id < b.vec_id and a.vec_id < 200 and b.vec_id < 200
               and list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
             order by 1, 2
+        """,
+        "ev_outliers_mad": """
+            with med as (
+              select user_id, quantile_cont(value, 0.5) as med
+              from events group by 1),
+            j as (
+              select e.user_id, e.value, med.med
+              from events e join med using (user_id)),
+            mad as (
+              select user_id, any_value(med) as med,
+                     quantile_cont(abs(value - med), 0.5) as mad
+              from j group by 1)
+            select j.user_id,
+                   cast(count(*) as bigint) as n_events,
+                   round(any_value(mad.med), 6) as med_value,
+                   round(any_value(mad.mad), 6) as mad_value,
+                   cast(sum(case when abs(j.value - mad.med) > 3 * mad.mad
+                            then 1 else 0 end) as bigint) as n_outliers
+            from j join mad using (user_id)
+            group by 1
+        """,
+        "ev_new_users_cum": """
+            with f as (
+              select user_id, min(date_trunc('day', ts)) as first_day
+              from events group by 1),
+            d as (
+              select first_day, cast(count(*) as bigint) as n_new
+              from f group by 1)
+            select first_day, n_new,
+                   cast(sum(n_new) over (order by first_day) as bigint) as cum_users
+            from d
+        """,
+        "doc_above_p90": """
+            with q as (
+              select lang, quantile_cont(n_chars, 0.9) as p90
+              from documents group by 1)
+            select d.lang,
+                   round(any_value(q.p90), 6) as p90_chars,
+                   cast(count(*) as bigint) as n_above,
+                   round(avg(d.n_chars), 6) as mean_above
+            from documents d join q using (lang)
+            where d.n_chars > q.p90
+            group by 1
+        """,
+        "ev_dow_profile": """
+            select event_type, cast(isodow(ts) as bigint) as dow,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 6) as sum_value,
+                   round(avg(value), 6) as mean_value
+            from events group by 1, 2
+        """,
+        "ev_value_histogram": """
+            select event_type, cast(floor(value / 25.0) as bigint) as bin,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 6) as sum_value
+            from events group by 1, 2
         """,
     }

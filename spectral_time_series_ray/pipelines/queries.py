@@ -1052,3 +1052,62 @@ def q5_local_supplier(sf_dir: str):
     out = out[["n_name", "revenue"]]
     out["revenue"] = round_half_away(out["revenue"].to_numpy(), 2)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ analytics
+
+
+def ev_outliers_mad(sf_dir: str):
+    """Per-user robust anomaly detection: median / MAD / count of
+    values beyond 3 MADs (`analytics.mad_outliers`). Oracle: DuckDB
+    quantile_cont medians + the same threshold."""
+    from ..stages.analytics import mad_outliers
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = mad_outliers(ds, key="user_id", value_col="value", k=3.0)
+    return _round_ds(out, {"med_value": 6, "mad_value": 6})
+
+
+def ev_new_users_cum(sf_dir: str):
+    """Cumulative distinct-user growth by first-seen day
+    (`analytics.first_seen_cumulative`): per-user min day -> per-day
+    new-user counts -> calendar-bounded running sum."""
+    from ..stages.analytics import first_seen_cumulative
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = first_seen_cumulative(ds, key="user_id", ts_col="ts", freq="D")
+    return _rename_ds(out, {"first_bucket": "first_day", "cum_keys": "cum_users"})
+
+
+def doc_above_p90(sf_dir: str):
+    """Quantile-threshold filter: documents whose n_chars strictly
+    exceeds their language's exact p90, aggregated per language.
+    Thresholds via the distributed histogram trick
+    (`analytics.filter_above_group_quantile`) — exact at any corpus
+    size when the value domain is bounded (int lengths)."""
+    from ..stages.analytics import filter_above_group_quantile
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = filter_above_group_quantile(ds, group_col="lang", value_col="n_chars", q=0.9)
+    out = _rename_ds(out, {"threshold": "p90_chars"})
+    return _round_ds(out, {"p90_chars": 6, "mean_above": 6})
+
+
+def ev_dow_profile(sf_dir: str):
+    """Day-of-week seasonality profile per event type
+    (`analytics.dow_profile`, ISO 1=Mon..7=Sun)."""
+    from ..stages.analytics import dow_profile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = dow_profile(ds, ts_col="ts", group_col="event_type", value_col="value")
+    return _round_ds(out, {"sum_value": 6, "mean_value": 6})
+
+
+def ev_value_histogram(sf_dir: str):
+    """Fixed-width (w=25) value histogram per event type
+    (`analytics.value_histogram`)."""
+    from ..stages.analytics import value_histogram
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = value_histogram(ds, group_col="event_type", value_col="value", bin_width=25.0)
+    return _round_ds(out, {"sum_value": 6})

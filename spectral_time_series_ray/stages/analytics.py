@@ -1,0 +1,261 @@
+"""Time-series / distribution analytics stages.
+
+Robust outlier detection (median + MAD), first-seen cumulative
+counts, histogram-based exact distributed quantiles with threshold
+filtering, day-of-week seasonality profiles, and fixed-width value
+histograms.  All are expressed as partial-aggregate ``map_batches``
+stages followed by a small ``groupby`` so only fixed-width partials
+shuffle — the raw rows never move except where a per-key exact median
+is requested (bounded groups, same contract as the exact rollup
+quantiles in ``rollup.py``).
+
+Reference parity: the reference computes per-series robust statistics
+inside its imputation / scaling transforms
+(`uni2ts/src/uni2ts/transform/imputation.py`,
+`.../scaler.py`); these stages lift the same median/MAD kernels to
+distributed, whole-table operators with DuckDB-matched semantics
+(``quantile_cont`` linear interpolation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ------------------------------------------------------------------ MAD
+
+
+def _quantile_linear(v: np.ndarray, q: float) -> float:
+    """np.quantile linear interpolation == DuckDB quantile_cont."""
+    return float(np.quantile(v, q))
+
+
+def mad_outliers(ds, key: str, value_col: str, k: float = 3.0):
+    """Per-key robust outlier counts: median, MAD (median absolute
+    deviation) and the number of values with |v - med| > k * MAD.
+
+    Exact — per-key groups must be bounded (events-per-user,
+    turns-per-bucket …), the same contract as the exact rollup
+    quantiles.  For unbounded groups use the t-digest path
+    (`distinct.quantile_tdigest`) with an approximate threshold.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        med = _quantile_linear(v, 0.5)
+        dev = np.abs(v - med)
+        mad = _quantile_linear(dev, 0.5)
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_events": np.array([len(v)], dtype=np.int64),
+                "med_value": [med],
+                "mad_value": [mad],
+                "n_outliers": np.array([int((dev > k * mad).sum())], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+# ------------------------------------------------- first-seen cumulative
+
+
+def first_seen_cumulative(ds, key: str, ts_col: str, freq: str = "D"):
+    """Cumulative count of distinct keys by their FIRST appearance
+    bucket (new-users-per-day + running total).
+
+    Shape: per-batch (key, min bucket) partials -> groupby(key).min
+    -> per-bucket counts -> tiny bucket table sorted + prefix-summed
+    in one block.  The key domain shuffles only as fixed-width
+    (key, timestamp) pairs; the bucket domain is calendar-bounded
+    (days over the corpus time range), so the final single-block
+    sweep is driver-safe at any corpus size.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def to_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[ts_col].dt.floor(freq)
+        out = pd.DataFrame({key: batch[key], "first_bucket": b})
+        # per-batch partial min: shrink before the shuffle
+        return out.groupby(key, as_index=False).min()
+
+    firsts = ds.map_batches(to_bucket, batch_format="pandas").groupby(key).aggregate(
+        Min("first_bucket", alias_name="first_bucket")
+    )
+    per_bucket = firsts.groupby("first_bucket").aggregate(Count(alias_name="n_new"))
+
+    def cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("first_bucket").reset_index(drop=True)
+        df["n_new"] = df["n_new"].astype(np.int64)
+        df["cum_keys"] = df["n_new"].cumsum().astype(np.int64)
+        return df
+
+    return per_bucket.repartition(1).map_batches(
+        cumsum, batch_format="pandas", batch_size=None
+    )
+
+
+# --------------------------------------- histogram-based exact quantile
+
+
+def quantile_from_counts(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Exact quantile_cont from a (distinct value, count) histogram.
+
+    Linear interpolation at position q*(n-1) — identical to
+    np.quantile / DuckDB quantile_cont — computed without expanding
+    the histogram, so a column with billions of rows but a bounded
+    distinct-value domain (int lengths, scores …) gets an EXACT
+    distributed quantile with only the histogram on the driver/group.
+    """
+    order = np.argsort(values, kind="stable")
+    v = np.asarray(values, dtype=np.float64)[order]
+    c = np.asarray(counts, dtype=np.int64)[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    pos = q * (n - 1)
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    a = float(v[np.searchsorted(cum, lo, side="right")])
+    if frac == 0.0:
+        return a
+    b = float(v[np.searchsorted(cum, lo + 1, side="right")])
+    return a + (b - a) * frac
+
+
+def group_quantile_threshold(
+    ds, group_col: str, value_col: str, q: float
+) -> dict:
+    """Per-group exact quantile of an integer-ish column via the
+    histogram trick: count per (group, value) — only fixed-width
+    pairs shuffle — then quantile_from_counts per group.  Returns a
+    {group: threshold} dict (group domain must be small: languages,
+    sources, tiers).
+    """
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([group_col, value_col]).aggregate(Count(alias_name="n"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        thr = quantile_from_counts(
+            g[value_col].to_numpy(), g["n"].to_numpy(), q
+        )
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "threshold": [thr]})
+
+    small = hist.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    out = small.to_pandas()  # one row per group: bounded
+    return dict(zip(out[group_col], out["threshold"]))
+
+
+def filter_above_group_quantile(
+    ds, group_col: str, value_col: str, q: float
+):
+    """Rows with value STRICTLY above their group's exact q-quantile,
+    aggregated per group (count + mean of the exceeding values), plus
+    the threshold itself.  Thresholds are computed distributed
+    (histogram trick) and broadcast into the filter as a plain dict —
+    no shuffle join.
+    """
+    thresholds = group_quantile_threshold(ds, group_col, value_col, q)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        thr = batch[group_col].map(thresholds).to_numpy(dtype=np.float64)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        keep = v > thr
+        sub = pd.DataFrame({group_col: batch[group_col][keep]})
+        sub["n"] = 1
+        sub["s"] = v[keep]
+        return sub.groupby(group_col, as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n_above"), Sum("s", alias_name="sum_above"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["threshold"] = batch[group_col].map(thresholds)
+        batch["n_above"] = batch["n_above"].astype(np.int64)
+        batch["mean_above"] = batch["sum_above"] / batch["n_above"]
+        return batch[[group_col, "threshold", "n_above", "mean_above"]]
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ------------------------------------------------- seasonality profiles
+
+
+def dow_profile(ds, ts_col: str, group_col: str, value_col: str):
+    """Day-of-week seasonality profile per group: n / sum / mean of
+    value by (group, ISO day-of-week 1=Mon..7=Sun).  Partial (n, sum)
+    per batch, merged by a small groupby — only 7 x |groups| partials
+    shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                group_col: batch[group_col],
+                "dow": (batch[ts_col].dt.dayofweek + 1).astype(np.int64),
+                "n": np.ones(len(batch), dtype=np.int64),
+                "s": batch[value_col].to_numpy(dtype=np.float64),
+            }
+        )
+        return out.groupby([group_col, "dow"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group_col, "dow"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype(np.int64)
+        batch["mean_value"] = batch["sum_value"] / batch["n_events"]
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def value_histogram(ds, group_col: str, value_col: str, bin_width: float):
+    """Fixed-width histogram of value per group: bin = floor(v / w),
+    count + sum per (group, bin).  Same partial-merge shape as
+    dow_profile; bins-per-group is range/width (bounded), so the
+    shuffle moves only partials.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        out = pd.DataFrame(
+            {
+                group_col: batch[group_col],
+                "bin": np.floor(v / bin_width).astype(np.int64),
+                "n": np.ones(len(batch), dtype=np.int64),
+                "s": v,
+            }
+        )
+        return out.groupby([group_col, "bin"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype(np.int64)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)

@@ -1,0 +1,169 @@
+"""Tests for stages/analytics.py: MAD outliers, first-seen
+cumulative counts, histogram-based exact quantiles, seasonality
+profiles, value histograms."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spectral_time_series_ray.stages.analytics import (
+    quantile_from_counts,
+)
+
+
+# ---------------------------------------------------------- pure kernels
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=200),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_quantile_from_counts_matches_np_quantile(values, q):
+    v = np.asarray(values, dtype=np.float64)
+    uniq, counts = np.unique(v, return_counts=True)
+    got = quantile_from_counts(uniq, counts, q)
+    exp = float(np.quantile(v, q))
+    assert got == pytest.approx(exp, rel=0, abs=1e-12)
+
+
+def test_quantile_from_counts_unsorted_input():
+    # histogram arrives in arbitrary (groupby) order
+    vals = np.array([30, 10, 20], dtype=np.int64)
+    cnts = np.array([1, 2, 1], dtype=np.int64)
+    # expanded: [10, 10, 20, 30]; p50 at pos 1.5 -> 15.0
+    assert quantile_from_counts(vals, cnts, 0.5) == 15.0
+    assert quantile_from_counts(vals, cnts, 0.0) == 10.0
+    assert quantile_from_counts(vals, cnts, 1.0) == 30.0
+
+
+# ------------------------------------------------------- dataset stages
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 21 * 86400, n), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": ts,
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": np.round(rng.exponential(50.0, n), 2),
+        }
+    )
+
+
+def test_mad_outliers_matches_direct(ray_session, events_df):
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import mad_outliers
+
+    ds = ray.data.from_pandas(events_df)
+    got = (
+        mad_outliers(ds, key="user_id", value_col="value", k=3.0)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for uid, g in events_df.groupby("user_id"):
+        v = g["value"].to_numpy(dtype=np.float64)
+        med = np.quantile(v, 0.5)
+        mad = np.quantile(np.abs(v - med), 0.5)
+        rows.append(
+            {
+                "user_id": uid,
+                "n_events": len(v),
+                "med_value": med,
+                "mad_value": mad,
+                "n_outliers": int((np.abs(v - med) > 3 * mad).sum()),
+            }
+        )
+    exp = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": np.int64, "n_outliers": np.int64}), exp,
+        check_dtype=False,
+    )
+    # with k=3 MADs on exponential data, outliers exist but are rare
+    assert 0 < got["n_outliers"].sum() < 0.2 * len(events_df)
+
+
+def test_first_seen_cumulative_matches_direct(ray_session, events_df):
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import first_seen_cumulative
+
+    ds = ray.data.from_pandas(events_df)
+    got = first_seen_cumulative(ds, key="user_id", ts_col="ts").to_pandas()
+
+    first = events_df.assign(day=events_df["ts"].dt.floor("D")).groupby("user_id")[
+        "day"
+    ].min()
+    exp = (
+        first.value_counts().sort_index().rename("n_new").reset_index()
+    )
+    assert list(got["first_bucket"]) == list(exp["day"])
+    assert list(got["n_new"]) == list(exp["n_new"])
+    assert list(got["cum_keys"]) == list(exp["n_new"].cumsum())
+    # monotone, ends at the number of distinct keys
+    assert got["cum_keys"].iloc[-1] == events_df["user_id"].nunique()
+
+
+def test_filter_above_group_quantile(ray_session, events_df):
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import (
+        filter_above_group_quantile,
+    )
+
+    df = events_df.assign(n_chars=(events_df["value"] * 10).astype(np.int64))
+    ds = ray.data.from_pandas(df[["event_type", "n_chars"]])
+    got = (
+        filter_above_group_quantile(ds, "event_type", "n_chars", 0.9)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        g = df[df["event_type"] == row["event_type"]]["n_chars"].to_numpy()
+        thr = np.quantile(g, 0.9)
+        assert row["threshold"] == pytest.approx(thr, abs=1e-9)
+        above = g[g > thr]
+        assert row["n_above"] == len(above)
+        assert row["mean_above"] == pytest.approx(above.mean(), rel=1e-12)
+
+
+def test_dow_profile_and_histogram(ray_session, events_df):
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import (
+        dow_profile,
+        value_histogram,
+    )
+
+    ds = ray.data.from_pandas(events_df)
+    prof = dow_profile(ds, "ts", "event_type", "value").to_pandas()
+    assert set(prof["dow"]) <= set(range(1, 8))
+    assert prof["n_events"].sum() == len(events_df)
+    one = prof[(prof["event_type"] == "a") & (prof["dow"] == 1)]
+    sub = events_df[
+        (events_df["event_type"] == "a") & (events_df["ts"].dt.dayofweek == 0)
+    ]["value"]
+    assert one["n_events"].iloc[0] == len(sub)
+    assert one["mean_value"].iloc[0] == pytest.approx(sub.mean(), rel=1e-9)
+
+    hist = value_histogram(ds, "event_type", "value", bin_width=25.0).to_pandas()
+    assert hist["n_events"].sum() == len(events_df)
+    h0 = hist[(hist["event_type"] == "b") & (hist["bin"] == 0)]
+    sub = events_df[
+        (events_df["event_type"] == "b") & (events_df["value"] < 25.0)
+    ]["value"]
+    assert h0["n_events"].iloc[0] == len(sub)
+    assert h0["sum_value"].iloc[0] == pytest.approx(sub.sum(), rel=1e-9)
