@@ -840,6 +840,91 @@ def _tr_split_assign(sf_dir: str):
     return out
 
 
+def _tr_series_analysis(sf_dir: str):
+    """ACF period detection + CUSUM changepoint + seasonal strength
+    per packed chunk (`stages/analytics.series_analysis`),
+    SELF-VERIFYING via two planted conversations riding the real
+    pipeline: a period-16-bucket tone (ACF lag must be 16 +- 1 with
+    high seasonal strength) and a level shift at bucket 128 of 256
+    (CUSUM split must land within +-4 with a large statistic), while
+    a planted white-noise control must NOT trip the CUSUM threshold."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import series_analysis
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    rng = np.random.default_rng(11)
+    k = np.arange(256)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    planted = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "conv_id": "__planted_tone__",
+                    "bucket_ts": pd.Series(grid),
+                    "mean_latency": 5.0
+                    + 2.0 * np.sin(2 * np.pi * k / 16)
+                    + 0.05 * rng.normal(size=256),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "conv_id": "__planted_shift__",
+                    "bucket_ts": pd.Series(grid),
+                    "mean_latency": np.where(k < 128, 5.0, 9.0)
+                    + 0.3 * rng.normal(size=256),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "conv_id": "__planted_noise__",
+                    "bucket_ts": pd.Series(grid),
+                    "mean_latency": 5.0 + 0.3 * rng.normal(size=256),
+                }
+            ),
+        ]
+    )
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = series_analysis(chunks, concurrency=4).to_pandas()
+
+    tone = out[out["conv_id"] == "__planted_tone__"]
+    shift = out[out["conv_id"] == "__planted_shift__"]
+    noise = out[out["conv_id"] == "__planted_noise__"]
+    checks = {
+        "__planted_tone__": bool(
+            len(tone)
+            and abs(int(tone["acf_lag"].iloc[0]) - 16) <= 1
+            and tone["seasonal_strength"].iloc[0] > 0.8
+        ),
+        "__planted_shift__": bool(
+            len(shift)
+            and abs(int(shift["cusum_cp"].iloc[0]) - 128) <= 4
+            and shift["cusum_stat"].iloc[0] > 3.0
+        ),
+        "__planted_noise__": bool(
+            len(noise) and noise["cusum_stat"].iloc[0] < 3.0
+        ),
+    }
+    assert len(tone) and len(shift) and len(noise), "planted series missing"
+    out["ok"] = np.array(
+        [checks.get(c, True) for c in out["conv_id"]], dtype=bool
+    )
+    return out[
+        ["conv_id", "chunk_idx", "acf_lag", "acf_value", "cusum_cp",
+         "cusum_stat", "seasonal_strength", "ok"]
+    ]
+
+
 def _tr_heavy_conversations(sf_dir: str):
     """Misra-Gries heavy hitters over conv_id (transcript conversation
     sizes are Zipf-skewed by construction). Self-verifying against the
@@ -1121,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_train_crop": _tr_train_crop,
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_resample": _tr_resample,
+        "tr_series_analysis": _tr_series_analysis,
         "tr_heavy_conversations": _tr_heavy_conversations,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,

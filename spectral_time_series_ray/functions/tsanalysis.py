@@ -1,0 +1,122 @@
+"""Classical time-series analysis kernels: autocorrelation (FFT),
+CUSUM changepoint detection, moving-average seasonal decomposition.
+
+Pure-numpy, vectorized along the time axis; they run per packed chunk
+inside actor-pool ``map_batches`` stages (`stages/analytics.py`).
+Complements the frequency-domain kernels in ``functions/spectral.py``
+(Welch / Lomb-Scargle): ACF finds periods in lag space, CUSUM finds
+level shifts, the decomposition splits trend/seasonal/residual.
+
+Reference parity: the reference's eval stack measures seasonality via
+``get_seasonality`` frequency tables
+(`uni2ts/src/uni2ts/eval_util/metrics.py`) and detrends inside its
+preconditioning transforms; these kernels compute the analogous
+statistics from the data itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def acf_fft(x: np.ndarray, max_lag: int | None = None) -> np.ndarray:
+    """Biased sample autocorrelation via FFT, lags 0..max_lag.
+
+    Demeaned, normalized by lag-0 autocovariance (so acf[0] == 1).
+    Identical to the direct estimator
+    ``sum((x_t - m)(x_{t+k} - m)) / sum((x_t - m)^2)`` — the standard
+    biased form (statsmodels ``acf(adjusted=False)``). O(n log n).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if max_lag is None:
+        max_lag = n - 1
+    max_lag = min(max_lag, n - 1)
+    if n < 2:
+        return np.ones(1)
+    d = x - x.mean()
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(d, nfft)
+    ac = np.fft.irfft(f * np.conj(f))[: max_lag + 1]
+    if ac[0] <= 0:
+        out = np.zeros(max_lag + 1)
+        out[0] = 1.0
+        return out
+    return ac / ac[0]
+
+
+def dominant_lag(acf: np.ndarray, min_lag: int = 2) -> tuple[int, float]:
+    """Lag (>= min_lag) with the highest autocorrelation, and its
+    value. The standard period detector for regularly-sampled series.
+    """
+    if len(acf) <= min_lag:
+        return 0, 0.0
+    k = int(np.argmax(acf[min_lag:])) + min_lag
+    return k, float(acf[k])
+
+
+def cusum_changepoint(x: np.ndarray) -> tuple[int, float]:
+    """Mean-shift changepoint via the CUSUM statistic (Page, 1954;
+    Pettitt-style location).
+
+    Returns ``(k, stat)``: the split index k (the first k samples form
+    the pre-change segment, argmax of |cumsum(x - mean)|) and the
+    normalized statistic ``max|S| / (sd * sqrt(n))`` — ~O(1) under the
+    no-change null, grows as sqrt(n)*shift/sd under a true shift, so a
+    fixed threshold (≈1.3 at 5% for Brownian-bridge max) flags changes
+    at any length.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 4:
+        return 0, 0.0
+    s = np.cumsum(x - x.mean())
+    # exclude the trivial endpoint S_n == 0
+    k = int(np.argmax(np.abs(s[:-1])))
+    sd = float(np.std(x, ddof=1))
+    if sd == 0.0:
+        return k + 1, 0.0
+    return k + 1, float(np.abs(s[k]) / (sd * np.sqrt(n)))
+
+
+def seasonal_decompose_ma(
+    x: np.ndarray, period: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Classical additive decomposition: centered moving-average trend
+    (2xMA for even periods), per-phase seasonal means (centered to sum
+    to zero), residual. NaN-padded trend at the edges, matching the
+    textbook / statsmodels ``seasonal_decompose`` convention.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if period < 2 or n < 2 * period:
+        raise ValueError(f"need >= 2 periods of data (n={n}, period={period})")
+    if period % 2 == 0:
+        w = np.full(period + 1, 1.0 / period)
+        w[0] = w[-1] = 0.5 / period
+    else:
+        w = np.full(period, 1.0 / period)
+    half = len(w) // 2
+    trend = np.full(n, np.nan)
+    trend[half : n - half] = np.convolve(x, w, mode="valid")
+    detr = x - trend
+    seasonal_means = np.array(
+        [np.nanmean(detr[p::period]) for p in range(period)]
+    )
+    seasonal_means -= seasonal_means.mean()
+    seasonal = seasonal_means[np.arange(n) % period]
+    resid = x - trend - seasonal
+    return trend, seasonal, resid
+
+
+def seasonal_strength(x: np.ndarray, period: int) -> float:
+    """Hyndman's seasonal-strength measure
+    ``max(0, 1 - var(resid) / var(seasonal + resid))`` from the MA
+    decomposition — 0 for white noise, -> 1 for strongly seasonal.
+    """
+    _, seasonal, resid = seasonal_decompose_ma(x, period)
+    m = ~np.isnan(resid)
+    denom = np.var(seasonal[m] + resid[m])
+    if denom == 0:
+        return 0.0
+    return float(max(0.0, 1.0 - np.var(resid[m]) / denom))

@@ -259,3 +259,78 @@ def value_histogram(ds, group_col: str, value_col: str, bin_width: float):
         return batch
 
     return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# -------------------------------------------- per-series analysis stage
+
+
+class SeriesAnalyzer:
+    """Actor-pool time-series analysis over packed chunk rows
+    (``series.pack_series`` / ``gap_fill_pack_series`` output):
+    per chunk, the ACF-dominant lag (period detector), the CUSUM
+    changepoint + normalized statistic, and (when the detected period
+    fits twice) Hyndman's seasonal strength.
+
+    Stateful setup (nothing heavy here, but the shape matches the
+    reference's actor-pool stages): construct once per actor, stream
+    batches of 128 chunk rows through ``__call__`` — each row's kernel
+    is an O(n log n) FFT over its values, vectorized inside.
+    """
+
+    def __init__(self, max_lag: int = 512, min_lag: int = 2):
+        from ..functions.tsanalysis import (
+            acf_fft,
+            cusum_changepoint,
+            dominant_lag,
+            seasonal_strength,
+        )
+
+        self.max_lag = max_lag
+        self.min_lag = min_lag
+        self._acf = acf_fft
+        self._dom = dominant_lag
+        self._cusum = cusum_changepoint
+        self._strength = seasonal_strength
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        lag_o, aval_o, cp_o, stat_o, str_o = [], [], [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if len(v) < 8:
+                lag_o.append(0)
+                aval_o.append(0.0)
+                cp_o.append(0)
+                stat_o.append(0.0)
+                str_o.append(0.0)
+                continue
+            acf = self._acf(v, self.max_lag)
+            lag, aval = self._dom(acf, self.min_lag)
+            cp, stat = self._cusum(v)
+            if self.min_lag < lag and 2 * lag <= len(v):
+                s = self._strength(v, lag)
+            else:
+                s = 0.0
+            lag_o.append(lag)
+            aval_o.append(aval)
+            cp_o.append(cp)
+            stat_o.append(stat)
+            str_o.append(s)
+        out = batch.drop(columns=[c for c in ("ts", "values", "values_precond") if c in batch.columns]).copy()
+        out["acf_lag"] = np.asarray(lag_o, dtype=np.int64)
+        out["acf_value"] = np.asarray(aval_o, dtype=np.float64)
+        out["cusum_cp"] = np.asarray(cp_o, dtype=np.int64)
+        out["cusum_stat"] = np.asarray(stat_o, dtype=np.float64)
+        out["seasonal_strength"] = np.asarray(str_o, dtype=np.float64)
+        return out
+
+
+def series_analysis(chunk_ds, concurrency: int = 4, max_lag: int = 512):
+    """ACF / CUSUM / seasonal-strength per packed chunk row."""
+    return chunk_ds.map_batches(
+        SeriesAnalyzer,
+        fn_constructor_kwargs={"max_lag": max_lag},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,129 @@
+"""Tests for functions/tsanalysis.py and the SeriesAnalyzer stage."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spectral_time_series_ray.functions.tsanalysis import (
+    acf_fft,
+    cusum_changepoint,
+    dominant_lag,
+    seasonal_decompose_ma,
+    seasonal_strength,
+)
+
+
+def _acf_direct(x: np.ndarray, max_lag: int) -> np.ndarray:
+    d = x - x.mean()
+    denom = float(np.dot(d, d))
+    out = np.empty(max_lag + 1)
+    for k in range(max_lag + 1):
+        out[k] = np.dot(d[: len(d) - k], d[k:]) / denom
+    return out
+
+
+@given(st.integers(min_value=8, max_value=200), st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=60, deadline=None)
+def test_acf_fft_matches_direct(n, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=n) + rng.uniform(-5, 5)
+    max_lag = min(n - 1, 40)
+    got = acf_fft(x, max_lag)
+    exp = _acf_direct(x, max_lag)
+    assert got == pytest.approx(exp, abs=1e-9)
+    assert got[0] == pytest.approx(1.0)
+
+
+def test_acf_detects_planted_period():
+    k = np.arange(1024)
+    x = np.sin(2 * np.pi * k / 24) + 0.1 * np.random.default_rng(0).normal(size=1024)
+    lag, val = dominant_lag(acf_fft(x, 200))
+    assert lag == 24
+    assert val > 0.9
+
+
+def test_acf_constant_series():
+    a = acf_fft(np.full(50, 3.0), 10)
+    assert a[0] == 1.0
+    assert np.all(a[1:] == 0.0)
+
+
+def test_cusum_detects_planted_shift():
+    rng = np.random.default_rng(1)
+    x = np.concatenate([np.full(300, 10.0), np.full(200, 13.0)])
+    x += 0.5 * rng.normal(size=500)
+    cp, stat = cusum_changepoint(x)
+    assert abs(cp - 300) <= 5
+    assert stat > 3.0
+
+
+def test_cusum_null_is_quiet():
+    rng = np.random.default_rng(2)
+    stats = [cusum_changepoint(rng.normal(size=400))[1] for _ in range(50)]
+    # Brownian-bridge max: P(stat > 1.36) ~ 5%; all 50 under 3 w.h.p.
+    assert max(stats) < 3.0
+    assert np.median(stats) < 1.0
+
+
+def test_seasonal_decompose_recovers_components():
+    rng = np.random.default_rng(3)
+    n, period = 480, 12
+    k = np.arange(n)
+    trend_true = 0.02 * k
+    seas_true = 3.0 * np.sin(2 * np.pi * k / period)
+    x = 10 + trend_true + seas_true + 0.1 * rng.normal(size=n)
+    trend, seasonal, resid = seasonal_decompose_ma(x, period)
+    m = ~np.isnan(trend)
+    # trend tracks the line, seasonal has the right amplitude
+    assert np.corrcoef(trend[m], (10 + trend_true)[m])[0, 1] > 0.99
+    assert np.max(seasonal) == pytest.approx(3.0, abs=0.25)
+    assert np.nanstd(resid) < 0.2
+    # additive identity where trend is defined
+    assert x[m] == pytest.approx((trend + seasonal + resid)[m])
+
+
+def test_seasonal_strength_separates():
+    rng = np.random.default_rng(4)
+    k = np.arange(240)
+    seasonal = 2.0 * np.sin(2 * np.pi * k / 12) + 0.1 * rng.normal(size=240)
+    noise = rng.normal(size=240)
+    assert seasonal_strength(seasonal, 12) > 0.9
+    assert seasonal_strength(noise, 12) < 0.5
+
+
+def test_seasonal_decompose_rejects_short():
+    with pytest.raises(ValueError):
+        seasonal_decompose_ma(np.arange(10.0), 8)
+
+
+def test_series_analyzer_stage(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import series_analysis
+
+    rng = np.random.default_rng(5)
+    k = np.arange(256)
+    rows = [
+        {
+            "conv_id": "tone",
+            "chunk_idx": 0,
+            "n_points": 256,
+            "ts": (k * 60_000_000).astype(np.int64),
+            "values": np.sin(2 * np.pi * k / 16) + 0.05 * rng.normal(size=256),
+        },
+        {
+            "conv_id": "shift",
+            "chunk_idx": 0,
+            "n_points": 256,
+            "ts": (k * 60_000_000).astype(np.int64),
+            "values": np.where(k < 100, 0.0, 4.0) + 0.3 * rng.normal(size=256),
+        },
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = series_analysis(ds, concurrency=1).to_pandas().set_index("conv_id")
+    assert abs(int(out.loc["tone", "acf_lag"]) - 16) <= 1
+    assert out.loc["tone", "seasonal_strength"] > 0.8
+    assert abs(int(out.loc["shift", "cusum_cp"]) - 100) <= 4
+    assert out.loc["shift", "cusum_stat"] > 3.0
