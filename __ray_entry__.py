@@ -840,6 +840,87 @@ def _tr_split_assign(sf_dir: str):
     return out
 
 
+def _ev_cms_user_counts(sf_dir: str):
+    """Count-Min sketch point frequencies vs exact per-user counts,
+    SELF-VERIFYING against the sketch guarantee: estimates never
+    undercount, and overshoot beyond the (e/width)*N additive bound
+    is rare (< 5% of keys; each row holds w.p. 1-e^-depth ~ 98%).
+    The sketch is a fixed 128 KB blob per block regardless of corpus
+    size; the exact side is a distributed groupby count."""
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.distinct import (
+        cms_point_estimates,
+        freq_cms,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    cms = freq_cms(ds, "user_id", width=4096, depth=4)
+    exact = ds.groupby("user_id").count().to_pandas()
+    cnt_col = [c for c in exact.columns if c != "user_id"][0]
+    exact = exact.rename(columns={cnt_col: "exact_count"})
+    exact["exact_count"] = exact["exact_count"].astype(np.int64)
+    exact["cms_count"] = cms_point_estimates(
+        cms, exact["user_id"].to_numpy()
+    ).astype(np.int64)
+    over = exact["cms_count"] - exact["exact_count"]
+    bound = cms.error_bound()
+    frac_beyond = float((over > bound).mean())
+    exact["ok"] = (over >= 0) & np.bool_(frac_beyond < 0.05)
+    assert (over >= 0).all(), "CMS undercounted — impossible by construction"
+    return exact[["user_id", "exact_count", "cms_count", "ok"]]
+
+
+def _ev_bottomk_sample(sf_dir: str):
+    """Deterministic per-user uniform 5-sample of events via bottom-k
+    order sampling (`sampling.bottom_k_sample`), SELF-VERIFYING with
+    distributed scalar invariants: total sampled rows must equal
+    sum over users of min(k, n_user) AND no user may exceed k samples
+    — together (with sample ⊆ rows) this forces per-user sizes to be
+    exactly min(k, n_user) without any join — and a second run over a
+    different partitioning must produce the identical sample
+    (rerun/partition independence — the resume-safety contract)."""
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.sampling import bottom_k_sample
+
+    k = 5
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    sample = bottom_k_sample(ds, key="user_id", id_col="event_id", k=k, seed=42)
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    totals = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+    def min_k(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"want": [int(np.minimum(k, batch["n_events"].to_numpy()).sum())]}
+        )
+
+    want_total = sum(
+        r["want"]
+        for r in totals.map_batches(min_k, batch_format="pandas").take_all()
+    )
+    per_user = sample.groupby("user_id").aggregate(Count(alias_name="n_sampled"))
+    stats = per_user.aggregate(
+        Sum("n_sampled", alias_name="total"), Max("n_sampled", alias_name="biggest")
+    )
+    size_ok = bool(stats["total"] == want_total and stats["biggest"] <= k)
+
+    rerun = (
+        bottom_k_sample(
+            ds.repartition(7), key="user_id", id_col="event_id", k=k, seed=42
+        )
+        .to_pandas()["event_id"]
+        .sort_values()
+        .to_numpy()
+    )
+    got = sample.to_pandas()
+    det_ok = bool(np.array_equal(got["event_id"].sort_values().to_numpy(), rerun))
+
+    got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    got["ok"] = size_ok and det_ok
+    return got[["user_id", "event_id", "ok"]]
+
+
 def _tr_series_analysis(sf_dir: str):
     """ACF period detection + CUSUM changepoint + seasonal strength
     per packed chunk (`stages/analytics.series_analysis`),
@@ -1207,6 +1288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_resample": _tr_resample,
         "tr_series_analysis": _tr_series_analysis,
+        "ev_cms_user_counts": _ev_cms_user_counts,
+        "ev_bottomk_sample": _ev_bottomk_sample,
         "tr_heavy_conversations": _tr_heavy_conversations,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,

@@ -117,3 +117,48 @@ def distinct_hll(ds, key_col: str, value_col: str, p: int = 12):
         )
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def freq_cms(ds, column: str, width: int = 4096, depth: int = 4):
+    """Global Count-Min frequency sketch over a column: one
+    fixed-size partial sketch per block (width*depth*8 bytes — 128 KB
+    at defaults — regardless of corpus size), merged by elementwise
+    addition. Returns the merged :class:`CountMinSketch`.
+
+    Answers point frequency queries for ANY key with the additive
+    (e/width)*N overcount guarantee — the complement of
+    :func:`heavy_hitters` (Misra-Gries undercounts a bounded SET).
+    """
+    from ..functions.bloom import hash_u64
+    from ..functions.cms import CountMinSketch
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        col = batch[column]
+        if col.dtype.kind in "iu":
+            h = hash_u64(col.to_numpy().astype(np.uint64))
+        else:
+            h = fnv1a_u64([str(v) for v in col])
+        sk = CountMinSketch(width, depth)
+        # pre-aggregate within the batch: one add per distinct value
+        uniq, counts = np.unique(h, return_counts=True)
+        sk.add_hashes(uniq, counts)
+        return pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    acc = CountMinSketch(width, depth)
+    for blob in parts["sketch"]:
+        acc.merge(CountMinSketch.from_bytes(blob))
+    return acc
+
+
+def cms_point_estimates(cms, keys) -> np.ndarray:
+    """Vectorized point-frequency estimates for a key array against a
+    merged sketch (hashing matches :func:`freq_cms`)."""
+    from ..functions.bloom import hash_u64
+
+    arr = np.asarray(keys)
+    if arr.dtype.kind in "iu":
+        h = hash_u64(arr.astype(np.uint64))
+    else:
+        h = fnv1a_u64([str(v) for v in arr])
+    return cms.query_hashes(h)

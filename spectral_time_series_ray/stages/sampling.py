@@ -335,3 +335,54 @@ def masked_prediction_series(ds, concurrency: int = 4, batch_size: int = 256, **
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def bottom_k_sample(
+    ds,
+    key: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+):
+    """Deterministic per-key uniform k-sample WITHOUT replacement via
+    bottom-k order sampling: tag every row with
+    ``u = splitmix64(hash(id) ^ seed)`` and keep each key's k smallest
+    tags. A fixed random tag per row makes the sample (a) exactly
+    uniform over the key's rows, (b) MERGEABLE — the bottom-k of a
+    union is the bottom-k of the partial bottom-k's — and (c)
+    deterministic across reruns, partitionings and cluster sizes
+    (resume-safe, same contract as `split_assign`).
+
+    Shape: per-batch partial bottom-k per key (at most k rows per key
+    per block shuffle), then a per-key merge cut. The reference
+    samples series uniformly inside its dataset builders
+    (`uni2ts/src/uni2ts/data/dataset.py` sampler fields); this is the
+    distributed, reproducible equivalent.
+    """
+    import pyarrow as pa
+
+    from ..functions.bloom import hash_u64
+    from ..functions.hashing import fnv1a_u64
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        col = batch[id_col]
+        if col.dtype.kind in "iu":
+            h = hash_u64(col.to_numpy().astype(np.uint64))
+        else:
+            h = fnv1a_u64([str(v) for v in col])
+        batch = batch.copy()
+        batch["_tag"] = hash_u64(h ^ np.uint64(seed))
+        # partial cut: at most k rows per key leave the block
+        return (
+            batch.sort_values("_tag", kind="stable")
+            .groupby(key, sort=False)
+            .head(k)
+        )
+
+    partials = ds.map_batches(tag, batch_format="pandas", batch_size=None)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values("_tag", kind="stable").head(k)
+        return out.drop(columns=["_tag"])
+
+    return partials.groupby(key).map_groups(cut, batch_format="pandas")
