@@ -840,6 +840,50 @@ def _tr_split_assign(sf_dir: str):
     return out
 
 
+def _doc_repeated_ngrams(sf_dir: str):
+    """Cross-document repeated-n-gram ratios
+    (`dedup.repeated_ngram_ratio`, the Lee-et-al substring-dedup
+    projection), SELF-VERIFYING with planted docs riding the real
+    corpus: three docs sharing a 40-token boilerplate block (each with
+    a unique 20-token prefix) must show dup_ratio covering the shared
+    block, and a control doc of globally-unique tokens must show
+    dup_ratio == 0."""
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.dedup import repeated_ngram_ratio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    boiler = " ".join(f"bp{i % 13}x{i % 7}" for i in range(40))
+    planted = pd.DataFrame(
+        {
+            "doc_id": [990001, 990002, 990003, 990004],
+            "text": [
+                " ".join(f"uniqa{i}" for i in range(20)) + " " + boiler,
+                " ".join(f"uniqb{i}" for i in range(20)) + " " + boiler,
+                " ".join(f"uniqc{i}" for i in range(20)) + " " + boiler,
+                " ".join(f"ctrl{i}" for i in range(60)),
+            ],
+        }
+    )
+    both = ds.union(ray.data.from_pandas(planted))
+    out = repeated_ngram_ratio(both, n=8, min_docs=2).to_pandas()
+
+    p = out.set_index("doc_id")
+    n_tok, n_shingle = 61, 61 - 8 + 1  # prefix(20)+boiler(40)+1 joiner offset
+    # shared shingles: the 33 fully-inside-boilerplate 8-grams
+    checks = {}
+    for d in (990001, 990002, 990003):
+        checks[d] = bool(d in p.index and p.loc[d, "n_repeated"] >= 33)
+    checks[990004] = bool(990004 in p.index and p.loc[990004, "n_repeated"] == 0)
+    assert all(d in p.index for d in planted["doc_id"]), "planted docs missing"
+    out["ok"] = np.array(
+        [checks.get(d, True) for d in out["doc_id"]], dtype=bool
+    )
+    return out
+
+
 def _ev_cms_user_counts(sf_dir: str):
     """Count-Min sketch point frequencies vs exact per-user counts,
     SELF-VERIFYING against the sketch guarantee: estimates never
@@ -1258,18 +1302,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_above_p90": Q.doc_above_p90,
         "ev_dow_profile": Q.ev_dow_profile,
         "ev_value_histogram": Q.ev_value_histogram,
+        "doc_tfidf_top": Q.doc_tfidf_top,
+        "cust_order_leftjoin": Q.cust_order_leftjoin,
         # strongest self-verifying rows-only families (inside the
         # 50-entry window: one entry per rounds-2/3 operator family)
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
-        "doc_ngram_dedup": _doc_ngram_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
         "emb_kmeans": _emb_kmeans,
         "tr_ffd_pack": _tr_ffd_pack,
-        "tr_split_assign": _tr_split_assign,
         "doc_training_pipeline": _doc_training_pipeline,
         # ---- entries past the driver window (all self-verify green) --
+        "doc_ngram_dedup": _doc_ngram_dedup,
+        "tr_split_assign": _tr_split_assign,
         "tr_spectral": _tr_spectral,
         "ev_quantile_tdigest": Q.ev_quantile_tdigest,
         "ev_distinct_hll": Q.ev_distinct_hll,
@@ -1290,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_series_analysis": _tr_series_analysis,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
+        "doc_repeated_ngrams": _doc_repeated_ngrams,
         "tr_heavy_conversations": _tr_heavy_conversations,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
@@ -1700,5 +1747,39 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_events,
                    round(sum(value), 6) as sum_value
             from events group by 1, 2
+        """,
+        "doc_tfidf_top": """
+            with tok as (
+              select doc_id, unnest(string_split(text, ' ')) as term
+              from documents),
+            tok2 as (select doc_id, term from tok where term <> ''),
+            tf as (select doc_id, term, cast(count(*) as bigint) as tf
+                   from tok2 group by 1, 2),
+            df as (select term, cast(count(*) as bigint) as df
+                   from tf group by 1),
+            n as (select cast(count(*) as double) as n_docs from documents),
+            scored as (
+              select tf.doc_id, tf.term,
+                     tf.tf * ln(n.n_docs / df.df) as score
+              from tf join df using (term) cross join n),
+            best as (
+              select doc_id, term, score,
+                     row_number() over (
+                       partition by doc_id
+                       order by score desc, term asc) as rn
+              from scored)
+            select doc_id, term as top_term, round(score, 6) as score
+            from best where rn = 1
+        """,
+        "cust_order_leftjoin": """
+            select c.c_custkey,
+                   round(c.c_acctbal, 2) as c_acctbal,
+                   cast(coalesce(o.n_orders, 0) as bigint) as n_orders,
+                   round(coalesce(o.total_spent, 0), 2) as total_spent
+            from customer c left join (
+              select o_custkey, count(*) as n_orders,
+                     sum(o_totalprice) as total_spent
+              from orders group by 1) o
+            on c.c_custkey = o.o_custkey
         """,
     }

@@ -1111,3 +1111,52 @@ def ev_value_histogram(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     out = value_histogram(ds, group_col="event_type", value_col="value", bin_width=25.0)
     return _round_ds(out, {"sum_value": 6})
+
+
+def doc_tfidf_top(sf_dir: str):
+    """Per-document top TF-IDF term (`text.tfidf_top_term`):
+    distributed explode -> DF groupby -> term hash-join -> per-doc
+    argmax. Oracle: DuckDB string_split/unnest with the same
+    tf*ln(N/df) score and term-asc tie-break."""
+    from ..stages.text import tfidf_top_term
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_top_term(ds, id_col="doc_id", text_col="text")
+    return _round_ds(out, {"score": 6})
+
+
+def cust_order_leftjoin(sf_dir: str):
+    """LEFT OUTER join family: every customer with order count and
+    total spend, zero-filled for customers with no orders
+    (`Dataset.join(join_type="left_outer")` after a distributed
+    per-customer pre-aggregation — the orders fact table never joins
+    row-level)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent")
+    )
+    joined = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_acctbal": round_half_away(batch["c_acctbal"].to_numpy(np.float64), 2),
+                "n_orders": batch["n_orders"].fillna(0).astype(np.int64),
+                "total_spent": round_half_away(
+                    batch["total_spent"].fillna(0.0).to_numpy(np.float64), 2
+                ),
+            }
+        )
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)

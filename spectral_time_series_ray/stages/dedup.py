@@ -651,3 +651,78 @@ def ngram_jaccard_pairs(texts_by_id: dict[int, str], pairs, shingle_n: int = 3) 
             {"a": a, "b": b, "jaccard": (len(sa & sb) / union) if union else 0.0}
         )
     return pd.DataFrame(rows)
+
+
+def repeated_ngram_ratio(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+):
+    """Cross-document repeated-substring analysis (the document-level
+    projection of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022): for every doc, the fraction
+    of its n-gram shingles that also appear in >= min_docs documents.
+
+    Distributed shape: per-doc DISTINCT shingle hashes (fixed-width
+    (hash, id) rows — text never leaves the tokenize task), a
+    groupby(hash) doc-frequency count, a hash-shuffle join back, and
+    a per-doc mean. Docs with ratio ~1.0 are boilerplate copies;
+    chunk-level removal would re-segment on the flagged shingles.
+    Returns (id, n_shingles, n_repeated, dup_ratio).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import fnv1a_u64, shingle_hashes
+    from ..pipelines.queries import _join_partitions
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            toks = [w for w in t.split(" ") if w]
+            if len(toks) < n:
+                continue
+            sh = np.unique(shingle_hashes(toks, n=n))
+            ids.extend([i] * len(sh))
+            hs.append(sh)
+        if not hs:
+            return pd.DataFrame({id_col: [], "shingle": []})
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids),
+                "shingle": np.concatenate(hs).astype(np.int64),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pandas").map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=None
+    )
+    dfreq = pairs.groupby("shingle").aggregate(Count(alias_name="df"))
+    joined = pairs.join(
+        dfreq, join_type="inner", num_partitions=_join_partitions(), on=("shingle",)
+    )
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "one": np.ones(len(batch), dtype=np.int64),
+                "rep": (batch["df"].to_numpy() >= min_docs).astype(np.int64),
+            }
+        )
+        return out.groupby(id_col, as_index=False).sum()
+
+    agg = (
+        joined.map_batches(flag, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("one", alias_name="n_shingles"), Sum("rep", alias_name="n_repeated"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_shingles"] = batch["n_shingles"].astype(np.int64)
+        batch["n_repeated"] = batch["n_repeated"].astype(np.int64)
+        batch["dup_ratio"] = batch["n_repeated"] / batch["n_shingles"]
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)

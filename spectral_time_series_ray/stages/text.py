@@ -69,3 +69,72 @@ def fingerprint_documents(ds, concurrency: int = 4):
     return ds.map_batches(
         Fingerprinter, batch_format="pandas", batch_size=1024, concurrency=concurrency
     )
+
+
+def term_frequencies(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Explode documents into (id, term, tf) rows — one row per
+    DISTINCT term per doc (whitespace tokenization). The building
+    block for TF-IDF, inverted indexes and repeated-term analysis;
+    each batch shrinks to its per-doc term histogram before leaving
+    the task."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, tfs = [], [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            toks = [w for w in t.split(" ") if w]
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            ids.extend([i] * len(uniq))
+            terms.extend(uniq.tolist())
+            tfs.extend(counts.tolist())
+        return pd.DataFrame(
+            {id_col: ids, "term": terms, "tf": np.asarray(tfs, dtype=np.int64)}
+        )
+
+    return ds.map_batches(explode, batch_format="pandas", batch_size=1024)
+
+
+def tfidf_top_term(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top TF-IDF term (score = tf * ln(N/df), ties by
+    lexicographically-smallest term).
+
+    Fully distributed: exploded (doc, term, tf) rows; document
+    frequencies from a groupby over those SAME rows (each is distinct
+    per (doc, term), so count == df); a hash-shuffle ``Dataset.join``
+    on term; per-doc argmax via groupby. Two shuffles total, both on
+    fixed-width rows — no vocabulary broadcast, so an unbounded term
+    domain is fine at corpus scale."""
+    from ray.data.aggregate import Count
+
+    from ..pipelines.queries import _join_partitions
+
+    n_docs = ds.count()
+    tf = term_frequencies(ds, id_col=id_col, text_col=text_col)
+    # normalize to Arrow blocks before the hash-shuffle join
+    tf = tf.map_batches(lambda t: t, batch_format="pyarrow", batch_size=None)
+    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    joined = tf.join(
+        df, join_type="inner", num_partitions=_join_partitions(), on=("term",)
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["score"] = batch["tf"].to_numpy(dtype=np.float64) * np.log(
+            float(n_docs) / batch["df"].to_numpy(dtype=np.float64)
+        )
+        return batch[[id_col, "term", "score"]]
+
+    scored = joined.map_batches(score, batch_format="pandas", batch_size=None)
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "term"], ascending=[False, True], kind="stable")
+        return pd.DataFrame(
+            {
+                id_col: [g[id_col].iloc[0]],
+                "top_term": [g["term"].iloc[0]],
+                "score": [float(g["score"].iloc[0])],
+            }
+        )
+
+    return scored.groupby(id_col).map_groups(best, batch_format="pandas")
