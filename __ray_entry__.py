@@ -840,6 +840,63 @@ def _tr_split_assign(sf_dir: str):
     return out
 
 
+def _tr_learned_precond(sf_dir: str):
+    """Learned (AR/Yule-Walker-fitted) precondition over packed
+    chunks (`analytics.learned_precondition`) — the numpy equivalent
+    of the reference's torch LearnablePrecondition
+    (uni2ts/src/uni2ts/transform/precondition.py). SELF-VERIFYING: a
+    planted AR(1) phi=0.9 conversation must recover its coefficient
+    (+-0.15), whiten to < 0.25 of its raw variance, and every chunk
+    (planted or real) must reverse bit-near-exactly (< 1e-6)."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import learned_precondition
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    rng = np.random.default_rng(13)
+    n = 512
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = 0.9 * x[t - 1] + rng.normal()
+    grid = (
+        np.int64(1_700_000_000_000_000) + np.arange(n) * 60_000_000
+    ).astype("datetime64[us]")
+    planted = pd.DataFrame(
+        {
+            "conv_id": "__planted_ar__",
+            "bucket_ts": pd.Series(grid),
+            "mean_latency": 5.0 + x,
+        }
+    )
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = learned_precondition(chunks, order=2, concurrency=4).to_pandas()
+
+    p = out[out["conv_id"] == "__planted_ar__"]
+    assert len(p), "planted AR conversation missing"
+    planted_ok = bool(
+        abs(float(p["ar_coeffs"].iloc[0][0]) - 0.9) < 0.15
+        and p["whitened_var_ratio"].iloc[0] < 0.25
+    )
+    out["ok"] = (out["roundtrip_err"] < 1e-6) & np.where(
+        out["conv_id"] == "__planted_ar__", planted_ok, True
+    )
+    out["ar_a1"] = [float(c[0]) if len(c) else 0.0 for c in out["ar_coeffs"]]
+    return out[
+        ["conv_id", "chunk_idx", "ar_a1", "innovation_var",
+         "whitened_var_ratio", "roundtrip_err", "ok"]
+    ]
+
+
 def _doc_repeated_ngrams(sf_dir: str):
     """Cross-document repeated-n-gram ratios
     (`dedup.repeated_ngram_ratio`, the Lee-et-al substring-dedup
@@ -1337,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,
+        "tr_learned_precond": _tr_learned_precond,
         "tr_heavy_conversations": _tr_heavy_conversations,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,

@@ -120,3 +120,42 @@ def seasonal_strength(x: np.ndarray, period: int) -> float:
     if denom == 0:
         return 0.0
     return float(max(0.0, 1.0 - np.var(resid[m]) / denom))
+
+
+def yule_walker(x: np.ndarray, order: int) -> tuple[np.ndarray, float]:
+    """AR(p) coefficients via the Yule-Walker equations: solve the
+    Toeplitz system R a = r over the biased sample autocovariance
+    (the same estimator as :func:`acf_fft`). Returns ``(a, sigma2)``
+    with ``x_t ~= a_1 x_{t-1} + ... + a_p x_{t-p}`` and the innovation
+    variance estimate ``sigma2 = acov[0] - a . acov[1..p]``.
+
+    These are the closed-form "learned" filter taps: plugging
+    ``coeffs = -a`` into ``precondition.forward_precondition``
+    (``y_t = x_t + sum c_i x_{t-i}``) whitens the series — the numpy
+    equivalent of the reference's torch ``LearnablePrecondition``
+    (uni2ts/src/uni2ts/transform/precondition.py), with the filter fit
+    by moment matching instead of SGD.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 2 * order + 2:
+        raise ValueError(f"series too short for AR({order}): n={n}")
+    d = x - x.mean()
+    acov0 = float(np.dot(d, d)) / n
+    if acov0 == 0.0:
+        return np.zeros(order), 0.0
+    acf = acf_fft(x, order)
+    acov = acf * acov0
+    idx = np.abs(np.subtract.outer(np.arange(order), np.arange(order)))
+    R = acov[idx]
+    a = np.linalg.solve(R, acov[1 : order + 1])
+    sigma2 = float(acov0 - a @ acov[1 : order + 1])
+    return a, max(sigma2, 0.0)
+
+
+def ar_whitening_coeffs(x: np.ndarray, order: int) -> np.ndarray:
+    """Fitted precondition taps for ``forward_precondition``:
+    ``c = -a`` so that ``y_t = x_t - sum a_i x_{t-i}`` is the AR
+    innovation sequence."""
+    a, _ = yule_walker(x, order)
+    return -a

@@ -334,3 +334,76 @@ def series_analysis(chunk_ds, concurrency: int = 4, max_lag: int = 512):
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+class LearnedPreconditionStage:
+    """Per-chunk LEARNED precondition: fit AR(order) filter taps by
+    Yule-Walker (`functions/tsanalysis.yule_walker`), whiten with the
+    shared causal-convolution kernel (`forward_precondition` with
+    c = -a), verify exact reversal in-stage, and emit the fitted taps
+    + innovation-variance diagnostics.
+
+    This is the numpy equivalent of the reference's torch
+    ``LearnablePrecondition`` (uni2ts/src/uni2ts/transform/
+    precondition.py): same filter form ``y_t = x_t + sum c_i x_{t-i}``,
+    with taps fit in closed form per chunk instead of learned by SGD —
+    so it runs inside a streaming actor pool with no training loop.
+    Per-chunk state (the taps) is emitted alongside the data, making
+    reversal self-contained at any scale.
+    """
+
+    def __init__(self, order: int = 4, tol: float = 1e-6):
+        from ..functions.precondition import (
+            forward_precondition,
+            reverse_precondition,
+        )
+        from ..functions.tsanalysis import yule_walker
+
+        self.order = order
+        self.tol = tol
+        self._fit = yule_walker
+        self._fwd = forward_precondition
+        self._rev = reverse_precondition
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        coeffs_o, sig_o, ratio_o, err_o = [], [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if len(v) < 2 * self.order + 2:
+                coeffs_o.append(np.zeros(self.order))
+                sig_o.append(0.0)
+                ratio_o.append(1.0)
+                err_o.append(0.0)
+                continue
+            a, sigma2 = self._fit(v, self.order)
+            c = -a
+            y = self._fwd(v, c)
+            back = self._rev(y, c)
+            err = float(np.max(np.abs(back - v)))
+            vx = float(np.var(v))
+            resid = y[self.order :] - y[self.order :].mean()
+            ratio = float(np.var(resid) / vx) if vx > 0 else 1.0
+            coeffs_o.append(a)
+            sig_o.append(sigma2)
+            ratio_o.append(ratio)
+            err_o.append(err)
+        out = batch.drop(
+            columns=[c for c in ("ts", "values", "values_precond") if c in batch.columns]
+        ).copy()
+        out["ar_coeffs"] = coeffs_o
+        out["innovation_var"] = np.asarray(sig_o, dtype=np.float64)
+        out["whitened_var_ratio"] = np.asarray(ratio_o, dtype=np.float64)
+        out["roundtrip_err"] = np.asarray(err_o, dtype=np.float64)
+        return out
+
+
+def learned_precondition(chunk_ds, order: int = 4, concurrency: int = 4):
+    """AR-fitted (Yule-Walker) precondition over packed chunk rows."""
+    return chunk_ds.map_batches(
+        LearnedPreconditionStage,
+        fn_constructor_kwargs={"order": order},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )

@@ -127,3 +127,75 @@ def test_series_analyzer_stage(ray_session):
     assert out.loc["tone", "seasonal_strength"] > 0.8
     assert abs(int(out.loc["shift", "cusum_cp"]) - 100) <= 4
     assert out.loc["shift", "cusum_stat"] > 3.0
+
+
+def test_yule_walker_recovers_ar2():
+    from spectral_time_series_ray.functions.tsanalysis import yule_walker
+
+    rng = np.random.default_rng(6)
+    a_true = np.array([1.2, -0.5])
+    n = 20000
+    x = np.zeros(n)
+    eps = rng.normal(0, 1.0, n)
+    for t in range(2, n):
+        x[t] = a_true[0] * x[t - 1] + a_true[1] * x[t - 2] + eps[t]
+    a, sigma2 = yule_walker(x, 2)
+    assert a == pytest.approx(a_true, abs=0.05)
+    assert sigma2 == pytest.approx(1.0, rel=0.1)
+
+
+def test_ar_whitening_reduces_variance_and_roundtrips():
+    from spectral_time_series_ray.functions.precondition import (
+        forward_precondition,
+        reverse_precondition,
+    )
+    from spectral_time_series_ray.functions.tsanalysis import ar_whitening_coeffs
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    x = np.zeros(n)
+    eps = rng.normal(0, 1.0, n)
+    for t in range(1, n):
+        x[t] = 0.95 * x[t - 1] + eps[t]
+    c = ar_whitening_coeffs(x, 2)
+    y = forward_precondition(x, c)
+    # AR(1) with phi=.95: var(x) ~ 1/(1-phi^2) ~ 10.3x innovation var
+    assert np.var(y[2:]) < 0.2 * np.var(x)
+    back = reverse_precondition(y, c)
+    assert np.max(np.abs(back - x)) < 1e-8
+
+
+def test_yule_walker_rejects_short():
+    from spectral_time_series_ray.functions.tsanalysis import yule_walker
+
+    with pytest.raises(ValueError):
+        yule_walker(np.arange(5.0), 4)
+
+
+def test_learned_precondition_stage(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import learned_precondition
+
+    rng = np.random.default_rng(8)
+    n = 1024
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = 0.9 * x[t - 1] + rng.normal()
+    rows = pd.DataFrame(
+        [
+            {"conv_id": "ar", "chunk_idx": 0, "ts": np.arange(n, dtype=np.int64), "values": x},
+            {"conv_id": "noise", "chunk_idx": 0, "ts": np.arange(64, dtype=np.int64), "values": rng.normal(size=64)},
+        ]
+    )
+    out = (
+        learned_precondition(ray.data.from_pandas(rows), order=2, concurrency=1)
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    assert out.loc["ar", "whitened_var_ratio"] < 0.25
+    assert out.loc["ar", "roundtrip_err"] < 1e-8
+    assert abs(out.loc["ar", "ar_coeffs"][0] - 0.9) < 0.15
+    # white noise: taps ~ 0, no variance to remove
+    assert out.loc["noise", "whitened_var_ratio"] > 0.7
