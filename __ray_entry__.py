@@ -1483,7 +1483,8 @@ def oracle_sql() -> dict[str, str]:
                                           rows between 4 preceding
                                           and current row), 6) as ma_value,
                    rank() over v as rnk,
-                   dense_rank() over v as drnk
+                   dense_rank() over v as drnk,
+                   cast(ntile(4) over w as bigint) as tile
             from events
             window w as (partition by user_id order by ts, event_id),
                    v as (partition by user_id order by value)

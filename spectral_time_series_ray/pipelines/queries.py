@@ -179,18 +179,18 @@ def ev_window_funcs(sf_dir: str):
 
 def ev_rank_funcs(sf_dir: str):
     """Second analytic window family per user: lead(value), trailing
-    5-row moving average, rank()/dense_rank() by value (tie-aware) —
-    one int-keyed shuffle + one numpy pass
-    (`features.analytic_rank_funcs`)."""
+    5-row moving average, rank()/dense_rank() by value (tie-aware),
+    ntile(4) quartile buckets over time order — one int-keyed shuffle
+    + one numpy pass (`features.analytic_rank_funcs`)."""
     from ..stages.features import analytic_rank_funcs
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     out = analytic_rank_funcs(
         ds, key="user_id", order_cols=("ts", "event_id"), value_col="value",
-        ma_window=5,
+        ma_window=5, n_tiles=4,
     )
     out = out.select_columns(
-        ["event_id", "user_id", "lead_value", "ma_value", "rnk", "drnk"]
+        ["event_id", "user_id", "lead_value", "ma_value", "rnk", "drnk", "tile"]
     )
     return _round_ds(out, {"ma_value": 6})
 

@@ -153,6 +153,7 @@ def analytic_rank_funcs(
     ma_window: int = 5,
     value_scale: int | None = 100,
     num_partitions: int | None = None,
+    n_tiles: int | None = None,
 ):
     """Second analytic family per key, one shuffle + one numpy pass:
 
@@ -164,6 +165,9 @@ def analytic_rank_funcs(
     - ``rnk`` / ``drnk`` = rank() / dense_rank() over (partition by key
       ORDER BY value) — tie-aware, a different ordering axis than the
       time-ordered functions.
+    - ``tile`` (when ``n_tiles``) = ntile(n_tiles) over (partition by
+      key ORDER BY order_cols) with SQL remainder semantics: the first
+      n %% n_tiles buckets get ceil(n/n_tiles) rows.
 
     Same partition-level design as :func:`analytic_window_funcs`,
     including ``value_scale``: with fixed-decimal inputs the moving-
@@ -201,6 +205,8 @@ def analytic_rank_funcs(
                 cols[c] = pd.Series([], dtype=np.float64)
             for c in ("rnk", "drnk"):
                 cols[c] = pd.Series([], dtype=np.int64)
+            if n_tiles:
+                cols["tile"] = pd.Series([], dtype=np.int64)
             return pd.DataFrame(cols)
         codes, _ = pd.factorize(df[key], sort=False)
         sort_keys = [df[c].to_numpy() for c in reversed(order_cols)]
@@ -258,6 +264,20 @@ def analytic_rank_funcs(
         out["ma_value"] = ma
         out["rnk"] = rnk
         out["drnk"] = drnk
+        if n_tiles:
+            # ntile over the time order: rn0 = 0-based row number in
+            # segment; first (n % k) buckets take q+1 rows (SQL spec)
+            rn0 = idx - seg_start_of
+            seg_n = np.repeat(seg_len, seg_len)
+            q, r = seg_n // n_tiles, seg_n % n_tiles
+            big = r * (q + 1)  # rows covered by the larger buckets
+            tile = np.where(
+                rn0 < big,
+                rn0 // np.maximum(q + 1, 1),
+                r + (rn0 - big) // np.maximum(q, 1),
+            )
+            # segments with n < k: every row its own bucket (q == 0)
+            out["tile"] = (tile + 1).astype(np.int64)
         return out
 
     return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
