@@ -32,32 +32,82 @@ def _quantile_linear(v: np.ndarray, q: float) -> float:
     return float(np.quantile(v, q))
 
 
-def mad_outliers(ds, key: str, value_col: str, k: float = 3.0):
+def _segmented_median(v_sorted: np.ndarray, starts: np.ndarray, seg_len: np.ndarray) -> np.ndarray:
+    """Vectorized per-segment median over segment-sorted values:
+    linear interpolation at (n-1)/2 — identical to np.quantile(.., .5)
+    / DuckDB quantile_cont, with no Python loop over segments."""
+    pos = (seg_len - 1) / 2.0
+    lo = starts + np.floor(pos).astype(np.int64)
+    hi = starts + np.ceil(pos).astype(np.int64)
+    return 0.5 * (v_sorted[lo] + v_sorted[hi])
+
+
+def mad_outliers(ds, key: str, value_col: str, k: float = 3.0, num_partitions: int | None = None):
     """Per-key robust outlier counts: median, MAD (median absolute
     deviation) and the number of values with |v - med| > k * MAD.
 
-    Exact — per-key groups must be bounded (events-per-user,
-    turns-per-bucket …), the same contract as the exact rollup
-    quantiles.  For unbounded groups use the t-digest path
-    (`distinct.quantile_tdigest`) with an approximate threshold.
+    Exact, one int-keyed hash shuffle + one fully-vectorized pass per
+    partition (two segmented-median sweeps — no Python loop over
+    keys, the same partition-fn design as
+    `features.analytic_rank_funcs`).  Per-key groups must be bounded
+    (events-per-user, turns-per-bucket …), the same contract as the
+    exact rollup quantiles; for unbounded groups use the t-digest
+    path (`distinct.quantile_tdigest`) with an approximate threshold.
     """
+    from .rollup import partitions_for_input
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        v = g[value_col].to_numpy(dtype=np.float64)
-        med = _quantile_linear(v, 0.5)
-        dev = np.abs(v - med)
-        mad = _quantile_linear(dev, 0.5)
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key, value_col]].copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(batch[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return batch
+
+    parted = ds.map_batches(add_part, batch_format="pandas", batch_size=None)
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=df[key].dtype),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "med_value": pd.Series([], dtype=np.float64),
+                    "mad_value": pd.Series([], dtype=np.float64),
+                    "n_outliers": pd.Series([], dtype=np.int64),
+                }
+            )
+        codes, uniques = pd.factorize(df[key], sort=False)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, codes))
+        codes_s, v_s = codes[order], v[order]
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(starts, n))
+        med = _segmented_median(v_s, starts, seg_len)  # per segment
+        seg_of = np.repeat(np.arange(len(starts)), seg_len)
+        dev = np.abs(v_s - med[seg_of])
+        order2 = np.lexsort((dev, codes_s))  # codes_s already grouped
+        mad = _segmented_median(dev[order2], starts, seg_len)
+        out_flags = dev > k * mad[seg_of]
+        n_out = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(n_out, seg_of, out_flags)
+        seg_key = uniques[codes_s[starts]]
         return pd.DataFrame(
             {
-                key: [g[key].iloc[0]],
-                "n_events": np.array([len(v)], dtype=np.int64),
-                "med_value": [med],
-                "mad_value": [mad],
-                "n_outliers": np.array([int((dev > k * mad).sum())], dtype=np.int64),
+                key: seg_key,
+                "n_events": seg_len.astype(np.int64),
+                "med_value": med,
+                "mad_value": mad,
+                "n_outliers": n_out,
             }
         )
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    return parted.groupby("_part").map_groups(partition_fn, batch_format="pandas")
 
 
 # ------------------------------------------------- first-seen cumulative
