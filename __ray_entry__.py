@@ -1361,16 +1361,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_value_histogram": Q.ev_value_histogram,
         "doc_tfidf_top": Q.doc_tfidf_top,
         "cust_order_leftjoin": Q.cust_order_leftjoin,
+        "ev_funnel": Q.ev_funnel,
+        "ev_cohort_retention": Q.ev_cohort_retention,
         # strongest self-verifying rows-only families (inside the
         # 50-entry window: one entry per rounds-2/3 operator family)
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
-        "emb_kmeans": _emb_kmeans,
-        "tr_ffd_pack": _tr_ffd_pack,
         "doc_training_pipeline": _doc_training_pipeline,
         # ---- entries past the driver window (all self-verify green) --
+        "emb_kmeans": _emb_kmeans,
+        "tr_ffd_pack": _tr_ffd_pack,
         "doc_ngram_dedup": _doc_ngram_dedup,
         "tr_split_assign": _tr_split_assign,
         "tr_spectral": _tr_spectral,
@@ -1840,5 +1842,38 @@ def oracle_sql() -> dict[str, str]:
                      sum(o_totalprice) as total_spent
               from orders group by 1) o
             on c.c_custkey = o.o_custkey
+        """,
+        "ev_funnel": """
+            with f as (
+              select user_id, event_type, min(ts) as first_ts
+              from events
+              where event_type in ('signup', 'view', 'purchase')
+              group by 1, 2),
+            p as (
+              select user_id,
+                     max(case when event_type = 'signup' then first_ts end) as t_signup,
+                     max(case when event_type = 'view' then first_ts end) as t_view,
+                     max(case when event_type = 'purchase' then first_ts end) as t_purchase
+              from f group by 1)
+            select user_id,
+                   cast(case when t_signup is not null
+                        then 1 else 0 end as bigint) as did_signup,
+                   cast(case when t_view > t_signup
+                        then 1 else 0 end as bigint) as did_view_after,
+                   cast(case when t_view > t_signup and t_purchase > t_view
+                        then 1 else 0 end as bigint) as did_purchase_after
+            from p
+        """,
+        "ev_cohort_retention": """
+            with ud as (
+              select distinct user_id, date_trunc('day', ts) as day
+              from events),
+            f as (
+              select user_id, min(day) as cohort_day from ud group by 1)
+            select f.cohort_day,
+                   cast(date_diff('day', f.cohort_day, ud.day) as bigint) as day_offset,
+                   cast(count(*) as bigint) as n_users
+            from ud join f using (user_id)
+            group by 1, 2
         """,
     }
