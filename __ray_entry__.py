@@ -1363,14 +1363,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_leftjoin": Q.cust_order_leftjoin,
         "ev_funnel": Q.ev_funnel,
         "ev_cohort_retention": Q.ev_cohort_retention,
+        "ev_global_quantiles": Q.ev_global_quantiles,
         # strongest self-verifying rows-only families (inside the
         # 50-entry window: one entry per rounds-2/3 operator family)
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
-        "doc_training_pipeline": _doc_training_pipeline,
         # ---- entries past the driver window (all self-verify green) --
+        "doc_training_pipeline": _doc_training_pipeline,
         "emb_kmeans": _emb_kmeans,
         "tr_ffd_pack": _tr_ffd_pack,
         "doc_ngram_dedup": _doc_ngram_dedup,
@@ -1863,6 +1864,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(case when t_view > t_signup and t_purchase > t_view
                         then 1 else 0 end as bigint) as did_purchase_after
             from p
+        """,
+        "ev_global_quantiles": """
+            select cast(count(*) as bigint) as n_events,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.9), 6) as p90,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events
         """,
         "ev_cohort_retention": """
             with ud as (

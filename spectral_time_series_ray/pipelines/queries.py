@@ -1275,3 +1275,35 @@ def ev_cohort_retention(sf_dir: str):
         return batch
 
     return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def ev_global_quantiles(sf_dir: str):
+    """EXACT whole-table quantiles of a bounded-domain column at any
+    corpus size: per-batch (value, count) histogram partials (each at
+    most |domain| rows — ~49k for 2-decimal values — regardless of
+    batch size), merged by a tiny driver-side groupby, then
+    `analytics.quantile_from_counts`. No shuffle and no full-column
+    sort: the bytes leaving each task are bounded by the value
+    domain, not the row count."""
+    from ..stages.analytics import quantile_from_counts
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uniq, counts = np.unique(batch["value"].to_numpy(np.float64), return_counts=True)
+        return pd.DataFrame({"value": uniq, "n": counts.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    hist = parts.groupby("value", as_index=False)["n"].sum()
+    v, c = hist["value"].to_numpy(), hist["n"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "n_events": np.array([int(c.sum())], dtype=np.int64),
+            "p50": [quantile_from_counts(v, c, 0.5)],
+            "p90": [quantile_from_counts(v, c, 0.9)],
+            "p99": [quantile_from_counts(v, c, 0.99)],
+        }
+    )
+    for col in ("p50", "p90", "p99"):
+        out[col] = round_half_away(out[col].to_numpy(), 6)
+    return out
