@@ -48,20 +48,35 @@ def exact_dedup(ds, id_col: str = "doc_id"):
     (doc_id, n_dups, text_hash).
 
     Scale path: the shuffle carries ONLY fixed-width columns. Each
-    batch hashes its texts TWICE with independent functions (FNV-1a
-    64, and pandas' vectorized C hasher over the same strings) and
-    pre-aggregates (min id, count) per 128-bit hash pair — duplicate
-    payloads collapse before the exchange and the text column never
-    leaves the scan. Two different texts merge only on a simultaneous
-    128-bit collision: at 10^12 docs the expected number of false
-    merges is ~(10^12)^2 / 2^129 ≈ 1.5e-15 — accepted (and the
-    collision, unlike a single-hash scheme, is detectable by carrying
-    a third hash if ever needed).
+    batch hashes its texts TWICE with pandas' vectorized C SipHash
+    under two independent 16-byte keys and pre-aggregates
+    (min id, count) per 128-bit hash pair — duplicate payloads
+    collapse before the exchange and the text column never leaves the
+    scan. Two different texts merge only on a simultaneous 128-bit
+    collision: at 10^12 docs the expected number of false merges is
+    ~(10^12)^2 / 2^129 ≈ 1.5e-15 — accepted (and the collision,
+    unlike a single-hash scheme, is detectable by carrying a third
+    hash if ever needed). Both keys are fixed constants so hashes are
+    deterministic across runs and workers.
+
+    The merge shuffle is the repo-wide partition pattern: partials are
+    hash-bucketed into ``n_parts`` int partitions and each partition
+    re-aggregates its (hash-pair -> min id, count) rows in one
+    vectorized pandas pass — the exchanged key domain is tiny and the
+    per-group work never touches Python rows.
     """
-    from ray.data.aggregate import Min, Sum
+    from .rollup import partitions_for_input
+
+    n_parts = partitions_for_input(None)
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        h1 = fnv1a_u64(batch["text"].tolist()).astype(np.int64)
+        h1 = (
+            pd.util.hash_pandas_object(
+                batch["text"], index=False, hash_key="b4d3b4d3b4d3b4d3"
+            )
+            .to_numpy()
+            .astype(np.int64)
+        )
         h2 = (
             pd.util.hash_pandas_object(batch["text"], index=False)
             .to_numpy()
@@ -75,13 +90,23 @@ def exact_dedup(ds, id_col: str = "doc_id"):
             .agg(["min", "size"])
             .reset_index()
         )
-        return agg.rename(columns={"min": "_min_id", "size": "_n"})
+        agg = agg.rename(columns={"min": "_min_id", "size": "_n"})
+        agg["_part"] = (
+            agg["text_hash"].to_numpy().astype(np.uint64) >> np.uint64(40)
+        ).astype(np.int64) % n_parts
+        return agg
 
     partials = ds.map_batches(prep, batch_format="pandas", batch_size=None)
-    merged = partials.groupby(["text_hash", "_h2"]).aggregate(
-        Min("_min_id", alias_name=id_col), Sum("_n", alias_name="n_dups")
-    )
-    return merged.select_columns([id_col, "n_dups", "text_hash"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby(["text_hash", "_h2"], sort=False)
+            .agg(**{id_col: ("_min_id", "min"), "n_dups": ("_n", "sum")})
+            .reset_index()
+        )
+        return m[[id_col, "n_dups", "text_hash"]]
+
+    return partials.groupby("_part").map_groups(merge, batch_format="pandas")
 
 
 class _MinHashStage:
