@@ -1364,8 +1364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel": Q.ev_funnel,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_global_quantiles": Q.ev_global_quantiles,
-        # strongest self-verifying rows-only families (inside the
-        # 50-entry window: one entry per rounds-2/3 operator family)
+        "ev_grouping_sets": Q.ev_grouping_sets,
+        "ev_hopping_windows": Q.ev_hopping_windows,
+        "ev_latest_state": Q.ev_latest_state,
+        # strongest self-verifying rows-only family (inside the
+        # 50-entry window)
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -1883,5 +1886,35 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_users
             from ud join f using (user_id)
             group by 1, 2
+        """,
+        "ev_grouping_sets": """
+            with base as (
+              select event_type, strftime(ts, '%Y-%m-%d') as day, value
+              from events)
+            select coalesce(event_type, '<all>') as event_type,
+                   coalesce(day, '<all>') as day,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 6) as sum_value
+            from base
+            group by grouping sets ((event_type, day), (event_type), (day), ())
+        """,
+        "ev_hopping_windows": """
+            select time_bucket(interval '15 minutes', ts)
+                     - k.k * interval '15 minutes' as window_start,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 6) as sum_value
+            from events
+            cross join (values (0), (1), (2), (3)) as k(k)
+            group by 1
+        """,
+        "ev_latest_state": """
+            select user_id, ts, event_type, value, event_id
+            from (
+              select user_id, ts, event_type, value, event_id,
+                     row_number() over (
+                       partition by user_id
+                       order by ts desc, event_id desc) as rn
+              from events)
+            where rn = 1
         """,
     }

@@ -1307,3 +1307,50 @@ def ev_global_quantiles(sf_dir: str):
     for col in ("p50", "p90", "p99"):
         out[col] = round_half_away(out[col].to_numpy(), 6)
     return out
+
+
+def ev_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((type, day), (type), (day), ()) over
+    events: two shuffle rounds total — the finest (type, day) level
+    merges like any mergeable rollup, and every coarser level
+    re-aggregates the already-tiny finest aggregate in one further
+    tagged exchange (`olap.grouping_sets_aggregate`)."""
+    from ..stages.olap import grouping_sets_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "value"]].copy()
+        out["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return out
+
+    ds = ds.map_batches(add_day, batch_format="pandas", batch_size=None)
+    return grouping_sets_aggregate(
+        ds,
+        keys=["event_type", "day"],
+        value_col="value",
+        sets=[("event_type", "day"), ("event_type",), ("day",), ()],
+    )
+
+
+def ev_hopping_windows(sf_dir: str):
+    """Hopping (sliding) 1h windows every 15m: each event lands in 4
+    window starts via a vectorized hop-grid shift; only per-batch
+    (window, n, scaled-sum) partials shuffle (`olap.hopping_rollup`)."""
+    from ..stages.olap import hopping_rollup
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return hopping_rollup(ds, window="1h", hop="15m")
+
+
+def ev_latest_state(sf_dir: str):
+    """Latest-wins compaction: the current state row per user (max by
+    (ts, event_id) — deterministic), i.e. the materialized UPSERT view
+    of the event stream (`olap.latest_state`)."""
+    from ..stages.olap import latest_state
+
+    ds = _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_type", "value", "event_id"],
+    )
+    return latest_state(ds, key="user_id", order_cols=("ts", "event_id"))

@@ -1,0 +1,311 @@
+"""OLAP-style multi-level aggregates over event streams.
+
+Three operator families the SQL surface of a retention/rollup engine
+needs beyond plain tumbling rollups:
+
+- ``grouping_sets_aggregate``: GROUP BY GROUPING SETS / ROLLUP / CUBE
+  in two shuffle rounds — the finest level merges like any mergeable
+  rollup, and every coarser level re-aggregates the (already tiny)
+  finest aggregate, tagged with a set id, in ONE further shuffle.
+- ``hopping_rollup``: overlapping (sliding) windows — each event is
+  assigned to ``window/hop`` window starts by a vectorized Arrow
+  shift, then merges exactly like a tumbling rollup. The shuffle
+  carries per-batch partials, never the expanded rows.
+- ``latest_state``: latest-wins compaction (the materialized UPSERT
+  view of an event stream): one surviving row per key, chosen by a
+  deterministic (ts, tiebreak...) DESC order, via per-batch keep-best
+  partials and a hash-partitioned keep-best merge.
+
+Reference parity: the reference materializes one summary row per
+series (statistics over the full history — e.g. the train-stat pass in
+`uni2ts/src/uni2ts/data/builder/simple.py:86-114`) and enumerates
+overlapping crops over a grid (`uni2ts/src/uni2ts/transform/crop.py`);
+these stages lift the same shapes to distributed whole-table
+operators with DuckDB-matched semantics.
+
+All three follow the repo-wide partition pattern: partial-aggregate
+inside ``map_batches`` (fixed-width columns only), hash-bucket the
+partials into ``partitions_for_input`` int partitions, and run one
+vectorized pandas pass per partition — no Python loop ever touches a
+row, and no stage materializes unbounded state on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .rollup import partitions_for_input
+
+_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
+
+
+def _interval_us(spec: str) -> int:
+    """'15m' / '1h' / '30s' / '1d' -> microseconds."""
+    unit = spec[-1]
+    if unit not in _US:
+        raise ValueError(f"unsupported interval {spec!r}")
+    return int(spec[:-1]) * _US[unit]
+
+
+def _part_of(frame: pd.DataFrame, cols: Sequence[str], n_parts: int) -> np.ndarray:
+    """Partition id from the combined row hash of ``cols``."""
+    h = pd.util.hash_pandas_object(frame[list(cols)], index=False).to_numpy()
+    return (h >> np.uint64(40)).astype(np.int64) % n_parts
+
+
+# ------------------------------------------------- GROUPING SETS
+
+
+def grouping_sets_aggregate(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    sets: Iterable[Sequence[str]],
+    all_label: str = "<all>",
+    value_scale: int = 100,
+):
+    """GROUP BY GROUPING SETS over string key columns.
+
+    Returns one row per group per requested set with ``n_events``
+    (count) and ``sum_value`` (exact int64-scaled sum, emitted as
+    float rounded to 6 — bit-identical to DuckDB for
+    fixed-``value_scale``-decimal inputs). Grouped-out key columns
+    carry ``all_label`` (mirror with ``coalesce(col, all_label)`` on
+    the SQL side).
+
+    Scale shape: shuffle 1 merges the finest level (every requested
+    set is a coarsening of ``keys``); the merged finest aggregate —
+    bounded by the distinct key-combination count, not the row count —
+    is then re-aggregated for ALL coarser sets in shuffle 2, each row
+    tagged with its set id so one exchange serves every level.
+    """
+    keys = list(keys)
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"set {s} not a subset of keys {keys}")
+    n_parts = partitions_for_input(None)
+
+    def empty() -> pd.DataFrame:
+        cols = {k: pd.Series([], dtype=object) for k in keys}
+        cols["_n"] = pd.Series([], dtype=np.int64)
+        cols["_s"] = pd.Series([], dtype=np.int64)
+        cols["_part"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty()
+        t = df[keys].copy()
+        t["_n"] = np.int64(1)
+        t["_s"] = np.round(
+            df[value_col].to_numpy(dtype=np.float64) * value_scale
+        ).astype(np.int64)
+        g = t.groupby(keys, sort=False, as_index=False).agg(
+            _n=("_n", "sum"), _s=("_s", "sum")
+        )
+        g["_part"] = _part_of(g, keys, n_parts)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge_finest(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty().drop(columns=["_part"])
+        return g.groupby(keys, sort=False, as_index=False).agg(
+            _n=("_n", "sum"), _s=("_s", "sum")
+        )
+
+    finest = (
+        partials.groupby("_part")
+        .map_groups(merge_finest, batch_format="pandas")
+        .materialize()
+    )
+
+    coarse_sets = [s for s in sets if set(s) != set(keys)]
+    outputs = []
+    if any(set(s) == set(keys) for s in sets):
+        outputs.append(finest)
+
+    if coarse_sets:
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for si, s in enumerate(coarse_sets):
+                t = df.copy()
+                for kcol in keys:
+                    if kcol not in s:
+                        t[kcol] = all_label
+                g = t.groupby(keys, sort=False, as_index=False).agg(
+                    _n=("_n", "sum"), _s=("_s", "sum")
+                )
+                g["_set"] = np.int64(si)
+                frames.append(g)
+            if not frames or not len(df):
+                e = empty().drop(columns=["_part"])
+                e["_set"] = pd.Series([], dtype=np.int64)
+                e["_part"] = pd.Series([], dtype=np.int64)
+                return e
+            out = pd.concat(frames, ignore_index=True)
+            out["_part"] = _part_of(out, ["_set", *keys], n_parts)
+            return out
+
+        coarse_partials = finest.map_batches(
+            expand, batch_format="pandas", batch_size=None
+        )
+
+        def merge_coarse(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                e = empty().drop(columns=["_part"])
+                return e
+            m = g.groupby(["_set", *keys], sort=False, as_index=False).agg(
+                _n=("_n", "sum"), _s=("_s", "sum")
+            )
+            return m.drop(columns=["_set"])
+
+        outputs.append(
+            coarse_partials.groupby("_part").map_groups(
+                merge_coarse, batch_format="pandas"
+            )
+        )
+
+    merged = outputs[0]
+    for extra in outputs[1:]:
+        merged = merged.union(extra)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        out["n_events"] = df["_n"].astype(np.int64)
+        out["sum_value"] = np.round(
+            df["_s"].to_numpy(dtype=np.float64) / value_scale, 6
+        )
+        return out
+
+    return merged.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ------------------------------------------------- hopping windows
+
+
+def hopping_rollup(
+    ds,
+    window: str = "1h",
+    hop: str = "15m",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+    out_col: str = "window_start",
+):
+    """Overlapping-window rollup: every ``hop``-aligned window of
+    length ``window`` that contains the event. ``window`` must be a
+    multiple of ``hop``; an event lands in ``window/hop`` windows.
+
+    Vectorized assignment: floor ts to the hop grid once, then the k
+    window starts are ``grid - j*hop`` for j in [0, k) — an Arrow
+    scalar subtract per shift, no per-row work. The expanded rows
+    never shuffle: each batch pre-aggregates (n, scaled sum) per
+    window start and only those partials enter the hash-partitioned
+    merge.
+    """
+    win_us, hop_us = _interval_us(window), _interval_us(hop)
+    if win_us % hop_us:
+        raise ValueError(f"window {window} not a multiple of hop {hop}")
+    k = win_us // hop_us
+    n_parts = partitions_for_input(None)
+    hop_min = hop_us // 60_000_000
+    if hop_us % 60_000_000 == 0 and hop_min >= 1:
+        floor_kw = {"multiple": int(hop_min), "unit": "minute"}
+    else:
+        floor_kw = {"multiple": int(hop_us // 1_000_000), "unit": "second"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grid = pc.floor_temporal(batch[ts_col], **floor_kw)
+        base = grid.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        sv = np.round(
+            batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * value_scale
+        ).astype(np.int64)
+        ws = (base[None, :] - (np.arange(k, dtype=np.int64) * hop_us)[:, None]).ravel()
+        sv_k = np.tile(sv, k)
+        codes, uniques = pd.factorize(ws, sort=False)
+        nun = len(uniques)
+        n = np.bincount(codes, minlength=nun).astype(np.int64)
+        s = np.zeros(nun, dtype=np.int64)
+        np.add.at(s, codes, sv_k)
+        part = (uniques.astype(np.uint64) >> np.uint64(13)).astype(np.int64) % n_parts
+        return pa.table(
+            {
+                "_ws": pa.array(uniques, pa.int64()),
+                "_n": pa.array(n, pa.int64()),
+                "_s": pa.array(s, pa.int64()),
+                "_part": pa.array(part, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("_ws", sort=False, as_index=False).agg(
+            _n=("_n", "sum"), _s=("_s", "sum")
+        )
+        out = pd.DataFrame(
+            {
+                out_col: m["_ws"].to_numpy().astype("datetime64[us]"),
+                "n_events": m["_n"].astype(np.int64),
+                "sum_value": np.round(
+                    m["_s"].to_numpy(dtype=np.float64) / value_scale, 6
+                ),
+            }
+        )
+        return out
+
+    return partials.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------- latest-wins compaction
+
+
+def latest_state(
+    ds,
+    key: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    keep_cols: Sequence[str] | None = None,
+):
+    """Latest-wins compaction: the one surviving row per ``key`` under
+    ``ORDER BY order_cols DESC`` — the materialized view of an UPSERT /
+    CDC stream, or "current session state" per conversation.
+
+    ``order_cols`` must be a deterministic total order within a key
+    (include a unique id as the last tiebreak). Per-batch keep-best
+    collapses each block to <=1 row per key before the exchange, so
+    the shuffle moves at most (keys x blocks) rows; the merge applies
+    the identical keep-best inside each hash partition.
+    """
+    order_cols = list(order_cols)
+    n_parts = partitions_for_input(None)
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    def keep_best(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            [key, *order_cols], ascending=[True] + [False] * len(order_cols)
+        ).drop_duplicates(key, keep="first")
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if cols is not None:
+            df = df[cols]
+        out = keep_best(df).copy()
+        out["_part"] = _part_of(out, [key], n_parts)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return keep_best(g).drop(columns=["_part"])
+
+    return partials.groupby("_part").map_groups(merge, batch_format="pandas")
