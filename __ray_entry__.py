@@ -1367,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_grouping_sets": Q.ev_grouping_sets,
         "ev_hopping_windows": Q.ev_hopping_windows,
         "ev_latest_state": Q.ev_latest_state,
+        "ev_tier_stitch": Q.ev_tier_stitch,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -1916,5 +1917,22 @@ def oracle_sql() -> dict[str, str]:
                        order by ts desc, event_id desc) as rn
               from events)
             where rn = 1
+        """,
+        # segment bounds are the fixed stitch_plan cover of
+        # [2024-01-05 07:23, 2024-01-27 19:41) — the plan function's
+        # disjoint-cover property is hypothesis-tested independently
+        "ev_tier_stitch": """
+            with seg(tier, seg_start, seg_end) as (values
+              ('1m', timestamp '2024-01-05 07:23:00', timestamp '2024-01-05 08:00:00'),
+              ('1h', timestamp '2024-01-05 08:00:00', timestamp '2024-01-06 00:00:00'),
+              ('1d', timestamp '2024-01-06 00:00:00', timestamp '2024-01-27 00:00:00'),
+              ('1h', timestamp '2024-01-27 00:00:00', timestamp '2024-01-27 19:00:00'),
+              ('1m', timestamp '2024-01-27 19:00:00', timestamp '2024-01-27 19:41:00'))
+            select seg.tier, seg.seg_start, seg.seg_end,
+                   cast(count(e.ts) as bigint) as n_events,
+                   round(coalesce(sum(e.value), 0), 6) as sum_value
+            from seg left join events e
+              on e.ts >= seg.seg_start and e.ts < seg.seg_end
+            group by 1, 2, 3
         """,
     }

@@ -1354,3 +1354,20 @@ def ev_latest_state(sf_dir: str):
         columns=["user_id", "ts", "event_type", "value", "event_id"],
     )
     return latest_state(ds, key="user_id", order_cols=("ts", "event_id"))
+
+
+def ev_tier_stitch(sf_dir: str):
+    """Continuous-aggregate read path: an arbitrary minute-aligned
+    range answered from the coarsest tiers that cover it (interior
+    days from 1d, edge hours from 1h, minute fringes from 1m) —
+    `olap.tier_stitch_aggregate`. One row per stitch segment; exact
+    int64 sums make the segments telescope to the raw-range answer."""
+    from ..stages.olap import tier_stitch_aggregate
+
+    a = int(np.datetime64("2024-01-05T07:23:00", "us").astype(np.int64))
+    b = int(np.datetime64("2024-01-27T19:41:00", "us").astype(np.int64))
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    out = tier_stitch_aggregate(ds, a, b)
+    out["seg_start"] = out["seg_start"].astype("datetime64[us]")
+    out["seg_end"] = out["seg_end"].astype("datetime64[us]")
+    return out

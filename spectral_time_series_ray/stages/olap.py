@@ -309,3 +309,184 @@ def latest_state(
         return keep_best(g).drop(columns=["_part"])
 
     return partials.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------- tier stitching
+
+
+def stitch_plan(a_us: int, b_us: int) -> list[tuple[str, int, int]]:
+    """Coarsest-tier cover of the minute-aligned range [a, b): whole
+    interior days from the 1d tier, whole edge hours from 1h, minute
+    fringes from 1m — the continuous-aggregate read path (answer an
+    arbitrary range WITHOUT touching raw rows or fine tiers for the
+    interior). Returns disjoint, sorted (tier, start_us, end_us)
+    segments whose union is exactly [a, b)."""
+    minute, hour, day = _US["m"], _US["h"], _US["d"]
+    if a_us % minute or b_us % minute:
+        raise ValueError("range must be minute-aligned")
+    if a_us >= b_us:
+        return []
+
+    def ceil_to(x: int, u: int) -> int:
+        return -(-x // u) * u
+
+    def floor_to(x: int, u: int) -> int:
+        return x // u * u
+
+    plan: list[tuple[str, int, int]] = []
+    a, b = a_us, b_us
+    left = min(ceil_to(a, hour), b)
+    if a < left:
+        plan.append(("1m", a, left))
+        a = left
+    if a < b:
+        right = max(floor_to(b, hour), a)
+        if right < b:
+            plan.append(("1m", right, b))
+            b = right
+    if a < b:
+        left = min(ceil_to(a, day), b)
+        if a < left:
+            plan.append(("1h", a, left))
+            a = left
+    if a < b:
+        right = max(floor_to(b, day), a)
+        if right < b:
+            plan.append(("1h", right, b))
+            b = right
+    if a < b:
+        plan.append(("1d", a, b))
+    return sorted(plan, key=lambda seg: seg[1])
+
+
+def tier_stitch_aggregate(
+    ds,
+    a_us: int,
+    b_us: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 100,
+):
+    """Range aggregate [a, b) answered from the tier ladder: builds the
+    global 1m rollup once (mergeable partials), cascades 1m -> 1h -> 1d
+    by re-bucketing the aggregate (partials only — raw rows shuffle
+    exactly once, into the 1m build), then each ``stitch_plan`` segment
+    reads ONLY its tier's bucket rows. Returns one row per segment
+    (tier, seg_start, seg_end, n_events, sum_value); exact int64 sums
+    throughout, so segment totals telescope to the raw-range answer.
+
+    In a standing retention deployment the 1m/1h/1d inputs are the
+    already-materialized tier tables (`state/retention.py` ladder) and
+    this stage is pure tier reads; here they are derived in-pipeline
+    so the query is self-contained.
+    """
+    plan = stitch_plan(a_us, b_us)
+    if not plan:
+        return None
+    n_parts = partitions_for_input(None)
+    minute_us = _US["m"]
+
+    def partial_1m(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch[ts_col].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        bucket = ts // minute_us * minute_us
+        sv = np.round(
+            batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * value_scale
+        ).astype(np.int64)
+        codes, uniques = pd.factorize(bucket, sort=False)
+        k = len(uniques)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s = np.zeros(k, dtype=np.int64)
+        np.add.at(s, codes, sv)
+        part = (uniques.astype(np.uint64) >> np.uint64(13)).astype(np.int64) % n_parts
+        return pa.table(
+            {
+                "_b": pa.array(uniques, pa.int64()),
+                "_n": pa.array(n, pa.int64()),
+                "_s": pa.array(s, pa.int64()),
+                "_part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def merge_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("_b", sort=False, as_index=False).agg(
+            _n=("_n", "sum"), _s=("_s", "sum")
+        )
+
+    m1 = (
+        ds.map_batches(partial_1m, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge_buckets, batch_format="pandas")
+        .materialize()
+    )
+
+    def rebucket(unit_us: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame(
+                {
+                    "_b": df["_b"].to_numpy() // unit_us * unit_us,
+                    "_n": df["_n"].to_numpy(),
+                    "_s": df["_s"].to_numpy(),
+                }
+            )
+            g = t.groupby("_b", sort=False, as_index=False).agg(
+                _n=("_n", "sum"), _s=("_s", "sum")
+            )
+            g["_part"] = (
+                g["_b"].to_numpy().astype(np.uint64) >> np.uint64(13)
+            ).astype(np.int64) % n_parts
+            return g
+
+        return f
+
+    def merge_rebucketed(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("_b", sort=False, as_index=False).agg(
+            _n=("_n", "sum"), _s=("_s", "sum")
+        )
+
+    # cascade partials-of-partials: bucket-count-bounded, tiny passes
+    h1 = (
+        m1.map_batches(rebucket(_US["h"]), batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge_rebucketed, batch_format="pandas")
+        .materialize()
+    )
+    d1 = (
+        h1.map_batches(rebucket(_US["d"]), batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge_rebucketed, batch_format="pandas")
+        .materialize()
+    )
+    tiers = {"1m": m1, "1h": h1, "1d": d1}
+
+    rows = []
+    for tier, seg_s, seg_e in plan:
+
+        def seg_partial(df: pd.DataFrame, lo=seg_s, hi=seg_e) -> pd.DataFrame:
+            b = df["_b"].to_numpy()
+            m = (b >= lo) & (b < hi)
+            return pd.DataFrame(
+                {
+                    "n": np.array([df["_n"].to_numpy()[m].sum()], dtype=np.int64),
+                    "s": np.array([df["_s"].to_numpy()[m].sum()], dtype=np.int64),
+                }
+            )
+
+        parts = (
+            tiers[tier]
+            .map_batches(seg_partial, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+        rows.append(
+            {
+                "tier": tier,
+                "seg_start": np.datetime64(seg_s, "us"),
+                "seg_end": np.datetime64(seg_e, "us"),
+                "n_events": int(parts["n"].sum()),
+                "sum_value": round(float(parts["s"].sum()) / value_scale, 6),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -139,3 +139,83 @@ def test_latest_state_matches_pandas(ray_session, events_df):
     exp["ts"] = pd.to_datetime(exp["ts"]).astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got["user_id"].is_unique
+
+
+# ---------------------------------------------------------- tier stitch
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spectral_time_series_ray.stages.olap import stitch_plan, tier_stitch_aggregate
+
+_MIN = 60_000_000
+_TIER_US = {"1m": _MIN, "1h": 60 * _MIN, "1d": 1440 * _MIN}
+
+
+@given(
+    st.integers(min_value=0, max_value=60 * 24 * 90),
+    st.integers(min_value=1, max_value=60 * 24 * 90),
+)
+@settings(max_examples=300, deadline=None)
+def test_stitch_plan_disjoint_cover(a_min, span_min):
+    a = a_min * _MIN
+    b = a + span_min * _MIN
+    plan = stitch_plan(a, b)
+    # sorted, disjoint, contiguous, covering exactly [a, b)
+    assert plan[0][1] == a and plan[-1][2] == b
+    for (t0, s0, e0), (t1, s1, e1) in zip(plan, plan[1:]):
+        assert e0 == s1
+    for tier, s, e in plan:
+        u = _TIER_US[tier]
+        assert s < e and s % u == 0 or tier == "1m"
+        if tier != "1m":
+            assert s % u == 0 and e % u == 0
+    # coarsest-cover: at most 2 segments per fine tier, 1 day run
+    tiers = [t for t, _, _ in plan]
+    assert tiers.count("1d") <= 1 and tiers.count("1h") <= 2 and tiers.count("1m") <= 2
+
+
+def test_stitch_plan_fixed_range_matches_oracle_constants():
+    a = int(np.datetime64("2024-01-05T07:23:00", "us").astype(np.int64))
+    b = int(np.datetime64("2024-01-27T19:41:00", "us").astype(np.int64))
+    plan = stitch_plan(a, b)
+    exp = [
+        ("1m", "2024-01-05T07:23:00", "2024-01-05T08:00:00"),
+        ("1h", "2024-01-05T08:00:00", "2024-01-06T00:00:00"),
+        ("1d", "2024-01-06T00:00:00", "2024-01-27T00:00:00"),
+        ("1h", "2024-01-27T00:00:00", "2024-01-27T19:00:00"),
+        ("1m", "2024-01-27T19:00:00", "2024-01-27T19:41:00"),
+    ]
+    got = [
+        (
+            t,
+            str(np.datetime64(s, "us").astype("datetime64[s]")),
+            str(np.datetime64(e, "us").astype("datetime64[s]")),
+        )
+        for t, s, e in plan
+    ]
+    assert got == exp
+
+
+def test_stitch_plan_rejects_unaligned():
+    with pytest.raises(ValueError):
+        stitch_plan(1, _MIN)
+    assert stitch_plan(_MIN, _MIN) == []
+
+
+def test_tier_stitch_aggregate_matches_direct(ray_session, events_df):
+    ds = ray.data.from_pandas(events_df[["ts", "value"]])
+    a = int(np.datetime64("2024-01-01T05:30:00", "us").astype(np.int64))
+    b = int(np.datetime64("2024-01-03T11:07:00", "us").astype(np.int64))
+    out = tier_stitch_aggregate(ds, a, b)
+    df = events_df
+    lo, hi = pd.Timestamp("2024-01-01 05:30:00"), pd.Timestamp("2024-01-03 11:07:00")
+    in_range = df[(df["ts"] >= lo) & (df["ts"] < hi)]
+    assert out["n_events"].sum() == len(in_range)
+    assert out["sum_value"].sum() == pytest.approx(in_range["value"].sum(), abs=1e-6)
+    # per-segment check against direct filtering
+    for _, r in out.iterrows():
+        s, e = pd.Timestamp(r["seg_start"]), pd.Timestamp(r["seg_end"])
+        seg = df[(df["ts"] >= s) & (df["ts"] < e)]
+        assert r["n_events"] == len(seg)
+        assert r["sum_value"] == pytest.approx(seg["value"].sum(), abs=1e-6)
