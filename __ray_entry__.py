@@ -1368,6 +1368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_hopping_windows": Q.ev_hopping_windows,
         "ev_latest_state": Q.ev_latest_state,
         "ev_tier_stitch": Q.ev_tier_stitch,
+        # NOTE: entries beyond the driver's 50-row window still carry
+        # DuckDB oracles — tools/check_oracle.py sweeps ALL of them
+        "ev_watermark_rollup": Q.ev_watermark_rollup,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -1934,5 +1937,40 @@ def oracle_sql() -> dict[str, str]:
             from seg left join events e
               on e.ts >= seg.seg_start and e.ts < seg.seg_end
             group by 1, 2, 3
+        """,
+        # constants mirror ev_watermark_rollup: 1h windows, 30m delay,
+        # 30m lateness, arrival = ts + (event_id*2654435761 % 7200) s
+        "ev_watermark_rollup": """
+            with x as (
+              select user_id, event_id, ts, value,
+                     epoch_us(ts)
+                       + ((event_id * 2654435761) % 7200) * 1000000 as arr
+              from events),
+            y as (
+              select user_id, ts, value,
+                     epoch_us(time_bucket(interval '1 hour', ts)) as w,
+                     max(epoch_us(ts)) over (
+                       partition by user_id order by arr, event_id
+                       rows between unbounded preceding and 1 preceding
+                     ) as prev_max
+              from x),
+            z as (
+              select user_id, w, value,
+                     case
+                       when prev_max is not null
+                            and prev_max - 1800000000
+                                >= w + 3600000000 + 1800000000 then 2
+                       when prev_max is not null
+                            and prev_max - 1800000000 >= w + 3600000000 then 1
+                       else 0
+                     end as cls
+              from y)
+            select user_id, make_timestamp(w) as window_start,
+                   cast(sum(case when cls = 0 then 1 else 0 end) as bigint) as n_on_time,
+                   cast(sum(case when cls = 1 then 1 else 0 end) as bigint) as n_late,
+                   cast(sum(case when cls = 2 then 1 else 0 end) as bigint) as n_dropped,
+                   round(sum(case when cls < 2 then value else 0 end), 6) as sum_value
+            from z
+            group by 1, 2
         """,
     }

@@ -1371,3 +1371,34 @@ def ev_tier_stitch(sf_dir: str):
     out["seg_start"] = out["seg_start"].astype("datetime64[us]")
     out["seg_end"] = out["seg_end"].astype("datetime64[us]")
     return out
+
+
+def ev_watermark_rollup(sf_dir: str):
+    """Event-time streaming semantics, batch-deterministic: 1h tumbling
+    windows with per-user watermarks (30m bounded delay) and 30m
+    allowed lateness over a DISORDERED arrival log (deterministic
+    SQL-expressible jitter of up to 2h on the arrival order, so the
+    late/dropped paths are genuinely exercised) —
+    `streaming.watermark_rollup`. One hash shuffle, one vectorized
+    partition pass; no actors, no driver hop."""
+    from ..stages.streaming import watermark_rollup
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def add_arrival(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        jit = (df["event_id"].to_numpy() * 2654435761) % 7200
+        out["arrival_us"] = tus + jit * 1_000_000
+        return out
+
+    ds = ds.map_batches(add_arrival, batch_format="pandas", batch_size=None)
+    return watermark_rollup(
+        ds,
+        tier_us=3_600_000_000,
+        key="user_id",
+        seq_col="arrival_us",
+        seq_tiebreak="event_id",
+        delay_us=1_800_000_000,
+        lateness_us=1_800_000_000,
+    )
