@@ -158,3 +158,93 @@ def read_manifests(out_root: str, tier: str) -> list[dict]:
             with open(os.path.join(d, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+def compact_partitions(
+    out_root: str,
+    tier: str,
+    target_bytes: int = 128 << 20,
+    run_id: str | None = None,
+):
+    """Small-file compaction over a tier directory: every date
+    partition holding more parquet files than ``ceil(bytes/target)``
+    is rewritten into that many files (streaming writes fan out one
+    file per block, so long-running tiers accumulate small files that
+    degrade scan throughput — the classic LSM/Iceberg maintenance op).
+
+    Safety contract: the MANIFEST stays the completion record. New
+    files land in a ``.compact-*`` staging dir first and the row count
+    is verified against the manifest BEFORE the swap; a crash mid-swap
+    leaves either the old files or a completed staging dir, and the
+    next run finishes the rename (idempotent/resumable, like the
+    write path). Partitions already at or below the target file count
+    are skipped. Returns ``{date: (files_before, files_after)}``.
+
+    Each partition rewrite is an independent distributed read ->
+    repartition -> write; partitions are processed sequentially from
+    the driver (they are independent — parallelize across dates by
+    sharding the date list over multiple compaction jobs at scale).
+    """
+    import ray.data
+
+    rid = run_id or uuid.uuid4().hex[:8]
+    tier_dir = os.path.join(out_root, f"tier={tier}")
+    mdir = os.path.join(out_root, MANIFEST_DIR, tier)
+    results: dict = {}
+    if not os.path.isdir(tier_dir):
+        return results
+    manifests = {m["date"]: m for m in read_manifests(out_root, tier)}
+    for name in sorted(os.listdir(tier_dir)):
+        if not name.startswith("date="):
+            continue
+        date = name.split("=", 1)[1]
+        pdir = os.path.join(tier_dir, name)
+        # finish an interrupted swap from a crashed prior run
+        for stale in os.listdir(tier_dir):
+            if stale.startswith(name + ".compact-") and not os.path.isdir(pdir):
+                os.rename(os.path.join(tier_dir, stale), pdir)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if not files:
+            continue
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        needed = max(1, -(-nbytes // target_bytes))
+        if len(files) <= needed:
+            continue
+        ds = ray.data.read_parquet([os.path.join(pdir, f) for f in files])
+        # path-inferred hive columns (tier=, date=) are not stored in
+        # the files — drop them so the rewrite preserves the physical
+        # schema exactly
+        import pyarrow.parquet as _pq
+
+        physical = set(_pq.read_schema(os.path.join(pdir, files[0])).names)
+        inferred = [c for c in ds.schema().names if c not in physical]
+        if inferred:
+            ds = ds.drop_columns(inferred)
+        ds = ds.repartition(int(needed))
+        n_rows = ds.count()
+        m = manifests.get(date)
+        if m is not None and int(m["row_count"]) != int(n_rows):
+            raise RuntimeError(
+                f"compaction row-count mismatch for {tier}/{date}: "
+                f"manifest {m['row_count']} vs files {n_rows}"
+            )
+        staging = os.path.join(tier_dir, f"{name}.compact-{rid}")
+        ds.write_parquet(staging)
+        import shutil
+
+        shutil.rmtree(pdir)
+        os.rename(staging, pdir)
+        n_after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+        if m is not None:
+            m = dict(m)
+            m["compaction"] = {
+                "run_id": rid,
+                "files_before": len(files),
+                "files_after": n_after,
+            }
+            tmp = os.path.join(mdir, f".{date}.json.tmp-{rid}")
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, os.path.join(mdir, f"{date}.json"))
+        results[date] = (len(files), n_after)
+    return results

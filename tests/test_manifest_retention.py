@@ -125,3 +125,62 @@ def test_torn_manifest_ignored(rolled, tmp_path):
         f.write('{"tier": "1h", "date"')  # torn write
     done = completed_partitions(out, "1h", "f")
     assert dt.date.fromisoformat(name[:-5]) and name[:-5] not in done
+
+
+# ---------------------------------------------------------- compaction
+
+
+def test_compaction_reduces_files_preserves_rows(rolled, tmp_path):
+    import pandas as pd
+
+    from spectral_time_series_ray.state.manifest import compact_partitions
+
+    out = str(tmp_path / "compact")
+    # many blocks -> many small files per date partition
+    many = rolled.repartition(12)
+    write_partitioned(many, out, "1h", fingerprint="f")
+    tier_dir = os.path.join(out, "tier=1h")
+    before = _read_all(tier_dir).sort_values(list(_read_all(tier_dir).columns))
+    files_before = {
+        d: len([f for f in os.listdir(os.path.join(tier_dir, d)) if f.endswith(".parquet")])
+        for d in os.listdir(tier_dir) if d.startswith("date=")
+    }
+    assert any(n > 1 for n in files_before.values())
+
+    res = compact_partitions(out, "1h", target_bytes=1 << 30)
+    assert res, "compaction should have rewritten multi-file partitions"
+    for date, (nb, na) in res.items():
+        assert na < nb and na == 1  # 1 GiB target -> single file
+
+    after = _read_all(tier_dir).sort_values(list(before.columns))
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True)[sorted(before.columns)],
+        after.reset_index(drop=True)[sorted(after.columns)],
+        check_like=True,
+    )
+    # manifests carry the compaction record, row_count unchanged
+    for m in read_manifests(out, "1h"):
+        if m["date"] in res:
+            assert m["compaction"]["files_after"] == 1
+    # idempotent: second run is a no-op
+    assert compact_partitions(out, "1h", target_bytes=1 << 30) == {}
+
+
+def test_compaction_detects_row_count_corruption(rolled, tmp_path):
+    from spectral_time_series_ray.state.manifest import compact_partitions
+
+    out = str(tmp_path / "corrupt")
+    write_partitioned(rolled.repartition(6), out, "1h", fingerprint="f")
+    tier_dir = os.path.join(out, "tier=1h")
+    # delete one data file out from under the manifest
+    victim_dir = sorted(
+        d for d in os.listdir(tier_dir) if d.startswith("date=")
+    )[0]
+    victim_files = [
+        f for f in os.listdir(os.path.join(tier_dir, victim_dir))
+        if f.endswith(".parquet")
+    ]
+    assert len(victim_files) > 1
+    os.remove(os.path.join(tier_dir, victim_dir, victim_files[0]))
+    with pytest.raises(RuntimeError, match="row-count mismatch"):
+        compact_partitions(out, "1h", target_bytes=1 << 30)
