@@ -1107,6 +1107,65 @@ def _tr_series_analysis(sf_dir: str):
     ]
 
 
+def _tr_role_transitions(sf_dir: str):
+    """Role-transition matrix over transcripts (turn-taking structure).
+    Self-verifying conservation invariant: transitions are counted
+    between consecutive ``turn_idx`` within a conversation, and the
+    fixture's turn_idx is contiguous from 0, so
+    ``sum(n) == n_turns - n_convs`` exactly; n_turns is cross-checked
+    against an independent ``ds.count()``."""
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.features import role_transition_matrix
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
+    mat, n_turns, n_convs = role_transition_matrix(ds)
+    total_ok = int(mat["n"].sum()) == n_turns - n_convs
+    count_ok = n_turns == read_transcripts(sf_dir, columns=["turn_idx"]).count()
+    roles_ok = bool(
+        set(mat["from_role"]) <= {"user", "assistant", "tool"}
+        and set(mat["to_role"]) <= {"user", "assistant", "tool"}
+    )
+    mat["ok"] = total_ok and count_ok and roles_ok
+    return mat
+
+
+def _tr_tool_stats(sf_dir: str):
+    """Per-tool usage + next-turn latency over transcripts.
+    Self-verifying: sum(n_calls) equals an independent distributed
+    count of tool turns; per-tool ``n_convs <= n_calls`` and
+    ``n_with_next <= n_calls``; latencies are non-negative (the
+    fixture's ts is strictly increasing within a conversation)."""
+    import pyarrow.compute as pc
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.features import tool_call_stats
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "tool", "ts"])
+    out = tool_call_stats(ds)
+
+    def count_tool_rows(batch):
+        mask = pc.and_(
+            pc.equal(batch["role"], "tool"), pc.not_equal(batch["tool"], "")
+        )
+        import pyarrow as pa
+
+        return pa.table({"n": pa.array([pc.sum(mask).as_py() or 0], type=pa.int64())})
+
+    n_tool = (
+        read_transcripts(sf_dir, columns=["role", "tool"])
+        .map_batches(count_tool_rows, batch_format="pyarrow", batch_size=None)
+        .sum("n")
+    )
+    total_ok = int(out["n_calls"].sum()) == int(n_tool)
+    bounds_ok = bool(
+        (out["n_convs"] <= out["n_calls"]).all()
+        and (out["n_with_next"] <= out["n_calls"]).all()
+        and (out["mean_next_latency_s"].dropna() >= 0).all()
+    )
+    out["ok"] = total_ok and bounds_ok
+    return out
+
+
 def _tr_heavy_conversations(sf_dir: str):
     """Misra-Gries heavy hitters over conv_id (transcript conversation
     sizes are Zipf-skewed by construction). Self-verifying against the
@@ -1406,6 +1465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repeated_ngrams": _doc_repeated_ngrams,
         "tr_learned_precond": _tr_learned_precond,
         "tr_heavy_conversations": _tr_heavy_conversations,
+        "tr_role_transitions": _tr_role_transitions,
+        "tr_tool_stats": _tr_tool_stats,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

@@ -293,3 +293,147 @@ def with_turn_features(ds, include_text: bool = True):
         cols = [c for c in ds.schema().names if c != "text"]
         ds = ds.select_columns(cols)
     return ds.groupby("conv_id").map_groups(_latency_group, batch_format="pyarrow")
+
+
+def role_transition_matrix(ds, num_partitions: int | None = None):
+    """Global role-transition counts over transcripts: how often a
+    ``role`` turn is followed by each other role within a conversation
+    (turn-taking structure — e.g. assistant->tool->assistant loops).
+
+    One conv-hash shuffle of three narrow columns (conv_id, turn_idx,
+    role), then a vectorized pass per partition: lexsort, boundary
+    mask, shifted-pair partial counts. Per-partition partials are
+    |roles|^2 rows — corpus-independent — so the final merge is a
+    bounded driver concat. Also returns (n_turns, n_convs) partials
+    from the same pass for the conservation invariant
+    ``sum(transitions) == n_turns - n_convs`` (contiguous turn_idx).
+    Returns (matrix_df, n_turns, n_convs).
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        h = _pd.util.hash_pandas_object(
+            batch["conv_id"].to_pandas(), index=False
+        ).to_numpy()
+        part = ((h >> np.uint64(40)) % np.uint64(P)).astype(np.int64)
+        return batch.select(["conv_id", "turn_idx", "role"]).append_column(
+            "_part", pa.array(part)
+        )
+
+    import pandas as pd
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy()
+        role = df["role"].to_numpy()
+        same = (conv[1:] == conv[:-1]) & (idx[1:] == idx[:-1] + 1)
+        pairs = pd.DataFrame(
+            {"from_role": role[:-1][same], "to_role": role[1:][same]}
+        )
+        out = pairs.groupby(["from_role", "to_role"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["_turns"] = np.int64(0)
+        out["_convs"] = np.int64(0)
+        # totals travel on a dedicated sentinel row so a partition with
+        # zero transition pairs still contributes its counts
+        totals = pd.DataFrame(
+            {
+                "from_role": [""],
+                "to_role": [""],
+                "n": np.array([0], dtype=np.int64),
+                "_turns": np.array([len(df)], dtype=np.int64),
+                "_convs": np.array([pd.unique(conv).size], dtype=np.int64),
+            }
+        )
+        return pd.concat([out, totals], ignore_index=True)
+
+    parts = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+        .to_pandas()  # bounded: |roles|^2 x P rows
+    )
+    mat = (
+        parts[parts["from_role"] != ""]
+        .groupby(["from_role", "to_role"], as_index=False)["n"]
+        .sum()
+        .sort_values(["from_role", "to_role"])
+        .reset_index(drop=True)
+    )
+    return mat, int(parts["_turns"].sum()), int(parts["_convs"].sum())
+
+
+def tool_call_stats(ds, num_partitions: int | None = None):
+    """Per-tool usage statistics over transcripts: call count, distinct
+    conversations, and the latency from a tool turn to the NEXT turn
+    (tool execution + model think time in an agent loop).
+
+    Same conv-hash partition pass as ``role_transition_matrix``
+    (conversations never span partitions, so per-partition distinct
+    conv counts sum exactly); per-partition partials are <= |tools|
+    rows, so the merge is a bounded driver concat. Returns a DataFrame
+    (tool, n_calls, n_convs, n_with_next, mean_next_latency_s).
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        h = _pd.util.hash_pandas_object(
+            batch["conv_id"].to_pandas(), index=False
+        ).to_numpy()
+        part = ((h >> np.uint64(40)) % np.uint64(P)).astype(np.int64)
+        return batch.select(["conv_id", "turn_idx", "role", "tool", "ts"]).append_column(
+            "_part", pa.array(part)
+        )
+
+    import pandas as pd
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        next_lat = np.full(len(df), np.nan)
+        same = conv[1:] == conv[:-1]
+        next_lat[:-1][same] = (tus[1:] - tus[:-1])[same] / 1e6
+        is_tool = (df["role"].to_numpy() == "tool") & (df["tool"].to_numpy() != "")
+        t = pd.DataFrame(
+            {
+                "tool": df["tool"].to_numpy()[is_tool],
+                "conv": conv[is_tool],
+                "lat": next_lat[is_tool],
+            }
+        )
+        out = t.groupby("tool", as_index=False).agg(
+            n_calls=("conv", "size"),
+            n_convs=("conv", "nunique"),
+            n_with_next=("lat", "count"),
+            sum_lat=("lat", "sum"),
+        )
+        return out
+
+    parts = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+        .to_pandas()  # bounded: |tools| x P rows
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            columns=["tool", "n_calls", "n_convs", "n_with_next", "mean_next_latency_s"]
+        )
+    out = parts.groupby("tool", as_index=False).agg(
+        n_calls=("n_calls", "sum"),
+        n_convs=("n_convs", "sum"),
+        n_with_next=("n_with_next", "sum"),
+        sum_lat=("sum_lat", "sum"),
+    )
+    out["mean_next_latency_s"] = (out["sum_lat"] / out["n_with_next"]).round(6)
+    return out.drop(columns=["sum_lat"]).sort_values("tool").reset_index(drop=True)
