@@ -1430,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NOTE: entries beyond the driver's 50-row window still carry
         # DuckDB oracles — tools/check_oracle.py sweeps ALL of them
         "ev_watermark_rollup": Q.ev_watermark_rollup,
+        "ev_type_transitions": Q.ev_type_transitions,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2033,5 +2034,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(case when cls < 2 then value else 0 end), 6) as sum_value
             from z
             group by 1, 2
+        """,
+        "ev_type_transitions": """
+            with x as (
+              select user_id, event_type,
+                     lead(event_type) over (
+                       partition by user_id order by ts, event_id
+                     ) as nxt
+              from events)
+            select event_type as from_type, nxt as to_type,
+                   count(*) as n
+            from x where nxt is not null
+            group by 1, 2
+            order by 1, 2
         """,
     }

@@ -1402,3 +1402,20 @@ def ev_watermark_rollup(sf_dir: str):
         delay_us=1_800_000_000,
         lateness_us=1_800_000_000,
     )
+
+
+def ev_type_transitions(sf_dir: str):
+    """Event-type transition matrix per user — the distributed
+    equivalent of SQL ``lead(event_type) over (partition by user_id
+    order by ts, event_id)`` + group count
+    (`features.label_transition_matrix`). One narrow-column key-hash
+    shuffle, one vectorized shifted-pair pass per partition; partials
+    are |types|^2 rows so the merge is bounded."""
+    from ..stages.features import label_transition_matrix
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    out = label_transition_matrix(
+        ds, key_col="user_id", order_cols=("ts", "event_id"),
+        label_col="event_type",
+    )
+    return out.rename(columns={"from_label": "from_type", "to_label": "to_type"})

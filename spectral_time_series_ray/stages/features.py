@@ -437,3 +437,82 @@ def tool_call_stats(ds, num_partitions: int | None = None):
     )
     out["mean_next_latency_s"] = (out["sum_lat"] / out["n_with_next"]).round(6)
     return out.drop(columns=["sum_lat"]).sort_values("tool").reset_index(drop=True)
+
+
+def label_transition_matrix(
+    ds,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    label_col: str,
+    num_partitions: int | None = None,
+):
+    """Generic transition matrix: counts of (label, next-label) over
+    consecutive rows within each ``key_col`` group ordered by
+    ``order_cols`` — the distributed equivalent of SQL
+    ``lead(label) over (partition by key order by ...)`` + group count.
+
+    One key-hash shuffle of the narrow (key, order, label) columns,
+    then a vectorized pass per partition (lexsort, key-boundary mask,
+    shifted-pair groupby). Per-partition partials are |labels|^2 rows
+    — corpus-independent — so the driver merge is bounded. Keys never
+    span partitions, so partials sum exactly.
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    cols = [key_col, *order_cols, label_col]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        h = _pd.util.hash_pandas_object(
+            batch[key_col].to_pandas(), index=False
+        ).to_numpy()
+        part = ((h >> np.uint64(40)) % np.uint64(P)).astype(np.int64)
+        return batch.select(cols).append_column("_part", pa.array(part))
+
+    import pandas as pd
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, *order_cols], kind="mergesort")
+        key = df[key_col].to_numpy()
+        lab = df[label_col].to_numpy()
+        same = key[1:] == key[:-1]
+        pairs = pd.DataFrame(
+            {"from_label": lab[:-1][same], "to_label": lab[1:][same]}
+        )
+        out = (
+            pairs.groupby(["from_label", "to_label"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        if not len(out):  # typed empty frame (schema-stable blocks)
+            out = pd.DataFrame(
+                {
+                    "from_label": pd.Series([], dtype=object),
+                    "to_label": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        return out
+
+    parts = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+        .to_pandas()  # bounded: |labels|^2 x P rows
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "from_label": pd.Series([], dtype=object),
+                "to_label": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        parts.groupby(["from_label", "to_label"], as_index=False)["n"]
+        .sum()
+        .sort_values(["from_label", "to_label"])
+        .reset_index(drop=True)
+    )

@@ -141,3 +141,42 @@ def test_tool_call_stats_no_tools(ray_session):
     )
     got = tool_call_stats(ray.data.from_pandas(df), num_partitions=3)
     assert len(got) == 0
+
+
+def test_label_transition_matrix_generic(ray_session):
+    # int keys, ts ties broken by a second order column
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import label_transition_matrix
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n).astype(np.int64),
+            "o1": rng.integers(0, 50, n).astype(np.int64),
+            "o2": np.arange(n, dtype=np.int64),
+            "lab": np.array(["a", "b", "c", "d"], dtype=object)[
+                rng.integers(0, 4, n)
+            ],
+        }
+    )
+    got = label_transition_matrix(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=1)),
+        key_col="k", order_cols=("o1", "o2"), label_col="lab",
+        num_partitions=6,
+    )
+    s = df.sort_values(["k", "o1", "o2"])
+    key = s["k"].to_numpy()
+    lab = s["lab"].to_numpy()
+    same = key[1:] == key[:-1]
+    exp = (
+        pd.DataFrame({"from_label": lab[:-1][same], "to_label": lab[1:][same]})
+        .groupby(["from_label", "to_label"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["from_label", "to_label"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"n": np.int64}), exp.astype({"n": np.int64}))
+    assert int(got["n"].sum()) == len(df) - df["k"].nunique()
