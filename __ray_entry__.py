@@ -1166,6 +1166,63 @@ def _tr_tool_stats(sf_dir: str):
     return out
 
 
+def _tr_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink roundtrip at scale: write the transcript
+    Dataset as sharded JSONL (ts -> ISO-8601 string), read it back
+    through the schema-restoring parser, and compare both sides by a
+    DISTRIBUTED order-invariant fingerprint (per-row hash of every
+    column, summed per batch, reduced with ``sum`` — one int64 to the
+    driver per side). Self-check: counts equal and fingerprints equal."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from spectral_time_series_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+        write_transcripts_jsonl,
+    )
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+
+    def fingerprint(ds):
+        def batch_hash(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["ts"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+            h = pd.util.hash_pandas_object(
+                df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+                index=False,
+            ).to_numpy()
+            # wrapping int64 sum: order-invariant, mod-2^64 exact
+            s = int(h.view(np.int64).sum(dtype=np.int64)) if len(h) else 0
+            return pa.table({"h": pa.array([s], type=pa.int64()),
+                             "n": pa.array([len(h)], type=pa.int64())})
+
+        parts = ds.map_batches(
+            batch_hash, batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # bounded: one (h, n) row per block
+        return (
+            int(parts["h"].to_numpy().sum(dtype=np.int64)),
+            int(parts["n"].sum()),
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="tr_jsonl_", dir="/tmp")
+    try:
+        src = read_transcripts(sf_dir)
+        write_transcripts_jsonl(src, out_dir)
+        a = fingerprint(read_transcripts(sf_dir))
+        b = fingerprint(read_transcripts_jsonl(out_dir))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame(
+        {
+            "n_rows": [a[1]],
+            "fingerprint_src": [a[0]],
+            "fingerprint_jsonl": [b[0]],
+            "ok": [a == b],
+        }
+    )
+
+
 def _tr_heavy_conversations(sf_dir: str):
     """Misra-Gries heavy hitters over conv_id (transcript conversation
     sizes are Zipf-skewed by construction). Self-verifying against the
@@ -1468,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_heavy_conversations": _tr_heavy_conversations,
         "tr_role_transitions": _tr_role_transitions,
         "tr_tool_stats": _tr_tool_stats,
+        "tr_jsonl_roundtrip": _tr_jsonl_roundtrip,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }
