@@ -1488,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB oracles — tools/check_oracle.py sweeps ALL of them
         "ev_watermark_rollup": Q.ev_watermark_rollup,
         "ev_type_transitions": Q.ev_type_transitions,
+        "ev_rolling_median": Q.ev_rolling_median,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2105,5 +2106,16 @@ def oracle_sql() -> dict[str, str]:
             from x where nxt is not null
             group by 1, 2
             order by 1, 2
+        """,
+        "ev_rolling_median": """
+            select event_id, user_id,
+                   round(median(value) over w, 6) as med_w,
+                   round(min(value) over w, 6) as min_w,
+                   round(max(value) over w, 6) as max_w
+            from events
+            window w as (
+              partition by user_id order by ts, event_id
+              rows between 4 preceding and current row
+            )
         """,
     }

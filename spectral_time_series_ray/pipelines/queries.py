@@ -1419,3 +1419,20 @@ def ev_type_transitions(sf_dir: str):
         label_col="event_type",
     )
     return out.rename(columns={"from_label": "from_type", "to_label": "to_type"})
+
+
+def ev_rolling_median(sf_dir: str):
+    """Order-statistic (holistic) window functions per user: trailing
+    5-row median / min / max over (partition by user_id order by ts,
+    event_id) — `features.rolling_order_stats`. One int-keyed hash
+    shuffle, one lexsort + shifted-column nanmedian pass per
+    partition; no per-row Python, no driver hop."""
+    from ..stages.features import rolling_order_stats
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = rolling_order_stats(
+        ds, key="user_id", order_cols=("ts", "event_id"), value_col="value",
+        id_cols=("event_id",), window=5,
+    )
+    out = out.select_columns(["event_id", "user_id", "med_w", "min_w", "max_w"])
+    return _round_ds(out, {"med_w": 6, "min_w": 6, "max_w": 6})

@@ -516,3 +516,87 @@ def label_transition_matrix(
         .sort_values(["from_label", "to_label"])
         .reset_index(drop=True)
     )
+
+
+def rolling_order_stats(
+    ds,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    window: int = 5,
+    num_partitions: int | None = None,
+):
+    """Order-statistic window functions per key: trailing-frame
+    ``median(value)``, ``min(value)``, ``max(value)`` over
+    ``(partition by key order by order_cols rows between window-1
+    preceding and current row)`` — the non-mergeable (holistic)
+    analytic class that running sums can't cover.
+
+    Same scale path as ``analytic_window_funcs``: one int-keyed hash
+    shuffle, one lexsort per partition, then a vectorized
+    shifted-column matrix (n x window) with segment-start masking and
+    ``np.nanmedian`` / ``nanmin`` / ``nanmax`` across the window axis
+    — no per-row Python. Memory per partition is window x rows x 8 B,
+    so keep ``window`` modest (frames wider than ~64 rows should use a
+    two-pointer merge instead).
+    """
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    W = int(window)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, *order_cols, value_col, *id_cols)))
+    ds = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+
+    out_cols = list(dict.fromkeys((*id_cols, key)))
+
+    def partition_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=df[c].dtype if c in df else object)
+                    for c in out_cols}
+            for c in ("med_w", "min_w", "max_w"):
+                cols[c] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        sort_keys = [df[c].to_numpy() for c in reversed(order_cols)]
+        order = np.lexsort((*sort_keys, codes))
+        codes_s = codes[order]
+        v = df[value_col].to_numpy(dtype=np.float64)[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len) + 1
+        # shifted-column matrix: M[i, k] = v[i-k] iff within the segment
+        M = np.full((n, W), np.nan)
+        M[:, 0] = v
+        for k in range(1, W):
+            M[k:, k] = v[:-k]
+            M[rn <= k, k] = np.nan
+        out = df.iloc[order][out_cols].reset_index(drop=True)
+        out["med_w"] = np.nanmedian(M, axis=1)
+        out["min_w"] = np.nanmin(M, axis=1)
+        out["max_w"] = np.nanmax(M, axis=1)
+        return out
+
+    return (
+        ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+    )

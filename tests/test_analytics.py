@@ -167,3 +167,42 @@ def test_dow_profile_and_histogram(ray_session, events_df):
     ]["value"]
     assert h0["n_events"].iloc[0] == len(sub)
     assert h0["sum_value"].iloc[0] == pytest.approx(sub.sum(), rel=1e-9)
+
+
+def test_rolling_order_stats_matches_pandas(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import rolling_order_stats
+
+    rng = np.random.default_rng(13)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "value": np.round(rng.uniform(0, 300, n), 2),
+        }
+    )
+    got = (
+        rolling_order_stats(
+            ray.data.from_pandas(df.sample(frac=1.0, random_state=2)),
+            key="user_id", order_cols=("ts", "event_id"), value_col="value",
+            id_cols=("event_id",), window=5, num_partitions=6,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"]).set_index("event_id")
+    g = s.groupby("user_id")["value"]
+    exp = pd.DataFrame(
+        {
+            "med_w": g.rolling(5, min_periods=1).median().reset_index(level=0, drop=True),
+            "min_w": g.rolling(5, min_periods=1).min().reset_index(level=0, drop=True),
+            "max_w": g.rolling(5, min_periods=1).max().reset_index(level=0, drop=True),
+        }
+    ).sort_index()
+    for c in ("med_w", "min_w", "max_w"):
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=0, atol=0)
