@@ -1489,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_watermark_rollup": Q.ev_watermark_rollup,
         "ev_type_transitions": Q.ev_type_transitions,
         "ev_rolling_median": Q.ev_rolling_median,
+        "ev_top_hours_per_type": Q.ev_top_hours_per_type,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2117,5 +2118,20 @@ def oracle_sql() -> dict[str, str]:
               partition by user_id order by ts, event_id
               rows between 4 preceding and current row
             )
+        """,
+        "ev_top_hours_per_type": """
+            with h as (
+              select event_type,
+                     time_bucket(interval '1 hour', ts) as hour_start,
+                     count(*) as n,
+                     round(sum(value), 6) as sum_value
+              from events group by 1, 2),
+            r as (
+              select *, row_number() over (
+                partition by event_type order by n desc, hour_start asc
+              ) as rnk
+              from h)
+            select event_type, hour_start, n, sum_value, rnk
+            from r where rnk <= 3
         """,
     }

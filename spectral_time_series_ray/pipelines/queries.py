@@ -1436,3 +1436,51 @@ def ev_rolling_median(sf_dir: str):
     )
     out = out.select_columns(["event_id", "user_id", "med_w", "min_w", "max_w"])
     return _round_ds(out, {"med_w": 6, "min_w": 6, "max_w": 6})
+
+
+def ev_top_hours_per_type(sf_dir: str):
+    """Per-group top-k: the 3 busiest hours (by event count) for each
+    event_type, with hour-level sums. Scale shape: per-batch Arrow
+    partial aggregates -> one (type, hour) merge shuffle -> per-block
+    partial top-3-per-type (bounded: blocks x |types| x 3 rows reach
+    the driver) -> final top-3 + rank. Ties break on earlier hour."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour_start": hour,
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "value": batch["value"],
+            }
+        )
+        return t.group_by(["event_type", "hour_start"]).aggregate(
+            [("n", "sum"), ("value", "sum")]
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "hour_start"])
+        .aggregate(
+            Sum("n_sum", alias_name="n"), Sum("value_sum", alias_name="sv")
+        )
+    )
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["event_type", "n", "hour_start"], ascending=[True, False, True]
+        )
+        return df.groupby("event_type", sort=False).head(3)
+
+    df = merged.map_batches(part_top, batch_format="pandas").to_pandas()
+    df = df.sort_values(
+        ["event_type", "n", "hour_start"], ascending=[True, False, True]
+    )
+    df = df.groupby("event_type", sort=False).head(3).reset_index(drop=True)
+    df["rnk"] = df.groupby("event_type", sort=False).cumcount() + 1
+    df["sum_value"] = round_half_away(df["sv"].to_numpy(dtype=np.float64), 6)
+    return df[["event_type", "hour_start", "n", "sum_value", "rnk"]]
