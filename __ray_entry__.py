@@ -1223,6 +1223,52 @@ def _tr_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _tr_sessions(sf_dir: str):
+    """Gap-based session windows over transcripts (idle > 10 min
+    starts a new session) via the fully vectorized partition-level
+    sessionizer (`streaming.sessionize`). Output: per-conversation
+    session stats (bounded: one row per conversation). Self-checks
+    (all computed distributed): sum of per-session turn counts equals
+    the table row count (conservation), session durations are
+    non-negative, and session_idx is contiguous from 1 per conv."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.streaming import sessionize
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+    sess = sessionize(ds, gap_s=600.0).materialize()
+    n_turns_total = int(read_transcripts(sf_dir, columns=["turn_idx"]).count())
+
+    # bounded per-conv aggregate of the session table
+    per_conv = (
+        sess.groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_sessions"),
+            Sum("n_turns", alias_name="n_turns"),
+            Max("duration_s", alias_name="max_session_s"),
+            Max("session_idx", alias_name="max_idx"),
+        )
+        .to_pandas()  # one row per conversation at sf scale: bounded for
+        # the query surface; the session TABLE itself stays distributed
+    )
+    conservation_ok = int(per_conv["n_turns"].sum()) == n_turns_total
+    # contiguity: max(session_idx) == n_sessions per conv
+    contiguous_ok = bool((per_conv["max_idx"] == per_conv["n_sessions"]).all())
+    # durations non-negative, checked distributed (violations-only pull)
+    def count_neg(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"neg": [int((batch["duration_s"] < 0).sum())]})
+
+    n_neg = int(
+        sess.map_batches(count_neg, batch_format="pandas", batch_size=None)
+        .to_pandas()["neg"]
+        .sum()
+    )
+    out = per_conv.drop(columns=["max_idx"]).sort_values("conv_id").reset_index(drop=True)
+    out["ok"] = conservation_ok and contiguous_ok and n_neg == 0
+    return out
+
+
 def _tr_heavy_conversations(sf_dir: str):
     """Misra-Gries heavy hitters over conv_id (transcript conversation
     sizes are Zipf-skewed by construction). Self-verifying against the
@@ -1528,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_role_transitions": _tr_role_transitions,
         "tr_tool_stats": _tr_tool_stats,
         "tr_jsonl_roundtrip": _tr_jsonl_roundtrip,
+        "tr_sessions": _tr_sessions,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

@@ -209,3 +209,97 @@ def watermark_rollup(
         return out
 
     return partials.groupby("_part").map_groups(process, batch_format="pandas")
+
+
+def sessionize(
+    ds,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    gap_s: float = 600.0,
+    num_partitions: int | None = None,
+):
+    """Session windows as a fully vectorized partition pass: within
+    each ``key`` (ordered by ``order_col``), a gap > ``gap_s`` seconds
+    starts a new session; emits one row per session
+    ``(key, session_idx, n_turns, duration_s, start_ts)``.
+
+    Unlike a per-group ``map_groups`` + Python session loop, this
+    sessionizes an ENTIRE partition in one numpy pass (lexsort, gap
+    mask, cumsum session ids, reduceat aggregates) — per-key Python
+    overhead is O(P), not O(#keys). One key-hash shuffle of three
+    narrow columns; output is one row per session, streamed.
+
+    Reference analogue: the windowed-evaluation session enumeration
+    (`uni2ts/src/uni2ts/data/dataset.py:185-211`) — ours is gap-based
+    (data-driven) rather than stride-based.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    gap_us = np.int64(round(gap_s * 1e6))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.select([key, order_col, ts_col]).append_column(
+            "_part", pa.array(part)
+        )
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=object),
+                    "session_idx": pd.Series([], dtype=np.int64),
+                    "n_turns": pd.Series([], dtype=np.int64),
+                    "duration_s": pd.Series([], dtype=np.float64),
+                    "start_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        codes, uniques = pd.factorize(df[key], sort=False)
+        order = np.lexsort((df[order_col].to_numpy(), codes))
+        codes_s = codes[order]
+        tus = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (tus[1:] - tus[:-1]) > gap_us
+        new_sess = new_key | gap
+        sess_id = np.cumsum(new_sess) - 1  # 0-based global (per partition)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        # session_idx restarts at 1 within each key
+        key_first_sess = sess_id[new_key]  # first session id of each key run
+        sess_key_codes = codes_s[starts]
+        first_of_key = np.repeat(
+            key_first_sess, np.diff(np.append(np.flatnonzero(np.diff(np.append(-1, sess_key_codes)) != 0), len(starts)))
+        )
+        session_idx = (np.arange(len(starts)) - first_of_key + 1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key: uniques[sess_key_codes],
+                "session_idx": session_idx,
+                "n_turns": (ends - starts + 1).astype(np.int64),
+                "duration_s": (tus[ends] - tus[starts]) / 1e6,
+                "start_ts": tus[starts].astype("datetime64[us]"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+    )

@@ -138,3 +138,52 @@ def test_watermark_rollup_in_order_stream_all_on_time(ray_session):
     got = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
     exp = exp.sort_values(["user_id", "w"]).reset_index(drop=True)
     assert np.allclose(got["sum_value"], exp["value"].round(6))
+
+
+def test_sessionize_matches_pandas(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.streaming import sessionize
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for c in range(40):
+        size = int(rng.integers(1, 60))
+        t = np.int64(rng.integers(0, 10**7)) * 1_000_000
+        for i in range(size):
+            t += np.int64(rng.choice([2, 30, 700, 2000]) * 1_000_000)
+            rows.append({"conv_id": f"c{c:02d}", "turn_idx": np.int32(i), "ts": pd.Timestamp(t, unit="us")})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=4).reset_index(drop=True)
+
+    got = (
+        sessionize(ray.data.from_pandas(df), gap_s=600.0, num_partitions=5)
+        .to_pandas()
+        .sort_values(["conv_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+
+    exp_rows = []
+    for c, g in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        tus = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        sess_start = 0
+        sidx = 0
+        for i in range(1, len(tus) + 1):
+            if i == len(tus) or tus[i] - tus[i - 1] > 600_000_000:
+                sidx += 1
+                exp_rows.append(
+                    {
+                        "conv_id": c,
+                        "session_idx": sidx,
+                        "n_turns": i - sess_start,
+                        "duration_s": (tus[i - 1] - tus[sess_start]) / 1e6,
+                        "start_ts": pd.Timestamp(tus[sess_start], unit="us"),
+                    }
+                )
+                sess_start = i
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_turns": np.int64, "session_idx": np.int64, "start_ts": "datetime64[us]"}),
+        exp.astype({"n_turns": np.int64, "session_idx": np.int64, "start_ts": "datetime64[us]"}),
+    )
+    # conservation
+    assert int(got["n_turns"].sum()) == len(df)
