@@ -1223,6 +1223,145 @@ def _tr_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _doc_chunking(sf_dir: str):
+    """Pre-training document chunking: fixed 64-token windows with
+    8-token overlap (`text.chunk_documents` actor pool). Self-check
+    (distributed, violations-only): re-joining each doc's chunks —
+    chunk 0 whole, later chunks minus their overlap prefix — must
+    reproduce the doc's exact whitespace token stream (compared by
+    token-stream hash on both sides via a hash-join; zero mismatches
+    required). Output: one row per doc (n_chunks, n_tokens, ok)."""
+    import hashlib
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.text import chunk_documents
+
+    OVERLAP = 8
+
+    def tok_hash(tokens) -> np.int64:
+        # deterministic across processes (Python's hash() is
+        # PYTHONHASHSEED-randomized and differs per Ray worker)
+        d = hashlib.blake2b(" ".join(tokens).encode(), digest_size=8).digest()
+        return np.int64(int.from_bytes(d, "little", signed=True))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(docs, max_tokens=64, overlap=OVERLAP).materialize()
+
+    def orig_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [tok_hash(t.split()) for t in batch["text"]]
+        n = [len(t.split()) for t in batch["text"]]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(np.int64),
+             "orig_hash": np.asarray(h, dtype=np.int64),
+             "orig_tokens": np.asarray(n, dtype=np.int64)}
+        )
+
+    def rec_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("chunk_idx")
+        toks: list[str] = []
+        for i, t in enumerate(df["chunk_text"]):
+            parts = t.split()
+            toks.extend(parts if i == 0 else parts[OVERLAP:])
+        return pd.DataFrame(
+            {"doc_id": [np.int64(df["doc_id"].iloc[0])],
+             "rec_hash": [tok_hash(toks)],
+             "n_chunks": [np.int64(len(df))],
+             "n_tokens": [np.int64(len(toks))]}
+        )
+
+    rec = chunks.groupby("doc_id").map_groups(rec_group, batch_format="pandas")
+    orig = docs.map_batches(orig_hash, batch_format="pandas", batch_size=None)
+    joined = rec.join(orig, join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def verdict(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "n_chunks", "n_tokens"]].copy()
+        out["ok"] = (
+            batch["rec_hash"].to_numpy() == batch["orig_hash"].to_numpy()
+        ) & (batch["n_tokens"].to_numpy() == batch["orig_tokens"].to_numpy())
+        return out
+
+    out = (
+        joined.map_batches(verdict, batch_format="pandas", batch_size=None)
+        .to_pandas()  # one row per doc: bounded at query scale
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_docs = docs.count()
+    assert len(out) == n_docs, f"join lost docs: {len(out)} != {n_docs}"
+    return out
+
+
+def _doc_redact(sf_dir: str):
+    """PII-style redaction sweep (`text.redact_documents` actor
+    pool): emails / phones / IPs / SSN-shaped ids planted
+    deterministically (doc_id modulus — SQL-reproducible), scrubbed,
+    then VERIFIED scrubbed by an independent distributed re-scan that
+    must find zero residual matches. Planted counts are exact because
+    the synthetic corpus is letters-only (no digits or '@'), so
+    expected = |{doc_id % m == 0}| per category. Output: one summary
+    row per category."""
+    import re
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.text import (
+        REDACTION_PATTERNS,
+        redact_documents,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    plant = {  # modulus -> planted snippet per category, in pattern order
+        7: "contact bob.smith+x@example.com now",
+        5: "call (555) 123-4567 today",
+        3: "host 192.168.10.12 up",
+        11: "id 123-45-6789 filed",
+    }
+    mods = list(plant.keys())
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        did = batch["doc_id"].to_numpy(np.int64)
+        texts = batch["text"].tolist()
+        for m, snippet in plant.items():
+            for i in np.flatnonzero(did % m == 0):
+                texts[i] = texts[i] + " " + snippet
+        out["text"] = texts
+        return out
+
+    planted = docs.map_batches(inject, batch_format="pandas", batch_size=None)
+    red = redact_documents(planted).materialize()
+
+    # independent re-scan: residual matches must be zero
+    def rescan(batch: pd.DataFrame) -> pd.DataFrame:
+        pats = [re.compile(p) for p, _ in REDACTION_PATTERNS]
+        resid = sum(
+            1 for t in batch["text"] for rx in pats if rx.search(t)
+        )
+        return pd.DataFrame({"resid": [resid]})
+
+    n_resid = int(
+        red.map_batches(rescan, batch_format="pandas", batch_size=None)
+        .to_pandas()["resid"]
+        .sum()
+    )
+
+    count_cols = ["n_email", "n_phone", "n_ip", "n_ssn"]
+    sums = red.sum(count_cols)
+    n_docs = docs.count()
+    # |{d in [0, n_docs): d % m == 0}| = ceil(n_docs / m)
+    expected = {c: -(-n_docs // m) for c, m in zip(count_cols, mods)}
+    out = pd.DataFrame(
+        {
+            "category": count_cols,
+            "n_redacted": [int(sums[f"sum({c})"]) for c in count_cols],
+            "n_expected": [expected[c] for c in count_cols],
+        }
+    )
+    out["ok"] = (
+        (out["n_redacted"] == out["n_expected"]).all() and n_resid == 0
+    )
+    return out
+
+
 def _tr_sessions(sf_dir: str):
     """Gap-based session windows over transcripts (idle > 10 min
     starts a new session) via the fully vectorized partition-level
@@ -1575,6 +1714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_tool_stats": _tr_tool_stats,
         "tr_jsonl_roundtrip": _tr_jsonl_roundtrip,
         "tr_sessions": _tr_sessions,
+        "doc_chunking": _doc_chunking,
+        "doc_redact": _doc_redact,
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }

@@ -138,3 +138,115 @@ def tfidf_top_term(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return scored.groupby(id_col).map_groups(best, batch_format="pandas")
+
+
+class DocumentChunker:
+    """Split documents into fixed-size token windows with overlap —
+    the standard pre-training chunking step (context-length packing
+    feeds from these). Actor-pool stage: the token pattern compiles
+    once per actor; each batch flat-maps docs -> chunk rows.
+
+    Chunk i covers tokens ``[i*(max_tokens-overlap), ... +max_tokens)``
+    of the whitespace token stream; chunk text is sliced on ORIGINAL
+    character offsets so whitespace inside a chunk is preserved
+    verbatim (chunks re-join losslessly modulo the overlap — the
+    self-check invariant)."""
+
+    def __init__(self, max_tokens: int = 64, overlap: int = 8):
+        import re
+
+        if not 0 <= overlap < max_tokens:
+            raise ValueError("need 0 <= overlap < max_tokens")
+        self.max_tokens = max_tokens
+        self.overlap = overlap
+        self.tok_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        stride = self.max_tokens - self.overlap
+        doc_ids, chunk_idx, n_chunks, texts, n_toks = [], [], [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            spans = [m.span() for m in self.tok_re.finditer(text)]
+            if not spans:
+                doc_ids.append(did); chunk_idx.append(0); n_chunks.append(1)
+                texts.append(""); n_toks.append(0)
+                continue
+            starts = list(range(0, len(spans), stride))
+            # drop a trailing window fully contained in the previous one
+            while len(starts) > 1 and starts[-1] + self.overlap >= len(spans):
+                starts.pop()
+            for ci, s in enumerate(starts):
+                e = min(s + self.max_tokens, len(spans))
+                doc_ids.append(did)
+                chunk_idx.append(ci)
+                n_chunks.append(len(starts))
+                texts.append(text[spans[s][0]:spans[e - 1][1]])
+                n_toks.append(e - s)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "chunk_idx": np.asarray(chunk_idx, dtype=np.int64),
+                "n_chunks": np.asarray(n_chunks, dtype=np.int64),
+                "chunk_text": texts,
+                "n_tokens": np.asarray(n_toks, dtype=np.int64),
+            }
+        )
+
+
+def chunk_documents(ds, max_tokens: int = 64, overlap: int = 8, concurrency: int = 4):
+    """documents -> one row per chunk (doc_id, chunk_idx, n_chunks,
+    chunk_text, n_tokens)."""
+    return ds.map_batches(
+        DocumentChunker,
+        fn_constructor_kwargs={"max_tokens": max_tokens, "overlap": overlap},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+
+# (pattern, replacement) pairs compiled once per actor. Deliberately
+# simple, deterministic patterns — the operator under test is the
+# scrub pipeline, not pattern recall.
+REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # (?<!\w) not \b: a leading "(" has non-word chars on both sides,
+    # so \b can never match there
+    (r"(?<!\w)(?:\+?\d{1,2}[ -])?(?:\(\d{3}\)|\d{3})[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+class Redactor:
+    """PII-style regex scrubbing: replace every pattern match with its
+    tag, count replacements per category. Patterns compile once per
+    actor; per-batch work is C-regex over each doc."""
+
+    def __init__(self, patterns=REDACTION_PATTERNS):
+        import re
+
+        self.compiled = [(re.compile(p), tag) for p, tag in patterns]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        texts = batch["text"].tolist()
+        counts = np.zeros((len(texts), len(self.compiled)), dtype=np.int64)
+        for j, (rx, tag) in enumerate(self.compiled):
+            for i, t in enumerate(texts):
+                texts[i], counts[i, j] = rx.subn(tag, t)
+        out["text"] = texts
+        for j, (_, tag) in enumerate(self.compiled):
+            out[f"n_{tag[1:-1].lower()}"] = counts[:, j]
+        return out
+
+
+def redact_documents(ds, patterns=REDACTION_PATTERNS, concurrency: int = 4):
+    """documents -> same rows with ``text`` scrubbed + per-category
+    replacement counts (n_email, n_phone, n_ip, n_ssn)."""
+    return ds.map_batches(
+        Redactor,
+        fn_constructor_kwargs={"patterns": patterns},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=concurrency,
+    )

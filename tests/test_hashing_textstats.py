@@ -111,3 +111,78 @@ def test_mulmod_p61_exact():
     np.testing.assert_array_equal(got, exp)
     for ai, xi in [(p - 1, p - 1), (0, 5), (p - 1, 1), (2**31 - 1, 2**31 - 1), (2**60, 2**60)]:
         assert int(mulmod_p61(np.uint64(ai), np.uint64(xi))) == (ai * xi) % p
+
+
+# ------------------------------------------------ chunking + redaction
+
+import pandas as pd
+
+
+def test_document_chunker_reconstruction():
+    from spectral_time_series_ray.stages.text import DocumentChunker
+
+    ch = DocumentChunker(max_tokens=8, overlap=2)
+    texts = [
+        "",  # empty
+        "one",  # single token
+        " ".join(f"w{i}" for i in range(8)),  # exactly max_tokens
+        " ".join(f"w{i}" for i in range(9)),  # one over
+        " ".join(f"w{i}" for i in range(50)),  # many chunks
+        "a  b\t c \n d",  # messy whitespace preserved inside chunks
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    out = ch(df)
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        toks = []
+        for i, t in enumerate(g["chunk_text"]):
+            parts = t.split()
+            toks.extend(parts if i == 0 else parts[2:])
+        assert toks == texts[did].split(), f"doc {did} reconstruction"
+        assert (g["n_chunks"] == len(g)).all()
+        # every chunk (except possibly a lone empty doc) is non-trivial:
+        # later chunks must contribute new tokens beyond the overlap
+        if len(g) > 1:
+            assert (g["n_tokens"].iloc[1:] > 2).all()
+
+
+def test_document_chunker_token_counts():
+    from spectral_time_series_ray.stages.text import DocumentChunker
+
+    ch = DocumentChunker(max_tokens=8, overlap=2)
+    n = 50
+    df = pd.DataFrame({"doc_id": [np.int64(0)], "text": [" ".join(f"w{i}" for i in range(n))]})
+    out = ch(df)
+    # token conservation: sum of (n_tokens - overlap for later chunks)
+    total = int(out["n_tokens"].sum()) - 2 * (len(out) - 1)
+    assert total == n
+    assert (out["n_tokens"] <= 8).all()
+
+
+def test_redactor_counts_and_scrub():
+    import re
+
+    from spectral_time_series_ray.stages.text import REDACTION_PATTERNS, Redactor
+
+    r = Redactor()
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "mail me at a.b@c.org or x@y.io",
+                "call (555) 123-4567 or 555 123 4567",
+                "srv 10.0.0.1 and 192.168.1.255",
+                "ssn 123-45-6789 plain 123456789",
+            ],
+        }
+    )
+    out = r(df)
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_phone"].tolist() == [0, 2, 0, 0]
+    assert out["n_ip"].tolist() == [0, 0, 2, 0]
+    assert out["n_ssn"].tolist() == [0, 0, 0, 1]
+    pats = [re.compile(p) for p, _ in REDACTION_PATTERNS]
+    for t in out["text"]:
+        for rx in pats:
+            assert not rx.search(t), (t, rx.pattern)
+    assert "<EMAIL>" in out["text"].iloc[0]
