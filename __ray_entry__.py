@@ -1675,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_type_transitions": Q.ev_type_transitions,
         "ev_rolling_median": Q.ev_rolling_median,
         "ev_top_hours_per_type": Q.ev_top_hours_per_type,
+        "ev_dist_funcs": Q.ev_dist_funcs,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2321,5 +2322,15 @@ def oracle_sql() -> dict[str, str]:
               from h)
             select event_type, hour_start, n, sum_value, rnk
             from r where rnk <= 3
+        """,
+        "ev_dist_funcs": """
+            select event_id, user_id,
+                   round(percent_rank() over (
+                     partition by user_id order by value
+                   ), 9) as pct_rank,
+                   round(cume_dist() over (
+                     partition by user_id order by value
+                   ), 9) as cume_d
+            from events
         """,
     }

@@ -1484,3 +1484,18 @@ def ev_top_hours_per_type(sf_dir: str):
     df["rnk"] = df.groupby("event_type", sort=False).cumcount() + 1
     df["sum_value"] = round_half_away(df["sv"].to_numpy(dtype=np.float64), 6)
     return df[["event_type", "hour_start", "n", "sum_value", "rnk"]]
+
+
+def ev_dist_funcs(sf_dir: str):
+    """Distribution window functions per user: percent_rank() and
+    cume_dist() over (partition by user_id order by value) with exact
+    SQL tie semantics — `features.analytic_dist_funcs`, one int-keyed
+    shuffle + one lexsort/boundary-mask pass per partition."""
+    from ..stages.features import analytic_dist_funcs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = analytic_dist_funcs(
+        ds, key="user_id", order_value="value", id_cols=("event_id",),
+    )
+    out = out.select_columns(["event_id", "user_id", "pct_rank", "cume_d"])
+    return _round_ds(out, {"pct_rank": 9, "cume_d": 9})

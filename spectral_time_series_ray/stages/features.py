@@ -600,3 +600,85 @@ def rolling_order_stats(
     return (
         ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
     )
+
+
+def analytic_dist_funcs(
+    ds,
+    key: str = "user_id",
+    order_value: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    tiebreak: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+):
+    """Distribution window functions per key: ``percent_rank()`` and
+    ``cume_dist()`` over ``(partition by key order by order_value)``
+    with SQL tie semantics — ties share the FIRST position for
+    percent_rank and the LAST position for cume_dist.
+
+    Same single-shuffle partition pass as the other analytic families:
+    lexsort by (key, value), segment boundaries, tie-run first/last
+    indices via boundary masks — no per-row Python.
+    """
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, order_value, *tiebreak, *id_cols)))
+    ds = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+    out_cols = list(dict.fromkeys((*id_cols, key)))
+
+    def partition_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=df[c].dtype if c in df else object)
+                    for c in out_cols}
+            cols["pct_rank"] = pd.Series([], dtype=np.float64)
+            cols["cume_d"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        v = df[order_value].to_numpy()
+        order = np.lexsort((v, codes))
+        codes_s = codes[order]
+        v_s = v[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, seg_len)
+        seg_n = np.repeat(seg_len, seg_len)
+        # tie runs: a new tie run starts at a new key or a value change
+        new_tie = np.empty(n, dtype=bool)
+        new_tie[0] = True
+        new_tie[1:] = new_key[1:] | (v_s[1:] != v_s[:-1])
+        tie_starts = np.flatnonzero(new_tie)
+        tie_len = np.diff(np.append(tie_starts, n))
+        first_idx = np.repeat(tie_starts, tie_len)          # min position of tie
+        last_idx = np.repeat(tie_starts + tie_len - 1, tie_len)  # max position
+        rank = (first_idx - seg_start + 1).astype(np.float64)
+        denom = np.maximum(seg_n - 1, 1).astype(np.float64)
+        pct = np.where(seg_n == 1, 0.0, (rank - 1.0) / denom)
+        cume = (last_idx - seg_start + 1).astype(np.float64) / seg_n
+        out = df.iloc[order][out_cols].reset_index(drop=True)
+        out["pct_rank"] = pct
+        out["cume_d"] = cume
+        return out
+
+    return (
+        ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+    )

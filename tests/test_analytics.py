@@ -206,3 +206,37 @@ def test_rolling_order_stats_matches_pandas(ray_session):
     ).sort_index()
     for c in ("med_w", "min_w", "max_w"):
         np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=0, atol=0)
+
+
+def test_analytic_dist_funcs_matches_pandas(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import analytic_dist_funcs
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n).astype(np.int64),
+            # coarse grid => many exact ties
+            "value": np.round(rng.uniform(0, 10, n), 0),
+        }
+    )
+    got = (
+        analytic_dist_funcs(
+            ray.data.from_pandas(df.sample(frac=1.0, random_state=3)),
+            key="user_id", order_value="value", id_cols=("event_id",),
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    g = df.groupby("user_id")["value"]
+    exp_pct = g.rank(method="min").to_numpy()
+    sizes = g.transform("size").to_numpy()
+    exp_pct = np.where(sizes == 1, 0.0, (exp_pct - 1) / np.maximum(sizes - 1, 1))
+    exp_cume = g.rank(method="max").to_numpy() / sizes
+    np.testing.assert_allclose(got["pct_rank"].to_numpy(), exp_pct, atol=0)
+    np.testing.assert_allclose(got["cume_d"].to_numpy(), exp_cume, atol=0)
