@@ -1676,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rolling_median": Q.ev_rolling_median,
         "ev_top_hours_per_type": Q.ev_top_hours_per_type,
         "ev_dist_funcs": Q.ev_dist_funcs,
+        "ev_type_correlation": Q.ev_type_correlation,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2332,5 +2333,27 @@ def oracle_sql() -> dict[str, str]:
                      partition by user_id order by value
                    ), 9) as cume_d
             from events
+        """,
+        "ev_type_correlation": """
+            with h as (
+              select time_bucket(interval '1 hour', ts) as hour_start,
+                     event_type, count(*) as n
+              from events group by 1, 2),
+            grid as (
+              select hour_start, event_type
+              from (select distinct hour_start from h)
+              cross join (select distinct event_type from events)),
+            d as (
+              select g.hour_start, g.event_type, coalesce(h.n, 0) as n
+              from grid g
+              left join h on g.hour_start = h.hour_start
+                         and g.event_type = h.event_type)
+            select a.event_type as type_a, b.event_type as type_b,
+                   count(*) as n_buckets,
+                   round(corr(a.n, b.n), 9) as corr_n
+            from d a join d b on a.hour_start = b.hour_start
+            where a.event_type < b.event_type
+            group by 1, 2
+            order by 1, 2
         """,
     }

@@ -1499,3 +1499,32 @@ def ev_dist_funcs(sf_dir: str):
     )
     out = out.select_columns(["event_id", "user_id", "pct_rank", "cume_d"])
     return _round_ds(out, {"pct_rank": 9, "cume_d": 9})
+
+
+def ev_type_correlation(sf_dir: str):
+    """Pairwise Pearson correlation between event types, one
+    observation per hour (hourly count vectors, absent types = 0) —
+    `analytics.pairwise_correlation`. Per-batch Arrow (hour, type)
+    partials feed a bucket-hash shuffle; each partition pivots and
+    emits exact int64 moment partials per type pair (X^T X matmul);
+    the driver merges |types|^2/2 x P rows and finishes the
+    closed-form correlation."""
+    from ..stages.analytics import pairwise_correlation
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour_start": pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["hour_start", "event_type"]).aggregate([("n", "sum")])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    out = pairwise_correlation(agg, "hour_start", "event_type", "n_sum")
+    out = out.rename(columns={"label_a": "type_a", "label_b": "type_b"})
+    out["corr_n"] = round_half_away(out["corr_n"].to_numpy(np.float64), 9)
+    return out[["type_a", "type_b", "n_buckets", "corr_n"]]

@@ -457,3 +457,94 @@ def learned_precondition(chunk_ds, order: int = 4, concurrency: int = 4):
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+def pairwise_correlation(
+    ds,
+    bucket_col: str,
+    label_col: str,
+    count_col: str,
+    num_partitions: int | None = None,
+):
+    """Pearson correlation between every pair of ``label_col`` values,
+    treating each ``bucket_col`` value as one observation of the
+    per-label ``count_col`` vector (absent labels count 0) — e.g. "how
+    correlated are event types hour by hour".
+
+    Scale path: the input is already an aggregated (bucket, label, n)
+    table (tiny relative to raw events). One bucket-hash shuffle; each
+    partition pivots its buckets x labels matrix and emits EXACT int64
+    moment partials (sum x, sum y, sum xy, sum x^2, sum y^2, n) per
+    label pair via one X^T X matmul — |labels|^2 rows per partition,
+    corpus-independent. The driver merge sums partials and finishes
+    the closed-form correlation (same exact-moment design as
+    `rollup.linear_trend`, which oracle-matches DuckDB ``corr``).
+
+    Returns a DataFrame (label_a, label_b, n_buckets, corr_n) for
+    label_a < label_b.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    labels = sorted(ds.unique(label_col))  # bounded label domain
+    L = len(labels)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[bucket_col].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        X = (
+            df.pivot_table(
+                index=bucket_col, columns=label_col, values=count_col,
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=labels, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        n = X.shape[0]
+        xtx = X.T @ X                       # exact int64 cross-moments
+        x2 = np.einsum("ij,ij->j", X, X)    # per-label sum of squares
+        sx = X.sum(axis=0)
+        ia, ib = np.triu_indices(L, k=1)
+        return pd.DataFrame(
+            {
+                "label_a": np.asarray(labels, dtype=object)[ia],
+                "label_b": np.asarray(labels, dtype=object)[ib],
+                "n": np.full(len(ia), n, dtype=np.int64),
+                "sx": sx[ia],
+                "sy": sx[ib],
+                "sxy": xtx[ia, ib],
+                "sx2": x2[ia],
+                "sy2": x2[ib],
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+        .to_pandas()  # bounded: |labels|^2/2 x P rows
+    )
+    m = parts.groupby(["label_a", "label_b"], as_index=False).sum()
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx, sy = m["sx"].to_numpy(np.float64), m["sy"].to_numpy(np.float64)
+    sxy = m["sxy"].to_numpy(np.float64)
+    sx2, sy2 = m["sx2"].to_numpy(np.float64), m["sy2"].to_numpy(np.float64)
+    cov = n * sxy - sx * sy
+    var = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    corr = np.where(var > 0, cov / np.sqrt(var), np.nan)
+    out = m[["label_a", "label_b"]].copy()
+    out["n_buckets"] = m["n"].astype(np.int64)
+    out["corr_n"] = corr
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)

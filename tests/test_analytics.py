@@ -240,3 +240,43 @@ def test_analytic_dist_funcs_matches_pandas(ray_session):
     exp_cume = g.rank(method="max").to_numpy() / sizes
     np.testing.assert_allclose(got["pct_rank"].to_numpy(), exp_pct, atol=0)
     np.testing.assert_allclose(got["cume_d"].to_numpy(), exp_cume, atol=0)
+
+
+def test_pairwise_correlation_matches_numpy(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import pairwise_correlation
+
+    rng = np.random.default_rng(23)
+    buckets = 200
+    labels = ["a", "b", "c"]
+    rows = []
+    base = rng.integers(1, 50, buckets)
+    for bi in range(buckets):
+        # 'b' correlated with 'a'; 'c' independent; some zero cells
+        counts = {
+            "a": int(base[bi]),
+            "b": int(base[bi] * 2 + rng.integers(0, 5)),
+            "c": int(rng.integers(0, 30)),
+        }
+        for lab, n in counts.items():
+            if n > 0:
+                rows.append({"bucket": bi, "label": lab, "n": n})
+    df = pd.DataFrame(rows)
+    got = pairwise_correlation(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=7)),
+        "bucket", "label", "n", num_partitions=5,
+    )
+    # dense matrix oracle
+    X = (
+        df.pivot_table(index="bucket", columns="label", values="n",
+                       aggfunc="sum", fill_value=0)
+        .reindex(columns=labels, fill_value=0)
+        .to_numpy(np.float64)
+    )
+    C = np.corrcoef(X, rowvar=False)
+    for _, r in got.iterrows():
+        ia, ib = labels.index(r["label_a"]), labels.index(r["label_b"])
+        assert abs(r["corr_n"] - C[ia, ib]) < 1e-12
+        assert r["n_buckets"] == buckets
+    assert got["corr_n"].iloc[0] > 0.99  # a-b planted correlation
