@@ -1987,17 +1987,26 @@ def oracle_sql() -> dict[str, str]:
             order by o_orderpriority
         """,
         "q1_pricing": """
+            -- money sums in exact scaled-int64 arithmetic (2-decimal
+            -- price/discount/tax): float accumulation order puts
+            -- round(.., 2) on a half-cent boundary at sf >= 0.1
+            with x as (
+              select l_returnflag, l_linestatus, l_quantity, l_discount,
+                     cast(round(l_extendedprice * 100) as bigint) as ep_i,
+                     cast(round(l_discount * 100) as bigint) as d_i,
+                     cast(round(l_tax * 100) as bigint) as t_i
+              from lineitem
+              where l_shipdate <= timestamp '1998-09-02')
             select l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) as sum_qty,
-                   round(sum(l_extendedprice), 2) as sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+                   round(sum(ep_i) / 100.0, 2) as sum_base_price,
+                   round(sum(ep_i * (100 - d_i)) / 10000.0, 2) as sum_disc_price,
+                   round(sum(ep_i * (100 - d_i) * (100 + t_i)) / 1000000.0, 2) as sum_charge,
                    round(sum(l_quantity) / count(*), 6) as avg_qty,
-                   round(sum(l_extendedprice) / count(*), 6) as avg_price,
+                   round((sum(ep_i) / 100.0) / count(*), 6) as avg_price,
                    round(sum(l_discount) / count(*), 6) as avg_disc,
                    count(*) as count_order
-            from lineitem
-            where l_shipdate <= timestamp '1998-09-02'
+            from x
             group by 1, 2
         """,
         "q5_local_supplier": """

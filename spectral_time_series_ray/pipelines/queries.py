@@ -383,34 +383,50 @@ def q1_pricing(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
-        batch = batch.append_column("disc_price", disc_price)
-        batch = batch.append_column("charge", charge)
+        # exact scaled-int64 money sums: price/discount/tax carry 2
+        # decimals, so disc_price (scale 1e4) and charge (scale 1e6)
+        # are exact integers — float accumulation order can land
+        # round(.., 2) on a half-cent boundary at sf >= 0.1 (oracle
+        # mirrors the same scaled arithmetic)
+        ep_i = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        d_i = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64())
+        t_i = pc.cast(pc.round(pc.multiply(batch["l_tax"], pa.scalar(100.0))), pa.int64())
+        disc_i = pc.multiply(ep_i, pc.subtract(pa.scalar(100, pa.int64()), d_i))
+        charge_i = pc.multiply(disc_i, pc.add(pa.scalar(100, pa.int64()), t_i))
+        batch = batch.append_column("ep_i", ep_i)
+        batch = batch.append_column("disc_i", disc_i)
+        batch = batch.append_column("charge_i", charge_i)
         # per-batch partial pre-agg before the shuffle
         return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
-             ("charge", "sum"), ("l_discount", "sum"), ([], "count_all")]
+            [("l_quantity", "sum"), ("ep_i", "sum"), ("disc_i", "sum"),
+             ("charge_i", "sum"), ("l_discount", "sum"), ([], "count_all")]
         )
 
     partials = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("charge_sum", alias_name="sum_charge"),
+        Sum("ep_i_sum", alias_name="_sum_base_i"),
+        Sum("disc_i_sum", alias_name="_sum_disc_i"),
+        Sum("charge_i_sum", alias_name="_sum_charge_i"),
         Sum("l_discount_sum", alias_name="_sum_disc"),
         Sum("count_all", alias_name="count_order"),
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["count_order"].to_numpy(dtype=np.float64)
+        base = batch["_sum_base_i"].to_numpy(dtype=np.float64) / 100.0
         batch["avg_qty"] = round_half_away(batch["sum_qty"] / n, 6)
-        batch["avg_price"] = round_half_away(batch["sum_base_price"] / n, 6)
+        batch["avg_price"] = round_half_away(base / n, 6)
         batch["avg_disc"] = round_half_away(batch["_sum_disc"] / n, 6)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-            batch[c] = round_half_away(batch[c].to_numpy(), 2)
-        return batch.drop(columns=["_sum_disc"])
+        batch["sum_qty"] = round_half_away(batch["sum_qty"].to_numpy(), 2)
+        batch["sum_base_price"] = round_half_away(base, 2)
+        batch["sum_disc_price"] = round_half_away(
+            batch["_sum_disc_i"].to_numpy(dtype=np.float64) / 1e4, 2
+        )
+        batch["sum_charge"] = round_half_away(
+            batch["_sum_charge_i"].to_numpy(dtype=np.float64) / 1e6, 2
+        )
+        return batch.drop(columns=["_sum_disc", "_sum_base_i", "_sum_disc_i", "_sum_charge_i"])
 
     return merged.map_batches(finish, batch_format="pandas", batch_size=None)
 
