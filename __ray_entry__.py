@@ -1445,10 +1445,12 @@ def _tr_heavy_conversations(sf_dir: str):
         return df[df["count()"] > bound]
 
     full = ds.groupby("conv_id").count()
-    big = set(
-        full.map_batches(only_heavy, batch_format="pandas", batch_size=None)
-        .to_pandas()["conv_id"]
-    )
+    heavy_df = full.map_batches(
+        only_heavy, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    # every block empty (no conv above n/k, e.g. clamped sizes at large
+    # sf) -> pandas concat loses the schema entirely
+    big = set(heavy_df["conv_id"]) if "conv_id" in heavy_df.columns else set()
     coverage_ok = big <= cand
     hh["ok"] = undercount_ok and coverage_ok
     return hh[["conv_id", "approx_count", "exact_count", "ok"]]
@@ -1755,12 +1757,12 @@ def oracle_sql() -> dict[str, str]:
         "ev_interarrival": """
             with d as (
               select user_id,
-                     epoch_us(ts - lag(ts) over (partition by user_id order by ts, event_id)) / 1e6 as gap
+                     epoch_us(ts - lag(ts) over (partition by user_id order by ts, event_id)) as gap_us
               from events)
-            select user_id, count(gap) as n_gaps,
-                   round(avg(gap), 6) as mean_gap_s,
-                   round(quantile_cont(gap, 0.5), 6) as p50_gap_s
-            from d group by 1 having count(gap) > 0
+            select user_id, count(gap_us) as n_gaps,
+                   round((sum(gap_us) / count(gap_us)) / 1e6, 6) as mean_gap_s,
+                   round(quantile_cont(gap_us / 1e6, 0.5), 6) as p50_gap_s
+            from d group by 1 having count(gap_us) > 0
         """,
         "ev_sessions": """
             with g as (
@@ -1778,12 +1780,12 @@ def oracle_sql() -> dict[str, str]:
               from f),
             per_session as (
               select user_id, session_id, count(*) as n_ev,
-                     epoch_us(max(ts) - min(ts)) / 1e6 as dur
+                     epoch_us(max(ts) - min(ts)) as dur_us
               from s group by 1, 2)
             select user_id,
                    count(*) as n_sessions,
                    round(sum(n_ev) * 1.0 / count(*), 6) as mean_session_events,
-                   round(avg(dur), 6) as mean_session_duration_s
+                   round((sum(dur_us) / count(*)) / 1e6, 6) as mean_session_duration_s
             from per_session group by 1
         """,
         "ev_window_funcs": """

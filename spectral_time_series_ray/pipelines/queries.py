@@ -107,17 +107,21 @@ def ev_cascade_1d_salted(sf_dir: str):
 def _gaps_group(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values(["ts", "event_id"])
     ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
-    gaps = np.diff(ts) / 1e6
-    if len(gaps) == 0:
+    gaps_us = np.diff(ts)
+    if len(gaps_us) == 0:
         # single-event users are excluded in both engines (oracle uses
         # HAVING count(gap) > 0) to avoid NULL-vs-NaN hash ambiguity
         return pd.DataFrame({"user_id": [], "n_gaps": [], "mean_gap_s": [], "p50_gap_s": []})
+    # mean from EXACT integer-us sum, single division order mirrored by
+    # the oracle ((sum/n)/1e6): float gap accumulation puts round(.., 6)
+    # on a half-microsecond boundary at sf >= 0.1
+    mean_s = (int(gaps_us.sum()) / len(gaps_us)) / 1e6
     return pd.DataFrame(
         {
             "user_id": [g["user_id"].iloc[0]],
-            "n_gaps": [len(gaps)],
-            "mean_gap_s": round_half_away(gaps.mean(), 6),
-            "p50_gap_s": round_half_away(np.quantile(gaps, 0.5), 6),
+            "n_gaps": [len(gaps_us)],
+            "mean_gap_s": round_half_away(mean_s, 6),
+            "p50_gap_s": round_half_away(np.quantile(gaps_us / 1e6, 0.5), 6),
         }
     )
 
@@ -135,18 +139,21 @@ def _sessions_group(gap_s: float):
         new = np.concatenate([[True], gaps > gap_s])
         sid = np.cumsum(new)
         n_sessions = int(sid[-1])
-        # integer-us subtraction before the single /1e6 division matches
-        # the oracle's epoch_us(max-min)/1e6 bit-for-bit
-        durations = [
-            (ts_us[sid == s].max() - ts_us[sid == s].min()) / 1e6
-            for s in range(1, n_sessions + 1)
-        ]
+        # integer-us durations; mean from the EXACT int sum with the
+        # single (sum/n)/1e6 division order mirrored by the oracle —
+        # float accumulation puts round(.., 6) on a half-us boundary
+        # at sf >= 0.1
+        dur_us = np.array(
+            [int(ts_us[sid == s].max() - ts_us[sid == s].min())
+             for s in range(1, n_sessions + 1)], dtype=np.int64
+        )
+        mean_dur_s = (int(dur_us.sum()) / n_sessions) / 1e6
         return pd.DataFrame(
             {
                 "user_id": [g["user_id"].iloc[0]],
                 "n_sessions": [n_sessions],
                 "mean_session_events": round_half_away(len(g) / n_sessions, 6),
-                "mean_session_duration_s": round_half_away(float(np.mean(durations)), 6),
+                "mean_session_duration_s": round_half_away(mean_dur_s, 6),
             }
         )
 
