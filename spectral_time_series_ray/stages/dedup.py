@@ -324,18 +324,37 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     seed: int = 42,
     concurrency: int = 4,
+    cc: str = "driver",
 ):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas DataFrame
     (doc_id, cluster_id, is_keeper) covering docs in near-dup clusters.
 
     Everything up to verified pairs runs distributed
-    (:func:`minhash_verified_pairs`); only the sparse verified pair
-    list lands on the driver for union-find (bounded rounds).
+    (:func:`minhash_verified_pairs`). Clustering of the sparse
+    verified pairs:
+
+    - ``cc="driver"`` (default): pair list to the driver for
+      union-find — right up to the point where the PAIR LIST itself
+      outgrows driver memory.
+    - ``cc="distributed"``: hash-min label propagation over the pair
+      Dataset (:func:`..graph.connected_components`) — nothing
+      pair-shaped ever reaches the driver; the scale path for corpora
+      where near-dup pairs number in the billions. Same output
+      (identical cluster assignment: both label each component with
+      its min doc_id).
     """
-    verified = minhash_verified_pairs(
+    verified_ds = minhash_verified_pairs(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_n=shingle_n, seed=seed, concurrency=concurrency,
-    ).to_pandas()  # sparse: verified near-dup pairs only
+    )
+    if cc == "distributed":
+        from .graph import components_to_clusters, connected_components
+
+        if verified_ds.count() == 0:
+            return pd.DataFrame({"doc_id": [], "cluster_id": [], "is_keeper": []})
+        labels = connected_components(verified_ds.select_columns(["a", "b"]))
+        return components_to_clusters(labels)
+    verified = verified_ds.to_pandas()  # sparse: verified near-dup pairs only
     if len(verified) == 0:
         return pd.DataFrame({"doc_id": [], "cluster_id": [], "is_keeper": []})
     verified = verified.drop_duplicates(["a", "b"])

@@ -221,3 +221,30 @@ def test_kmeans_fit_distributed(ray_session):
         assert (grp == maj).mean() > 0.95
         majors.add(int(maj))
     assert len(majors) == 3
+
+
+def test_minhash_cc_distributed_matches_driver(docs_ds):
+    """The cc='distributed' clustering stage (hash-min label
+    propagation, nothing pair-shaped on the driver) must produce the
+    identical clustering to driver union-find on the SAME verified
+    pairs (built once — the expensive minhash stage is shared)."""
+    from spectral_time_series_ray.stages.dedup import (
+        minhash_verified_pairs,
+        union_find_clusters,
+    )
+    from spectral_time_series_ray.stages.graph import (
+        components_to_clusters,
+        connected_components,
+    )
+
+    pairs_ds = minhash_verified_pairs(docs_ds, threshold=0.5, concurrency=2)
+    pairs_df = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
+    assert len(pairs_df) > 0
+    exp = union_find_clusters(
+        list(zip(pairs_df["a"].astype(int), pairs_df["b"].astype(int)))
+    )
+    got = components_to_clusters(
+        connected_components(pairs_ds.select_columns(["a", "b"]), num_partitions=4)
+    )
+    assert dict(zip(got["doc_id"].astype(int), got["cluster_id"].astype(int))) == exp
+    assert set(got.loc[got["is_keeper"], "doc_id"].astype(int)) == set(exp.values())
