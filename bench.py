@@ -166,7 +166,9 @@ def run_bench() -> dict:
         qs = entry_mod.queries()
         for name in ("ev_rollup_1m", "ev_cascade_1h", "ev_gapfill_1h",
                      "ev_window_funcs", "ev_range_join",
-                     "ev_quantile_tdigest", "doc_exact_dedup"):
+                     "ev_quantile_tdigest", "doc_exact_dedup",
+                     # round-3 additions: holistic windows + chunking
+                     "ev_rolling_median", "doc_chunking"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):
