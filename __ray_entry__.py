@@ -1679,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_top_hours_per_type": Q.ev_top_hours_per_type,
         "ev_dist_funcs": Q.ev_dist_funcs,
         "ev_type_correlation": Q.ev_type_correlation,
+        "ev_edge_funcs": Q.ev_edge_funcs,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2366,5 +2367,21 @@ def oracle_sql() -> dict[str, str]:
             where a.event_type < b.event_type
             group by 1, 2
             order by 1, 2
+        """,
+        "ev_edge_funcs": """
+            select event_id, user_id,
+                   first_value(value) over w as first_v,
+                   last_value(value) over (
+                     partition by user_id order by ts, event_id
+                     rows between unbounded preceding
+                              and unbounded following
+                   ) as last_v,
+                   nth_value(value, 3) over (
+                     partition by user_id order by ts, event_id
+                     rows between unbounded preceding
+                              and unbounded following
+                   ) as nth_v
+            from events
+            window w as (partition by user_id order by ts, event_id)
         """,
     }

@@ -1551,3 +1551,17 @@ def ev_type_correlation(sf_dir: str):
     out = out.rename(columns={"label_a": "type_a", "label_b": "type_b"})
     out["corr_n"] = round_half_away(out["corr_n"].to_numpy(np.float64), 9)
     return out[["type_a", "type_b", "n_buckets", "corr_n"]]
+
+
+def ev_edge_funcs(sf_dir: str):
+    """Frame-edge window functions per user: first_value, last_value
+    (full-frame) and nth_value(value, 3) over (partition by user_id
+    order by ts, event_id) — `features.analytic_edge_funcs`."""
+    from ..stages.features import analytic_edge_funcs
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = analytic_edge_funcs(
+        ds, key="user_id", order_cols=("ts", "event_id"), value_col="value",
+        id_cols=("event_id",), nth=3,
+    )
+    return out.select_columns(["event_id", "user_id", "first_v", "last_v", "nth_v"])

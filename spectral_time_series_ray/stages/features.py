@@ -682,3 +682,79 @@ def analytic_dist_funcs(
     return (
         ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
     )
+
+
+def analytic_edge_funcs(
+    ds,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    nth: int = 3,
+    num_partitions: int | None = None,
+):
+    """Frame-edge window functions per key: ``first_value(value)``,
+    ``last_value(value)`` (over the WHOLE partition frame, i.e. ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) and
+    ``nth_value(value, nth)`` over ``(partition by key order by
+    order_cols)`` — NULL where the segment has fewer than ``nth``
+    rows, matching SQL.
+
+    Same single-shuffle, lexsort + segment-offset design as the other
+    analytic families; first/last/nth are one gather each off the
+    segment start/end offsets.
+    """
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, *order_cols, value_col, *id_cols)))
+    ds = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+    out_cols = list(dict.fromkeys((*id_cols, key)))
+
+    def partition_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=df[c].dtype if c in df else object)
+                    for c in out_cols}
+            for c in ("first_v", "last_v", "nth_v"):
+                cols[c] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        sort_keys = [df[c].to_numpy() for c in reversed(order_cols)]
+        order = np.lexsort((*sort_keys, codes))
+        codes_s = codes[order]
+        v = df[value_col].to_numpy(dtype=np.float64)[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, seg_len)
+        seg_n = np.repeat(seg_len, seg_len)
+        out = df.iloc[order][out_cols].reset_index(drop=True)
+        out["first_v"] = v[seg_start]
+        out["last_v"] = v[seg_start + seg_n - 1]
+        nth_idx = seg_start + (nth - 1)
+        nth_v = np.where(seg_n >= nth, v[np.minimum(nth_idx, n - 1)], np.nan)
+        out["nth_v"] = nth_v
+        return out
+
+    return (
+        ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+    )

@@ -280,3 +280,47 @@ def test_pairwise_correlation_matches_numpy(ray_session):
         assert abs(r["corr_n"] - C[ia, ib]) < 1e-12
         assert r["n_buckets"] == buckets
     assert got["corr_n"].iloc[0] > 0.99  # a-b planted correlation
+
+
+def test_analytic_edge_funcs_matches_pandas(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import analytic_edge_funcs
+
+    rng = np.random.default_rng(29)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),  # some tiny segs
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    # force a couple of 1- and 2-row segments
+    df.loc[df.index[:3], "user_id"] = [997, 998, 998]
+    got = (
+        analytic_edge_funcs(
+            ray.data.from_pandas(df.sample(frac=1.0, random_state=5)),
+            key="user_id", order_cols=("ts", "event_id"), value_col="value",
+            id_cols=("event_id",), nth=3, num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    g = s.groupby("user_id")["value"]
+    exp = pd.DataFrame(
+        {
+            "event_id": s["event_id"].to_numpy(),
+            "first_v": g.transform("first").to_numpy(),
+            "last_v": g.transform("last").to_numpy(),
+            "nth_v": g.transform(
+                lambda x: x.iloc[2] if len(x) >= 3 else np.nan
+            ).to_numpy(),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+    for c in ("first_v", "last_v", "nth_v"):
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
