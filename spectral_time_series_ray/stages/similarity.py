@@ -424,3 +424,179 @@ def embedding_near_dup(
         .to_pandas()
     )
     return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------- product quantization
+
+
+def pq_fit(
+    sample: np.ndarray, m: int = 8, n_codes: int = 256, iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 §II) on a
+    bounded driver-side sample: split the d dims into ``m`` subspaces
+    and run plain Euclidean Lloyd k-means independently in each.
+
+    Returns codebooks ``[m, n_codes, d//m]``. ``n_codes`` is clamped
+    to the sample size so tiny corpora (tests at sf0.001) stay
+    well-posed; at scale the sample is >> 256 and the clamp is inert.
+    """
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    k = int(min(n_codes, max(2, n)))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        cent = x[rng.choice(n, size=k, replace=n < k)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) if n * k * sub < 2**22 else (
+                (x * x).sum(1)[:, None] - 2 * x @ cent.T + (cent * cent).sum(1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+class _PQEncode:
+    """Actor: codebooks fetched once; encodes unit-normalized vectors
+    to ``m`` uint8 codes per vector (d*4 bytes -> m bytes)."""
+
+    def __init__(self, books_ref, col: str, id_col: str):
+        import ray
+
+        self.books = ray.get(books_ref)  # [m, k, sub]
+        self.col, self.id_col = col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        x = _normalize(_to_matrix(batch[self.col]))
+        m, k, sub = self.books.shape
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            cent = self.books[j]
+            d2 = (xs * xs).sum(1)[:, None] - 2 * xs @ cent.T + (cent * cent).sum(1)[None, :]
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame(
+            {self.id_col: batch[self.id_col].to_numpy(), "pq_code": list(codes)}
+        )
+
+
+def pq_encode(
+    ds, codebooks: np.ndarray, col: str = "embedding", id_col: str = "vec_id",
+    concurrency: int = 4,
+):
+    """Encode every vector to its PQ codes: ``(id_col, pq_code
+    list<uint8>)``. At 100 TB only this (32x smaller at d=64/m=8)
+    representation is scanned by ADC search; raw vectors are touched
+    again only for the tiny re-rank set."""
+    import ray
+
+    books_ref = ray.put(codebooks)
+    return ds.map_batches(
+        _PQEncode, fn_constructor_args=(books_ref, col, id_col),
+        batch_format="pandas", batch_size=4096, concurrency=concurrency,
+    )
+
+
+class _ADCScore:
+    """Asymmetric distance computation: per-query lookup tables
+    ``LUT[m, k]`` of query-subvector · codebook-entry inner products;
+    a vector's approximate cosine = sum over subspaces of
+    ``LUT[j, code[j]]`` — one fancy-index gather per batch, raw
+    vectors never read."""
+
+    def __init__(self, lut_ref, shortlist: int, id_col: str):
+        import ray
+
+        self.luts = ray.get(lut_ref)  # [nq, m, k]
+        self.shortlist, self.id_col = shortlist, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        codes = np.stack(
+            [np.asarray(c, dtype=np.uint8) for c in batch["pq_code"]]
+        ).astype(np.int64)  # [n, m]
+        ids = batch[self.id_col].to_numpy()
+        n, m = codes.shape
+        cols = np.arange(m)
+        out = []
+        for qi, lut in enumerate(self.luts):
+            s = lut[cols[None, :], codes].sum(axis=1)  # [n]
+            idx = _topk_deterministic(s, ids, self.shortlist)
+            out.append(pd.DataFrame(
+                {"query_id": qi, self.id_col: ids[idx], "adc_score": s[idx]}
+            ))
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 self.id_col: pd.Series([], dtype="int64"),
+                 "adc_score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def pq_search(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 256,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    max_sample_rows: int = 50_000,
+    seed: int = 42,
+    concurrency: int = 4,
+):
+    """PQ-compressed ANN with exact re-rank (IVFADC without the coarse
+    quantizer — compose with ``ivf_search``-style list pruning when
+    list-level pruning is also needed):
+
+    1. codebooks trained on an absolute-bounded driver sample,
+    2. every vector PQ-encoded (``pq_encode``) — the only full scan,
+    3. ADC over codes keeps a per-batch deterministic top-``shortlist``
+       per query; global merge keeps the per-query shortlist,
+    4. shortlisted ids (≤ nq·shortlist — parameter-bounded, never
+       corpus-bounded) are re-scored EXACTLY against the raw vectors
+       (semi-join + brute force), so precision of the final top-k is
+       exact given the shortlist.
+
+    Returns (query_id, id, score) with exact cosine scores.
+    """
+    import ray
+
+    from .join import semi_join_keys
+
+    sample = _normalize(_bounded_sample_matrix(ds, col, max_sample_rows, seed))
+    books = pq_fit(sample, m=m, n_codes=n_codes, seed=seed)
+    encoded = pq_encode(ds, books, col=col, id_col=id_col, concurrency=concurrency)
+
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    nq, d = q.shape
+    sub = d // m
+    # LUT[qi, j, c] = q_sub · codebook entry  (ADC inner-product tables)
+    luts = np.einsum("qjs,jcs->qjc", q.reshape(nq, m, sub), books)
+    lut_ref = ray.put(luts)
+
+    partials = encoded.map_batches(
+        _ADCScore, fn_constructor_args=(lut_ref, shortlist, id_col),
+        batch_format="pandas", batch_size=4096, concurrency=concurrency,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc_score", id_col], ascending=[False, True])
+        return g.head(shortlist).reset_index(drop=True)
+
+    short = partials.groupby("query_id").map_groups(
+        merge, batch_format="pandas"
+    ).to_pandas()  # ≤ nq·shortlist rows — parameter-bounded
+    cand_ids = sorted(set(short[id_col].tolist()))
+    cands = semi_join_keys(ds, cand_ids, id_col)
+    return ann_brute_force(cands, q, k=k, id_col=id_col, concurrency=concurrency)

@@ -248,3 +248,72 @@ def test_minhash_cc_distributed_matches_driver(docs_ds):
     )
     assert dict(zip(got["doc_id"].astype(int), got["cluster_id"].astype(int))) == exp
     assert set(got.loc[got["is_keeper"], "doc_id"].astype(int)) == set(exp.values())
+
+
+# ----------------------------------------------------- product quantization
+
+
+def test_pq_fit_shapes_and_determinism():
+    from spectral_time_series_ray.stages.similarity import pq_fit
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((300, 16))
+    b1 = pq_fit(x, m=4, n_codes=16, seed=9)
+    b2 = pq_fit(x, m=4, n_codes=16, seed=9)
+    assert b1.shape == (4, 16, 4)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_pq_encode_reconstruction_improves_with_codes(ray_session):
+    """More codes per subspace -> lower quantization error (sanity that
+    encode picks the NEAREST codeword, not an arbitrary one)."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.similarity import (
+        _normalize, pq_encode, pq_fit,
+    )
+
+    rng = np.random.default_rng(4)
+    m = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(m)})
+    ds = ray.data.from_pandas(df)
+    xn = _normalize(m)
+
+    def recon_err(n_codes):
+        books = pq_fit(xn, m=4, n_codes=n_codes, seed=5)
+        enc = pq_encode(ds, books, concurrency=2).to_pandas().sort_values("vec_id")
+        codes = np.stack(enc["pq_code"])
+        rec = np.concatenate(
+            [books[j][codes[:, j]] for j in range(4)], axis=1
+        )
+        return float(((xn - rec) ** 2).sum(axis=1).mean())
+
+    e4, e64 = recon_err(4), recon_err(64)
+    assert e64 < e4
+
+
+def test_pq_search_matches_brute_force(emb_ds):
+    """With exact re-rank and a shortlist covering the corpus, PQ search
+    returns EXACTLY the brute-force top-k (same ids, same scores)."""
+    from spectral_time_series_ray.stages.similarity import ann_brute_force, pq_search
+
+    df = embeddings_fixture()
+    q = np.stack(df["embedding"].iloc[[0]])
+    got = pq_search(emb_ds, q, k=3, m=4, n_codes=16, shortlist=60,
+                    concurrency=2).to_pandas()
+    exp = ann_brute_force(emb_ds, q, k=3, concurrency=2).to_pandas()
+    assert list(got["vec_id"]) == list(exp["vec_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-12)
+
+
+def test_pq_search_tight_shortlist_recall(emb_ds):
+    """Genuine ADC pruning (shortlist < corpus) still recalls the
+    planted near-duplicate as the top hit."""
+    from spectral_time_series_ray.stages.similarity import pq_search
+
+    df = embeddings_fixture()
+    q = np.stack(df["embedding"].iloc[[0]])
+    got = pq_search(emb_ds, q, k=3, m=4, n_codes=32, shortlist=10,
+                    concurrency=2).to_pandas()
+    top2 = set(got.sort_values("score", ascending=False)["vec_id"].head(2))
+    assert top2 == {0, 50}
