@@ -1131,6 +1131,56 @@ def _tr_series_analysis(sf_dir: str):
     ]
 
 
+def _tr_exp_smooth(sf_dir: str):
+    """EWMA + Holt linear smoothing/forecast per packed chunk
+    (`stages/analytics.exp_smooth` — batched time-major scans).
+    SELF-VERIFYING three ways: (1) in-stage convexity invariant —
+    every EWMA output must lie inside the running [min, max] envelope
+    (0 violations over ALL chunks); (2) in-stage exact sequential
+    recompute on a deterministic 1/16 hash-sample of chunks (max
+    |scan − naive| < 1e-9); (3) a planted NOISE-FREE linear ramp
+    conversation rides the real pipeline — Holt with l₁=x₁, b₁=x₂−x₁
+    seeding reproduces an exact line, so its 8-step forecast must
+    continue the ramp to within 1e-6."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import exp_smooth
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    k = np.arange(256)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    ramp = pd.DataFrame(
+        {"conv_id": "__planted_ramp__", "bucket_ts": pd.Series(grid),
+         "mean_latency": 10.0 + 0.5 * k}
+    )
+    both = sel.union(ray.data.from_pandas(ramp))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = exp_smooth(chunks, alpha=0.3, beta=0.1, horizon=8, concurrency=4).to_pandas()
+
+    r = out[out["conv_id"] == "__planted_ramp__"]
+    assert len(r) == 1, "planted ramp missing"
+    expected = 10.0 + 0.5 * (255 + np.arange(1, 9))
+    ramp_ok = bool(
+        np.max(np.abs(np.asarray(r["holt_forecast"].iloc[0]) - expected)) < 1e-6
+        and abs(r["holt_trend"].iloc[0] - 0.5) < 1e-9
+    )
+    conv_ok = int(out["convexity_violations"].sum()) == 0
+    rec = out["recompute_err"].to_numpy(dtype=np.float64)
+    rec_ok = bool(np.isfinite(rec).any() and np.nanmax(rec) < 1e-9)
+    out["ok"] = bool(ramp_ok and conv_ok and rec_ok)
+    out = out.drop(columns=["holt_forecast"])  # list column: keep result tabular
+    return out.sort_values(["conv_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _tr_role_transitions(sf_dir: str):
     """Role-transition matrix over transcripts (turn-taking structure).
     Self-verifying conservation invariant: transitions are counted
@@ -1735,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_resample": _tr_resample,
         "tr_series_analysis": _tr_series_analysis,
+        "tr_exp_smooth": _tr_exp_smooth,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,

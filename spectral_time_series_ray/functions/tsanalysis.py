@@ -159,3 +159,73 @@ def ar_whitening_coeffs(x: np.ndarray, order: int) -> np.ndarray:
     innovation sequence."""
     a, _ = yule_walker(x, order)
     return -a
+
+
+# -------------------------------------------------- exponential smoothing
+
+
+def ewm_mean_scan(x: np.ndarray, alpha: float) -> np.ndarray:
+    """EWMA (``adjust=False`` recurrence ``s_t = a*x_t + (1-a)*s_{t-1}``,
+    seeded at the first finite value) over a TIME-MAJOR matrix
+    ``x [S, T]`` with NaN padding: the scan loops over the T time steps
+    while every step is vectorized across the S series — the standard
+    batched-scan layout for sequential recurrences (loop length is the
+    chunk's time extent, never the corpus size). NaN cells carry the
+    previous state and emit NaN.
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    S, T = x.shape
+    out = np.full((S, T), np.nan)
+    s = np.full(S, np.nan)
+    for t in range(T):
+        xt = x[:, t]
+        fin = np.isfinite(xt)
+        first = fin & ~np.isfinite(s)
+        s = np.where(first, xt, np.where(fin, alpha * xt + (1.0 - alpha) * s, s))
+        out[:, t] = np.where(fin, s, np.nan)
+    return out
+
+
+def holt_linear_scan(
+    x: np.ndarray, alpha: float = 0.3, beta: float = 0.1, horizon: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Holt's linear-trend smoothing over ``x [S, T]`` (NaN-padded,
+    time-major): ``l_t = a*x_t + (1-a)(l_{t-1}+b_{t-1})``,
+    ``b_t = B(l_t - l_{t-1}) + (1-B) b_{t-1}`` (Holt 1957 / Hyndman &
+    Athanasopoulos, FPP §8.2), seeded ``l_1 = x_1``, ``b_1 = x_2-x_1``
+    at each series' first two finite points. Same batched-scan layout
+    as :func:`ewm_mean_scan`.
+
+    Returns ``(level [S,T], trend [S,T], forecast [S,horizon])`` where
+    the forecast extrapolates ``l_T + h*b_T`` from each series' last
+    finite state.
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    S, T = x.shape
+    level = np.full((S, T), np.nan)
+    trend = np.full((S, T), np.nan)
+    l = np.full(S, np.nan)
+    b = np.full(S, np.nan)
+    seen = np.zeros(S, dtype=np.int64)  # finite points consumed so far
+    for t in range(T):
+        xt = x[:, t]
+        fin = np.isfinite(xt)
+        first = fin & (seen == 0)
+        second = fin & (seen == 1)
+        later = fin & (seen >= 2)
+        l_new = np.where(later, alpha * xt + (1.0 - alpha) * (l + b), l)
+        b_new = np.where(later, beta * (l_new - l) + (1.0 - beta) * b, b)
+        # seed: l=x1 on the first point; on the second, b=x2-l1 and the
+        # level updates with that fresh trend
+        l_new = np.where(first, xt, l_new)
+        b_new = np.where(second, xt - l, b_new)
+        l_new = np.where(second, xt, l_new)
+        l, b = l_new, b_new
+        seen = seen + fin.astype(np.int64)
+        level[:, t] = np.where(fin, l, np.nan)
+        trend[:, t] = np.where(fin, b, np.nan)
+    if horizon <= 0:
+        return level, trend, np.empty((S, 0))
+    h = np.arange(1, horizon + 1, dtype=np.float64)
+    fcst = l[:, None] + h[None, :] * b[:, None]
+    return level, trend, fcst

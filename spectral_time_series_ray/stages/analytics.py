@@ -548,3 +548,123 @@ def pairwise_correlation(
     out["n_buckets"] = m["n"].astype(np.int64)
     out["corr_n"] = corr
     return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+class ExpSmoother:
+    """Actor-pool exponential smoothing over packed chunk rows: each
+    batch's series stack into one NaN-padded time-major matrix and the
+    EWMA / Holt scans (`functions/tsanalysis.ewm_mean_scan` /
+    `holt_linear_scan`) run ONE loop over the chunk's time extent with
+    every step vectorized across the batch's series — the batched-scan
+    layout; work per batch is O(S·T) with no per-row Python loop.
+
+    Emits per chunk: final EWMA state, Holt final level/trend, an
+    ``horizon``-step Holt forecast, one-step-ahead MAEs of both
+    smoothers, and two in-stage verification fields:
+
+    - ``convexity_violations`` — count of EWMA outputs outside the
+      running [min, max] envelope of the points consumed so far
+      (always 0 for a correct convex-combination recurrence);
+    - ``recompute_err`` — for a deterministic ~1/16 hash-sample of
+      chunks, the max |scan − naive sequential recompute| (NaN for
+      unsampled chunks). Keeps the exact cross-check distributed AND
+      bounded: the naive per-point loop runs on the sample only.
+    """
+
+    def __init__(self, alpha: float = 0.3, beta: float = 0.1, horizon: int = 8):
+        from ..functions.hashing import fnv1a_u64
+        from ..functions.tsanalysis import ewm_mean_scan, holt_linear_scan
+
+        self.alpha, self.beta, self.horizon = alpha, beta, horizon
+        self._ewm, self._holt = ewm_mean_scan, holt_linear_scan
+        self._hash = fnv1a_u64
+
+    def _naive_err(self, v: np.ndarray, got: np.ndarray) -> float:
+        s, err = np.nan, 0.0
+        for i in range(len(v)):
+            if not np.isfinite(v[i]):
+                continue
+            s = v[i] if not np.isfinite(s) else self.alpha * v[i] + (1 - self.alpha) * s
+            err = max(err, abs(s - got[i]))
+        return err
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        S = len(batch)
+        series = [np.asarray(v, dtype=np.float64) for v in batch["values"]]
+        T = max((len(v) for v in series), default=0)
+        x = np.full((S, T), np.nan)
+        for i, v in enumerate(series):
+            x[i, : len(v)] = v
+        ewm = self._ewm(x, self.alpha)
+        level, trend, fcst = self._holt(x, self.alpha, self.beta, self.horizon)
+
+        fin = np.isfinite(x)
+        # one-step-ahead predictors: the last smoothed state BEFORE each
+        # point (forward-fill the state along time, shift by one)
+        prev_ewm = pd.DataFrame(ewm).ffill(axis=1).shift(1, axis=1).to_numpy()
+        prev_lvl = pd.DataFrame(level).ffill(axis=1).shift(1, axis=1).to_numpy()
+        prev_trd = pd.DataFrame(trend).ffill(axis=1).shift(1, axis=1).to_numpy()
+        with np.errstate(invalid="ignore"):
+            e1 = np.where(fin & np.isfinite(prev_ewm), np.abs(x - prev_ewm), np.nan)
+            h1 = np.where(
+                fin & np.isfinite(prev_trd), np.abs(x - (prev_lvl + prev_trd)), np.nan
+            )
+        def _row_mean(m: np.ndarray) -> np.ndarray:
+            c = np.isfinite(m).sum(axis=1)
+            s = np.nansum(np.where(np.isfinite(m), m, 0.0), axis=1)
+            return np.where(c > 0, s / np.maximum(c, 1), np.nan)
+
+        ewm_mae1 = _row_mean(e1)
+        holt_mae1 = _row_mean(h1)
+
+        # convexity: each EWMA output must lie inside the running
+        # [min, max] of the finite points seen so far (tiny fp slack)
+        run_max = np.fmax.accumulate(np.where(fin, x, -np.inf), axis=1)
+        run_min = np.fmin.accumulate(np.where(fin, x, np.inf), axis=1)
+        bad = fin & (
+            (ewm > run_max + 1e-9 * (1 + np.abs(run_max)))
+            | (ewm < run_min - 1e-9 * (1 + np.abs(run_min)))
+        )
+        violations = bad.sum(axis=1).astype(np.int64)
+
+        ids = batch["conv_id"].astype(str).to_numpy()
+        h = self._hash(ids)
+        sampled = (h & np.uint64(15)) == 0
+        if S and not sampled.any():
+            # tiny batches: always verify at least one chunk (still
+            # bounded — ≤ 1 extra recompute per batch)
+            sampled[int(np.argmin(h))] = True
+        recompute = np.full(S, np.nan)
+        for i in np.flatnonzero(sampled):
+            recompute[i] = self._naive_err(x[i], ewm[i])
+
+        n_fin = fin.sum(axis=1)
+        last_idx = np.where(n_fin > 0, T - 1 - np.argmax(fin[:, ::-1], axis=1), 0)
+        rows = np.arange(S)
+        out = batch.drop(
+            columns=[c for c in ("ts", "values", "values_precond") if c in batch.columns]
+        ).copy()
+        out["n_points"] = n_fin.astype(np.int64)
+        out["ewm_last"] = np.where(n_fin > 0, ewm[rows, last_idx], np.nan)
+        out["ewm_mae1"] = ewm_mae1
+        out["holt_level"] = np.where(n_fin > 0, level[rows, last_idx], np.nan)
+        out["holt_trend"] = np.where(n_fin > 1, trend[rows, last_idx], np.nan)
+        out["holt_forecast"] = list(fcst)
+        out["holt_mae1"] = holt_mae1
+        out["convexity_violations"] = violations
+        out["recompute_err"] = recompute
+        return out
+
+
+def exp_smooth(
+    chunk_ds, alpha: float = 0.3, beta: float = 0.1, horizon: int = 8,
+    concurrency: int = 4,
+):
+    """EWMA + Holt linear smoothing/forecast per packed chunk row."""
+    return chunk_ds.map_batches(
+        ExpSmoother,
+        fn_constructor_kwargs={"alpha": alpha, "beta": beta, "horizon": horizon},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )

@@ -1,6 +1,7 @@
 """Tests for functions/tsanalysis.py and the SeriesAnalyzer stage."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -199,3 +200,90 @@ def test_learned_precondition_stage(ray_session):
     assert abs(out.loc["ar", "ar_coeffs"][0] - 0.9) < 0.15
     # white noise: taps ~ 0, no variance to remove
     assert out.loc["noise", "whitened_var_ratio"] > 0.7
+
+
+# ------------------------------------------------ exponential smoothing
+
+
+def test_ewm_scan_matches_pandas():
+    from spectral_time_series_ray.functions.tsanalysis import ewm_mean_scan
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 60))
+    x[1, 5:9] = np.nan
+    x[2, 0] = np.nan
+    out = ewm_mean_scan(x, 0.3)
+    for i in range(4):
+        exp = pd.Series(x[i]).ewm(alpha=0.3, adjust=False, ignore_na=True).mean()
+        m = np.isfinite(x[i])
+        np.testing.assert_allclose(out[i][m], exp.to_numpy()[m], atol=1e-12)
+        assert np.all(np.isnan(out[i][~m]))
+
+
+def test_holt_scan_exact_on_linear():
+    """Noise-free linear data: l₁=x₁/b₁=x₂−x₁ seeding keeps Holt exact,
+    so the forecast continues the line bit-for-bit (within fp)."""
+    from spectral_time_series_ray.functions.tsanalysis import holt_linear_scan
+
+    k = np.arange(50, dtype=np.float64)
+    x = (3.0 + 0.25 * k)[None, :]
+    level, trend, fcst = holt_linear_scan(x, 0.3, 0.1, horizon=5)
+    np.testing.assert_allclose(level[0][1:], x[0][1:], atol=1e-9)
+    np.testing.assert_allclose(trend[0][1:], 0.25, atol=1e-9)
+    np.testing.assert_allclose(fcst[0], 3.0 + 0.25 * (49 + np.arange(1, 6)), atol=1e-9)
+
+
+def test_holt_scan_matches_naive_loop():
+    from spectral_time_series_ray.functions.tsanalysis import holt_linear_scan
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 40)).cumsum(axis=1)
+    x[0, 7:11] = np.nan
+    a, b = 0.4, 0.2
+    level, trend, _ = holt_linear_scan(x, a, b)
+
+    for i in range(3):
+        l = t = None
+        cnt = 0
+        for j in range(40):
+            v = x[i, j]
+            if not np.isfinite(v):
+                assert np.isnan(level[i, j])
+                continue
+            if cnt == 0:
+                l = v
+            elif cnt == 1:
+                t = v - l
+                l = v
+            else:
+                lp = a * v + (1 - a) * (l + t)
+                t = b * (lp - l) + (1 - b) * t
+                l = lp
+            cnt += 1
+            np.testing.assert_allclose(level[i, j], l, atol=1e-12)
+            if t is not None:
+                np.testing.assert_allclose(trend[i, j], t, atol=1e-12)
+
+
+def test_exp_smooth_stage(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import exp_smooth
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(20):
+        n = int(rng.integers(8, 120))
+        rows.append({"conv_id": f"c{i:03d}", "chunk_idx": 0,
+                     "values": rng.normal(size=n).cumsum().tolist()})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = exp_smooth(ds, alpha=0.3, beta=0.1, horizon=4, concurrency=2).to_pandas()
+    assert len(out) == 20
+    assert int(out["convexity_violations"].sum()) == 0
+    rec = out["recompute_err"].to_numpy(dtype=np.float64)
+    assert np.isfinite(rec).any() and np.nanmax(rec) < 1e-9
+    assert out["holt_forecast"].map(len).eq(4).all()
+    # n_points preserved exactly
+    exp_n = {f"c{i:03d}": len(rows[i]["values"]) for i in range(20)}
+    for cid, n in zip(out["conv_id"], out["n_points"]):
+        assert exp_n[cid] == int(n)
