@@ -1701,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_range_join": Q.ev_range_join,
         "ev_trailing_window": Q.ev_trailing_window,
+        "ev_session_overlap": Q.ev_session_overlap,
         "ev_trend": Q.ev_trend,
         "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_incremental_rollup": Q.ev_incremental_rollup,
@@ -1909,6 +1910,41 @@ def oracle_sql() -> dict[str, str]:
             window w as (partition by user_id order by ts
                          range between interval 1 hour preceding
                          and current row)
+        """,
+        "ev_session_overlap": """
+            with
+            cg as (select user_id, ts, event_id,
+                          epoch_us(ts - lag(ts) over (partition by user_id order by ts, event_id)) as gap_us
+                   from events where event_type = 'click'),
+            cf as (select user_id, ts, event_id,
+                          case when gap_us is null or gap_us > 43200000000 then 1 else 0 end as flag
+                   from cg),
+            cs as (select user_id, ts,
+                          sum(flag) over (partition by user_id order by ts, event_id
+                                          rows between unbounded preceding and current row) as sid
+                   from cf),
+            csess as (select user_id, sid, epoch_us(min(ts)) as s_us, epoch_us(max(ts)) as e_us
+                      from cs group by 1, 2),
+            pg as (select user_id, ts, event_id,
+                          epoch_us(ts - lag(ts) over (partition by user_id order by ts, event_id)) as gap_us
+                   from events where event_type = 'purchase'),
+            pf as (select user_id, ts, event_id,
+                          case when gap_us is null or gap_us > 43200000000 then 1 else 0 end as flag
+                   from pg),
+            ps as (select user_id, ts,
+                          sum(flag) over (partition by user_id order by ts, event_id
+                                          rows between unbounded preceding and current row) as sid
+                   from pf),
+            psess as (select user_id, sid, epoch_us(min(ts)) as s_us, epoch_us(max(ts)) as e_us
+                      from ps group by 1, 2),
+            j as (select c.user_id,
+                         least(c.e_us, p.e_us) - greatest(c.s_us, p.s_us) as ov_us
+                  from csess c join psess p
+                    on c.user_id = p.user_id
+                   and c.s_us <= p.e_us and p.s_us <= c.e_us)
+            select user_id, count(*) as n_pairs,
+                   round(sum(ov_us) / 1e6, 6) as overlap_s
+            from j group by 1
         """,
         "ev_range_join": """
             select a.event_id, a.user_id,

@@ -247,6 +247,55 @@ def ev_trailing_window(sf_dir: str):
     return _round_ds(out, {"sum_in_window": 6})
 
 
+def ev_session_overlap(sf_dir: str):
+    """Per-key interval OVERLAP join (temporal join): each user's
+    click-sessions joined against the same user's purchase-sessions
+    wherever the two intervals overlap (inclusive), then per-user pair
+    count + total overlap seconds. Sessions come from the vectorized
+    `streaming.sessionize` (gap 12 h — sized to the fixture's ~40 h
+    median inter-event gap so sessions are real intervals); the join is
+    `join.interval_overlap_join` — one key-hash shuffle, contiguous
+    [searchsorted(ends), searchsorted(starts)) overlap ranges per
+    probe, exact integer-microsecond overlap arithmetic mirrored by
+    the DuckDB oracle's epoch_us sums."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import interval_overlap_join
+    from ..stages.streaming import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def sessions(ev_type: str):
+        sub = ds.filter(expr=f"event_type == '{ev_type}'")
+        sess = sessionize(sub, key="user_id", order_col="ts", ts_col="ts",
+                          gap_s=43200.0)
+
+        def to_us(batch: pd.DataFrame) -> pd.DataFrame:
+            start = batch["start_ts"].to_numpy(dtype="datetime64[us]").view("int64")
+            dur = np.round(batch["duration_s"].to_numpy(dtype=np.float64) * 1e6)
+            return pd.DataFrame(
+                {"user_id": batch["user_id"].to_numpy(),
+                 "start_us": start, "end_us": start + dur.astype(np.int64)}
+            )
+
+        return sess.map_batches(to_us, batch_format="pandas", batch_size=None)
+
+    pairs = interval_overlap_join(
+        sessions("click"), sessions("purchase"), key="user_id"
+    )
+    out = pairs.groupby("user_id").aggregate(
+        Count(alias_name="n_pairs"), Sum("overlap_us", alias_name="overlap_us_sum")
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["overlap_s"] = round_half_away(
+            batch["overlap_us_sum"].to_numpy(dtype=np.float64) / 1e6, 6
+        )
+        return batch[["user_id", "n_pairs", "overlap_s"]]
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 def ev_retained_users(sf_dir: str):
     """INTERSECT shape: users active in BOTH halves of the month, with
     per-user counts from each half. Two pushdown-pruned reads, per-key

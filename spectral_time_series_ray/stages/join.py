@@ -378,3 +378,121 @@ def asof_join(
         return pd.merge_asof(lf, rf, on=ts_col, direction=direction, suffixes=("", suffix))
 
     return both.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def interval_overlap_join(
+    left,
+    right,
+    key: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+    num_partitions: int | None = None,
+):
+    """Per-key interval OVERLAP join: emit one row per (left interval,
+    right interval) pair of the same ``key`` satisfying
+    ``l.start <= r.end AND r.start <= l.end`` (inclusive — touching
+    endpoints match), with the exact ``overlap_us`` length.
+
+    Operator class the Dataset API lacks (temporal/spatial join).
+    Scale path: ONE key-hash shuffle co-locates both sides (side-tagged
+    union — the key's rows of BOTH tables land in the same partition);
+    inside a partition the right side is sorted by (key, start) and,
+    because its intervals are PER-KEY DISJOINT, its starts AND ends are
+    both ascending within a segment, so every left row's overlap set is
+    the contiguous range [searchsorted(ends, l.start), 
+    searchsorted(starts, l.end)) — two segment-offset searchsorted
+    calls answer all probes at once and pairs expand by repeat/arange.
+    Per-key Python overhead is O(P), not O(#keys).
+
+    Partitioning assumptions (documented contract): a key's rows fit in
+    one partition, and the RIGHT side's intervals are non-overlapping
+    within a key (e.g. ``streaming.sessionize`` output — sessions are
+    separated by > gap). The LEFT side is arbitrary. Timestamps are
+    int64 microseconds; all overlap arithmetic is exact integer.
+    """
+    import numpy as np
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    lkeep = [c for c in left_cols if c not in (key, start_col, end_col)]
+    rkeep = [c for c in right_cols if c not in (key, start_col, end_col)]
+
+    def tag(side: int, keep):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            part = (
+                pd.util.hash_pandas_object(batch[key], index=False).to_numpy() % P
+            ).astype(np.int32)
+            out = batch[[key, start_col, end_col, *keep]].copy()
+            out["_side"] = np.int8(side)
+            out["_part"] = part
+            return out
+
+        return f
+
+    l_t = left.map_batches(tag(0, lkeep), batch_format="pandas", batch_size=None)
+    r_t = right.map_batches(tag(1, rkeep), batch_format="pandas", batch_size=None)
+    both = l_t.union(r_t)
+
+    def empty() -> pd.DataFrame:
+        cols = {key: pd.Series([], dtype=object)}
+        for c in lkeep:
+            cols[f"l_{c}"] = pd.Series([], dtype=object)
+        cols["l_start_us"] = pd.Series([], dtype=np.int64)
+        cols["l_end_us"] = pd.Series([], dtype=np.int64)
+        for c in rkeep:
+            cols[f"r_{c}"] = pd.Series([], dtype=object)
+        cols["r_start_us"] = pd.Series([], dtype=np.int64)
+        cols["r_end_us"] = pd.Series([], dtype=np.int64)
+        cols["overlap_us"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(cols)
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        lm = df["_side"].to_numpy() == 0
+        L, R = df[lm], df[~lm]
+        if len(L) == 0 or len(R) == 0:
+            return empty()
+        codes, uniques = pd.factorize(
+            pd.concat([L[key], R[key]], ignore_index=True), sort=False
+        )
+        lcode, rcode = codes[: len(L)], codes[len(L):]
+        ls = L[start_col].to_numpy(dtype=np.int64)
+        le = L[end_col].to_numpy(dtype=np.int64)
+        rs = R[start_col].to_numpy(dtype=np.int64)
+        re_ = R[end_col].to_numpy(dtype=np.int64)
+        r_order = np.lexsort((rs, rcode))
+        rcode_s, rs_s, re_s = rcode[r_order], rs[r_order], re_[r_order]
+        lo_v = int(min(ls.min(), rs_s.min()))
+        hi_v = int(max(le.max(), re_s.max()))
+        span = (hi_v - lo_v) + 2
+        if int(codes.max() + 1) * span >= 2**62:
+            raise ValueError("interval domain too wide for segment-offset axis")
+        r_start_axis = (rs_s - lo_v) + rcode_s.astype(np.int64) * span
+        r_end_axis = (re_s - lo_v) + rcode_s.astype(np.int64) * span
+        l_s_axis = (ls - lo_v) + lcode.astype(np.int64) * span
+        l_e_axis = (le - lo_v) + lcode.astype(np.int64) * span
+        lo_idx = np.searchsorted(r_end_axis, l_s_axis, side="left")
+        hi_idx = np.searchsorted(r_start_axis, l_e_axis, side="right")
+        counts = np.maximum(hi_idx - lo_idx, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty()
+        l_rep = np.repeat(np.arange(len(L)), counts)
+        base = np.repeat(np.cumsum(np.append(0, counts))[:-1], counts)
+        r_idx = np.repeat(lo_idx, counts) + (np.arange(total) - base)
+        ov = np.minimum(le[l_rep], re_s[r_idx]) - np.maximum(ls[l_rep], rs_s[r_idx])
+        out = {key: L[key].to_numpy()[l_rep]}
+        for c in lkeep:
+            out[f"l_{c}"] = L[c].to_numpy()[l_rep]
+        out["l_start_us"] = ls[l_rep]
+        out["l_end_us"] = le[l_rep]
+        for c in rkeep:
+            out[f"r_{c}"] = R[c].to_numpy()[r_order][r_idx]
+        out["r_start_us"] = rs_s[r_idx]
+        out["r_end_us"] = re_s[r_idx]
+        out["overlap_us"] = ov.astype(np.int64)
+        return pd.DataFrame(out)
+
+    return both.groupby("_part").map_groups(partition_fn, batch_format="pandas")

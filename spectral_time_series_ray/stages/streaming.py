@@ -251,7 +251,8 @@ def sessionize(
             ).to_numpy()
             % P
         ).astype(np.int32)
-        return batch.select([key, order_col, ts_col]).append_column(
+        # dedupe: order_col == ts_col (order by time itself) is legal
+        return batch.select(list(dict.fromkeys([key, order_col, ts_col]))).append_column(
             "_part", pa.array(part)
         )
 

@@ -172,3 +172,59 @@ def test_orphan_key_count_planted(ray_session):
     clean = ray.data.from_pandas(pd.DataFrame({"fk": rng.integers(0, 1000, 500)}))
     n_child2, n_orph2 = orphan_key_count(clean, parent, "fk", "pk")
     assert n_child2 == 500 and n_orph2 == 0
+
+
+# ------------------------------------------------ interval overlap join
+
+
+def test_interval_overlap_join_matches_pandas(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import interval_overlap_join
+
+    rng = np.random.default_rng(12)
+    # right: per-key DISJOINT sorted intervals (the documented contract)
+    rrows = []
+    for k in range(8):
+        t = 0
+        for i in range(rng.integers(1, 10)):
+            t += int(rng.integers(5, 50))
+            w = int(rng.integers(1, 20))
+            rrows.append({"k": k, "start_us": t, "end_us": t + w})
+            t += w
+    # left: arbitrary (overlapping allowed)
+    lrows = [
+        {"k": int(rng.integers(0, 10)), "start_us": int(s), "end_us": int(s + rng.integers(0, 60))}
+        for s in rng.integers(0, 400, size=120)
+    ]
+    L, R = pd.DataFrame(lrows), pd.DataFrame(rrows)
+    got = interval_overlap_join(
+        ray.data.from_pandas(L), ray.data.from_pandas(R), key="k"
+    ).to_pandas()
+    exp = L.merge(R, on="k", suffixes=("_l", "_r"))
+    exp = exp[(exp.start_us_l <= exp.end_us_r) & (exp.start_us_r <= exp.end_us_l)]
+    assert len(got) == len(exp)
+    key_g = sorted(zip(got["k"], got["l_start_us"], got["r_start_us"]))
+    key_e = sorted(zip(exp["k"], exp["start_us_l"], exp["start_us_r"]))
+    assert key_g == key_e
+    ov = np.minimum(got["l_end_us"], got["r_end_us"]) - np.maximum(
+        got["l_start_us"], got["r_start_us"]
+    )
+    assert (got["overlap_us"] == ov).all()
+    assert (got["overlap_us"] >= 0).all()
+
+
+def test_interval_overlap_join_touching_counts(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import interval_overlap_join
+
+    L = pd.DataFrame({"k": [1, 1], "start_us": [0, 100], "end_us": [10, 110]})
+    R = pd.DataFrame({"k": [1], "start_us": [10, ], "end_us": [99]})
+    got = interval_overlap_join(
+        ray.data.from_pandas(L), ray.data.from_pandas(R), key="k"
+    ).to_pandas()
+    # [0,10] touches [10,99] (overlap 0); [100,110] misses it
+    assert len(got) == 1
+    assert int(got["overlap_us"].iloc[0]) == 0
+    assert int(got["l_start_us"].iloc[0]) == 0
