@@ -321,6 +321,65 @@ def _tr_hybrid_reversal(sf_dir: str):
     return hybrid_reversal_eval(wins, season=8, degree=4, concurrency=2)
 
 
+def _doc_lm_quality(sf_dir: str):
+    """Bigram-LM perplexity quality filter (CCNet-shaped, Wenzek et
+    al. 2020): fixed-size mergeable count partials train the model,
+    broadcast log-prob scoring, threshold filter. SELF-VERIFYING with
+    planted docs riding the real pipeline: 20 gibberish docs (uniform
+    random a-z — near log(26) per-char NLL under any natural model)
+    and the real corpus must SEPARATE — min gibberish NLL > max real
+    NLL — and the midpoint-threshold filter must keep every real doc
+    and drop every planted one (both counts computed distributed)."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.text import (
+        lm_quality_filter,
+        lm_quality_score,
+        train_char_lm,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rng = np.random.default_rng(23)
+    gib = pd.DataFrame(
+        {"doc_id": [int(1_000_000_000 + i) for i in range(20)],
+         "text": ["".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), size=200))
+                  for _ in range(20)]}
+    )
+    import pyarrow as _pa
+
+    # arrow-block planted side: unioning a pandas block into the
+    # arrow-born parquet Dataset trips Ray's block-type batcher
+    both = ds.union(ray.data.from_arrow(_pa.Table.from_pandas(gib)))
+    logp = train_char_lm(both)
+    scored = lm_quality_score(both, logp, concurrency=2).materialize()
+
+    import ray.data.aggregate as agg
+
+    def split_flag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["planted"] = batch["doc_id"] >= 1_000_000_000
+        return batch
+
+    flagged = scored.map_batches(split_flag, batch_format="pandas", batch_size=None)
+    stats = flagged.groupby("planted").aggregate(
+        agg.Min("lm_nll", alias_name="min_nll"),
+        agg.Max("lm_nll", alias_name="max_nll"),
+        agg.Count(alias_name="n"),
+        agg.Mean("lm_nll", alias_name="mean_nll"),
+    ).to_pandas()  # 2 rows
+    real = stats[~stats["planted"]].iloc[0]
+    plant = stats[stats["planted"]].iloc[0]
+    sep_ok = bool(plant["min_nll"] > real["max_nll"])
+    thr = 0.5 * (float(real["max_nll"]) + float(plant["min_nll"]))
+    kept = lm_quality_filter(both, logp, max_nll=thr, concurrency=2)
+    n_kept = kept.count()
+    filter_ok = n_kept == int(real["n"])
+    stats = stats.sort_values("planted").reset_index(drop=True)
+    stats["threshold"] = thr
+    stats["ok"] = bool(sep_ok and filter_ok)
+    return stats
+
+
 def _doc_quality(sf_dir: str):
     """Language-ID / token counts / quality scoring; the ok column
     checks the kernels' analytic invariants distributed: quality in
@@ -1780,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_window_eval": _tr_window_eval,
         "tr_hybrid_reversal": _tr_hybrid_reversal,
         "doc_quality": _doc_quality,
+        "doc_lm_quality": _doc_lm_quality,
         "doc_fingerprints": _doc_fingerprints,
         "emb_near_dup": _emb_near_dup,
         "tr_train_crop": _tr_train_crop,

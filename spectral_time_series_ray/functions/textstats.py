@@ -95,3 +95,82 @@ def quality_score(text: str) -> float:
     if f["digit_ratio"] > 0.3:
         score *= 0.5
     return score
+
+
+# ------------------------------------------------ char-bigram language model
+
+_LM_V = 28  # a-z (0-25), space (26), other (27)
+
+
+def _char_codes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Map a batch of texts to one concatenated lowercase code array
+    plus per-doc lengths — single pass, no per-character Python.
+    Codes: a-z -> 0..25, whitespace -> 26, everything else -> 27."""
+    joined = "\x00".join(t if isinstance(t, str) else "" for t in texts)
+    b = np.frombuffer(joined.encode("utf-8", "replace"), dtype=np.uint8)
+    # utf-8 continuation bytes land in "other" — fine for a 28-bucket LM
+    code = np.full(len(b), 27, dtype=np.int64)
+    lower = (b >= 97) & (b <= 122)
+    upper = (b >= 65) & (b <= 90)
+    code[lower] = b[lower] - 97
+    code[upper] = b[upper] - 65
+    code[(b == 32) | (b == 9) | (b == 10) | (b == 13)] = 26
+    sep = b == 0
+    # per-doc byte lengths from separator positions
+    pos = np.flatnonzero(sep)
+    starts = np.concatenate([[0], pos + 1])
+    ends = np.concatenate([pos, [len(b)]])
+    keep = ~sep
+    # doc lengths in KEPT bytes
+    lens = ends - starts
+    return code[keep], lens
+
+
+def char_bigram_counts(texts) -> np.ndarray:
+    """[28, 28] bigram count matrix over a batch of texts (pairs never
+    cross document boundaries)."""
+    code, lens = _char_codes(texts)
+    counts = np.zeros((_LM_V, _LM_V), dtype=np.int64)
+    if len(code) < 2:
+        return counts
+    a, b2 = code[:-1], code[1:]
+    # boundary pairs: last char of doc i with first of doc i+1
+    boundary = np.zeros(len(a), dtype=bool)
+    cum = np.cumsum(lens)[:-1]
+    boundary[cum[(cum > 0) & (cum <= len(a))] - 1] = True
+    m = ~boundary
+    np.add.at(counts, (a[m], b2[m]), 1)
+    return counts
+
+
+def char_bigram_logprob(counts: np.ndarray, k: float = 0.5) -> np.ndarray:
+    """Add-k-smoothed conditional log-probabilities
+    ``log P(c2 | c1)`` from a bigram count matrix."""
+    c = counts.astype(np.float64) + k
+    return np.log(c / c.sum(axis=1, keepdims=True))
+
+
+def char_bigram_nll(texts, logp: np.ndarray) -> np.ndarray:
+    """Per-document mean negative log-likelihood under the bigram LM
+    (the CCNet-style perplexity proxy, Wenzek et al., LREC 2020) —
+    one gather + segmented mean per batch."""
+    code, lens = _char_codes(texts)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.float64)
+    if len(code) < 2:
+        return out
+    a, b2 = code[:-1], code[1:]
+    nll_pairs = -logp[a, b2]
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # per doc: pairs are positions [start, start+len-1) of the pair axis
+    # doc ids aligned with the NON-boundary pairs: doc i contributes
+    # exactly max(len_i - 1, 0) pairs once boundary pairs are dropped
+    for_doc = np.repeat(np.arange(n), np.maximum(lens - 1, 0))
+    bmask = np.zeros(len(a), dtype=bool)
+    cum = np.cumsum(lens)[:-1]
+    bmask[cum[(cum > 0) & (cum <= len(a))] - 1] = True
+    vals = nll_pairs[~bmask]
+    sums = np.zeros(n)
+    np.add.at(sums, for_doc, vals)
+    cnt = np.maximum(lens - 1, 0)
+    return np.where(cnt > 0, sums / np.maximum(cnt, 1), 0.0)

@@ -250,3 +250,67 @@ def redact_documents(ds, patterns=REDACTION_PATTERNS, concurrency: int = 4):
         batch_size=1024,
         concurrency=concurrency,
     )
+
+
+def train_char_lm(ds, text_col: str = "text") -> np.ndarray:
+    """Fit the corpus-wide char-bigram language model: each block emits
+    ONE flattened [28*28] count vector (mergeable partial — the model
+    domain is FIXED-SIZE, so the 'model' never grows with the corpus),
+    partials merge in one tiny aggregation. At 100 TB the driver sees
+    6 KB per block, never text. Returns the smoothed log-prob matrix.
+
+    CCNet-style quality modeling (Wenzek et al., LREC 2020) with the
+    KenLM scorer replaced by an in-corpus bigram model (no external
+    model artifacts in this environment).
+    """
+    from ..functions.textstats import char_bigram_counts, char_bigram_logprob
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = char_bigram_counts(batch[text_col].tolist())
+        return pd.DataFrame({"counts": [c.ravel()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
+    total = np.sum(np.stack(parts["counts"].to_numpy()), axis=0).reshape(28, 28)
+    return char_bigram_logprob(total)
+
+
+class LMScorer:
+    """Actor: log-prob matrix fetched from the object store once;
+    per-batch scoring is one code-pair gather + segmented mean."""
+
+    def __init__(self, logp_ref, text_col: str):
+        import ray
+
+        self.logp = ray.get(logp_ref)
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textstats import char_bigram_nll
+
+        out = batch.copy()
+        out["lm_nll"] = char_bigram_nll(batch[self.text_col].tolist(), self.logp)
+        return out
+
+
+def lm_quality_score(ds, logp: np.ndarray, text_col: str = "text", concurrency: int = 4):
+    """Add a ``lm_nll`` column: mean negative log-likelihood per doc
+    under the (broadcast) bigram LM — low = natural under the corpus
+    distribution, high = gibberish/outlier."""
+    import ray
+
+    logp_ref = ray.put(np.asarray(logp, dtype=np.float64))
+    return ds.map_batches(
+        LMScorer,
+        fn_constructor_args=(logp_ref, text_col),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=concurrency,
+    )
+
+
+def lm_quality_filter(ds, logp: np.ndarray, max_nll: float, text_col: str = "text",
+                      concurrency: int = 4):
+    """Keep only documents scoring at or below ``max_nll`` (the
+    perplexity-filter step of a pre-training data pipeline)."""
+    scored = lm_quality_score(ds, logp, text_col, concurrency)
+    return scored.filter(expr=f"lm_nll <= {float(max_nll)!r}")

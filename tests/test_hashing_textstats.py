@@ -186,3 +186,72 @@ def test_redactor_counts_and_scrub():
         for rx in pats:
             assert not rx.search(t), (t, rx.pattern)
     assert "<EMAIL>" in out["text"].iloc[0]
+
+
+# ------------------------------------------------ char-bigram LM
+
+
+def test_char_bigram_counts_match_naive():
+    from spectral_time_series_ray.functions.textstats import char_bigram_counts
+
+    def code(ch):
+        if ch.isascii() and ch.isalpha():
+            return ord(ch.lower()) - 97
+        if ch in " \t\n\r":
+            return 26
+        return 27
+
+    texts = ["Hello, World!", "a", "", "the quick brown fox", "ZZ top 99"]
+    exp = np.zeros((28, 28), dtype=np.int64)
+    for t in texts:
+        for x, y in zip(t, t[1:]):
+            exp[code(x), code(y)] += 1
+    got = char_bigram_counts(texts)
+    assert (got == exp).all()
+
+
+def test_char_bigram_nll_matches_naive():
+    from spectral_time_series_ray.functions.textstats import (
+        char_bigram_counts,
+        char_bigram_logprob,
+        char_bigram_nll,
+    )
+
+    def code(ch):
+        if ch.isascii() and ch.isalpha():
+            return ord(ch.lower()) - 97
+        if ch in " \t\n\r":
+            return 26
+        return 27
+
+    texts = ["hello world", "qzxj vwkp", "aaa bbb ccc"]
+    lp = char_bigram_logprob(char_bigram_counts(texts))
+    got = char_bigram_nll(texts, lp)
+    for i, t in enumerate(texts):
+        exp = np.mean([-lp[code(x), code(y)] for x, y in zip(t, t[1:])])
+        assert abs(got[i] - exp) < 1e-12
+
+
+def test_lm_separates_gibberish(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.text import (
+        lm_quality_filter,
+        lm_quality_score,
+        train_char_lm,
+    )
+
+    rng = np.random.default_rng(7)
+    words = ["the", "data", "table", "fast", "join", "merge", "scan", "row"]
+    real = [" ".join(rng.choice(words, size=30)) for _ in range(60)]
+    gib = ["".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), size=150))
+           for _ in range(10)]
+    df = pd.DataFrame({"doc_id": range(70), "text": real + gib})
+    ds = ray.data.from_pandas(df)
+    logp = train_char_lm(ds)
+    scored = lm_quality_score(ds, logp, concurrency=2).to_pandas()
+    s = scored.set_index("doc_id")["lm_nll"]
+    assert s.loc[60:].min() > s.loc[:59].max()
+    thr = 0.5 * (s.loc[60:].min() + s.loc[:59].max())
+    kept = lm_quality_filter(ds, logp, max_nll=thr, concurrency=2).to_pandas()
+    assert set(kept["doc_id"]) == set(range(60))
