@@ -1760,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_range_join": Q.ev_range_join,
         "ev_trailing_window": Q.ev_trailing_window,
+        "ev_window_distinct": Q.ev_window_distinct,
         "ev_session_overlap": Q.ev_session_overlap,
         "ev_trend": Q.ev_trend,
         "ev_rank_funcs": Q.ev_rank_funcs,
@@ -1970,6 +1971,14 @@ def oracle_sql() -> dict[str, str]:
             window w as (partition by user_id order by ts
                          range between interval 1 hour preceding
                          and current row)
+        """,
+        "ev_window_distinct": """
+            select event_id, user_id,
+                   count(distinct event_type) over (
+                     partition by user_id order by ts
+                     range between interval 1 hour preceding and current row
+                   ) as n_distinct
+            from events
         """,
         "ev_session_overlap": """
             with

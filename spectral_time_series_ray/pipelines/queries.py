@@ -247,6 +247,21 @@ def ev_trailing_window(sf_dir: str):
     return _round_ds(out, {"sum_in_window": 6})
 
 
+def ev_window_distinct(sf_dir: str):
+    """Holistic sliding-window DISTINCT: per event, how many distinct
+    event types the same user produced in the trailing hour (RANGE
+    frame, inclusive). `join.windowed_distinct_count` — one key-hash
+    shuffle, D=|types| searchsorted passes answer every row at once
+    (bounded-domain contract documented on the operator)."""
+    from ..stages.join import windowed_distinct_count
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    out = windowed_distinct_count(
+        ds, key="user_id", ts_col="ts", value_col="event_type", window_s=3600.0,
+    )
+    return out.select_columns(["event_id", "user_id", "n_distinct"])
+
+
 def ev_session_overlap(sf_dir: str):
     """Per-key interval OVERLAP join (temporal join): each user's
     click-sessions joined against the same user's purchase-sessions

@@ -496,3 +496,80 @@ def interval_overlap_join(
         return pd.DataFrame(out)
 
     return both.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+
+
+def windowed_distinct_count(
+    ds,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    window_s: float = 3600.0,
+    id_cols: tuple[str, ...] = ("event_id",),
+    num_partitions: int | None = None,
+):
+    """Per row, the number of DISTINCT ``value_col`` values among the
+    same key's rows in the trailing ``window_s`` seconds (RANGE frame,
+    both ends inclusive — SQL ``count(distinct v) over (... range
+    between W preceding and current row)``).
+
+    Holistic window aggregate (running sums cannot express it). Scale
+    path for a SMALL value domain (event types, status codes, …): one
+    key-hash shuffle; per partition, one lexsort builds the
+    segment-offset time axis and then D searchsorted pairs — one per
+    distinct value — answer "does value d occur in this row's window"
+    for EVERY row at once; distinct = sum of the D indicator vectors.
+    Work is O(D · n log n) per partition with D = |domain|, and no
+    per-row Python. For unbounded domains use a different operator
+    (t-digest/HLL sketches for approximate, or a per-window exact
+    pass); this one documents the bounded-domain contract.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    w_us = np.int64(round(window_s * 1e6))
+    keep = [key, *id_cols]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_pandas_object(batch[key].to_pandas(), index=False).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.select([key, ts_col, value_col, *id_cols]).append_column(
+            "_part", pa.array(part)
+        )
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=object) for c in keep}
+            cols["n_distinct"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        t = df[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+        order = np.lexsort((t, codes))
+        codes_s, t_s = codes[order], t[order]
+        vcodes, _ = pd.factorize(df[value_col].iloc[order], sort=False)
+        t0 = t_s.min()
+        span = int(t_s.max() - t0) + int(w_us) + 2
+        if (int(codes_s.max()) + 1) * span >= 2**62:
+            raise ValueError("time domain too wide for segment-offset axis")
+        axis = (t_s - t0) + codes_s.astype(np.int64) * span
+        D = int(vcodes.max()) + 1
+        distinct = np.zeros(n, dtype=np.int64)
+        for d in range(D):
+            ax_d = axis[vcodes == d]
+            lo = np.searchsorted(ax_d, axis - w_us, side="left")
+            hi = np.searchsorted(ax_d, axis, side="right")
+            distinct += (hi > lo).astype(np.int64)
+        out = df.iloc[order][keep].reset_index(drop=True)
+        out["n_distinct"] = distinct
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+    )

@@ -228,3 +228,36 @@ def test_interval_overlap_join_touching_counts(ray_session):
     assert len(got) == 1
     assert int(got["overlap_us"].iloc[0]) == 0
     assert int(got["l_start_us"].iloc[0]) == 0
+
+
+def test_windowed_distinct_count_matches_pandas(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import windowed_distinct_count
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 6, size=n),
+            "event_type": rng.choice(list("abcd"), size=n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 86400, size=n)), unit="s"),
+        }
+    )
+    got = (
+        windowed_distinct_count(
+            ray.data.from_pandas(df), key="user_id", ts_col="ts",
+            value_col="event_type", window_s=1800.0,
+        )
+        .to_pandas()
+        .set_index("event_id")["n_distinct"]
+    )
+    for _, r in df.iterrows():
+        w = df[
+            (df.user_id == r.user_id)
+            & (df.ts >= r.ts - pd.Timedelta(seconds=1800))
+            & (df.ts <= r.ts)
+        ]
+        assert got.loc[r.event_id] == w["event_type"].nunique()
