@@ -1774,6 +1774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_distinct_exact": Q.ev_distinct_exact,
         "ev_asof_purchase": Q.ev_asof_purchase,
         "ev_pivot_types": Q.ev_pivot_types,
+        "ev_unpivot_types": Q.ev_unpivot_types,
+        "ev_type_sequence": Q.ev_type_sequence,
         "ev_naive_forecast": Q.ev_naive_forecast,
         "ev_multivariate_precond": Q.ev_multivariate_precond,
         # relational coverage (oracle-checked)
@@ -1971,6 +1973,26 @@ def oracle_sql() -> dict[str, str]:
             window w as (partition by user_id order by ts
                          range between interval 1 hour preceding
                          and current row)
+        """,
+        "ev_unpivot_types": """
+            with wide as (
+              select user_id,
+                     count(*) filter (event_type = 'click')    as n_click,
+                     count(*) filter (event_type = 'view')     as n_view,
+                     count(*) filter (event_type = 'purchase') as n_purchase,
+                     count(*) filter (event_type = 'signup')   as n_signup,
+                     count(*) filter (event_type = 'error')    as n_error
+              from events group by 1)
+            select user_id, substr(event_type, 3) as event_type, n
+            from wide
+            unpivot (n for event_type in (n_click, n_view, n_purchase, n_signup, n_error))
+            where n > 0
+        """,
+        "ev_type_sequence": """
+            select user_id,
+                   string_agg(event_type, ',' order by ts, event_id) as type_seq,
+                   count(*) as n_events
+            from events group by 1
         """,
         "ev_window_distinct": """
             select event_id, user_id,

@@ -1068,6 +1068,75 @@ def ev_pivot_types(sf_dir: str):
     return partials.groupby("user_id").map_groups(pivot, batch_format="pandas")
 
 
+def ev_unpivot_types(sf_dir: str):
+    """UNPIVOT (wide -> long): the per-user type-count matrix melted
+    back to (user_id, event_type, n) rows, zero-count cells dropped —
+    a pure per-batch reshape, embarrassingly parallel (no extra
+    shuffle beyond the pivot's own). Oracle: DuckDB UNPIVOT over the
+    FILTER-pivoted wide table."""
+    wide = ev_pivot_types(sf_dir)
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.melt(
+            id_vars=["user_id"],
+            value_vars=[f"n_{t}" for t in EVENT_TYPES],
+            var_name="event_type",
+            value_name="n",
+        )
+        out["event_type"] = out["event_type"].str.slice(2)
+        out = out[out["n"] > 0]
+        return out.reset_index(drop=True)
+
+    return wide.map_batches(melt, batch_format="pandas", batch_size=None)
+
+
+def ev_type_sequence(sf_dir: str):
+    """Ordered per-key string aggregation (SQL string_agg with ORDER
+    BY): each user's full event-type sequence as one comma-joined
+    string in (ts, event_id) order, plus its length. ONE key-hash
+    shuffle; the partition pass lexsorts once and joins per-key slices
+    — string concatenation is the output payload itself, so the only
+    exchange is the same narrow-column shuffle every keyed op pays."""
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    P = partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_pandas_object(
+                batch["user_id"].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "type_seq": pd.Series([], dtype=object),
+                 "n_events": pd.Series([], dtype=np.int64)}
+            )
+        order = np.lexsort(
+            (df["event_id"].to_numpy(), df["ts"].to_numpy(), df["user_id"].to_numpy())
+        )
+        s = df.iloc[order]
+        g = s.groupby("user_id", sort=True)["event_type"]
+        joined = g.agg(",".join)
+        return pd.DataFrame(
+            {"user_id": joined.index.to_numpy(),
+             "type_seq": joined.to_numpy(),
+             "n_events": g.size().to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(partition_fn, batch_format="pandas")
+    )
+
+
 def q5_local_supplier(sf_dir: str):
     """TPC-H Q5 shape, scale path: revenue by nation for ASIA orders
     where supplier and customer share a nation. The genuinely tiny
