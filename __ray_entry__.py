@@ -1782,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": Q.q1_pricing,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q12_priority_lines": Q.q12_priority_lines,
+        "q10_returned_items": Q.q10_returned_items,
         "ri_orphans": Q.ri_orphans,
         "q5_local_supplier": Q.q5_local_supplier,
         "q3_revenue_topk": Q.q3_revenue_topk,
@@ -2167,6 +2168,25 @@ def oracle_sql() -> dict[str, str]:
               and l_shipdate <  date '1997-01-01'
               and l_discount between 0.05 and 0.07
               and l_quantity < 24
+        """,
+        "q10_returned_items": """
+            with li as (
+              select l_orderkey,
+                     cast(round(l_extendedprice * 100) as bigint)
+                     * (100 - cast(round(l_discount * 100) as bigint)) as rev4
+              from lineitem where l_returnflag = 'R'),
+            o as (select o_orderkey, o_custkey from orders
+                  where o_orderdate >= date '1996-01-01'
+                    and o_orderdate < date '1996-04-01'),
+            r as (select o_custkey, sum(rev4) as rev4
+                  from li join o on l_orderkey = o_orderkey group by 1),
+            t as (select o_custkey, round(rev4 / 1e4, 2) as revenue
+                  from r order by revenue desc, o_custkey asc limit 20)
+            select t.o_custkey as c_custkey, c.c_name, t.revenue,
+                   c.c_acctbal, n.n_name
+            from t
+            join customer c on c.c_custkey = t.o_custkey
+            join nation n on n.n_nationkey = c.c_nationkey
         """,
         "ri_orphans": """
             select 'lineitem.l_orderkey->orders.o_orderkey' as relationship,

@@ -605,6 +605,75 @@ def q12_priority_lines(sf_dir: str):
     return merged.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: customers ranked by revenue from RETURNED
+    items in a quarter. Scale path: lineitem streams once with exact
+    scale-1e4 int64 revenue partials per orderkey; the date-filtered
+    orders side is Bloom-prefiltered and hash-joined (``Dataset.join``
+    — never driver-side); per-customer totals stay distributed and
+    only ≤50 unrounded candidates per block reach the driver (q3's
+    bounded partial-top-k); the 20 winners' names come from a
+    key-filter-pushdown customer read plus a broadcast nation merge."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bloom_semi_filter, build_bloom
+
+    P = _join_partitions()
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ep_i = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        d_i = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(ep_i, pc.subtract(pa.scalar(100, pa.int64()), d_i))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev4": rev4}).group_by(
+            ["l_orderkey"]
+        ).aggregate([("rev4", "sum")])
+
+    li_p = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= np.datetime64("1996-01-01", "us"))
+        & (pc.field("o_orderdate") < np.datetime64("1996-04-01", "us")),
+    ).select_columns(["o_orderkey", "o_custkey"])
+    bloom = build_bloom(orders, "o_orderkey")
+    li_p = bloom_semi_filter(li_p, "l_orderkey", bloom).materialize()
+    joined = li_p.join(
+        orders, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_custkey"]).aggregate([("rev4_sum", "sum")])
+
+    totals = (
+        joined.map_batches(cust_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .aggregate(Sum("rev4_sum_sum", alias_name="rev4"))
+    )
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev4", "o_custkey"], ascending=[False, True]).head(50)
+
+    cand = totals.map_batches(part_top, batch_format="pandas").to_pandas()
+    cand["revenue"] = round_half_away(cand["rev4"].to_numpy(dtype=np.float64) / 1e4, 2)
+    top = cand.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(20)
+    names = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(top["o_custkey"].tolist()),
+    ).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    df = top.merge(
+        names.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey", how="inner"
+    ).merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True]).reset_index(drop=True)
+    return df[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
 def ri_orphans(sf_dir: str):
     """Referential-integrity audit: orphan-row counts for two foreign
     keys (lineitem->orders, orders->customer) via the Bloom-prefilter +
