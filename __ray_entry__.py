@@ -1818,6 +1818,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dist_funcs": Q.ev_dist_funcs,
         "ev_type_correlation": Q.ev_type_correlation,
         "ev_edge_funcs": Q.ev_edge_funcs,
+        "ev_time_weighted_avg": Q.ev_time_weighted_avg,
+        "ev_counter_rate": Q.ev_counter_rate,
+        "ev_interval_coverage": Q.ev_interval_coverage,
+        "ev_local_day": Q.ev_local_day,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2606,5 +2610,79 @@ def oracle_sql() -> dict[str, str]:
                    ) as nth_v
             from events
             window w as (partition by user_id order by ts, event_id)
+        """,
+        "ev_time_weighted_avg": """
+            with d as (
+              select user_id, ts, cast(round(value * 100) as bigint) as v,
+                     lead(ts) over (partition by user_id order by ts, event_id) as nxt
+              from events
+            ),
+            agg as (
+              select user_id,
+                     count(*) as n_samples,
+                     sum(case when nxt is not null
+                              then v * (epoch_us(nxt) - epoch_us(ts)) end) as num,
+                     sum(case when nxt is not null
+                              then epoch_us(nxt) - epoch_us(ts) end) as den
+              from d group by user_id
+            )
+            select user_id, n_samples,
+                   round(cast(den as double) / 1000000.0, 6) as span_s,
+                   round((cast(num as double) / cast(den as double)) / 100, 6) as twa
+            from agg where den > 0
+        """,
+        "ev_counter_rate": """
+            with d as (
+              select user_id, cast(round(value * 100) as bigint) as v,
+                     lag(cast(round(value * 100) as bigint)) over (
+                       partition by user_id order by ts, event_id) as prev
+              from events
+            )
+            select user_id, count(*) as n_samples,
+                   cast(sum(case when prev is not null and v < prev
+                                 then 1 else 0 end) as bigint) as n_resets,
+                   round(cast(sum(case when prev is null then 0
+                                       when v >= prev then v - prev
+                                       else v end) as double) / 100, 2) as total_increase
+            from d group by user_id
+        """,
+        "ev_interval_coverage": """
+            with iv as (
+              select user_id, epoch_us(ts) as s,
+                     epoch_us(ts) + cast(round(value * 100) as bigint) * 600000 as e
+              from events
+            ),
+            m as (
+              select user_id, s, e,
+                     max(e) over (partition by user_id order by s, e
+                                  rows between unbounded preceding
+                                           and 1 preceding) as pmax
+              from iv
+            ),
+            isl as (
+              select user_id, s, e,
+                     sum(case when pmax is null or s > pmax then 1 else 0 end)
+                       over (partition by user_id order by s, e
+                             rows unbounded preceding) as island
+              from m
+            ),
+            g as (
+              select user_id, island, min(s) as ms, max(e) as me,
+                     count(*) as cnt
+              from isl group by user_id, island
+            )
+            select user_id, cast(sum(cnt) as bigint) as n_intervals,
+                   cast(count(*) as bigint) as n_islands,
+                   round(cast(sum(me - ms) as double) / 1000000.0, 6) as covered_s
+            from g group by user_id
+        """,
+        "ev_local_day": """
+            select strftime(cast((ts at time zone 'UTC')
+                                 at time zone 'America/New_York' as timestamp),
+                            '%Y-%m-%d') as local_date,
+                   count(*) as n_events,
+                   round(cast(sum(cast(round(value * 100) as bigint)) as double)
+                         / 100, 2) as sum_value
+            from events group by 1
         """,
     }

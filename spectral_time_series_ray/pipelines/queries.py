@@ -1767,3 +1767,71 @@ def ev_edge_funcs(sf_dir: str):
         id_cols=("event_id",), nth=3,
     )
     return out.select_columns(["event_id", "user_id", "first_v", "last_v", "nth_v"])
+
+
+# ------------------------------------------- irregular-time aggregates
+
+
+def ev_time_weighted_avg(sf_dir: str):
+    """LOCF time-weighted average of `value` per user over the
+    irregular event series (`temporal.time_weighted_avg` —
+    TimescaleDB time_weight semantics, exact scaled-int64 integrals)."""
+    from ..stages.temporal import time_weighted_avg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = time_weighted_avg(
+        ds, key="user_id", ts_col="ts", value_col="value",
+        order_cols=("ts", "event_id"), value_scale=100,
+    )
+    return _round_ds(out, {"span_s": 6, "twa": 6})
+
+
+def ev_counter_rate(sf_dir: str):
+    """Reset-aware counter increase per user (Prometheus increase()
+    over a restartable counter): `temporal.counter_increase`, exact
+    scaled-int64 deltas."""
+    from ..stages.temporal import counter_increase
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = counter_increase(
+        ds, key="user_id", ts_col="ts", value_col="value",
+        order_cols=("ts", "event_id"), value_scale=100,
+    )
+    return _round_ds(out, {"total_increase": 2})
+
+
+def ev_interval_coverage(sf_dir: str):
+    """Union-of-intervals coverage per user: each event opens a
+    half-open interval [ts, ts + value minutes); overlapping intervals
+    merge (gaps-and-islands) and the total covered seconds + island
+    count are reported (`temporal.interval_coverage`, exact int64 us)."""
+    from ..stages.temporal import interval_coverage
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        dur = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64) * 600_000
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "_iv_start_us": pa.array(ts),
+                "_iv_end_us": pa.array(ts + dur),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    out = interval_coverage(ds, key="user_id")
+    return _round_ds(out, {"covered_s": 6})
+
+
+def ev_local_day(sf_dir: str):
+    """Civil-time calendar rollup: events bucketed by their LOCAL
+    calendar date in America/New_York (DST-correct conversion) with
+    count + exact sum (`temporal.local_day_rollup`, mergeable
+    partials — only (date, n, scaled-sum) rows shuffle)."""
+    from ..stages.temporal import local_day_rollup
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    out = local_day_rollup(ds, ts_col="ts", tz="America/New_York", value_col="value", value_scale=100)
+    return _round_ds(out, {"sum_value": 2})
