@@ -1822,6 +1822,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_counter_rate": Q.ev_counter_rate,
         "ev_interval_coverage": Q.ev_interval_coverage,
         "ev_local_day": Q.ev_local_day,
+        "q4_order_priority": Q.q4_order_priority,
+        "q14_promo_ratio": Q.q14_promo_ratio,
+        "q18_big_orders": Q.q18_big_orders,
+        "q19_disjunctive": Q.q19_disjunctive,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2684,5 +2688,54 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(cast(round(value * 100) as bigint)) as double)
                          / 100, 2) as sum_value
             from events group by 1
+        """,
+        "q4_order_priority": """
+            select o_orderpriority, cast(count(*) as bigint) as n_orders
+            from orders
+            where o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate <  timestamp '1996-04-01'
+              and exists (select 1 from lineitem
+                          where l_orderkey = o_orderkey
+                            and l_returnflag = 'R')
+            group by o_orderpriority
+        """,
+        "q14_promo_ratio": """
+            with j as (
+              select cast(round(l_extendedprice * 100) as bigint)
+                     * cast(round((1 - l_discount) * 100) as bigint) as rev,
+                     p_type = 'PROMO' as is_promo
+              from lineitem join part on l_partkey = p_partkey
+              where l_shipdate >= timestamp '1996-03-01'
+                and l_shipdate <  timestamp '1996-04-01'
+            )
+            select round(100.0 * cast(sum(case when is_promo then rev else 0 end) as double)
+                         / cast(sum(rev) as double), 6) as promo_pct,
+                   cast(count(*) as bigint) as n_lines
+            from j
+        """,
+        "q18_big_orders": """
+            with t as (
+              select l_orderkey,
+                     sum(cast(round(l_quantity * 100) as bigint)) as qty_scaled
+              from lineitem group by l_orderkey
+              having sum(cast(round(l_quantity * 100) as bigint)) > 15000
+            )
+            select c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(cast(qty_scaled as double) / 100, 2) as sum_qty
+            from t join orders on o_orderkey = l_orderkey
+                   join customer on c_custkey = o_custkey
+            order by o_totalprice desc, o_orderkey
+            limit 10
+        """,
+        "q19_disjunctive": """
+            select round(cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                               * cast(round((1 - l_discount) * 100) as bigint)) as double)
+                         / 10000, 2) as revenue,
+                   cast(count(*) as bigint) as n_lines
+            from lineitem join part on l_partkey = p_partkey
+            where (p_brand = 'Brand#11' and p_size <= 20
+                   and l_quantity between 1 and 30)
+               or (p_brand = 'Brand#22' and p_size <= 30
+                   and l_quantity between 5 and 40)
         """,
     }

@@ -1835,3 +1835,200 @@ def ev_local_day(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "value"])
     out = local_day_rollup(ds, ts_col="ts", tz="America/New_York", value_col="value", value_scale=100)
     return _round_ds(out, {"sum_value": 2})
+
+
+# ------------------------------------------- relational coverage (2)
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join, adapted to this schema
+    subset): orders placed in 1996Q1 with at least one RETURNED line,
+    counted per priority.  Returned-line keys are Bloom-prefiltered by
+    the (quarter-sized) orders side, made distinct via a fixed-width
+    int-key groupby, then hash-joined — no driver key sets."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bloom_semi_filter, build_bloom
+
+    P = _join_partitions()
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= np.datetime64("1996-01-01", "us"))
+        & (pc.field("o_orderdate") < np.datetime64("1996-04-01", "us")),
+    ).select_columns(["o_orderkey", "o_orderpriority"]).materialize()
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    ).select_columns(["l_orderkey"])
+    # the quarter's order keys prune most returned lines before the
+    # distinct shuffle (false positives are removed by the exact join)
+    bloom = build_bloom(orders, "o_orderkey")
+    li = bloom_semi_filter(li, "l_orderkey", bloom)
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.unique(batch["l_orderkey"])})
+
+    li_keys = (
+        li.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .count()  # exact distinct: one row per returned order key
+    )
+    joined = orders.join(
+        li_keys, join_type="inner", num_partitions=P,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("count_all", alias_name="n_orders"))
+    )
+    return out
+
+
+def q14_promo_ratio(sf_dir: str):
+    """TPC-H Q14 shape: promo-type revenue share for one month.
+    part is a broadcast dimension (ray.put once, cached per worker);
+    revenue accumulates as exact 1e-4-scaled int64 products so the
+    final percentage is bit-identical to the SQL engine's."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import broadcast_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= np.datetime64("1996-03-01", "us"))
+        & (pc.field("l_shipdate") < np.datetime64("1996-04-01", "us")),
+    ).select_columns(["l_partkey", "l_extendedprice", "l_discount"])
+    part_df = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+        .to_pandas()  # dimension table: bounded by catalog size, not corpus
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    part_df["is_promo"] = (part_df["p_type"] == "PROMO").to_numpy()
+    joined = broadcast_join(li, part_df[["l_partkey", "is_promo"]], on="l_partkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round((1.0 - batch["l_discount"].to_numpy()) * 100).astype(np.int64)
+        rev = p * d  # exact revenue * 1e4
+        promo = batch["is_promo"].to_numpy()
+        return pd.DataFrame(
+            {"promo_rev": [rev[promo].sum()], "total_rev": [rev.sum()], "n": [len(rev)]}
+        )
+
+    agg = joined.map_batches(partial, batch_format="pandas", batch_size=None).aggregate(
+        Sum("promo_rev", alias_name="pr"),
+        Sum("total_rev", alias_name="tr"),
+        Sum("n", alias_name="n_lines"),
+    )
+    pct = 100.0 * float(agg["pr"]) / float(agg["tr"])
+    return pd.DataFrame(
+        {"promo_pct": round_half_away(pct, 6), "n_lines": [int(agg["n_lines"])]}
+    )
+
+
+def q18_big_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 150, top
+    10 by (o_totalprice desc, o_orderkey).  Per-batch scaled-int
+    quantity partials -> small groupby -> threshold filter; only the
+    qualifying keys join orders; block-local partial top-k bounds the
+    driver to k rows per block; the customer dimension is fetched by
+    key pushdown (10 keys)."""
+    from ray.data.aggregate import Sum
+
+    P = _join_partitions()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(
+            pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64()
+        )
+        return (
+            pa.table({"l_orderkey": batch["l_orderkey"], "q": q})
+            .group_by(["l_orderkey"])
+            .aggregate([("q", "sum")])
+        )
+
+    totals = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_orderkey")
+        .aggregate(Sum("q_sum", alias_name="qty_scaled"))
+        .filter(expr="qty_scaled > 15000")
+    )
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = orders.join(
+        totals, join_type="inner", num_partitions=P,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    cand = joined.map_batches(local_top, batch_format="pandas", batch_size=None).to_pandas()
+    top = cand.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    cust = (
+        _read(
+            sf_dir, "customer", columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(top["o_custkey"].tolist()),
+        ).to_pandas()  # <= 10 rows by key pushdown
+    )
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out.pop("qty_scaled").to_numpy(dtype=np.int64) / 100.0
+    return out[
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+def q19_disjunctive(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates over
+    the part-lineitem join, single-row revenue.  part is broadcast;
+    the OR-of-ANDs evaluates as vectorized numpy masks; revenue sums
+    exactly in 1e-4-scaled int64."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import broadcast_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part_df = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+        .to_pandas()
+        .rename(columns={"p_partkey": "l_partkey"})
+    )
+    joined = broadcast_join(li, part_df, on="l_partkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        brand = batch["p_brand"].to_numpy()
+        size = batch["p_size"].to_numpy()
+        qty = batch["l_quantity"].to_numpy()
+        m = (
+            (brand == "Brand#11") & (size <= 20) & (qty >= 1) & (qty <= 30)
+        ) | ((brand == "Brand#22") & (size <= 30) & (qty >= 5) & (qty <= 40))
+        p = np.round(batch["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        d = np.round((1.0 - batch["l_discount"].to_numpy()[m]) * 100).astype(np.int64)
+        return pd.DataFrame({"rev": [(p * d).sum()], "n": [int(m.sum())]})
+
+    agg = joined.map_batches(partial, batch_format="pandas", batch_size=None).aggregate(
+        Sum("rev", alias_name="rev"), Sum("n", alias_name="n_lines")
+    )
+    return pd.DataFrame(
+        {
+            "revenue": round_half_away(float(agg["rev"]) / 1e4, 2),
+            "n_lines": [int(agg["n_lines"])],
+        }
+    )
