@@ -1826,6 +1826,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_ratio": Q.q14_promo_ratio,
         "q18_big_orders": Q.q18_big_orders,
         "q19_disjunctive": Q.q19_disjunctive,
+        "doc_decontaminate": Q.doc_decontaminate,
+        "doc_hamming_pairs": Q.doc_hamming_pairs,
+        "doc_mode_source": Q.doc_mode_source,
+        "doc_regex_extract": Q.doc_regex_extract,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2737,5 +2741,57 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 1 and 30)
                or (p_brand = 'Brand#22' and p_size <= 30
                    and l_quantity between 5 and 40)
+        """,
+        "doc_decontaminate": """
+            with toks as (
+              select doc_id, string_split(text, ' ') as w from documents
+            ),
+            grams as (
+              select distinct doc_id, array_to_string(w[i:i+4], ' ') as g
+              from toks, unnest(generate_series(1, len(w) - 4)) as t(i)
+              where len(w) >= 5
+            ),
+            bench as (select distinct g from grams where doc_id % 97 = 0)
+            select grams.doc_id,
+                   cast(count(*) as bigint) as n_shared_grams
+            from grams join bench using (g)
+            where grams.doc_id % 97 <> 0
+            group by grams.doc_id
+        """,
+        "doc_hamming_pairs": """
+            -- the half-key equality in the join is pigeonhole-lossless
+            -- for hamming <= 1, so this mirrors the pure predicate
+            -- "hamming(prefix16) <= 1 over all pairs" without O(n^2)
+            select distinct a.doc_id as id_a, b.doc_id as id_b,
+                   cast(hamming(substr(a.text, 1, 16),
+                                substr(b.text, 1, 16)) as bigint) as dist
+            from documents a
+            join documents b
+              on a.doc_id < b.doc_id
+             and (substr(a.text, 1, 8) = substr(b.text, 1, 8)
+                  or substr(a.text, 9, 8) = substr(b.text, 9, 8))
+            where hamming(substr(a.text, 1, 16), substr(b.text, 1, 16)) <= 1
+        """,
+        "doc_mode_source": """
+            with c as (
+              select lang, source, cast(count(*) as bigint) as n_docs
+              from documents group by 1, 2
+            ),
+            r as (
+              select lang, source, n_docs,
+                     row_number() over (
+                       partition by lang
+                       order by n_docs desc, source asc) as rn
+              from c
+            )
+            select lang, source as top_source, n_docs from r where rn = 1
+        """,
+        "doc_regex_extract": """
+            select doc_id,
+                   cast(len(regexp_extract_all(text, 'st[a-z]+')) as bigint)
+                     as n_matches,
+                   regexp_extract(text, 'st[a-z]+') as first_match
+            from documents
+            where len(regexp_extract_all(text, 'st[a-z]+')) > 0
         """,
     }

@@ -2032,3 +2032,74 @@ def q19_disjunctive(sf_dir: str):
             "n_lines": [int(agg["n_lines"])],
         }
     )
+
+
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: documents with doc_id % 97 == 0 form
+    the held-out benchmark; every training doc sharing a distinct word
+    5-gram with any benchmark doc is reported with its shared-gram
+    count (`text.benchmark_contamination` — gram-string hash join, no
+    driver gram sets)."""
+    from ..stages.text import benchmark_contamination
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        is_bench = (batch["doc_id"].to_numpy() % 97) == 0
+        return batch.append_column("_is_bench", pa.array(is_bench))
+
+    ds = ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    return benchmark_contamination(ds, id_col="doc_id", text_col="text", n=5)
+
+
+def doc_hamming_pairs(sf_dir: str):
+    """Near-match pairs on the 16-char document prefix under Hamming
+    distance <= 1 via lossless pigeonhole half-key blocking
+    (`dedup.hamming_prefix_pairs`) — the exact-recall counterpart of
+    the LSH near-dup family."""
+    from ..stages.dedup import hamming_prefix_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hamming_prefix_pairs(ds, key_len=16, max_dist=1)
+
+
+def doc_mode_source(sf_dir: str):
+    """Per-language mode: the most frequent source (ties broken by
+    smallest source string).  Per-batch Arrow count partials -> tiny
+    (lang, source) merge -> per-lang argmax; only fixed-width partials
+    shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("count_all", alias_name="n_docs"))
+    )
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_docs", "source"], ascending=[False, True], kind="stable")
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "top_source": [g["source"].iloc[0]],
+                "n_docs": [np.int64(g["n_docs"].iloc[0])],
+            }
+        )
+
+    return merged.groupby("lang").map_groups(best, batch_format="pandas")
+
+
+def doc_regex_extract(sf_dir: str):
+    """Structured-field extraction: per document, the count and first
+    occurrence of words starting 'st' (`text.extract_regex` actor pool
+    — pattern compiled once per actor)."""
+    from ..stages.text import extract_regex
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = extract_regex(ds, pattern="st[a-z]+")
+    return out.select_columns(["doc_id", "n_matches", "first_match"])

@@ -770,3 +770,86 @@ def repeated_ngram_ratio(
         return batch
 
     return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def hamming_prefix_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 16,
+    max_dist: int = 1,
+    max_block: int = 20_000,
+):
+    """Near-match pair join on a fixed-length document key (the first
+    ``key_len`` chars) under Hamming distance <= ``max_dist`` (=1),
+    using pigeonhole blocking: if two keys differ in at most one
+    position, at least one of their two halves is IDENTICAL, so an
+    exact hash join per half finds every qualifying pair — no O(n^2)
+    all-pairs scan, and the blocking is provably lossless (unlike LSH
+    recall<1 banding).
+
+    Scale note: the 8-char half key is the blocking granularity; block
+    occupancy grows with corpus size at fixed key length, so at larger
+    corpora raise ``key_len`` (longer halves = finer blocks) or split
+    into d+1 pieces for larger ``max_dist`` (the same pigeonhole
+    argument).  Groups above ``max_block`` raise rather than silently
+    degrade.
+
+    Returns a Dataset of (id_a, id_b, dist) with id_a < id_b, distinct
+    across the two half-tables.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..pipelines.queries import _join_partitions
+
+    if max_dist != 1:
+        raise ValueError("two-half pigeonhole blocking is lossless only for max_dist=1")
+    half = key_len // 2
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch[text_col].str.slice(0, key_len)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "_key": key,
+                "_h1": key.str.slice(0, half),
+                "_h2": key.str.slice(half, key_len),
+            }
+        )
+
+    keyed = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "dist": pd.Series([], dtype=np.int64)}
+            )
+        if m > max_block:
+            raise ValueError(
+                f"hamming block of {m} rows exceeds max_block={max_block}; "
+                "raise key_len so half-key blocks stay bounded"
+            )
+        ids = g[id_col].to_numpy()
+        keys = g["_key"].to_numpy()
+        # (m, key_len) single-char matrix; pairwise mismatch counts
+        chars = np.array([list(k.ljust(key_len)[:key_len]) for k in keys])
+        dist = (chars[:, None, :] != chars[None, :, :]).sum(axis=2)
+        ii, jj = np.nonzero(np.triu(dist <= max_dist, k=1))
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        d = dist[ii, jj].astype(np.int64)
+        return pd.DataFrame({"id_a": a, "id_b": b, "dist": d})
+
+    parts = []
+    for h in ("_h1", "_h2"):
+        parts.append(
+            keyed.groupby(h).map_groups(block_pairs, batch_format="pandas")
+        )
+    both = parts[0].union(parts[1])
+    # a pair whose keys agree on BOTH halves appears twice: distinct
+    distinct = both.groupby(["id_a", "id_b", "dist"]).aggregate(Count(alias_name="_n"))
+    return distinct.select_columns(["id_a", "id_b", "dist"])

@@ -314,3 +314,129 @@ def lm_quality_filter(ds, logp: np.ndarray, max_nll: float, text_col: str = "tex
     perplexity-filter step of a pre-training data pipeline)."""
     scored = lm_quality_score(ds, logp, text_col, concurrency)
     return scored.filter(expr=f"lm_nll <= {float(max_nll)!r}")
+
+
+def _explode_word_grams(ds, id_col: str, text_col: str, n: int, extra_cols=()):
+    """(id, gram) rows — per-document DISTINCT word n-grams as strings.
+
+    Joining on the gram STRING keeps the operator exactly
+    SQL-mirrorable (no hash-collision caveat); at larger corpus sizes
+    swap the join key for the 128-bit shingle hash pair
+    (`functions.hashing.shingle_hashes` style) — same plan shape,
+    fixed-width exchange.
+    """
+    import pandas as pd
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams, extras = [], [], {c: [] for c in extra_cols}
+        extra_vals = [batch[c].to_numpy() for c in extra_cols]
+        for j, (d, t) in enumerate(
+            zip(batch[id_col].to_numpy(), batch[text_col].to_numpy())
+        ):
+            toks = [w for w in t.split(" ") if w]
+            if len(toks) < n:
+                continue
+            gs = sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            ids.extend([d] * len(gs))
+            grams.extend(gs)
+            for c, vals in zip(extra_cols, extra_vals):
+                extras[c].extend([vals[j]] * len(gs))
+        out = {id_col: np.asarray(ids, dtype=np.int64), "g": grams}
+        out.update({c: np.asarray(v) for c, v in extras.items()})
+        return pd.DataFrame(out)
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def benchmark_contamination(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_flag: str = "_is_bench",
+    n: int = 5,
+):
+    """Benchmark decontamination scan (the n-gram-overlap test-set
+    leakage check of Brown et al., GPT-3 appendix C / Gao et al., Pile):
+    given a corpus where ``bench_flag`` marks held-out benchmark
+    documents, report every TRAINING document that shares at least one
+    word ``n``-gram with any benchmark document, with the count of
+    distinct shared grams.
+
+    Distributed shape: one explode pass emits per-doc DISTINCT grams
+    (text never re-ships after tokenize), benchmark grams collapse to a
+    distinct gram set via groupby, and a gram-keyed hash join + per-doc
+    count finds the hits.  No driver-side gram sets: the benchmark side
+    is a Dataset end to end, so it may be arbitrarily large.
+
+    Returns a Dataset of (id_col, n_shared_grams:int64).
+    """
+    from ray.data.aggregate import Count
+
+    from ..pipelines.queries import _join_partitions
+
+    grams = _explode_word_grams(ds, id_col, text_col, n, extra_cols=(bench_flag,))
+    bench_grams = (
+        grams.filter(expr=f"{bench_flag} == True")
+        .groupby("g")
+        .aggregate(Count(alias_name="_bn"))
+        .select_columns(["g"])
+    )
+    train_grams = grams.filter(expr=f"{bench_flag} == False").select_columns(
+        [id_col, "g"]
+    )
+    hits = train_grams.join(
+        bench_grams, join_type="inner", num_partitions=_join_partitions(), on=("g",)
+    )
+    out = hits.groupby(id_col).aggregate(Count(alias_name="n_shared_grams"))
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_shared_grams"] = batch["n_shared_grams"].astype(np.int64)
+        return batch
+
+    return out.map_batches(cast, batch_format="pandas", batch_size=None)
+
+
+class RegexExtractor:
+    """Actor-pool regex extraction: pattern compiled once per actor
+    (``__init__``), applied per batch.  Emits per-document match count
+    and first match — the structured-field-extraction step of a data
+    pipeline (log parsing, citation mining), SQL-mirrorable via
+    regexp_extract/regexp_extract_all."""
+
+    def __init__(self, pattern: str, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.rx = re.compile(pattern)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        finditer = self.rx.finditer
+        n = np.empty(len(batch), dtype=np.int64)
+        first = []
+        for i, t in enumerate(batch[self.text_col].to_numpy()):
+            cnt = 0
+            f = ""
+            for m in finditer(t):
+                if cnt == 0:
+                    f = m.group(0)
+                cnt += 1
+            n[i] = cnt
+            first.append(f)
+        return pd.DataFrame(
+            {self.id_col: batch[self.id_col].to_numpy(), "n_matches": n,
+             "first_match": first}
+        )
+
+
+def extract_regex(ds, pattern: str, text_col: str = "text", id_col: str = "doc_id",
+                  concurrency: int = 4):
+    """Extract ``pattern`` matches per document via a RegexExtractor
+    actor pool; rows with zero matches are dropped."""
+    out = ds.map_batches(
+        RegexExtractor,
+        fn_constructor_args=(pattern, text_col, id_col),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    return out.filter(expr="n_matches > 0")

@@ -1,0 +1,105 @@
+"""Tests for benchmark decontamination, Hamming-prefix pair blocking,
+and regex extraction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benchmark_contamination_planted():
+    import ray.data
+
+    from spectral_time_series_ray.stages.text import benchmark_contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                bench_text,  # the benchmark doc
+                "x y " + bench_text + " z",  # contains every bench 5-gram
+                "alpha beta gamma delta epsilon nope",  # shares exactly one
+                "totally unrelated words with no overlap at all here",
+            ],
+            "_is_bench": [True, False, False, False],
+        }
+    )
+    out = (
+        benchmark_contamination(ray.data.from_pandas(docs), n=5)
+        .to_pandas()
+        .set_index("doc_id")["n_shared_grams"]
+    )
+    # doc 1 contains all 4 distinct 5-grams of the benchmark doc
+    assert out.loc[1] == 4
+    assert out.loc[2] == 1
+    assert 3 not in out.index
+    assert 0 not in out.index  # benchmark docs are never reported
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=50, deadline=None)
+def test_hamming_pigeonhole_is_lossless(seed):
+    """Any pair of 16-char keys at Hamming distance <= 1 must agree on
+    at least one 8-char half — the blocking invariant the operator and
+    its SQL oracle both rely on."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 3, 16)
+    b = a.copy()
+    if rng.random() < 0.8:  # flip at most one position
+        b[rng.integers(0, 16)] = rng.integers(0, 3)
+    dist = int((a != b).sum())
+    if dist <= 1:
+        assert (a[:8] == b[:8]).all() or (a[8:] == b[8:]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hamming_prefix_pairs_planted():
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import hamming_prefix_pairs
+
+    base = "abcdefghijklmnop"  # 16 chars
+    docs = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13, 14],
+            "text": [
+                base + " tail one",
+                base + " other tail",  # dist 0 vs 10
+                "Xbcdefghijklmnop trailing",  # dist 1 (first half edited)
+                "abcdefghijklmnoX trailing",  # dist 1 (second half edited)
+                "XbcdefghijklmnoX trailing",  # dist 2 -> excluded
+            ],
+        }
+    )
+    out = (
+        hamming_prefix_pairs(ray.data.from_pandas(docs), key_len=16, max_dist=1)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (10, 11) in pairs and out.set_index(["id_a", "id_b"]).loc[(10, 11), "dist"] == 0
+    assert (10, 12) in pairs and (11, 12) in pairs
+    assert (10, 13) in pairs and (11, 13) in pairs
+    # 12 vs 13 differ in both halves (dist 2): must NOT pair
+    assert (12, 13) not in pairs
+    # 14 is dist 1 from each single-edit doc but dist 2 from the base
+    assert (12, 14) in pairs and (13, 14) in pairs
+    assert (10, 14) not in pairs and (11, 14) not in pairs
+    # no duplicate pair rows even though dist-0 pairs block on both halves
+    assert len(out) == len(pairs)
+
+
+def test_regex_extractor_kernel():
+    from spectral_time_series_ray.stages.text import RegexExtractor
+
+    ex = RegexExtractor("st[a-z]+")
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["stream stops here", "no match", "stst still"]}
+    )
+    out = ex(batch)
+    assert out["n_matches"].tolist() == [2, 0, 2]
+    assert out["first_match"].tolist() == ["stream", "", "stst"]
