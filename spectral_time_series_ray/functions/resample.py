@@ -76,3 +76,45 @@ def upsample_linear(values: np.ndarray, factor: int) -> np.ndarray:
         return v.copy()
     x_out = np.arange((len(v) - 1) * factor + 1, dtype=np.float64) / factor
     return np.interp(x_out, np.arange(len(v), dtype=np.float64), v)
+
+
+def lttb_indices(t: np.ndarray, v: np.ndarray, k: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson, MSc
+    thesis, U. Iceland 2013): pick ``k`` of ``n`` points preserving the
+    visual shape of the series.  First and last points are always kept;
+    the interior splits into ``k-2`` equal buckets and each bucket
+    keeps the point maximizing the triangle area spanned with the
+    previously selected point and the NEXT bucket's centroid.
+
+    Deterministic (first max wins), O(n) total work; the per-bucket
+    area computation is vectorized, the loop runs over the k buckets.
+    Returns sorted selected indices (length ``min(k, n)``).
+    """
+    t = np.asarray(t, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    n = len(t)
+    if k >= n or n <= 2:
+        return np.arange(n)
+    if k < 3:
+        raise ValueError("k must be >= 3 (endpoints + one bucket)")
+    # bucket boundaries over the n-2 interior points
+    edges = (np.arange(k - 1, dtype=np.float64) * (n - 2) / (k - 2) + 1).astype(
+        np.int64
+    )
+    edges[-1] = n - 1
+    out = np.empty(k, dtype=np.int64)
+    out[0] = 0
+    out[-1] = n - 1
+    prev = 0
+    for b in range(k - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < k - 1 else n)
+        cx = t[nlo:nhi].mean() if nhi > nlo else t[n - 1]
+        cy = v[nlo:nhi].mean() if nhi > nlo else v[n - 1]
+        # 2x triangle area with fixed prev point and next-bucket centroid
+        area = np.abs(
+            (t[prev] - cx) * (v[lo:hi] - v[prev]) - (t[prev] - t[lo:hi]) * (cy - v[prev])
+        )
+        prev = lo + int(np.argmax(area))
+        out[b + 1] = prev
+    return out

@@ -229,3 +229,79 @@ def holt_linear_scan(
     h = np.arange(1, horizon + 1, dtype=np.float64)
     fcst = l[:, None] + h[None, :] * b[:, None]
     return level, trend, fcst
+
+
+def holt_winters_scan(
+    x: np.ndarray,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Additive Holt-Winters (triple exponential) smoothing over a
+    time-major matrix ``x [S, T]`` (Winters 1960; Hyndman &
+    Athanasopoulos FPP §8.3):
+
+        l_t = a (x_t - s_{t-m}) + (1-a)(l_{t-1} + b_{t-1})
+        b_t = B (l_t - l_{t-1}) + (1-B) b_{t-1}
+        s_t = G (x_t - l_{t-1} - b_{t-1}) + (1-G) s_{t-m}
+
+    Seeding uses the first TWO periods with trend-corrected seasonal
+    means: b0 from the period-mean difference, seasonal seeds as the
+    mean detrended deviation per phase (centered to zero mean so the
+    level absorbs the seasonal offset).  On a noise-free additive
+    series (line + pure period-m seasonal) every state stays EXACT, so
+    the h-step forecast continues the series bit-tightly — the planted
+    self-check relies on this.
+
+    Requires ``T >= 2*period`` and finite input (gap-fill upstream —
+    the reference's imputation stage owns NaN policy).  Batched-scan
+    layout: one loop over T, each step vectorized across S.
+
+    Returns ``(level [S,T], trend [S,T], fitted [S,T], forecast
+    [S,horizon])`` where ``fitted[t]`` is the one-step-ahead prediction
+    ``l_{t-1} + b_{t-1} + s_{t-m}`` (NaN for t < 1 history).
+    """
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    S, T = x.shape
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    if T < 2 * m:
+        raise ValueError(f"need T >= 2*period ({2 * m}), got {T}")
+    if not np.isfinite(x).all():
+        raise ValueError("holt_winters_scan requires finite input; gap-fill first")
+
+    mean1 = x[:, :m].mean(axis=1)
+    mean2 = x[:, m : 2 * m].mean(axis=1)
+    b = (mean2 - mean1) / m
+    # detrended seasonal seeds: average deviation from the fitted line
+    # over the first two periods, per phase
+    t_idx = np.arange(2 * m, dtype=np.float64)
+    base = mean1[:, None] + b[:, None] * (t_idx[None, :] - (m - 1) / 2.0)
+    dev = x[:, : 2 * m] - base
+    s_state = 0.5 * (dev[:, :m] + dev[:, m : 2 * m])
+    s_mean = s_state.mean(axis=1, keepdims=True)
+    s_state = s_state - s_mean  # zero-mean seasonal ...
+    l = mean1 - b * ((m - 1) / 2.0 + 1.0) + s_mean[:, 0]  # ... level absorbs it
+    level = np.empty((S, T))
+    trend = np.empty((S, T))
+    fitted = np.full((S, T), np.nan)
+    for t in range(T):
+        ph = t % m
+        s_prev = s_state[:, ph]
+        fitted[:, t] = l + b + s_prev
+        l_new = alpha * (x[:, t] - s_prev) + (1.0 - alpha) * (l + b)
+        b_new = beta * (l_new - l) + (1.0 - beta) * b
+        s_state[:, ph] = gamma * (x[:, t] - l - b) + (1.0 - gamma) * s_prev
+        l, b = l_new, b_new
+        level[:, t] = l
+        trend[:, t] = b
+    if horizon <= 0:
+        return level, trend, fitted, np.empty((S, 0))
+    h = np.arange(1, horizon + 1)
+    fc = l[:, None] + h[None, :] * b[:, None] + s_state[
+        np.arange(S)[:, None], (T + h[None, :] - 1) % m
+    ]
+    return level, trend, fitted, fc

@@ -668,3 +668,119 @@ def exp_smooth(
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+class SeasonalSmoother:
+    """Actor-pool additive Holt-Winters over packed chunk rows
+    (`functions/tsanalysis.holt_winters_scan`): rows are bucketed by
+    series length inside each batch so every scan runs the batched
+    time-major layout on a dense finite matrix (chunks arrive
+    gap-filled; within a bucket one loop over T, vectorized across
+    series).  Chunks shorter than ``2*period`` are flagged
+    ``hw_valid=False`` and carry NaN states instead of crashing the
+    stage.
+
+    Emits per chunk: final level/trend, the m seasonal states, an
+    ``horizon``-step forecast, and the one-step-ahead fitted MAE."""
+
+    def __init__(self, period: int = 24, alpha: float = 0.3, beta: float = 0.1,
+                 gamma: float = 0.2, horizon: int = 12):
+        from ..functions.tsanalysis import holt_winters_scan
+
+        self.period, self.horizon = period, horizon
+        self.alpha, self.beta, self.gamma = alpha, beta, gamma
+        self._scan = holt_winters_scan
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        m, H = self.period, self.horizon
+        level = np.full(n, np.nan)
+        trend = np.full(n, np.nan)
+        mae = np.full(n, np.nan)
+        season = [np.full(m, np.nan)] * n
+        fc = [np.full(H, np.nan)] * n
+        valid = np.zeros(n, dtype=bool)
+        series = [np.asarray(v, dtype=np.float64) for v in batch["values"]]
+        lens = np.asarray([len(v) for v in series])
+        for L in np.unique(lens):
+            if L < 2 * m:
+                continue
+            rows = np.flatnonzero(lens == L)
+            x = np.stack([series[i] for i in rows])
+            lv, tr, fit, fcs = self._scan(
+                x, period=m, alpha=self.alpha, beta=self.beta,
+                gamma=self.gamma, horizon=H,
+            )
+            level[rows] = lv[:, -1]
+            trend[rows] = tr[:, -1]
+            mae[rows] = np.nanmean(np.abs(fit[:, 1:] - x[:, 1:]), axis=1)
+            # recover final seasonal states from the forecast identity
+            # fc_h = l + h*b + s_phase  ->  s = fc - (l + h*b)
+            for j, r in enumerate(rows):
+                h = np.arange(1, H + 1)
+                s_by_h = fcs[j] - (lv[j, -1] + h * tr[j, -1])
+                s = np.full(m, np.nan)
+                s[(L + h - 1) % m] = s_by_h
+                season[r] = s
+                fc[r] = fcs[j]
+            valid[rows] = True
+        out = batch[["conv_id", "chunk_idx", "n_points"]].copy()
+        out["hw_level"] = level
+        out["hw_trend"] = trend
+        out["hw_fit_mae"] = mae
+        out["hw_season"] = season
+        out["hw_forecast"] = fc
+        out["hw_valid"] = valid
+        return out
+
+
+def holt_winters(chunk_ds, period: int = 24, alpha: float = 0.3, beta: float = 0.1,
+                 gamma: float = 0.2, horizon: int = 12, concurrency: int = 4):
+    """Additive Holt-Winters smoothing/forecast per packed chunk row."""
+    return chunk_ds.map_batches(
+        SeasonalSmoother,
+        fn_constructor_kwargs={
+            "period": period, "alpha": alpha, "beta": beta,
+            "gamma": gamma, "horizon": horizon,
+        },
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
+class LTTBDownsampler:
+    """Largest-Triangle-Three-Buckets visual downsampling per packed
+    chunk row (`functions/resample.lttb_indices`): each chunk's series
+    reduces to at most ``k`` shape-preserving points.  Endpoints are
+    always kept; a bucket's most 'visually important' point (max
+    triangle area vs the previous pick and the next bucket centroid)
+    survives — the retention-tier render path for dashboards."""
+
+    def __init__(self, k: int = 128):
+        from ..functions.resample import lttb_indices
+
+        self.k = k
+        self._lttb = lttb_indices
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ds_vals, ds_idx, n_out = [], [], []
+        for v in batch["values"]:
+            v = np.asarray(v, dtype=np.float64)
+            idx = self._lttb(np.arange(len(v), dtype=np.float64), v, self.k)
+            ds_idx.append(idx.astype(np.int64))
+            ds_vals.append(v[idx])
+            n_out.append(len(idx))
+        out = batch[["conv_id", "chunk_idx", "n_points"]].copy()
+        out["ds_indices"] = ds_idx
+        out["ds_values"] = ds_vals
+        out["n_out"] = np.asarray(n_out, dtype=np.int64)
+        return out
+
+
+def lttb_downsample(chunk_ds, k: int = 128, concurrency: int = 4):
+    """LTTB shape-preserving downsample per packed chunk row."""
+    return chunk_ds.map_batches(
+        LTTBDownsampler, fn_constructor_kwargs={"k": k},
+        batch_format="pandas", batch_size=256, concurrency=concurrency,
+    )
