@@ -1945,6 +1945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hamming_pairs": Q.doc_hamming_pairs,
         "doc_mode_source": Q.doc_mode_source,
         "doc_regex_extract": Q.doc_regex_extract,
+        "doc_source_entropy": Q.doc_source_entropy,
+        "doc_top_ngrams": Q.doc_top_ngrams,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2910,5 +2912,27 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(text, 'st[a-z]+') as first_match
             from documents
             where len(regexp_extract_all(text, 'st[a-z]+')) > 0
+        """,
+        "doc_source_entropy": """
+            select lang, round(entropy(source), 6) as source_entropy,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(count(distinct source) as bigint) as n_sources
+            from documents group by lang
+        """,
+        "doc_top_ngrams": """
+            with toks as (
+              select doc_id, string_split(text, ' ') as w from documents
+            ),
+            grams as (
+              select distinct doc_id, array_to_string(w[i:i+2], ' ') as g
+              from toks, unnest(generate_series(1, len(w) - 2)) as t(i)
+              where len(w) >= 3
+            ),
+            df as (
+              select g, cast(count(*) as bigint) as n_docs
+              from grams group by g
+            )
+            select g as gram, n_docs from df
+            order by n_docs desc, g asc limit 20
         """,
     }

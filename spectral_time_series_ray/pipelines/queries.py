@@ -2103,3 +2103,64 @@ def doc_regex_extract(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = extract_regex(ds, pattern="st[a-z]+")
     return out.select_columns(["doc_id", "n_matches", "first_match"])
+
+
+def doc_source_entropy(sf_dir: str):
+    """Per-language Shannon entropy (bits) of the source distribution:
+    per-batch Arrow (lang, source) count partials -> tiny merge ->
+    per-lang closed form H = log2(n) - sum(c*log2(c))/n over the
+    bounded count table.  Only fixed-width partials shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("count_all", alias_name="c"))
+    )
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        h = np.log2(n) - float((c * np.log2(c)).sum()) / n
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "source_entropy": [h],
+                "n_docs": [np.int64(n)],
+                "n_sources": [np.int64(len(c))],
+            }
+        )
+
+    out = merged.groupby("lang").map_groups(ent, batch_format="pandas")
+    return _round_ds(out, {"source_entropy": 6})
+
+
+def doc_top_ngrams(sf_dir: str):
+    """Corpus-level boilerplate mining: the 20 word trigrams appearing
+    in the most documents (document frequency over per-doc DISTINCT
+    grams), ties broken lexicographically.  Explode -> gram-key count
+    shuffle -> block-local partial top-20 bounds the driver to 20 rows
+    per block."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text import _explode_word_grams
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    grams = _explode_word_grams(ds, "doc_id", "text", n=3)
+    df = grams.groupby("g").aggregate(Count(alias_name="n_docs"))
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n_docs", "g"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    cand = df.map_batches(local_top, batch_format="pandas", batch_size=None).to_pandas()
+    top = cand.sort_values(["n_docs", "g"], ascending=[False, True]).head(20)
+    top = top.rename(columns={"g": "gram"})
+    top["n_docs"] = top["n_docs"].astype(np.int64)
+    return top.reset_index(drop=True)
