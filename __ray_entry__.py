@@ -1947,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_regex_extract": Q.doc_regex_extract,
         "doc_source_entropy": Q.doc_source_entropy,
         "doc_top_ngrams": Q.doc_top_ngrams,
+        "orders_by_segment": Q.orders_by_segment,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -2934,5 +2935,13 @@ def oracle_sql() -> dict[str, str]:
             )
             select g as gram, n_docs from df
             order by n_docs desc, g asc limit 20
+        """,
+        "orders_by_segment": """
+            select c_mktsegment,
+                   cast(count(*) as bigint) as n_orders,
+                   round(cast(sum(cast(round(o_totalprice * 100) as bigint))
+                              as double) / 100, 2) as revenue
+            from orders join customer on o_custkey = c_custkey
+            group by c_mktsegment
         """,
     }

@@ -2164,3 +2164,44 @@ def doc_top_ngrams(sf_dir: str):
     top = top.rename(columns={"g": "gram"})
     top["n_docs"] = top["n_docs"].astype(np.int64)
     return top.reset_index(drop=True)
+
+
+def orders_by_segment(sf_dir: str):
+    """Market-segment revenue rollup through the SKEW-AWARE hybrid
+    join (`join.skew_join`): orders (fact) x customer (dimension) on
+    custkey — hot fact keys ride a broadcast path, the rest a hash
+    shuffle; the result is identical to a plain join, which the oracle
+    asserts.  Money sums accumulate in scaled int64 cents."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import skew_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = skew_join(orders, cust, fact_key="o_custkey", dim_key="c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        return (
+            pa.table({"c_mktsegment": batch["c_mktsegment"], "cents": cents})
+            .group_by(["c_mktsegment"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+
+    merged = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("cents_sum", alias_name="cents"),
+            Sum("count_all", alias_name="n_orders"),
+        )
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = batch.pop("cents").to_numpy(dtype=np.int64) / 100.0
+        batch["n_orders"] = batch["n_orders"].astype(np.int64)
+        return batch
+
+    return merged.map_batches(finish, batch_format="pandas", batch_size=None)

@@ -16,6 +16,7 @@ provide the two scale-appropriate shapes (ray_guide.md "Joins"):
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 
 # per-worker-process cache of deserialized broadcast sides: stateless
@@ -573,3 +574,63 @@ def windowed_distinct_count(
         .groupby("_part")
         .map_groups(partition_fn, batch_format="pandas")
     )
+
+
+def skew_join(
+    fact_ds,
+    dim_ds,
+    fact_key: str,
+    dim_key: str,
+    hot_k: int = 64,
+    num_partitions: int | None = None,
+):
+    """Skew-aware hybrid inner join of a (possibly hot-keyed) fact
+    Dataset against a dimension Dataset unique on ``dim_key``: the
+    ~``hot_k`` heaviest fact keys (detected with mergeable Misra-Gries
+    summaries — O(hot_k) counters per block, never a key histogram)
+    are routed through a BROADCAST join against the tiny hot slice of
+    the dimension, while the remaining rows take the normal
+    hash-shuffle ``Dataset.join``.  A hash shuffle sends every row of
+    a hot key to ONE partition — the straggler that kills wall-clock
+    at scale; the broadcast path keeps hot rows where they already
+    are.  Output equals a plain inner join at any skew (heavy-hitter
+    false positives merely ride the broadcast path).
+
+    The dimension must be unique per key (the usual dim contract —
+    duplicate dim keys would need the multiplicity carried through the
+    broadcast side).
+    """
+    from .distinct import heavy_hitters
+
+    from ..pipelines.queries import _join_partitions
+
+    P = num_partitions or _join_partitions()
+    hot = heavy_hitters(fact_ds.select_columns([fact_key]), fact_key, k=hot_k)
+    hot_keys = hot["item"].tolist()
+
+    dim_cols = [c for c in dim_ds.schema().names]
+    out_cols = [fact_key] + [
+        c for c in fact_ds.schema().names if c != fact_key
+    ] + [c for c in dim_cols if c != dim_key]
+
+    cold = anti_join_keys(fact_ds, hot_keys, fact_key) if hot_keys else fact_ds
+    joined_cold = cold.join(
+        dim_ds, join_type="inner", num_partitions=P,
+        on=(fact_key,), right_on=(dim_key,),
+    ).select_columns(out_cols)
+    if not hot_keys:
+        return joined_cold
+
+    hot_fact = semi_join_keys(fact_ds, hot_keys, fact_key)
+    import pyarrow.compute as pc_
+
+    hot_dim = (
+        dim_ds.map_batches(
+            lambda t: t.filter(pc_.is_in(t[dim_key], value_set=pa.array(sorted(hot_keys)))),
+            batch_format="pyarrow", batch_size=None,
+        ).to_pandas()  # <= hot_k rows: bounded by the parameter
+    ).rename(columns={dim_key: fact_key})
+    joined_hot = broadcast_join(hot_fact, hot_dim, on=fact_key).map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow", batch_size=None
+    )
+    return joined_cold.union(joined_hot)
