@@ -168,7 +168,11 @@ def run_bench() -> dict:
                      "ev_window_funcs", "ev_range_join",
                      "ev_quantile_tdigest", "doc_exact_dedup",
                      # round-3 additions: holistic windows + chunking
-                     "ev_rolling_median", "doc_chunking"):
+                     "ev_rolling_median", "doc_chunking",
+                     # round-3 part 5: irregular-time aggregates,
+                     # decontamination scan, skew-aware join
+                     "ev_time_weighted_avg", "doc_decontaminate",
+                     "orders_by_segment"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

@@ -374,16 +374,25 @@ def benchmark_contamination(
 
     from ..pipelines.queries import _join_partitions
 
+    from .join import bloom_semi_filter, build_bloom
+
     grams = _explode_word_grams(ds, id_col, text_col, n, extra_cols=(bench_flag,))
     bench_grams = (
         grams.filter(expr=f"{bench_flag} == True")
         .groupby("g")
         .aggregate(Count(alias_name="_bn"))
         .select_columns(["g"])
+        .materialize()  # small side (benchmark grams), reused twice below
     )
     train_grams = grams.filter(expr=f"{bench_flag} == False").select_columns(
         [id_col, "g"]
     )
+    # Bloom pushdown: the overwhelming majority of training grams hit
+    # no benchmark gram; dropping them BEFORE the string-keyed shuffle
+    # cuts the exchange to (false-positive rate x corpus + true hits).
+    # False positives are removed by the exact join — same result.
+    bloom = build_bloom(bench_grams, "g")
+    train_grams = bloom_semi_filter(train_grams, "g", bloom)
     hits = train_grams.join(
         bench_grams, join_type="inner", num_partitions=_join_partitions(), on=("g",)
     )
