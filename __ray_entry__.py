@@ -1930,6 +1930,52 @@ def _ev_anomaly_hours(sf_dir: str):
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def _doc_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training + corpus-wide apply
+    (`stages/text.train_bpe` / `bpe_tokenize`,
+    `functions/bpe.py` — Sennrich et al., ACL 2016): ONE vocabulary-
+    bounded word-count shuffle, the deterministic merge loop on the
+    histogram (ties break lexicographically), then a broadcast actor
+    pool tokenizes every document.  SELF-VERIFYING with an EXACT
+    identity computed by two independent routes: the distributed
+    per-document token counts must sum to the token count implied by
+    the word histogram + merge table (sum over words of
+    count * |encode(word)|), and compression must hold
+    (chars >= bpe tokens >= whitespace words)."""
+    from spectral_time_series_ray.functions.bpe import bpe_token_count_for_freq
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.text import bpe_tokenize, train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    merges, wf = train_bpe(ds, n_merges=48)
+    toks = bpe_tokenize(ds, merges, concurrency=4)
+
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    agg = toks.aggregate(
+        Sum("n_bpe_tokens", alias_name="total_bpe"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+    total_bpe = int(agg["total_bpe"])
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    expected = bpe_token_count_for_freq(dict(zip(wf["word"], wf["n"])), ranks)
+    n_words = int(wf["n"].sum())
+    identity_ok = total_bpe == expected
+    compress_ok = int(agg["total_chars"]) >= total_bpe >= n_words
+    out = pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+        }
+    )
+    out["total_bpe_tokens"] = np.int64(total_bpe)
+    out["ok"] = bool(identity_ok and compress_ok and len(merges) == 48)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Every DuckDB-oracle-checked query comes first (36), then
@@ -2057,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_holt_winters": _tr_holt_winters,
         "tr_lttb": _tr_lttb,
         "ev_anomaly_hours": _ev_anomaly_hours,
+        "doc_bpe_train": _doc_bpe_train,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,

@@ -449,3 +449,90 @@ def extract_regex(ds, pattern: str, text_col: str = "text", id_col: str = "doc_i
         concurrency=concurrency,
     )
     return out.filter(expr="n_matches > 0")
+
+
+def word_frequencies(ds, text_col: str = "text"):
+    """Corpus word histogram: per-batch Counter partials collapse each
+    batch to its distinct words before the shuffle; one (word, count)
+    groupby merges them.  The output is vocabulary-bounded — BPE
+    training needs nothing larger (Sennrich et al. 2016: the merge
+    statistics are a function of the word histogram alone)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch[text_col].to_numpy():
+            c.update(w for w in t.split(" ") if w)
+        return pd.DataFrame(
+            {"word": list(c.keys()),
+             "n": np.fromiter(c.values(), dtype=np.int64, count=len(c))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    out = parts.groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n"] = batch["n"].astype(np.int64)
+        return batch
+
+    return out.map_batches(cast, batch_format="pandas", batch_size=None)
+
+
+class BPETokenizer:
+    """Actor-pool BPE tokenization: merge ranks are built once per
+    actor from the broadcast merge list (``__init__``); per batch every
+    document's words encode through the rank table with an in-actor
+    word->encoding cache (Zipf makes the cache hit rate high)."""
+
+    def __init__(self, merges_ref, text_col: str = "text"):
+        import ray
+
+        from ..functions.bpe import bpe_encode_word
+
+        merges = ray.get(merges_ref)
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.text_col = text_col
+        self._encode = bpe_encode_word
+        self._cache: dict[str, int] = {}
+
+    def _count(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            n = len(self._encode(word, self.ranks))
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        counts = np.empty(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch[self.text_col].to_numpy()):
+            counts[i] = sum(self._count(w) for w in t.split(" ") if w)
+        out = batch.drop(columns=[self.text_col])
+        out["n_bpe_tokens"] = counts
+        return out
+
+
+def train_bpe(ds, n_merges: int = 64, text_col: str = "text"):
+    """Distributed BPE training: ONE word-count shuffle (vocabulary-
+    bounded), then the deterministic merge loop on the histogram.
+    Returns (merges, word_freq_df)."""
+    from ..functions.bpe import bpe_train
+
+    wf = word_frequencies(ds, text_col=text_col).to_pandas()  # |vocab| rows
+    merges = bpe_train(dict(zip(wf["word"], wf["n"])), n_merges=n_merges)
+    return merges, wf
+
+
+def bpe_tokenize(ds, merges, text_col: str = "text", concurrency: int = 4):
+    """Apply trained merges corpus-wide via a broadcast actor pool."""
+    import ray
+
+    ref = ray.put([tuple(m) for m in merges])
+    return ds.map_batches(
+        BPETokenizer,
+        fn_constructor_args=(ref, text_col),
+        batch_format="pandas",
+        batch_size=512,
+        concurrency=concurrency,
+    )
