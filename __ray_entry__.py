@@ -2067,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_ngrams": Q.doc_top_ngrams,
         "orders_by_segment": Q.orders_by_segment,
         "emb_ann_filtered": Q.emb_ann_filtered,
+        "doc_dup_spans": Q.doc_dup_spans,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -3073,5 +3074,49 @@ def oracle_sql() -> dict[str, str]:
             from embeddings a
             where a.label = 3
             order by score desc, a.vec_id asc limit 10
+        """,
+        "doc_dup_spans": """
+            with toks as (
+              select doc_id, string_split(text, ' ') as w from documents
+            ),
+            ntok as (
+              select doc_id, len(w) as nt from toks where len(w) >= 8
+            ),
+            pos as (
+              select doc_id, i, array_to_string(w[i:i+7], ' ') as g
+              from toks, unnest(generate_series(1, len(w) - 7)) as t(i)
+              where len(w) >= 8
+            ),
+            df as (
+              select g from pos group by g
+              having count(distinct doc_id) >= 2
+            ),
+            hit as (
+              select pos.doc_id, i as s, i + 8 as e
+              from pos join df using (g)
+            ),
+            m as (
+              select doc_id, s, e,
+                     max(e) over (partition by doc_id order by s, e
+                                  rows between unbounded preceding
+                                           and 1 preceding) as pmax
+              from hit
+            ),
+            isl as (
+              select doc_id, s, e,
+                     sum(case when pmax is null or s > pmax then 1 else 0 end)
+                       over (partition by doc_id order by s, e
+                             rows unbounded preceding) as island
+              from m
+            ),
+            g2 as (
+              select doc_id, island, min(s) as ms, max(e) as me
+              from isl group by doc_id, island
+            ),
+            cov as (select doc_id, sum(me - ms) as c from g2 group by doc_id)
+            select ntok.doc_id, cast(nt as bigint) as n_tokens,
+                   cast(coalesce(c, 0) as bigint) as covered_tokens,
+                   round(cast(coalesce(c, 0) as double) / nt, 6) as dup_ratio
+            from ntok left join cov using (doc_id)
         """,
     }

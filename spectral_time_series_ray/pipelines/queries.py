@@ -2146,13 +2146,12 @@ def doc_top_ngrams(sf_dir: str):
     grams), ties broken lexicographically.  Explode -> gram-key count
     shuffle -> block-local partial top-20 bounds the driver to 20 rows
     per block."""
-    from ray.data.aggregate import Count
-
-    from ..stages.text import _explode_word_grams
+    from ..stages.text import _explode_word_grams, gram_counts
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     grams = _explode_word_grams(ds, "doc_id", "text", n=3)
-    df = grams.groupby("g").aggregate(Count(alias_name="n_docs"))
+    # int-keyed exchange: string gram keys never enter a Ray sort
+    df = _rename_ds(gram_counts(grams.select_columns(["g"])), {"n": "n_docs"})
 
     def local_top(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(
@@ -2223,3 +2222,16 @@ def emb_ann_filtered(sf_dir: str):
     df["score"] = round_half_away(df["score"].to_numpy(), 6)
     df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
     return df[["vec_id", "score"]].reset_index(drop=True)
+
+
+def doc_dup_spans(sf_dir: str):
+    """Exact duplicate-span coverage per document (Lee et al.
+    ExactSubstr projection): fraction of each doc's token stream
+    covered by the merged union of word 8-gram occurrences shared with
+    at least one other document (`dedup.duplicate_span_coverage` —
+    positions explode, gram-keyed DF join, interval-union islands)."""
+    from ..stages.dedup import duplicate_span_coverage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = duplicate_span_coverage(ds, n=8)
+    return _round_ds(out, {"dup_ratio": 6})

@@ -853,3 +853,147 @@ def hamming_prefix_pairs(
     # a pair whose keys agree on BOTH halves appears twice: distinct
     distinct = both.groupby(["id_a", "id_b", "dist"]).aggregate(Count(alias_name="_n"))
     return distinct.select_columns(["id_a", "id_b", "dist"])
+
+
+def duplicate_span_coverage(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Exact duplicate-SPAN coverage (the document-level span
+    projection of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 §4 ExactSubstr): for each doc,
+    the fraction of its token stream covered by the UNION of word
+    ``n``-gram occurrences that also appear in at least one OTHER
+    document.  Unlike `repeated_ngram_ratio` (distinct-shingle counts)
+    this resolves overlapping hits into merged character-position
+    islands, so a single shared 30-token block counts once, not 23
+    times.
+
+    Distributed shape: a positions explode (doc, gram, pos), document
+    frequencies from the distinct (doc, gram) projection, a gram-keyed
+    hash join back, then the per-key interval-union machinery
+    (`temporal.interval_coverage`) merges hit spans per doc — all
+    joins on gram strings (SQL-mirrorable; swap for 128-bit hashes at
+    corpus scale).  Docs shorter than ``n`` tokens are excluded; docs
+    with zero shared grams report coverage 0 via a left join.
+
+    Returns (id, n_tokens:int64, covered_tokens:int64,
+    dup_ratio:float).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipelines.queries import _join_partitions
+    from .temporal import interval_coverage
+
+    def explode_only(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams, pos = [], [], []
+        for d, t in zip(batch[id_col].to_numpy(), batch[text_col].to_numpy()):
+            toks = t.split(" ")
+            nt = len(toks)
+            if nt < n:
+                continue
+            for i in range(nt - n + 1):
+                ids.append(d)
+                grams.append(" ".join(toks[i : i + n]))
+                pos.append(i)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "g": grams,
+                "pos": np.asarray(pos, dtype=np.int64),
+            }
+        )
+
+    def ntok_only(batch: pd.DataFrame) -> pd.DataFrame:
+        nt = np.asarray(
+            [t.count(" ") + 1 for t in batch[text_col].to_numpy()], dtype=np.int64
+        )
+        keep = nt >= n
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[keep], "n_tokens": nt[keep]}
+        )
+
+    P = _join_partitions()
+    # two consumers (DF pass + hit join): materialize so the explode
+    # runs once — blocks spill to the object store under pressure,
+    # which is the intended reuse mechanism for a fan-out
+    positions = ds.map_batches(explode_only, batch_format="pandas").materialize()
+    ntok = ds.map_batches(ntok_only, batch_format="pandas", batch_size=None)
+
+    # document frequency over the DISTINCT (doc, gram) projection
+    def batch_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[id_col, "g"]].drop_duplicates()
+
+    # per-batch drop_duplicates is globally distinct: a doc's position
+    # rows never span batches, so (doc, gram) pairs are unique already
+    dd = positions.map_batches(batch_distinct, batch_format="pandas", batch_size=None)
+    from .text import gram_counts
+
+    df = gram_counts(dd.select_columns(["g"]), min_count=2).select_columns(["g"]).materialize()
+    # Bloom pushdown: most positions carry unshared grams — drop them
+    # before the string-keyed join (false positives removed by the
+    # exact join, so the result is unchanged)
+    from .join import bloom_semi_filter, build_bloom
+
+    bloom = build_bloom(df, "g")
+    positions_f = bloom_semi_filter(positions, "g", bloom)
+    hits = positions_f.join(
+        df, join_type="inner", num_partitions=P, on=("g",)
+    )
+
+    def spans(batch: pd.DataFrame) -> pd.DataFrame:
+        # token index -> fake-us so interval_coverage's exact int64
+        # machinery yields covered TOKENS in its covered_s field
+        s = batch["pos"].to_numpy(dtype=np.int64) * 1_000_000
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(),
+             "_iv_start_us": s, "_iv_end_us": s + n * 1_000_000}
+        )
+
+    cov = interval_coverage(
+        hits.map_batches(spans, batch_format="pandas", batch_size=None), key=id_col
+    ).select_columns([id_col, "covered_s"])
+
+    # left-join cov onto ntok via the partition-merge idiom: one
+    # int-keyed exchange, pandas merge per partition — cheaper than a
+    # second Dataset.join for two per-doc tables on the same key
+    def tag(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            # union needs identical schemas: carry both value columns
+            for col in ("n_tokens", "covered_s"):
+                if col not in batch.columns:
+                    batch[col] = np.nan
+            batch["_side"] = side
+            batch["_part"] = (
+                pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
+                % P
+            ).astype(np.int32)
+            return batch[[id_col, "n_tokens", "covered_s", "_side", "_part"]]
+
+        return f
+
+    ntok_t = ntok.map_batches(tag("n"), batch_format="pandas", batch_size=None)
+    cov_t = cov.map_batches(tag("c"), batch_format="pandas", batch_size=None)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == "n"][[id_col, "n_tokens"]]
+        right = g[g["_side"] == "c"][[id_col, "covered_s"]]
+        m = left.merge(right, on=id_col, how="left")
+        covered = np.round(
+            np.nan_to_num(m["covered_s"].to_numpy(dtype=np.float64))
+        ).astype(np.int64)
+        nt = m["n_tokens"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: m[id_col].to_numpy(),
+                "n_tokens": nt,
+                "covered_tokens": covered,
+                "dup_ratio": covered / nt,
+            }
+        )
+
+    both = ntok_t.union(cov_t)
+    return both.groupby("_part").map_groups(merge_part, batch_format="pandas")

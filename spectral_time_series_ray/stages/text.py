@@ -378,9 +378,7 @@ def benchmark_contamination(
 
     grams = _explode_word_grams(ds, id_col, text_col, n, extra_cols=(bench_flag,))
     bench_grams = (
-        grams.filter(expr=f"{bench_flag} == True")
-        .groupby("g")
-        .aggregate(Count(alias_name="_bn"))
+        gram_counts(grams.filter(expr=f"{bench_flag} == True").select_columns(["g"]))
         .select_columns(["g"])
         .materialize()  # small side (benchmark grams), reused twice below
     )
@@ -536,3 +534,35 @@ def bpe_tokenize(ds, merges, text_col: str = "text", concurrency: int = 4):
         batch_size=512,
         concurrency=concurrency,
     )
+
+
+def gram_counts(grams_ds, gram_col: str = "g", min_count: int | None = None,
+                num_partitions: int | None = None):
+    """(gram, count) aggregation that never puts STRING keys through a
+    Ray range-partition sort (measured ~10x slower than an int-keyed
+    exchange at identical row counts): rows are tagged with
+    hash(gram) % P, one int-keyed shuffle groups them, and a pandas
+    groupby inside each partition produces the counts.  With
+    ``min_count`` the partition pass also filters, so only surviving
+    grams leave the task."""
+    from ..stages.rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(batch[gram_col], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return batch
+
+    tagged = grams_ds.map_batches(add_part, batch_format="pandas", batch_size=None)
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(gram_col, as_index=False).size().rename(columns={"size": "n"})
+        if min_count is not None:
+            out = out[out["n"] >= min_count]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return tagged.groupby("_part").map_groups(count_part, batch_format="pandas")

@@ -103,3 +103,34 @@ def test_regex_extractor_kernel():
     out = ex(batch)
     assert out["n_matches"].tolist() == [2, 0, 2]
     assert out["first_match"].tolist() == ["stream", "", "stst"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_span_coverage_planted():
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import duplicate_span_coverage
+
+    shared = "q w e r t y u i o p"  # 10 tokens, appears in docs 1 and 2
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                shared + " aa bb cc dd ee ff",          # 16 tokens, 10 shared
+                "zz xx " + shared + " cc vv",           # 14 tokens, 10 shared
+                "totally different words one two three four five six seven",
+            ],
+        }
+    )
+    out = (
+        duplicate_span_coverage(ray.data.from_pandas(docs), n=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # overlapping shared 4-grams merge into ONE 10-token island
+    assert out.loc[1, "covered_tokens"] == 10
+    assert out.loc[2, "covered_tokens"] == 10
+    assert out.loc[3, "covered_tokens"] == 0
+    assert out.loc[1, "n_tokens"] == 16 and out.loc[2, "n_tokens"] == 14
+    assert out.loc[1, "dup_ratio"] == pytest.approx(10 / 16)
