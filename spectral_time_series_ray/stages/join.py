@@ -214,6 +214,10 @@ def anti_join_distributed(
         right_ds.select_columns([right_key]).groupby(right_key).count().materialize()
     )
     bloom = build_bloom(right_keys, right_key, n_bits=n_bits)
+    # the certain/suspect branches fan out from the SAME left rows:
+    # materialize once (object-store blocks, spill-managed) instead of
+    # re-running the left's whole upstream derivation per branch
+    left_ds = left_ds.materialize()
     certain = bloom_semi_filter(left_ds, key, bloom, invert=True)
     suspects = bloom_semi_filter(left_ds, key, bloom)
 
