@@ -1976,6 +1976,72 @@ def _doc_bpe_train(sf_dir: str):
     return out
 
 
+def _tr_text_fidelity(sf_dir: str):
+    """North-rule per-turn TEXT fidelity through the parquet sink: the
+    RAW turn table (all six transcript columns) writes through the
+    date-partitioned manifest sink and reads back; both sides reduce to
+    a distributed order-invariant fingerprint over
+    (conv_id, turn_idx, role, text, tool, ts) — because turn_idx is
+    hashed into every row, multiset equality IS per-turn text equality
+    under the stable (conv_id, turn_idx) ordering.  One int64 reaches
+    the driver per side.  Also asserts the resume contract (second
+    write with the same fingerprint writes zero partitions)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.state.manifest import write_partitioned
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def fingerprint(ds):
+        def batch_hash(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["ts"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+            h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+            s = int(h.view(np.int64).sum(dtype=np.int64)) if len(h) else 0
+            return pa.table({"h": pa.array([s], type=pa.int64()),
+                             "n": pa.array([len(h)], type=pa.int64())})
+
+        parts = ds.map_batches(
+            batch_hash, batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # one (h, n) row per block
+        return (
+            int(parts["h"].to_numpy().sum(dtype=np.int64)),
+            int(parts["n"].sum()),
+        )
+
+    raw = read_transcripts(sf_dir, columns=cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bucket_ts", batch["ts"])
+
+    sink_in = raw.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+    out_root = tempfile.mkdtemp(prefix="text_fid_", dir="/tmp")
+    try:
+        c1 = write_partitioned(sink_in, out_root, "turns", fingerprint="t")
+        c2 = write_partitioned(sink_in, out_root, "turns", fingerprint="t")
+        reread = ray.data.read_parquet(f"{out_root}/tier=turns", columns=cols)
+        h_src, n_src = fingerprint(raw)
+        h_rt, n_rt = fingerprint(reread)
+        ok = h_src == h_rt and n_src == n_rt and n_src > 0 and len(c2) == 0
+        return pd.DataFrame(
+            {
+                "n_turns": [n_src],
+                "n_reread": [n_rt],
+                "fingerprint_match": [h_src == h_rt],
+                "n_partitions": [len(c1)],
+                "resume_partitions": [len(c2)],
+                "ok": [ok],
+            }
+        )
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Every DuckDB-oracle-checked query comes first (36), then
@@ -2105,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_lttb": _tr_lttb,
         "ev_anomaly_hours": _ev_anomaly_hours,
         "doc_bpe_train": _doc_bpe_train,
+        "tr_text_fidelity": _tr_text_fidelity,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,
