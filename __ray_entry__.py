@@ -2134,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": Q.orders_by_segment,
         "emb_ann_filtered": Q.emb_ann_filtered,
         "doc_dup_spans": Q.doc_dup_spans,
+        "ev_seasonal_mase": Q.ev_seasonal_mase,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -3185,5 +3186,49 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(c, 0) as bigint) as covered_tokens,
                    round(cast(coalesce(c, 0) as double) / nt, 6) as dup_ratio
             from ntok left join cov using (doc_id)
+        """,
+        "ev_seasonal_mase": """
+            with bounds as (
+              select date_trunc('hour', min(ts)) as lo,
+                     date_trunc('hour', max(ts)) as hi
+              from events
+            ),
+            grid as (
+              select unnest(generate_series(lo, hi, interval 1 hour)) as hour
+              from bounds
+            ),
+            users as (select distinct user_id from events),
+            c as (
+              select user_id, date_trunc('hour', ts) as hour,
+                     cast(count(*) as bigint) as n
+              from events group by 1, 2
+            ),
+            dense as (
+              select u.user_id, g.hour, coalesce(c.n, 0) as n
+              from users u cross join grid g
+              left join c on c.user_id = u.user_id and c.hour = g.hour
+            ),
+            d as (
+              select user_id, n,
+                     lag(n, 24) over (partition by user_id order by hour) as n24,
+                     lag(n, 1)  over (partition by user_id order by hour) as n1
+              from dense
+            ),
+            agg as (
+              select user_id,
+                     cast(sum(n) as bigint) as n_events,
+                     cast(sum(case when n24 is not null
+                                   then abs(n - n24) end) as bigint) as sae_seasonal,
+                     cast(sum(case when n1 is not null
+                                   then abs(n - n1) end) as bigint) as sae_naive,
+                     count(*) as nh
+              from d group by user_id
+            )
+            select user_id, n_events, sae_seasonal, sae_naive,
+                   case when sae_naive > 0
+                        then round((cast(sae_seasonal as double) / (nh - 24))
+                                   / (cast(sae_naive as double) / (nh - 1)), 6)
+                   end as mase
+            from agg
         """,
     }

@@ -2235,3 +2235,80 @@ def doc_dup_spans(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = duplicate_span_coverage(ds, n=8)
     return _round_ds(out, {"dup_ratio": 6})
+
+
+def ev_seasonal_mase(sf_dir: str):
+    """Forecast-baseline quality per user: MASE of the seasonal-naive
+    (lag-24h) predictor over each user's DENSE hourly event-count
+    series — counts are integers, so the absolute-error sums are exact
+    int64 and the final ratio is bit-identical to the SQL engine's.
+    One narrow (user, hour, n) partial shuffle; each partition
+    densifies its users on the global calendar grid vectorized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    # global calendar window: min/max event hour (two tiny aggregates)
+    def hour_minmax(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"lo": [pc.min(h).as_py()], "hi": [pc.max(h).as_py()]})
+
+    mm = ds.map_batches(hour_minmax, batch_format="pyarrow", batch_size=None).to_pandas()
+    lo = mm["lo"].min().to_datetime64().astype("datetime64[h]")
+    hi = mm["hi"].max().to_datetime64().astype("datetime64[h]")
+    n_hours = int((hi - lo) / np.timedelta64(1, "h")) + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        return (
+            pa.table({"user_id": batch["user_id"], "hour": h})
+            .group_by(["user_id", "hour"])
+            .aggregate([([], "count_all")])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+
+    P = partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_pandas_object(batch["user_id"].to_pandas(), index=False)
+            .to_numpy() % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    tagged = counts.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+
+    def mase_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        idx_all = (
+            (df["hour"].to_numpy().astype("datetime64[h]") - lo)
+            / np.timedelta64(1, "h")
+        ).astype(np.int64)
+        for uid, g_idx in df.groupby("user_id", sort=False).indices.items():
+            dense = np.zeros(n_hours, dtype=np.int64)
+            dense[idx_all[g_idx]] = df["n"].to_numpy()[g_idx]
+            sae_seasonal = np.abs(dense[24:] - dense[:-24]).sum()
+            sae_naive = np.abs(dense[1:] - dense[:-1]).sum()
+            out.append((uid, int(dense.sum()), int(sae_seasonal), int(sae_naive)))
+        r = pd.DataFrame(
+            out, columns=["user_id", "n_events", "sae_seasonal", "sae_naive"]
+        )
+        # scale both to the same horizon count before the ratio, exactly
+        # as the SQL mirror does
+        r["mase"] = np.where(
+            r["sae_naive"] > 0,
+            (r["sae_seasonal"].to_numpy(dtype=np.float64) / (n_hours - 24))
+            / (r["sae_naive"].to_numpy(dtype=np.float64) / (n_hours - 1)),
+            np.nan,
+        )
+        return r
+
+    out = tagged.groupby("_part").map_groups(mase_part, batch_format="pandas")
+    return _round_ds(out, {"mase": 6})
