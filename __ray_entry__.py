@@ -2042,6 +2042,65 @@ def _tr_text_fidelity(sf_dir: str):
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+def _tr_spectrogram(sf_dir: str):
+    """STFT spectrogram per packed chunk
+    (`stages/downsample.spectrogram_chunks`,
+    `functions/spectral.stft_spectrogram`): the time-frequency view
+    whose frame-mean IS the Welch estimate (asserted in tests).
+    SELF-VERIFYING: a planted two-tone series (a low tone for the
+    first half, a high tone for the second) rides the real pipeline —
+    early frames must lock the low bin, late frames the high bin, and
+    every real chunk's dominant frequencies must lie in (0, Nyquist]."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.downsample import spectrogram_chunks
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    NSEG = 64
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    k = np.arange(1024)
+    f_lo, f_hi = 4 / NSEG, 12 / NSEG  # exact bin centers
+    tone = np.where(
+        k < 512,
+        np.sin(2 * np.pi * f_lo * k),
+        np.sin(2 * np.pi * f_hi * k),
+    ) * 10.0 + 50.0
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    planted = pd.DataFrame(
+        {"conv_id": "__planted_chirp__", "bucket_ts": pd.Series(grid),
+         "mean_latency": tone}
+    )
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = spectrogram_chunks(chunks, nperseg=NSEG, concurrency=4).to_pandas()
+
+    ch = out[out["conv_id"] == "__planted_chirp__"]
+    assert len(ch) == 1, "planted chirp missing"
+    dom = np.asarray(ch["dominant_freq_per_frame"].iloc[0])
+    chirp_ok = bool(
+        len(dom) >= 8
+        and np.allclose(dom[:4], f_lo, atol=1e-12)
+        and np.allclose(dom[-4:], f_hi, atol=1e-12)
+    )
+    valid = out[out["stft_valid"]]
+    rng_ok = all(
+        (np.asarray(d) > 0).all() and (np.asarray(d) <= 0.5).all()
+        for d in valid["dominant_freq_per_frame"]
+    )
+    res = valid[["conv_id", "chunk_idx", "n_points", "n_frames"]].copy()
+    res["mean_frame_power"] = [float(np.mean(p)) for p in valid["frame_power"]]
+    res["ok"] = chirp_ok and rng_ok and len(valid) > 0
+    return res.sort_values(["conv_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the first 50
     # entries. Every DuckDB-oracle-checked query comes first (36), then
@@ -2173,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_anomaly_hours": _ev_anomaly_hours,
         "doc_bpe_train": _doc_bpe_train,
         "tr_text_fidelity": _tr_text_fidelity,
+        "tr_spectrogram": _tr_spectrogram,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,

@@ -123,3 +123,44 @@ def top_k_spectrum(
         idx = idx[np.argsort(f[idx])]
         f, p = f[idx], p[idx]
     return f, p
+
+
+def stft_spectrogram(
+    x: np.ndarray,
+    fs: float = 1.0,
+    nperseg: int = 64,
+    noverlap: int | None = None,
+    detrend: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Short-time Fourier transform power spectrogram: the per-FRAME
+    view of the same Hann-windowed modified periodogram Welch averages
+    — Welch == ``stft_spectrogram(...)[2].mean(axis=0)`` up to the
+    shared segmenting, which the tests assert.  Time-frequency
+    resolution is the standard STFT trade (Allen 1977).
+
+    Returns ``(frame_times, freqs, power [frames, bins])`` one-sided.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if noverlap is None:
+        noverlap = nperseg // 2
+    step = nperseg - noverlap
+    n = len(x)
+    if n < nperseg:
+        raise ValueError(f"need at least nperseg={nperseg} points, got {n}")
+    n_frames = 1 + (n - nperseg) // step
+    idx = np.arange(nperseg)[None, :] + step * np.arange(n_frames)[:, None]
+    frames = x[idx]
+    if detrend:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    w = hann(nperseg)
+    spec = np.fft.rfft(frames * w[None, :], axis=1)
+    # one-sided modified-periodogram scaling (matches welch_psd)
+    scale = 1.0 / (fs * (w * w).sum())
+    p = (spec.real**2 + spec.imag**2) * scale
+    if nperseg % 2 == 0:
+        p[:, 1:-1] *= 2.0
+    else:
+        p[:, 1:] *= 2.0
+    freqs = np.fft.rfftfreq(nperseg, d=1.0 / fs)
+    frame_times = (np.arange(n_frames) * step + nperseg / 2.0) / fs
+    return frame_times, freqs, p

@@ -151,3 +151,48 @@ def resample_series(chunk_ds, factor: int = 4, mode: str = "gaussian", concurren
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+class Spectrogrammer:
+    """Actor-pool STFT spectrogram per packed chunk row
+    (`functions/spectral.stft_spectrogram`): emits the dominant
+    frequency PER FRAME (excluding DC) plus total frame power — the
+    time-frequency view of the conversation-rhythm series that the
+    Welch path averages away.  Chunks shorter than one segment are
+    flagged invalid rather than crashing the stage."""
+
+    def __init__(self, nperseg: int = 64, noverlap: int | None = None):
+        from ..functions.spectral import stft_spectrogram
+
+        self.nperseg = nperseg
+        self.noverlap = noverlap
+        self._stft = stft_spectrogram
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        dom, powr, n_frames, valid = [], [], [], []
+        for v in batch["values"]:
+            v = np.asarray(v, dtype=np.float64)
+            if len(v) < self.nperseg:
+                dom.append(np.empty(0)); powr.append(np.empty(0))
+                n_frames.append(0); valid.append(False)
+                continue
+            _, freqs, p = self._stft(v, nperseg=self.nperseg, noverlap=self.noverlap)
+            dom.append(freqs[1 + np.argmax(p[:, 1:], axis=1)])
+            powr.append(p.sum(axis=1))
+            n_frames.append(p.shape[0]); valid.append(True)
+        out = batch[["conv_id", "chunk_idx", "n_points"]].copy()
+        out["dominant_freq_per_frame"] = dom
+        out["frame_power"] = powr
+        out["n_frames"] = np.asarray(n_frames, dtype=np.int64)
+        out["stft_valid"] = np.asarray(valid, dtype=bool)
+        return out
+
+
+def spectrogram_chunks(chunk_ds, nperseg: int = 64, noverlap: int | None = None,
+                       concurrency: int = 4):
+    """STFT spectrogram summary per packed chunk row."""
+    return chunk_ds.map_batches(
+        Spectrogrammer,
+        fn_constructor_kwargs={"nperseg": nperseg, "noverlap": noverlap},
+        batch_format="pandas", batch_size=256, concurrency=concurrency,
+    )

@@ -74,3 +74,36 @@ def test_patchify_roundtrip():
 
 def test_patchify_empty():
     assert patchify(np.array([]), 4).shape == (0, 4)
+
+
+def test_stft_mean_equals_welch():
+    from spectral_time_series_ray.functions.spectral import stft_spectrogram, welch_psd
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=512) + np.sin(2 * np.pi * 0.125 * np.arange(512))
+    f_w, p_w = welch_psd(x, nperseg=64)
+    _, f_s, p = stft_spectrogram(x, nperseg=64)
+    np.testing.assert_allclose(f_s, f_w, atol=0)
+    np.testing.assert_allclose(p.mean(axis=0), p_w, rtol=1e-12)
+
+
+def test_stft_chirp_tracks_frequency():
+    from spectral_time_series_ray.functions.spectral import stft_spectrogram
+
+    n = 1024
+    k = np.arange(n)
+    f_lo, f_hi = 4 / 64, 12 / 64
+    x = np.where(k < n // 2, np.sin(2 * np.pi * f_lo * k), np.sin(2 * np.pi * f_hi * k))
+    _, freqs, p = stft_spectrogram(x, nperseg=64)
+    dom = freqs[1 + np.argmax(p[:, 1:], axis=1)]
+    assert np.allclose(dom[:4], f_lo)
+    assert np.allclose(dom[-4:], f_hi)
+
+
+def test_stft_too_short_raises():
+    import pytest as _pytest
+
+    from spectral_time_series_ray.functions.spectral import stft_spectrogram
+
+    with _pytest.raises(ValueError):
+        stft_spectrogram(np.ones(10), nperseg=64)
