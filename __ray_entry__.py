@@ -2296,6 +2296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_filtered": Q.emb_ann_filtered,
         "doc_dup_spans": Q.doc_dup_spans,
         "ev_seasonal_mase": Q.ev_seasonal_mase,
+        "ev_pareto_types": Q.ev_pareto_types,
+        "ev_type_cooccurrence": Q.ev_type_cooccurrence,
+        "ev_theilsen_trend": Q.ev_theilsen_trend,
         # strongest self-verifying rows-only family (inside the
         # 50-entry window)
         "tr_gorilla": _tr_gorilla,
@@ -3392,6 +3395,70 @@ def oracle_sql() -> dict[str, str]:
                         then round((cast(sae_seasonal as double) / (nh - 24))
                                    / (cast(sae_naive as double) / (nh - 1)), 6)
                    end as mase
+            from agg
+        """,
+        "ev_pareto_types": """
+            with c as (
+              select event_type, cast(count(*) as bigint) as n_events
+              from events group by event_type
+            ),
+            t as (select cast(sum(n_events) as bigint) as total from c),
+            r as (
+              select event_type, n_events,
+                     row_number() over (
+                       order by n_events desc, event_type asc) as rank,
+                     sum(n_events) over (
+                       order by n_events desc, event_type asc
+                       rows unbounded preceding) as cum
+              from c
+            )
+            select event_type, n_events, cast(rank as bigint) as rank,
+                   round(cast(n_events as double) / total, 6) as share,
+                   round(cast(cum as double) / total, 6) as cum_share
+            from r cross join t
+        """,
+        "ev_type_cooccurrence": """
+            with ut as (select distinct user_id, event_type from events)
+            select a.event_type as type_a, b.event_type as type_b,
+                   cast(count(*) as bigint) as n_users
+            from ut a join ut b
+              on a.user_id = b.user_id and a.event_type < b.event_type
+            group by 1, 2
+        """,
+        "ev_theilsen_trend": """
+            with bounds as (
+              select date_trunc('hour', min(ts)) as lo,
+                     date_trunc('hour', max(ts)) as hi
+              from events
+            ),
+            grid as (
+              select unnest(generate_series(lo, hi, interval 1 hour)) as hour
+              from bounds
+            ),
+            types as (select distinct event_type from events),
+            c as (
+              select event_type, date_trunc('hour', ts) as hour,
+                     cast(count(*) as bigint) as n
+              from events group by 1, 2
+            ),
+            dense as (
+              select t.event_type, g.hour, coalesce(c.n, 0) as n,
+                     cast(epoch(g.hour) / 3600 as bigint) as h
+              from types t cross join grid g
+              left join c on c.event_type = t.event_type and c.hour = g.hour
+            ),
+            pairs as (
+              select a.event_type,
+                     cast(b.n - a.n as double) / (b.h - a.h) as slope
+              from dense a join dense b
+                on a.event_type = b.event_type and b.h > a.h
+            ),
+            agg as (
+              select event_type, median(slope) as ts_slope,
+                     (select cast(count(*) as bigint) from grid) as n_hours
+              from pairs group by event_type
+            )
+            select event_type, n_hours, round(ts_slope, 6) as ts_slope
             from agg
         """,
     }

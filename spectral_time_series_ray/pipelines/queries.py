@@ -2312,3 +2312,149 @@ def ev_seasonal_mase(sf_dir: str):
 
     out = tagged.groupby("_part").map_groups(mase_part, batch_format="pandas")
     return _round_ds(out, {"mase": 6})
+
+
+def ev_pareto_types(sf_dir: str):
+    """Pareto ranking: event types by total count with running
+    cumulative share (the 80/20 view).  Mergeable count partials; the
+    |types|-row result computes shares from exact int64 counts, so the
+    floats are bit-identical to the SQL engine's."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type"]).aggregate([([], "count_all")])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("count_all", alias_name="n_events"))
+        .to_pandas()  # |types| rows
+    )
+    merged = merged.sort_values(
+        ["n_events", "event_type"], ascending=[False, True]
+    ).reset_index(drop=True)
+    total = merged["n_events"].to_numpy(dtype=np.int64).sum()
+    cum = merged["n_events"].to_numpy(dtype=np.int64).cumsum()
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    merged["share"] = round_half_away(merged["n_events"].to_numpy(np.int64) / total, 6)
+    merged["cum_share"] = round_half_away(cum / total, 6)
+    merged["n_events"] = merged["n_events"].astype(np.int64)
+    return merged[["event_type", "n_events", "rank", "share", "cum_share"]]
+
+
+def ev_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users produced BOTH.  The type domain is tiny, so
+    each partition reduces its users to a type BITMASK (one int per
+    user) and pair counts come from vectorized mask tests — no
+    pair-explosion shuffle; only |types|^2 partials merge."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    types = sorted(
+        ds.map_batches(
+            lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+            batch_format="pyarrow", batch_size=None,
+        ).to_pandas()["event_type"].unique()
+    )
+    t_idx = {t: i for i, t in enumerate(types)}
+    P = partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_pandas_object(batch["user_id"].to_pandas(), index=False)
+            .to_numpy() % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    tagged = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        code = df["event_type"].map(t_idx).to_numpy(dtype=np.int64)
+        masks = (
+            pd.DataFrame({"u": df["user_id"].to_numpy(), "m": np.int64(1) << code})
+            .groupby("u")["m"]
+            .agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+            .to_numpy()
+        )
+        rows = []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                both = int((((masks >> i) & 1) & ((masks >> j) & 1)).sum())
+                rows.append((types[i], types[j], both))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"])
+
+    out = (
+        tagged.groupby("_part").map_groups(pair_partial, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_users"] = batch["n_users"].astype(np.int64)
+        return batch
+
+    return out.map_batches(cast, batch_format="pandas", batch_size=None)
+
+
+def ev_theilsen_trend(sf_dir: str):
+    """Robust trend per event type: the Theil-Sen slope (median of all
+    pairwise slopes, Sen 1968) of the hourly count series.  Counts are
+    mergeable int partials; the dense hourly grid per type is
+    calendar-bounded, so the O(H^2) pairwise slope matrix is a cheap
+    vectorized computation on partials — never on raw rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        return (
+            pa.table({"event_type": batch["event_type"], "hour": h})
+            .group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("count_all", alias_name="n"))
+    )
+
+    # global hour window (shared dense grid; same convention as
+    # ev_seasonal_mase)
+    mm = counts.to_pandas()
+    lo = mm["hour"].min().to_datetime64().astype("datetime64[h]")
+    n_hours = int(
+        (mm["hour"].max().to_datetime64().astype("datetime64[h]") - lo)
+        / np.timedelta64(1, "h")
+    ) + 1
+
+    def theil_sen(g: pd.DataFrame) -> pd.DataFrame:
+        dense = np.zeros(n_hours, dtype=np.int64)
+        idx = (
+            (g["hour"].to_numpy().astype("datetime64[h]") - lo)
+            / np.timedelta64(1, "h")
+        ).astype(np.int64)
+        dense[idx] = g["n"].to_numpy()
+        h = np.arange(n_hours, dtype=np.float64)
+        dv = dense[None, :] - dense[:, None]
+        dh = h[None, :] - h[:, None]
+        iu = np.triu_indices(n_hours, k=1)
+        slopes = dv[iu] / dh[iu]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_hours": [np.int64(n_hours)],
+                "ts_slope": [float(np.median(slopes))],
+            }
+        )
+
+    out = (
+        counts.groupby("event_type").map_groups(theil_sen, batch_format="pandas")
+    )
+    return _round_ds(out, {"ts_slope": 6})
