@@ -2204,73 +2204,84 @@ def _tr_compressed_tier(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDER MATTERS: the driver's correctness gate checks the first 50
-    # entries. Every DuckDB-oracle-checked query comes first (36), then
-    # the strongest self-verifying rows-only families (one per operator
-    # family added in rounds 2-3) fill the window; the remaining
-    # rows-only entries (all green locally at sf0.001/0.01) follow.
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+    # entries, so the window holds exactly one oracle-checked
+    # representative per operator family (rollup/gap-fill, window
+    # functions, irregular-time temporal, forecasting metrics, sets/
+    # joins/top-k, relational incl. the skew-aware join, documents/
+    # dedup/decontamination, embeddings, analytics). The remaining
+    # oracle-checked entries follow immediately (tools/check_oracle.py
+    # sweeps ALL of them), then the self-verifying rows-only entries
+    # (each carries an ok column, green at sf0.001/0.01).
     return {
-        # events: rollup / window / gap-fill family (oracle-checked)
         "ev_rollup_1m": Q.ev_rollup_1m,
-        "ev_rollup_1h_type": Q.ev_rollup_1h_type,
         "ev_cascade_1h": Q.ev_cascade_1h,
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
-        "ev_interarrival": Q.ev_interarrival,
         "ev_sessions": Q.ev_sessions,
+        "ev_gapfill_1h": Q.ev_gapfill_1h,
+        "ev_incremental_rollup": Q.ev_incremental_rollup,
         "ev_window_funcs": Q.ev_window_funcs,
+        "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_range_join": Q.ev_range_join,
-        "ev_trailing_window": Q.ev_trailing_window,
         "ev_window_distinct": Q.ev_window_distinct,
         "ev_session_overlap": Q.ev_session_overlap,
         "ev_trend": Q.ev_trend,
-        "ev_rank_funcs": Q.ev_rank_funcs,
-        "ev_incremental_rollup": Q.ev_incremental_rollup,
+        "ev_time_weighted_avg": Q.ev_time_weighted_avg,
+        "ev_interval_coverage": Q.ev_interval_coverage,
+        "ev_local_day": Q.ev_local_day,
+        "ev_naive_forecast": Q.ev_naive_forecast,
+        "ev_seasonal_mase": Q.ev_seasonal_mase,
+        "ev_user_scaler": Q.ev_user_scaler,
+        "ev_multivariate_precond": Q.ev_multivariate_precond,
         "ev_retained_users": Q.ev_retained_users,
         "ev_no_purchase_users": Q.ev_no_purchase_users,
-        "ev_gapfill_1h": Q.ev_gapfill_1h,
-        "ev_type_hour_count": Q.ev_type_hour_count,
         "ev_top_users": Q.ev_top_users,
-        "ev_user_scaler": Q.ev_user_scaler,
         "ev_distinct_exact": Q.ev_distinct_exact,
         "ev_asof_purchase": Q.ev_asof_purchase,
-        "ev_pivot_types": Q.ev_pivot_types,
-        "ev_unpivot_types": Q.ev_unpivot_types,
-        "ev_type_sequence": Q.ev_type_sequence,
-        "ev_naive_forecast": Q.ev_naive_forecast,
-        "ev_multivariate_precond": Q.ev_multivariate_precond,
-        # relational coverage (oracle-checked)
+        "ev_type_cooccurrence": Q.ev_type_cooccurrence,
         "q1_pricing": Q.q1_pricing,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q12_priority_lines": Q.q12_priority_lines,
         "q10_returned_items": Q.q10_returned_items,
-        "ri_orphans": Q.ri_orphans,
-        "q5_local_supplier": Q.q5_local_supplier,
+        "q4_order_priority": Q.q4_order_priority,
+        "q14_promo_ratio": Q.q14_promo_ratio,
         "q3_revenue_topk": Q.q3_revenue_topk,
-        "top_customers": Q.top_customers,
-        "supplier_nation": Q.supplier_nation,
-        # documents / embeddings (oracle-checked)
+        "q5_local_supplier": Q.q5_local_supplier,
+        "ri_orphans": Q.ri_orphans,
+        "cust_order_leftjoin": Q.cust_order_leftjoin,
+        "orders_by_segment": Q.orders_by_segment,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "doc_exact_dedup": Q.doc_exact_dedup,
+        "doc_decontaminate": Q.doc_decontaminate,
+        "doc_dup_spans": Q.doc_dup_spans,
+        "doc_hamming_pairs": Q.doc_hamming_pairs,
+        "doc_regex_extract": Q.doc_regex_extract,
+        "doc_above_p90": Q.doc_above_p90,
+        "doc_tfidf_top": Q.doc_tfidf_top,
         "emb_ann_topk": Q.emb_ann_topk,
+        "emb_ann_filtered": Q.emb_ann_filtered,
         "emb_label_stats": Q.emb_label_stats,
         "emb_sim_pairs": Q.emb_sim_pairs,
-        # round-3 analytics family (oracle-checked)
         "ev_outliers_mad": Q.ev_outliers_mad,
+        "ev_funnel": Q.ev_funnel,
+        "ev_rollup_1h_type": Q.ev_rollup_1h_type,
+        "ev_interarrival": Q.ev_interarrival,
+        "ev_trailing_window": Q.ev_trailing_window,
+        "ev_type_hour_count": Q.ev_type_hour_count,
+        "ev_pivot_types": Q.ev_pivot_types,
+        "ev_unpivot_types": Q.ev_unpivot_types,
+        "ev_type_sequence": Q.ev_type_sequence,
+        "top_customers": Q.top_customers,
+        "supplier_nation": Q.supplier_nation,
         "ev_new_users_cum": Q.ev_new_users_cum,
-        "doc_above_p90": Q.doc_above_p90,
         "ev_dow_profile": Q.ev_dow_profile,
         "ev_value_histogram": Q.ev_value_histogram,
-        "doc_tfidf_top": Q.doc_tfidf_top,
-        "cust_order_leftjoin": Q.cust_order_leftjoin,
-        "ev_funnel": Q.ev_funnel,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
         "ev_hopping_windows": Q.ev_hopping_windows,
         "ev_latest_state": Q.ev_latest_state,
         "ev_tier_stitch": Q.ev_tier_stitch,
-        # NOTE: entries beyond the driver's 50-row window still carry
-        # DuckDB oracles — tools/check_oracle.py sweeps ALL of them
         "ev_watermark_rollup": Q.ev_watermark_rollup,
         "ev_type_transitions": Q.ev_type_transitions,
         "ev_rolling_median": Q.ev_rolling_median,
@@ -2278,35 +2289,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dist_funcs": Q.ev_dist_funcs,
         "ev_type_correlation": Q.ev_type_correlation,
         "ev_edge_funcs": Q.ev_edge_funcs,
-        "ev_time_weighted_avg": Q.ev_time_weighted_avg,
         "ev_counter_rate": Q.ev_counter_rate,
-        "ev_interval_coverage": Q.ev_interval_coverage,
-        "ev_local_day": Q.ev_local_day,
-        "q4_order_priority": Q.q4_order_priority,
-        "q14_promo_ratio": Q.q14_promo_ratio,
         "q18_big_orders": Q.q18_big_orders,
         "q19_disjunctive": Q.q19_disjunctive,
-        "doc_decontaminate": Q.doc_decontaminate,
-        "doc_hamming_pairs": Q.doc_hamming_pairs,
         "doc_mode_source": Q.doc_mode_source,
-        "doc_regex_extract": Q.doc_regex_extract,
         "doc_source_entropy": Q.doc_source_entropy,
         "doc_top_ngrams": Q.doc_top_ngrams,
-        "orders_by_segment": Q.orders_by_segment,
-        "emb_ann_filtered": Q.emb_ann_filtered,
-        "doc_dup_spans": Q.doc_dup_spans,
-        "ev_seasonal_mase": Q.ev_seasonal_mase,
         "ev_pareto_types": Q.ev_pareto_types,
-        "ev_type_cooccurrence": Q.ev_type_cooccurrence,
         "ev_theilsen_trend": Q.ev_theilsen_trend,
-        # strongest self-verifying rows-only family (inside the
-        # 50-entry window)
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
         "emb_ann_ivf": _emb_ann_ivf,
         "emb_ann_pq": _emb_ann_pq,
-        # ---- entries past the driver window (all self-verify green) --
         "doc_training_pipeline": _doc_training_pipeline,
         "emb_kmeans": _emb_kmeans,
         "tr_ffd_pack": _tr_ffd_pack,
@@ -2353,7 +2348,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_streaming_incremental": _ev_streaming_incremental,
         "media_pipeline": _media_pipeline,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     rollup_cols = """
