@@ -248,3 +248,61 @@ def compact_partitions(
             os.replace(tmp, os.path.join(mdir, f"{date}.json"))
         results[date] = (len(files), n_after)
     return results
+
+
+def upsert_partitions(
+    late_ds,
+    out_root: str,
+    tier: str,
+    merge_fn,
+    fingerprint: str = "",
+    lineage: list[str] | None = None,
+):
+    """Late-data UPSERT into a partitioned tier: merge late-arriving
+    MERGEABLE rollup rows into the stored tier, rewriting ONLY the
+    date partitions the late rows touch.
+
+    Flow: the affected dates fall out of a tiny distinct on the late
+    rows; exactly those partitions are read back (every other partition
+    is untouched — its manifest keeps its original run_id, which the
+    self-check asserts), unioned with the late rows, re-merged per date
+    by ``merge_fn`` (a pandas frame -> frame reducer over the union,
+    e.g. a groupby-sum of additive partials), and republished through
+    the same atomic manifest protocol as :func:`write_partitioned`.
+
+    Returns {date: row_count} for the rewritten partitions.
+    """
+    import ray.data
+
+    late = _add_date(late_ds).materialize()
+    dates = sorted(r["date"] for r in late.groupby("date").count().take_all())
+    if not dates:
+        return {}
+    tier_dir = os.path.join(out_root, f"tier={tier}")
+    import glob as _glob
+
+    existing = [
+        f
+        for d in dates
+        for f in sorted(
+            _glob.glob(os.path.join(tier_dir, f"date={d}", "*.parquet"))
+        )
+    ]
+    parts = late.drop_columns(["date"])
+    if existing:
+        old = ray.data.read_parquet(existing)
+        # hive partition inference may re-attach the date column; the
+        # date re-derives from the bucket timestamp on write either way
+        if "date" in old.schema().names:
+            old = old.drop_columns(["date"])
+        parts = parts.union(old)
+    def apply_merge(df):
+        return merge_fn(df.drop(columns=["date"]))
+
+    merged = _add_date(parts).groupby("date").map_groups(
+        apply_merge, batch_format="pandas"
+    )
+    return write_partitioned(
+        merged, out_root, tier, fingerprint=fingerprint,
+        lineage=lineage, resume=False,
+    )
