@@ -2429,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_ngrams": Q.doc_top_ngrams,
         "ev_pareto_types": Q.ev_pareto_types,
         "ev_theilsen_trend": Q.ev_theilsen_trend,
+        "ev_json_props": Q.ev_json_props,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -3587,5 +3588,20 @@ def oracle_sql() -> dict[str, str]:
             )
             select event_type, n_hours, round(ts_slope, 6) as ts_slope
             from agg
+        """,
+        "ev_json_props": """
+            with x as (
+              select event_type,
+                     cast(json_extract(props, '$.k') as bigint) as k
+              from events
+            )
+            select event_type,
+                   cast(count(*) as bigint) as n_events,
+                   cast(sum(k) as bigint) as sum_k,
+                   cast(min(k) as bigint) as min_k,
+                   cast(max(k) as bigint) as max_k,
+                   cast(sum(case when k >= 50 then 1 else 0 end) as bigint)
+                     as n_high
+            from x group by event_type
         """,
     }

@@ -2458,3 +2458,50 @@ def ev_theilsen_trend(sf_dir: str):
         counts.groupby("event_type").map_groups(theil_sen, batch_format="pandas")
     )
     return _round_ds(out, {"ts_slope": 6})
+
+
+def ev_json_props(sf_dir: str):
+    """Semi-structured extraction: parse the events ``props`` JSON
+    column (`text.extract_json_fields` actor pool), project field
+    ``k``, and aggregate exact int stats per event type — the
+    log-enrichment shape of an ingestion pipeline."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.text import extract_json_fields
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    ex = extract_json_fields(ds, "props", ["k"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["j_k"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "n": np.ones(len(k), dtype=np.int64),
+                "sum_k": k, "min_k": k, "max_k": k,
+                "n_high": (k >= 50).astype(np.int64),
+            }
+        )
+        return g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+            max_k=("max_k", "max"), n_high=("n_high", "sum"),
+        )
+
+    out = (
+        ex.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n_high", alias_name="n_high"),
+        )
+    )
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_events", "sum_k", "min_k", "max_k", "n_high"):
+            batch[c] = batch[c].astype(np.int64)
+        return batch
+
+    return out.map_batches(cast, batch_format="pandas", batch_size=None)

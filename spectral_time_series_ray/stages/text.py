@@ -566,3 +566,44 @@ def gram_counts(grams_ds, gram_col: str = "g", min_count: int | None = None,
         return out
 
     return tagged.groupby("_part").map_groups(count_part, batch_format="pandas")
+
+
+class JsonExtractor:
+    """Actor-pool semi-structured extraction: parse a JSON string
+    column and project typed fields.  The parser and field list bind
+    once per actor; per batch the loop is the unavoidable per-document
+    parse (JSON has no columnar kernel), so keep the projected fields
+    narrow and drop the raw column immediately after extraction."""
+
+    def __init__(self, json_col: str, fields: tuple[str, ...]):
+        import json
+
+        self.json_col = json_col
+        self.fields = fields
+        self._loads = json.loads
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        loads = self._loads
+        cols: dict[str, list] = {f: [] for f in self.fields}
+        for s in batch[self.json_col].to_numpy():
+            try:
+                obj = loads(s)
+            except (TypeError, ValueError):
+                obj = {}
+            for f in self.fields:
+                cols[f].append(obj.get(f))
+        out = batch.drop(columns=[self.json_col])
+        for f in self.fields:
+            out[f"j_{f}"] = cols[f]
+        return out
+
+
+def extract_json_fields(ds, json_col: str, fields, concurrency: int = 4):
+    """Project JSON fields out of a string column via an actor pool."""
+    return ds.map_batches(
+        JsonExtractor,
+        fn_constructor_args=(json_col, tuple(fields)),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=concurrency,
+    )
