@@ -166,17 +166,22 @@ def bloom_semi_filter(ds, column: str, bloom, invert: bool = False):
         )
     ref = ray.put(bloom.to_bytes())
 
-    def f(batch):
+    def f(batch: pa.Table) -> pa.Table:
         key = "bloom:" + ref.hex()
         bf = _SMALL_CACHE.get(key)
         if bf is None:
             bf = BloomFilter.from_bytes(ray.get(ref))
             _SMALL_CACHE.clear()
             _SMALL_CACHE[key] = bf
-        m = bf.contains_hashes(_hash_key_column(batch[column], scheme, column))
-        return batch[~m] if invert else batch[m]
+        m = bf.contains_hashes(
+            _hash_key_column(batch[column].to_pandas(), scheme, column)
+        )
+        # Arrow-native filter: an empty result block keeps the TYPED
+        # schema (a pandas empty frame would contribute object/null
+        # columns and poison downstream join schema unification)
+        return batch.filter(pa.array(~m if invert else m))
 
-    return ds.map_batches(f, batch_format="pandas", batch_size=None)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def anti_join_distributed(

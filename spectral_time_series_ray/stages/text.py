@@ -341,9 +341,21 @@ def _explode_word_grams(ds, id_col: str, text_col: str, n: int, extra_cols=()):
             grams.extend(gs)
             for c, vals in zip(extra_cols, extra_vals):
                 extras[c].extend([vals[j]] * len(gs))
-        out = {id_col: np.asarray(ids, dtype=np.int64), "g": grams}
-        out.update({c: np.asarray(v) for c, v in extras.items()})
-        return pd.DataFrame(out)
+        import pyarrow as pa
+
+        # explicit Arrow types: an empty batch must still contribute the
+        # exact (int64, string, ...) schema or downstream hash joins see
+        # a null-typed column
+        cols = {
+            id_col: pa.array(np.asarray(ids, dtype=np.int64), type=pa.int64()),
+            "g": pa.array(grams, type=pa.string()),
+        }
+        for c, v in extras.items():
+            cols[c] = pa.array(v)
+        if extra_cols and len(ids) == 0:
+            for c in extra_cols:
+                cols[c] = pa.array([], type=pa.bool_())
+        return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pandas")
 
@@ -388,13 +400,53 @@ def benchmark_contamination(
     # Bloom pushdown: the overwhelming majority of training grams hit
     # no benchmark gram; dropping them BEFORE the string-keyed shuffle
     # cuts the exchange to (false-positive rate x corpus + true hits).
-    # False positives are removed by the exact join — same result.
+    # False positives are removed by the exact membership test below.
     bloom = build_bloom(bench_grams, "g")
     train_grams = bloom_semi_filter(train_grams, "g", bloom)
-    hits = train_grams.join(
-        bench_grams, join_type="inner", num_partitions=_join_partitions(), on=("g",)
-    )
-    out = hits.groupby(id_col).aggregate(Count(alias_name="n_shared_grams"))
+
+    # exact semi-join via the partition-merge idiom (one int-keyed
+    # gram-hash exchange, pandas membership test per partition) rather
+    # than Dataset.join: Ray 2.49's hash-shuffle join intermittently
+    # loses the schema when a side's partitions are near-empty — which
+    # the Bloom-filtered side IS at small scales
+    from ray.data.aggregate import Sum
+
+    from .rollup import partitions_for_input
+
+    P = partitions_for_input(None)
+
+    def tag(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if id_col not in batch.columns:
+                batch[id_col] = np.int64(-1)
+            batch["_side"] = side
+            batch["_part"] = (
+                pd.util.hash_pandas_object(batch["g"], index=False).to_numpy() % P
+            ).astype(np.int32)
+            return batch[[id_col, "g", "_side", "_part"]]
+
+        return f
+
+    both = train_grams.map_batches(
+        tag("t"), batch_format="pandas", batch_size=None
+    ).union(bench_grams.map_batches(tag("b"), batch_format="pandas", batch_size=None))
+
+    def hit_counts(g: pd.DataFrame) -> pd.DataFrame:
+        bench_set = g.loc[g["_side"] == "b", "g"]
+        train = g[g["_side"] == "t"]
+        m = train["g"].isin(set(bench_set))
+        out = (
+            train.loc[m, [id_col]]
+            .groupby(id_col, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = both.groupby("_part").map_groups(hit_counts, batch_format="pandas")
+    out = partials.groupby(id_col).aggregate(Sum("n", alias_name="n_shared_grams"))
 
     def cast(batch: pd.DataFrame) -> pd.DataFrame:
         batch["n_shared_grams"] = batch["n_shared_grams"].astype(np.int64)
@@ -558,12 +610,21 @@ def gram_counts(grams_ds, gram_col: str = "g", min_count: int | None = None,
 
     tagged = grams_ds.map_batches(add_part, batch_format="pandas", batch_size=None)
 
-    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def count_part(df: pd.DataFrame):
         out = df.groupby(gram_col, as_index=False).size().rename(columns={"size": "n"})
         if min_count is not None:
             out = out[out["n"] >= min_count]
-        out["n"] = out["n"].astype(np.int64)
-        return out
+        # explicit Arrow types: an empty partition's pandas frame would
+        # otherwise contribute an object-typed column and poison the
+        # unified schema of downstream joins
+        return pa.table(
+            {
+                gram_col: pa.array(out[gram_col].tolist(), type=pa.string()),
+                "n": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
 
     return tagged.groupby("_part").map_groups(count_part, batch_format="pandas")
 
