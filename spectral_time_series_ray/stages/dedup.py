@@ -933,15 +933,16 @@ def duplicate_span_coverage(
 
     df = gram_counts(dd.select_columns(["g"]), min_count=2).select_columns(["g"]).materialize()
     # Bloom pushdown: most positions carry unshared grams — drop them
-    # before the string-keyed join (false positives removed by the
-    # exact join, so the result is unchanged)
-    from .join import bloom_semi_filter, build_bloom
+    # before the string-keyed exchange (false positives removed by the
+    # exact membership test, so the result is unchanged). The residue
+    # is SPARSE, so the verify uses the partition-merge semi-join
+    # rather than Dataset.join (Ray 2.49 schema race — see
+    # join.partition_merge_join).
+    from .join import bloom_semi_filter, build_bloom, partition_merge_join
 
     bloom = build_bloom(df, "g")
     positions_f = bloom_semi_filter(positions, "g", bloom)
-    hits = positions_f.join(
-        df, join_type="inner", num_partitions=P, on=("g",)
-    )
+    hits = partition_merge_join(positions_f, df, on="g", how="semi", num_partitions=P)
 
     def spans(batch: pd.DataFrame) -> pd.DataFrame:
         # token index -> fake-us so interval_coverage's exact int64

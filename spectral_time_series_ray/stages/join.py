@@ -226,22 +226,22 @@ def anti_join_distributed(
     certain = bloom_semi_filter(left_ds, key, bloom, invert=True)
     suspects = bloom_semi_filter(left_ds, key, bloom)
 
-    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+    def as_key(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[right_key]].copy()
-        out["_present"] = np.int8(1)
+        if right_key != key:
+            out = out.rename(columns={right_key: key})
         return out
 
-    marked = right_keys.map_batches(mark, batch_format="pandas", batch_size=None)
-    joined = suspects.join(
-        marked, join_type="left_outer", num_partitions=P,
-        on=(key,), right_on=(right_key,),
-    )
+    keys_only = right_keys.map_batches(as_key, batch_format="pandas", batch_size=None)
     left_cols = list(left_ds.schema().names)
-
-    def keep_unmatched(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.loc[batch["_present"].isna(), left_cols]
-
-    verified = joined.map_batches(keep_unmatched, batch_format="pandas", batch_size=None)
+    # exact anti verify via the partition-merge idiom: the Bloom-hit
+    # suspect side is SPARSE by construction, which trips Ray 2.49's
+    # hash-shuffle-join schema race (see partition_merge_join)
+    verified = partition_merge_join(
+        suspects, keys_only, on=key, how="anti", num_partitions=P
+    ).map_batches(
+        lambda b: b[left_cols], batch_format="pandas", batch_size=None
+    )
     return certain.select_columns(left_cols).union(verified)
 
 
@@ -643,3 +643,69 @@ def skew_join(
         lambda t: t.select(out_cols), batch_format="pyarrow", batch_size=None
     )
     return joined_cold.union(joined_hot)
+
+
+def partition_merge_join(
+    left_ds,
+    right_ds,
+    on: str,
+    how: str = "inner",
+    num_partitions: int | None = None,
+):
+    """Hash-partitioned merge join built from primitives this engine
+    controls: both sides tag rows with ``hash(key) % P`` (one int-keyed
+    exchange), and a pandas merge/membership test runs inside each
+    partition.  Same exchange volume as ``Dataset.join`` on a single
+    key, but immune to the Ray 2.49 hash-shuffle-join schema race on
+    near-empty partitions (see benchmark_contamination) — use this for
+    joins whose build or probe side can be SPARSE (post-Bloom
+    residues, filtered key sets).
+
+    ``how``: 'inner', 'left_outer', 'semi' (left rows whose key exists
+    on the right; right columns dropped), 'anti' (left rows whose key
+    does NOT exist on the right).  ``on`` must name the key column in
+    BOTH sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    lcols = [c for c in left_ds.schema().names]
+    rcols = [c for c in right_ds.schema().names]
+    if on not in lcols or on not in rcols:
+        raise ValueError(f"join key {on!r} must exist on both sides")
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    def tag(side: str, present: list[str]):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = None
+            batch["_side"] = side
+            batch["_part"] = (
+                pd.util.hash_pandas_object(batch[on], index=False).to_numpy() % P
+            ).astype(np.int32)
+            return batch[all_cols + ["_side", "_part"]]
+
+        return f
+
+    both = left_ds.map_batches(
+        tag("l", lcols), batch_format="pandas", batch_size=None
+    ).union(
+        right_ds.map_batches(tag("r", rcols), batch_format="pandas", batch_size=None)
+    )
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["_side"] == "l", lcols]
+        right = g.loc[g["_side"] == "r", rcols]
+        if how == "semi":
+            return left[left[on].isin(set(right[on]))]
+        if how == "anti":
+            return left[~left[on].isin(set(right[on]))]
+        pd_how = {"inner": "inner", "left_outer": "left"}[how]
+        return left.merge(right, on=on, how=pd_how)
+
+    return both.groupby("_part").map_groups(merge_part, batch_format="pandas")
