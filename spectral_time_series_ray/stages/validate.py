@@ -102,34 +102,54 @@ def orphan_key_count(child_ds, parent_ds, child_col: str, parent_col: str):
     # Bloom false positives: verify exactly with a DISTRIBUTED
     # left-outer join on the distinct-key level — neither key set ever
     # lands on the driver
-    try:
-        import ray as _ray
+    from .rollup import partitions_for_input
 
-        P = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    except Exception:
-        P = 4
-    child_keys = child_ds.select_columns([child_col]).groupby(child_col).count()
-    parent_keys = (
-        parent_ds.select_columns([parent_col]).groupby(parent_col).count()
-    )
+    P = partitions_for_input(None)
 
-    def mark(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[[parent_col]].copy()
-        out["_present"] = np.int8(1)
+    # ONE int-keyed exchange: per-batch (key, count) partials from the
+    # child and distinct keys from the parent hash-partition together;
+    # each partition sums child counts whose key is absent from its
+    # parent-key slice. Replaces a distinct-groupby + Dataset.join
+    # chain (a Ray range-partition sort plus a shuffle join) with a
+    # single exchange of pre-collapsed rows.
+    def child_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[child_col].value_counts()
+        out = pd.DataFrame(
+            {"k": vc.index.to_numpy(), "cnt": vc.to_numpy().astype(np.int64)}
+        )
+        out["_side"] = "c"
         return out
 
-    parent_marked = parent_keys.map_batches(mark, batch_format="pandas", batch_size=None)
-    joined = child_keys.join(
-        parent_marked, join_type="left_outer", num_partitions=P,
-        on=(child_col,), right_on=(parent_col,),
+    def parent_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": batch[parent_col].unique()})
+        out["cnt"] = np.int64(0)
+        out["_side"] = "p"
+        return out
+
+    c = child_ds.select_columns([child_col]).map_batches(
+        child_partial, batch_format="pandas", batch_size=None
+    )
+    p = parent_ds.select_columns([parent_col]).map_batches(
+        parent_partial, batch_format="pandas", batch_size=None
     )
 
-    def orphan_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        absent = batch["_present"].isna()
-        return pd.DataFrame({"n": [int(batch.loc[absent, "count()"].sum())]})
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(batch["k"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return batch
 
-    parts = joined.map_batches(
-        orphan_partial, batch_format="pandas", batch_size=None
+    both = c.union(p).map_batches(add_part, batch_format="pandas", batch_size=None)
+
+    def orphan_part(g: pd.DataFrame) -> pd.DataFrame:
+        parents = set(g.loc[g["_side"] == "p", "k"])
+        ch = g[g["_side"] == "c"]
+        miss = ~ch["k"].isin(parents)
+        return pd.DataFrame({"n": [int(ch.loc[miss, "cnt"].sum())]})
+
+    parts = both.groupby("_part").map_groups(
+        orphan_part, batch_format="pandas"
     ).to_pandas()
     n_orphans = int(parts["n"].sum()) if len(parts) else 0
     # consistency: bloom certain-orphans can never exceed the exact count
