@@ -1940,27 +1940,21 @@ def q18_big_orders(sf_dir: str):
     qualifying keys join orders; block-local partial top-k bounds the
     driver to k rows per block; the customer dimension is fetched by
     key pushdown (10 keys)."""
-    from ray.data.aggregate import Sum
+    from ..stages.join import hash_groupby_sum
 
     P = _join_partitions()
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def scale(batch: pa.Table) -> pa.Table:
         q = pc.cast(
             pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64()
         )
-        return (
-            pa.table({"l_orderkey": batch["l_orderkey"], "q": q})
-            .group_by(["l_orderkey"])
-            .aggregate([("q", "sum")])
-        )
+        return pa.table({"l_orderkey": batch["l_orderkey"], "qty_scaled": q})
 
-    totals = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("l_orderkey")
-        .aggregate(Sum("q_sum", alias_name="qty_scaled"))
-        .filter(expr="qty_scaled > 15000")
-    )
+    totals = hash_groupby_sum(
+        li.map_batches(scale, batch_format="pyarrow", batch_size=None),
+        key="l_orderkey", sum_cols=("qty_scaled",),
+    ).filter(expr="qty_scaled > 15000")
     orders = _read(
         sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
