@@ -2409,6 +2409,85 @@ def _ev_sorted_export(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _ev_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (A-ES, Efraimidis &
+    Spirakis 2006) over events with `value` as the weight
+    (`sampling.weighted_sample_aes`).  SELF-VERIFYING: (a) the sample
+    is bit-identical when the input is repartitioned (the competition
+    key depends only on (id, seed)); (b) a driver-side exact recompute
+    over the full (id, weight) table picks the SAME k ids; (c) the
+    sample's mean weight exceeds the population mean (heavier rows win
+    more often — a necessary bias signature of weighted sampling)."""
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.sampling import weighted_sample_aes
+
+    K = 50
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    s1 = weighted_sample_aes(ds, "event_id", "value", k=K, seed=7)
+    s2 = weighted_sample_aes(ds.repartition(13), "event_id", "value", k=K, seed=7)
+    det_ok = s1["event_id"].tolist() == s2["event_id"].tolist()
+
+    # exact recompute on the full id/weight table (verification only —
+    # the operator itself never does this)
+    full = ds.to_pandas()
+    from spectral_time_series_ray.functions.bloom import hash_u64
+
+    h = hash_u64(full["event_id"].to_numpy(dtype=np.int64) ^ np.int64(7))
+    u = (h.astype(np.float64) + 1.0) / 2.0**64
+    key = np.log(u) / full["value"].to_numpy(dtype=np.float64)
+    exp_ids = full.assign(_k=key).nlargest(K, "_k")["event_id"].tolist()
+    exact_ok = s1["event_id"].tolist() == exp_ids
+
+    bias_ok = float(s1["value"].mean()) > float(full["value"].mean())
+    out = s1[["event_id", "value"]].copy()
+    out["ok"] = bool(det_ok and exact_ok and bias_ok)
+    return out.reset_index(drop=True)
+
+
+def _ev_bootstrap_ci(sf_dir: str):
+    """Distributed Poisson-bootstrap 95% CI for the mean event value
+    (`sampling.poisson_bootstrap_mean`, Chamandy et al. 2012): each
+    row contributes Poisson(1) copies per replica via counter-mode
+    seeded hashing, so replica (sum, count) partials are mergeable and
+    no resample ever materializes.  SELF-VERIFYING: (a) identical
+    replica means on a repartitioned input (layout independence);
+    (b) the interval contains the true mean; (c) interval width scales
+    like a CLT sigma/sqrt(n) (within 4x)."""
+    from ray.data.aggregate import Count, Mean, Std
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.sampling import poisson_bootstrap_mean
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    mean1, lo1, hi1, n1, reps1 = poisson_bootstrap_mean(ds, "event_id", "value", 200, seed=11)
+    _, lo2, hi2, _, reps2 = poisson_bootstrap_mean(
+        ds.repartition(13), "event_id", "value", 200, seed=11
+    )
+    det_ok = bool(np.allclose(reps1, reps2, rtol=0, atol=1e-9))
+
+    agg = ds.aggregate(
+        Mean("value", alias_name="m"), Std("value", alias_name="sd"),
+        Count(alias_name="n"),
+    )
+    true_mean = float(agg["m"])
+    clt_half = 1.96 * float(agg["sd"]) / np.sqrt(float(agg["n"]))
+    half = (hi1 - lo1) / 2
+    ok = bool(
+        det_ok and lo1 <= true_mean <= hi1
+        and clt_half / 4 <= half <= clt_half * 4
+    )
+    return pd.DataFrame(
+        {
+            "mean": [round(mean1, 6)],
+            "ci_lo": [round(lo1, 6)],
+            "ci_hi": [round(hi1, 6)],
+            "n_rows": [int(n1)],
+            "n_replicas": [200],
+            "ok": [ok],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -2543,6 +2622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_compressed_tier": _tr_compressed_tier,
         "tr_tier_upsert": _tr_tier_upsert,
         "ev_sorted_export": _ev_sorted_export,
+        "ev_weighted_sample": _ev_weighted_sample,
+        "ev_bootstrap_ci": _ev_bootstrap_ci,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,

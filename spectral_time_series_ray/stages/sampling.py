@@ -386,3 +386,113 @@ def bottom_k_sample(
         return out.drop(columns=["_tag"])
 
     return partials.groupby(key).map_groups(cut, batch_format="pandas")
+
+
+def weighted_sample_aes(
+    ds,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 7,
+):
+    """Weighted sampling WITHOUT replacement via A-ES (Efraimidis &
+    Spirakis 2006): each row draws a deterministic uniform u from a
+    seeded splitmix64 hash of its id and competes with key
+    ``u ** (1/w)``; the global top-k keys are the sample, with
+    inclusion probability proportional to weight.
+
+    Fully distributed and ORDER-FREE: the uniform depends only on
+    (id, seed), never on row position or partitioning, so the sample is
+    reproducible bit-for-bit across any repartitioning — the property
+    the self-checks assert.  Per-block partial top-k bounds driver data
+    to k rows per block.
+
+    Uses log-transformed keys (ln u / w) for numerical stability;
+    weights must be strictly positive.
+    """
+    import pandas as pd
+
+    from ..functions.bloom import hash_u64
+
+    def partial_top(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(dtype=np.float64)
+        if (w <= 0).any():
+            raise ValueError("weights must be strictly positive")
+        h = hash_u64(batch[id_col].to_numpy(dtype=np.int64) ^ np.int64(seed))
+        # u in (0, 1]: map the 64-bit hash; +1 avoids u == 0
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = np.log(u) / w  # maximize u^(1/w) == maximize ln(u)/w
+        out = batch[[id_col, weight_col]].copy()
+        out["_aes_key"] = key
+        return out.nlargest(k, "_aes_key")
+
+    cand = ds.map_batches(partial_top, batch_format="pandas", batch_size=None).to_pandas()
+    top = cand.nlargest(k, "_aes_key").sort_values("_aes_key", ascending=False)
+    return top.reset_index(drop=True)
+
+
+def poisson_bootstrap_mean(
+    ds,
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 200,
+    seed: int = 11,
+):
+    """Distributed bootstrap confidence interval for a mean via the
+    POISSON bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): each row contributes
+    Poisson(1) copies to every replica, so a replica's (sum, count)
+    partials are mergeable and the full resample never materializes.
+
+    Deterministic: the Poisson draws seed from splitmix64(id, replica),
+    independent of partitioning — identical CIs on any layout (the
+    self-check asserts this).  Per block only a (B, 2) float matrix
+    leaves the task.
+
+    Returns (mean, lo, hi, n_rows, replica_means) for a 95% interval.
+    """
+    import pandas as pd
+
+    from ..functions.bloom import hash_u64
+
+    B = int(n_replicas)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        n = len(ids)
+        sums = np.zeros(B)
+        cnts = np.zeros(B)
+        # seeded inverse-CDF Poisson(1): one uniform per (row, replica)
+        # from a counter-mode hash — deterministic and order-free
+        reps = np.arange(B, dtype=np.int64)
+        for start in range(0, n, 1024):  # bound the (rows x B) tile
+            chunk = slice(start, min(start + 1024, n))
+            hid = ids[chunk, None] * np.int64(1_000_003) + reps[None, :] + np.int64(seed)
+            u = (hash_u64(hid.ravel()).astype(np.float64) + 1.0) / 2.0**64
+            w = _poisson1_inverse_cdf(u).reshape(-1, B)
+            sums += w.T @ v[chunk]
+            cnts += w.sum(axis=0)
+        return pd.DataFrame(
+            {"rep": np.arange(B, dtype=np.int64), "s": sums, "c": cnts,
+             "n": np.full(B, len(v), dtype=np.int64)}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby("rep")[["s", "c"]].sum()
+    means = (agg["s"] / agg["c"]).to_numpy()
+    n_rows = int(parts[parts["rep"] == 0]["n"].sum())
+    lo, hi = np.quantile(means, [0.025, 0.975])
+    return float(means.mean()), float(lo), float(hi), n_rows, means
+
+
+def _poisson1_inverse_cdf(u: np.ndarray) -> np.ndarray:
+    """Vectorized Poisson(1) draws by inverse CDF (lambda = 1 so the
+    CDF table is tiny: P(X <= 9) > 1 - 1e-7)."""
+    from math import e
+
+    probs = [1.0 / e]
+    for k in range(1, 12):
+        probs.append(probs[-1] / k)
+    cdf = np.cumsum(probs)
+    return np.searchsorted(cdf, u).astype(np.int64)
