@@ -2583,6 +2583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_pareto_types": Q.ev_pareto_types,
         "ev_theilsen_trend": Q.ev_theilsen_trend,
         "ev_json_props": Q.ev_json_props,
+        "q7_nation_volume": Q.q7_nation_volume,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -3759,5 +3760,29 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when k >= 50 then 1 else 0 end) as bigint)
                      as n_high
             from x group by event_type
+        """,
+        "q7_nation_volume": """
+            with sn as (
+              select s_suppkey, n_name as supp_nation
+              from supplier join nation on s_nationkey = n_nationkey
+              where n_name in ('NATION_1', 'NATION_2')
+            ),
+            cn as (
+              select c_custkey, n_name as cust_nation
+              from customer join nation on c_nationkey = n_nationkey
+              where n_name in ('NATION_1', 'NATION_2')
+            )
+            select supp_nation, cust_nation,
+                   cast(year(l_shipdate) as bigint) as l_year,
+                   round(cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                              * cast(round((1 - l_discount) * 100) as bigint))
+                              as double) / 10000, 2) as revenue,
+                   cast(count(*) as bigint) as n_lines
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join sn on l_suppkey = sn.s_suppkey
+            join cn on o_custkey = cn.c_custkey
+            where supp_nation <> cust_nation
+            group by 1, 2, 3
         """,
     }

@@ -2499,3 +2499,84 @@ def ev_json_props(sf_dir: str):
         return batch
 
     return out.map_batches(cast, batch_format="pandas", batch_size=None)
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between nation pairs by year
+    (supplier nation -> customer nation), restricted to two nations
+    either way.  Plan: ONE large-large hash join (lineitem x orders on
+    orderkey, bloom-prefiltered); every dimension hop
+    (supplier->nation, customer->nation) is a broadcast map — the
+    catalog side never shuffles.  Revenue accumulates as exact
+    1e-4-scaled int64."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bloom_semi_filter, broadcast_join, build_bloom
+
+    NA, NB = "NATION_1", "NATION_2"
+    P = _join_partitions()
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp["supp_nation"] = supp["s_nationkey"].map(nmap)
+    supp = supp[supp["supp_nation"].isin([NA, NB])][["s_suppkey", "supp_nation"]]
+    supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust["cust_nation"] = cust["c_nationkey"].map(nmap)
+    cust = cust[cust["cust_nation"].isin([NA, NB])][["c_custkey", "cust_nation"]]
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    # inner broadcast join drops lines whose supplier is outside the
+    # nation pair immediately — the cheapest possible prefilter
+    li = broadcast_join(li, supp, on="l_suppkey")
+
+    def li_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        p = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round((1.0 - batch["l_discount"].to_numpy()) * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "supp_nation": batch["supp_nation"],
+                "l_year": batch["l_shipdate"].dt.year.astype(np.int64),
+                "rev": p * d,
+            }
+        )
+        return out
+
+    li_f = li.map_batches(li_prep, batch_format="pandas", batch_size=None).materialize()
+    bloom = build_bloom(li_f, "l_orderkey")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = bloom_semi_filter(orders, "o_orderkey", bloom)
+    orders = broadcast_join(orders, cust, on="o_custkey")
+    joined = li_f.join(
+        orders, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["supp_nation"] != batch["cust_nation"]  # cross-pair only
+        g = batch.loc[m, ["supp_nation", "cust_nation", "l_year", "rev"]]
+        out = g.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        return out
+
+    merged = (
+        joined.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n_lines"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = round_half_away(
+            batch.pop("rev").to_numpy(dtype=np.float64) / 1e4, 2
+        )
+        batch["n_lines"] = batch["n_lines"].astype(np.int64)
+        return batch
+
+    return merged.map_batches(finish, batch_format="pandas", batch_size=None)
