@@ -496,3 +496,45 @@ def _poisson1_inverse_cdf(u: np.ndarray) -> np.ndarray:
         probs.append(probs[-1] / k)
     cdf = np.cumsum(probs)
     return np.searchsorted(cdf, u).astype(np.int64)
+
+
+def assign_global_ids(ds, id_name: str = "row_id"):
+    """Contiguous global int64 row ids (the zipWithIndex operator):
+    the input materializes once, per-block row counts come to the
+    driver (one int per block), an exclusive prefix sum assigns each
+    block its offset, and a remote task per block appends
+    ``offset + arange(len(block))`` — ids are unique and contiguous BY
+    CONSTRUCTION (disjoint per-block ranges); no shuffle, and the only
+    driver data is the count vector.
+
+    Ordering note: ids follow the materialized block order; run after
+    a sort for a semantic order, or use as-is for stable unique keys.
+    Returns ``(dataset_with_ids, n_rows)``.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    ds = ds.materialize()
+    refs = ds.get_internal_block_refs()
+
+    @ray.remote
+    def block_len(block) -> int:
+        return len(block)
+
+    @ray.remote
+    def tag_block(block, offset: int, name: str):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        n = block.num_rows
+        return block.append_column(
+            name, pa.array(offset + np.arange(n, dtype=np.int64))
+        )
+
+    counts = np.array(ray.get([block_len.remote(r) for r in refs]), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else np.array([], dtype=np.int64)
+    tagged = [
+        tag_block.remote(r, int(offsets[i]), id_name) for i, r in enumerate(refs)
+    ]
+    return ray.data.from_arrow_refs(tagged), int(counts.sum())
