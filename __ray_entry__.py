@@ -3049,12 +3049,12 @@ def oracle_sql() -> dict[str, str]:
               select user_id, date_trunc('hour', ts) as bucket_ts,
                      count(*)::double as v0, sum(value) as v1
               from events group by 1, 2)
-            select user_id, 0 as variate, count(*) as n_buckets,
+            select user_id, cast(0 as bigint) as variate, count(*) as n_buckets,
                    round(sum(v0), 6) as sum_v, round(min(v0), 6) as min_v,
                    round(max(v0), 6) as max_v
             from r group by user_id
             union all
-            select user_id, 1 as variate, count(*) as n_buckets,
+            select user_id, cast(1 as bigint) as variate, count(*) as n_buckets,
                    round(sum(v1), 6) as sum_v, round(min(v1), 6) as min_v,
                    round(max(v1), 6) as max_v
             from r group by user_id
