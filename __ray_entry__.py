@@ -1704,6 +1704,54 @@ def _emb_near_dup(sf_dir: str):
     return pairs
 
 
+def _emb_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al., arXiv:2303.09540) over embeddings with
+    planted near-duplicates: noisy copies of the first 10 vectors.
+    Self-checks: (a) conservation — one output row per input vector,
+    (b) each planted (base, copy) pair keeps EXACTLY one member, and
+    (c) at least 10 rows were dropped (the planted dups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from spectral_time_series_ray.stages.similarity import semdedup
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(10)
+    rng = np.random.default_rng(5)
+    base_ids = df["vec_id"].to_numpy()
+    copies = pd.DataFrame(
+        {
+            "vec_id": base_ids + 1_000_000,
+            "embedding": [
+                np.asarray(v, dtype=np.float64) + 1e-3 * rng.standard_normal(len(v))
+                for v in df["embedding"]
+            ],
+        }
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    full = ds.union(ray.data.from_arrow(pa.Table.from_pandas(copies, preserve_index=False)))
+    n_in = full.count()
+    out = semdedup(full, n_clusters=8, eps=0.01, concurrency=2).to_pandas()
+    m = out.set_index("vec_id")
+    pair_ok = 0
+    for b in base_ids:
+        b, c = int(b), int(b) + 1_000_000
+        if b in m.index and c in m.index and bool(m.loc[b, "keep"]) != bool(m.loc[c, "keep"]):
+            pair_ok += 1
+    kept = int(out["keep"].sum())
+    ok = (
+        len(out) == n_in
+        and out["vec_id"].is_unique
+        and pair_ok == len(base_ids)
+        and kept <= n_in - len(base_ids)
+    )
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    out["planted_pair_ok"] = pair_ok
+    out["ok"] = bool(ok)
+    return out
+
+
 def _media_pipeline(sf_dir: str):
     import ray.data
 
@@ -2733,6 +2781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_quality": _doc_lm_quality,
         "doc_fingerprints": _doc_fingerprints,
         "emb_near_dup": _emb_near_dup,
+        "emb_semdedup": _emb_semdedup,
         "tr_train_crop": _tr_train_crop,
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_resample": _tr_resample,

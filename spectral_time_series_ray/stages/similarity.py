@@ -600,3 +600,118 @@ def pq_search(
     cand_ids = sorted(set(short[id_col].tolist()))
     cands = semi_join_keys(ds, cand_ids, id_col)
     return ann_brute_force(cands, q, k=k, id_col=id_col, concurrency=concurrency)
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+
+def _components_dense(adj: np.ndarray) -> np.ndarray:
+    """Connected components of a small dense boolean adjacency matrix
+    by vectorized min-label propagation; returns an int label per row.
+    O(m^2 * diameter) — callers bound m (in-cluster pairwise scope)."""
+    m = len(adj)
+    labels = np.arange(m)
+    a = adj | np.eye(m, dtype=bool)
+    while True:
+        # every node takes the min label over its neighborhood
+        nxt = np.where(a, labels[None, :], m).min(axis=1)
+        if np.array_equal(nxt, labels):
+            return labels
+        labels = nxt
+
+
+def semdedup(
+    ds,
+    n_clusters: int = 16,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    seed: int = 42,
+    iters: int = 6,
+    concurrency: int = 4,
+    max_group: int = 4096,
+    centroids: np.ndarray | None = None,
+):
+    """Semantic deduplication (SemDeDup, Abbas et al.,
+    arXiv:2303.09540): k-means partitions the corpus so the O(m^2)
+    pairwise-cosine scan runs only WITHIN a cluster; members whose
+    cosine >= 1 - eps form semantic-duplicate groups (connected
+    components of the threshold graph) and each group keeps exactly
+    one representative — the member LEAST similar to its cluster
+    centroid (the paper's keep-edge-examples rule), tie-broken by id.
+
+    Scale shape: one k-means fit (mergeable partials — see
+    :func:`kmeans_fit_distributed`), one broadcast assign pass, ONE
+    cluster-key shuffle; each cluster is processed independently in a
+    ``groupby.map_groups`` worker. Expected cluster size is
+    corpus/n_clusters — size ``n_clusters`` to the corpus (the paper
+    uses 50k clusters at web scale). Clusters larger than
+    ``max_group`` are hash-sharded into bounded subgroups with a
+    warning (duplicates split across shards can both survive — recall
+    loss is logged, never silent).
+
+    Returns a Dataset ``(id, cluster, centroid_sim, keep)`` with one
+    row per input vector.
+    """
+    import ray
+
+    if centroids is None:
+        centroids, _ = kmeans_fit_distributed(
+            ds, n_clusters=n_clusters, iters=iters, col=col, seed=seed
+        )
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assigned = kmeans_predict(ds.select_columns([id_col, col]), centroids,
+                              concurrency=concurrency)
+    thresh = 1.0 - eps
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cent_ref)
+        cid = int(g["cluster"].iloc[0])
+        gs = [g]
+        if len(g) > max_group:
+            log.warning(
+                "semdedup: cluster %d has %d members > max_group=%d — "
+                "hash-sharding; cross-shard duplicates may both survive "
+                "(raise n_clusters for this corpus)",
+                cid, len(g), max_group,
+            )
+            n_shards = int(np.ceil(len(g) / max_group))
+            shard = (
+                pd.util.hash_pandas_object(g[id_col], index=False).to_numpy()
+                % n_shards
+            )
+            gs = [g[shard == s] for s in range(n_shards)]
+        outs = []
+        for sub in gs:
+            if not len(sub):
+                continue
+            sub = sub.sort_values(id_col)
+            m = _normalize(_to_matrix(sub[col]))
+            ids = sub[id_col].to_numpy()
+            csim = m @ cents[cid]
+            adj = (m @ m.T) >= thresh
+            comp = _components_dense(adj)
+            # keeper per component: min centroid_sim, tie-break min id
+            order = np.lexsort((ids, csim))  # by (csim, id)
+            first_of_comp = np.zeros(len(ids), dtype=bool)
+            seen: set[int] = set()
+            for j in order:
+                c = int(comp[j])
+                if c not in seen:
+                    seen.add(c)
+                    first_of_comp[j] = True
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cluster": np.int32(cid),
+                        "centroid_sim": csim,
+                        "keep": first_of_comp,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )

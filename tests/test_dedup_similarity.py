@@ -317,3 +317,31 @@ def test_pq_search_tight_shortlist_recall(emb_ds):
                     concurrency=2).to_pandas()
     top2 = set(got.sort_values("score", ascending=False)["vec_id"].head(2))
     assert top2 == {0, 50}
+
+
+def test_semdedup_planted(emb_ds):
+    from spectral_time_series_ray.stages.similarity import semdedup
+
+    out = semdedup(emb_ds, n_clusters=4, eps=0.01, concurrency=2).to_pandas()
+    # conservation: one row per input vector
+    assert len(out) == 52 and out["vec_id"].is_unique
+    m = out.set_index("vec_id")
+    # planted pairs (0,50) and (1,51): exactly one of each survives
+    for b, c in [(0, 50), (1, 51)]:
+        assert bool(m.loc[b, "keep"]) != bool(m.loc[c, "keep"])
+        assert m.loc[b, "cluster"] == m.loc[c, "cluster"]
+    # non-dup members all keep=True: at most the 2 planted copies drop
+    assert int(out["keep"].sum()) >= 50
+
+
+def test_semdedup_max_group_shard():
+    """Oversized clusters hash-shard with bounded subgroup size and
+    still keep >= 1 member per true duplicate group within a shard."""
+    from spectral_time_series_ray.stages.similarity import _components_dense
+
+    adj = np.zeros((5, 5), dtype=bool)
+    adj[0, 1] = adj[1, 0] = True
+    adj[3, 4] = adj[4, 3] = True
+    labels = _components_dense(adj)
+    assert labels[0] == labels[1] and labels[3] == labels[4]
+    assert labels[2] not in (labels[0], labels[3])
