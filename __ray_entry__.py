@@ -1704,6 +1704,92 @@ def _emb_near_dup(sf_dir: str):
     return pairs
 
 
+def _doc_mixture_resample(sf_dir: str):
+    """Temperature-based mixture resampling (alpha=0.5) of documents
+    by language. Self-checks: (a) per-language realized output counts
+    sit within a 5-sigma binomial bound of target_rows * p_lang, and
+    (b) the output mixture is strictly closer to the temperature
+    target than the natural input mixture for the rarest language."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.sampling import temperature_resample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    alpha = 0.5
+    counts = ds.groupby("lang").count().to_pandas()
+    n_g = counts["count()"].to_numpy(dtype=np.float64)
+    langs = counts["lang"].to_numpy()
+    target_rows = int(n_g.sum())
+    p = n_g**alpha
+    p /= p.sum()
+    out = temperature_resample(
+        ds, group_col="lang", key="doc_id", alpha=alpha, target_rows=target_rows
+    )
+    got = out.groupby("lang").count().to_pandas().rename(columns={"count()": "n_out"})
+    res = pd.DataFrame({"lang": langs, "n_in": n_g.astype(np.int64),
+                        "expected": (target_rows * p)})
+    res = res.merge(got, on="lang", how="left").fillna({"n_out": 0})
+    res["n_out"] = res["n_out"].astype(np.int64)
+    # Bernoulli fractional part: per-source-row variance <= 1/4
+    tol = 5.0 * np.sqrt(res["n_in"].to_numpy() * 0.25) + 1.0
+    res["ok"] = np.abs(res["n_out"] - res["expected"]) <= tol
+    # rarest language upsampled toward target share
+    r = res.sort_values("n_in").iloc[0]
+    in_share = r["n_in"] / res["n_in"].sum()
+    out_share = r["n_out"] / res["n_out"].sum()
+    tgt_share = r["expected"] / res["expected"].sum()
+    res["rare_moved_toward_target"] = bool(
+        abs(out_share - tgt_share) < abs(in_share - tgt_share)
+    )
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+def _doc_tokenize_pack(sf_dir: str):
+    """End-to-end LLM pre-training packing pipeline: distributed BPE
+    training (one vocab-bounded shuffle) -> broadcast actor-pool
+    tokenization -> crop to max_length -> per-block FFD packing.
+    Self-checks: (a) token conservation — sum of per-bin fills equals
+    the corpus token total after cropping, (b) no bin exceeds
+    max_length, (c) packed padding fraction strictly below naive
+    one-sequence-per-bin padding (the reference's headline packing
+    claim, loader.py:103-209 / CLAUDE.md:153)."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.packing import pack_bins, packing_stats
+    from spectral_time_series_ray.stages.text import bpe_tokenize, train_bpe
+
+    max_len = 512
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges, _ = train_bpe(ds, n_merges=48)
+    toks = bpe_tokenize(ds, merges, concurrency=2)
+
+    def crop(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_points"] = np.minimum(batch["n_bpe_tokens"].to_numpy(), max_len)
+        return batch
+
+    cropped = toks.map_batches(crop, batch_format="pandas", batch_size=None)
+    packed = pack_bins(cropped, max_length=max_len).to_pandas()
+    stats = packing_stats(packed, max_len)
+    fills = packed.groupby("bin_id")["n_points"].sum()
+    conserve = int(packed["n_points"].sum()) == int(fills.sum())
+    bounded = bool((fills <= max_len).all())
+    fill_consistent = bool(
+        (packed.groupby("bin_id")["bin_fill"].first() == fills).all()
+    )
+    better = stats["packed_padding_frac"] < stats["naive_padding_frac"]
+    out = (
+        packed.groupby("bin_id")
+        .agg(n_seqs=("doc_id", "count"), fill=("n_points", "sum"))
+        .reset_index()
+        .sort_values("bin_id")
+        .reset_index(drop=True)
+    )
+    out["ok"] = bool(conserve and bounded and fill_consistent and better)
+    out["packed_padding_frac"] = stats["packed_padding_frac"]
+    out["naive_padding_frac"] = stats["naive_padding_frac"]
+    return out
+
+
 def _emb_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al., arXiv:2303.09540) over embeddings with
     planted near-duplicates: noisy copies of the first 10 vectors.
@@ -2782,6 +2868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "emb_near_dup": _emb_near_dup,
         "emb_semdedup": _emb_semdedup,
+        "doc_mixture_resample": _doc_mixture_resample,
+        "doc_tokenize_pack": _doc_tokenize_pack,
         "tr_train_crop": _tr_train_crop,
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_resample": _tr_resample,

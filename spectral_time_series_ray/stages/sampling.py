@@ -538,3 +538,66 @@ def assign_global_ids(ds, id_name: str = "row_id"):
         tag_block.remote(r, int(offsets[i]), id_name) for i, r in enumerate(refs)
     ]
     return ray.data.from_arrow_refs(tagged), int(counts.sum())
+
+
+def temperature_resample(
+    ds,
+    group_col: str,
+    key: str,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    seed: int = 42,
+    concurrency: int | None = None,
+):
+    """Temperature-based mixture resampling — the multilingual-LM data
+    mixing rule (Conneau & Lample, NeurIPS 2019; also mT5/XLM-R):
+    group share ``p_g ∝ n_g^alpha`` so low-resource groups are
+    upsampled relative to raw frequency (alpha=1 keeps the natural
+    mix, alpha=0 is uniform over groups).
+
+    Scale shape: pass 1 is a tiny ``groupby(group_col).count()`` (one
+    row per group); pass 2 broadcasts ``{group: expected copies/row}``
+    into a stateless ``map_batches`` that replicates each row
+    ``floor(r_g) + Bernoulli(frac(r_g))`` times, with the Bernoulli
+    decided by splitmix64(key, seed) — deterministic across reruns and
+    partition layouts, NO shuffle of the data rows.
+
+    Returns a Dataset of the resampled rows plus a ``copy_idx`` column
+    (0-based per source row; >0 marks upsampled duplicates).
+    """
+    import pyarrow as pa
+    import ray
+
+    from ..functions.bloom import hash_u64
+    from ..functions.hashing import fnv1a_u64
+
+    counts = ds.groupby(group_col).count().to_pandas()  # one row per group
+    n_g = counts["count()"].to_numpy(dtype=np.float64)
+    groups = counts[group_col].to_numpy()
+    n_total = float(n_g.sum())
+    if target_rows is None:
+        target_rows = int(n_total)
+    p = n_g**alpha
+    p /= p.sum()
+    rate = {g: float(target_rows * pi / ni) for g, pi, ni in zip(groups, p, n_g)}
+    rate_ref = ray.put(rate)
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        r = ray.get(rate_ref)
+        gcol = batch[group_col].to_pylist()
+        rates = np.array([r.get(g, 0.0) for g in gcol])
+        kcol = batch[key]
+        if pa.types.is_integer(kcol.type):
+            h = hash_u64(kcol.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = fnv1a_u64([str(v) for v in kcol.to_pylist()])
+        u = (hash_u64(h ^ np.uint64(seed)) >> np.uint64(11)) / float(1 << 53)
+        copies = np.floor(rates).astype(np.int64) + (u < (rates % 1.0))
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), copies)
+        out = batch.take(pa.array(idx))
+        # 0-based copy index within each replicated source row
+        starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        copy_idx = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, copies)
+        return out.append_column("copy_idx", pa.array(copy_idx))
+
+    return ds.map_batches(replicate, batch_format="pyarrow", batch_size=None)

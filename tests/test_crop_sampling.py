@@ -357,3 +357,42 @@ def test_weighted_union_hash_mode(ray_session):
     # deterministic
     out2 = weighted_union([(ds, 1.3)], key="conv_id", fractional_mode="hash").to_pandas()
     assert len(out2) == len(out)
+
+
+def test_temperature_resample(ray_session):
+    """alpha=0.5 mixture: per-group output counts hit the n_g^alpha
+    target within a binomial bound; alpha=1 is a near-identity; the
+    operator is deterministic across reruns and partition layouts."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.sampling import temperature_resample
+
+    rng = np.random.default_rng(3)
+    langs = np.repeat(["en", "de", "zh"], [900, 80, 20])
+    df = pd.DataFrame({"doc_id": np.arange(len(langs)), "lang": langs})
+    ds = ray.data.from_pandas(df).repartition(4).materialize()
+
+    out = temperature_resample(ds, "lang", "doc_id", alpha=0.5,
+                               target_rows=1000).to_pandas()
+    got = out.groupby("lang")["doc_id"].count()
+    n_g = np.array([80.0, 900.0, 20.0])  # de, en, zh (alphabetical)
+    p = np.sqrt(n_g); p /= p.sum()
+    exp = 1000 * p
+    for lang, e, n in zip(["de", "en", "zh"], exp, n_g):
+        assert abs(got[lang] - e) <= 5 * np.sqrt(n * 0.25) + 1, (lang, got[lang], e)
+    # upsampled rows carry copy_idx > 0; zh must be upsampled (rate > 1)
+    assert (out[out["lang"] == "zh"]["copy_idx"] > 0).any()
+
+    # determinism under a different partition layout
+    ds2 = ray.data.from_pandas(df).repartition(9).materialize()
+    out2 = temperature_resample(ds2, "lang", "doc_id", alpha=0.5,
+                                target_rows=1000).to_pandas()
+    a = out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # alpha=1, target=N: every rate is exactly 1 -> identity multiset
+    ident = temperature_resample(ds, "lang", "doc_id", alpha=1.0,
+                                 target_rows=len(df)).to_pandas()
+    assert len(ident) == len(df)
+    assert (ident["copy_idx"] == 0).all()
