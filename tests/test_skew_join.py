@@ -72,3 +72,34 @@ def test_skew_join_no_skew_still_exact():
     ).to_pandas()
     # inner-join semantics: only even keys survive
     assert sorted(out["k"]) == list(range(0, 50, 2))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skew_join_hot_threshold(skewed_tables):
+    """Equality holds at both threshold extremes: forced-broadcast
+    (hot_min_count=1 routes every MG survivor hot) and forced-plain
+    (huge threshold -> empty hot set, single hash join)."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import skew_join
+
+    fact, dim = skewed_tables
+    exp = (
+        fact.merge(dim, left_on="k", right_on="dk")
+        .drop(columns=["dk"])
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    for hot_min in (1, 10**9):
+        out = (
+            skew_join(
+                ray.data.from_pandas(fact).repartition(8),
+                ray.data.from_pandas(dim).repartition(2),
+                fact_key="k", dim_key="dk", hot_k=16, num_partitions=4,
+                hot_min_count=hot_min,
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["k", "v", "label"]], exp[["k", "v", "label"]])
