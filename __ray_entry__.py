@@ -1402,9 +1402,11 @@ def _doc_chunking(sf_dir: str):
              "n_tokens": [np.int64(len(toks))]}
         )
 
+    from spectral_time_series_ray.stages.join import partition_merge_join
+
     rec = chunks.groupby("doc_id").map_groups(rec_group, batch_format="pandas")
     orig = docs.map_batches(orig_hash, batch_format="pandas", batch_size=None)
-    joined = rec.join(orig, join_type="inner", num_partitions=8, on=("doc_id",))
+    joined = partition_merge_join(rec, orig, on="doc_id", how="inner")
 
     def verdict(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id", "n_chunks", "n_tokens"]].copy()

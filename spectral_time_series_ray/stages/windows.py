@@ -148,10 +148,17 @@ class HybridReversalScorer:
             reverse_with_base_context,
         )
 
+        # column-wise numpy access + zip (same shape as
+        # NaiveForecastScorer above): rows hold ragged arrays so the
+        # sequential-reversal kernels stay per-row, but no per-row
+        # pandas Series is ever built
         rows = []
-        for _, r in batch.iterrows():
-            ctx = np.asarray(r["context"], dtype=np.float64)
-            hor = np.asarray(r["horizon"], dtype=np.float64)
+        for cid, win, ctx, hor in zip(
+            batch["conv_id"].to_numpy(), batch["window"].to_numpy(),
+            batch["context"].to_numpy(), batch["horizon"].to_numpy(),
+        ):
+            ctx = np.asarray(ctx, dtype=np.float64)
+            hor = np.asarray(hor, dtype=np.float64)
             L, H = len(ctx), len(hor)
             full = np.concatenate([ctx, hor])
             pre_full = forward_precondition(full, self.coeffs)
@@ -165,8 +172,8 @@ class HybridReversalScorer:
             mse_gt = M.mse(hor, rev_gt)
             # hybrid: median of S jittered base sample paths as context
             rng = np.random.default_rng(
-                [self.seed, int(fnv1a_u64([str(r["conv_id"])])[0]) & 0x7FFFFFFF,
-                 int(r["window"])]
+                [self.seed, int(fnv1a_u64([str(cid)])[0]) & 0x7FFFFFFF,
+                 int(win)]
             )
             base_naive = np.tile(ctx[-season:], reps)[:H]
             scale = max(1e-9, float(np.nanstd(ctx)))
@@ -177,8 +184,8 @@ class HybridReversalScorer:
             )
             rows.append(
                 {
-                    "conv_id": r["conv_id"],
-                    "window": r["window"],
+                    "conv_id": cid,
+                    "window": win,
                     "mse_precond": mse_precond,
                     "mse_gt_reversed": mse_gt,
                     "mse_hybrid": M.mse(hor, rev_hy),
