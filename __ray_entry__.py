@@ -1402,9 +1402,37 @@ def _doc_chunking(sf_dir: str):
              "n_tokens": [np.int64(len(toks))]}
         )
 
+    def rec_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        # partitioning assumption (by construction, not re-shuffled):
+        # DocumentChunker emits ALL chunks of an input row inside one
+        # output batch, so a doc's chunks never span blocks — per-doc
+        # reconstruction is a per-batch pandas groupby, no Ray groupby
+        # shuffle needed (measured 2.7s -> 0s of the 6.8s query).
+        # Guarded, not assumed: every group must carry its full
+        # n_chunks (dynamic block splitting could in principle cut a
+        # task's output); a violation raises instead of mis-verifying.
+        got = batch.groupby("doc_id", sort=False)["chunk_idx"].size()
+        exp = batch.groupby("doc_id", sort=False)["n_chunks"].first()
+        if not (got == exp).all():
+            raise RuntimeError(
+                "doc chunks split across blocks — raise block size or "
+                "use the groupby reconstruction path"
+            )
+        if not len(batch):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "rec_hash": pd.Series([], dtype=np.int64),
+                 "n_chunks": pd.Series([], dtype=np.int64),
+                 "n_tokens": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(
+            [rec_group(g) for _, g in batch.groupby("doc_id", sort=False)],
+            ignore_index=True,
+        )
+
     from spectral_time_series_ray.stages.join import partition_merge_join
 
-    rec = chunks.groupby("doc_id").map_groups(rec_group, batch_format="pandas")
+    rec = chunks.map_batches(rec_batch, batch_format="pandas", batch_size=None)
     orig = docs.map_batches(orig_hash, batch_format="pandas", batch_size=None)
     joined = partition_merge_join(rec, orig, on="doc_id", how="inner")
 
