@@ -243,8 +243,16 @@ def decode_timestamps(data: bytes) -> np.ndarray:
     out[0] = np.array([r.read(64)], dtype=np.uint64).view(np.int64)[0]
     if n == 1:
         return out
+
+    # the encoder differences in WRAPPING int64 (np.diff); mirror that
+    # here — accumulate in Python ints but reduce mod 2^64 back into
+    # the signed range, so extreme deltas round-trip bit-exactly
+    def _s64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
     delta = _unzigzag(r.read(64))
-    out[1] = out[0] + delta
+    out[1] = _s64(int(out[0]) + delta)
     for i in range(2, n):
         if r.read(1) == 0:
             dod = 0
@@ -256,8 +264,8 @@ def decode_timestamps(data: bytes) -> np.ndarray:
             dod = r.read(12) - 2047
         else:
             dod = _unzigzag(r.read(64))
-        delta += dod
-        out[i] = out[i - 1] + delta
+        delta = _s64(delta + dod)
+        out[i] = _s64(int(out[i - 1]) + delta)
     return out
 
 
