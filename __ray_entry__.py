@@ -2776,6 +2776,111 @@ def _tr_observability_pipeline(sf_dir: str):
     return checks
 
 
+def _graph_pagerank(sf_dir: str):
+    """Distributed PageRank (`graph.pagerank`, Page et al. 1999) over
+    the customer→supplier trade graph: one edge per DISTINCT
+    (o_custkey, l_suppkey) pair reached through orders⨝lineitem.
+    Power iteration runs entirely as int-keyed hash exchanges (2 per
+    iteration); the driver sees one float per round.
+
+    SELF-VERIFYING: the distinct edge list is bounded by
+    |customers|×|suppliers| (a dimension product, not fact-table
+    scale), so the verification pulls the EDGES — never the fact
+    tables — and recomputes 6 rounds of dense numpy power iteration;
+    asserts max |Δrank| < 1e-10 and rank mass == 1.  Returns the
+    top-10 suppliers by rank (suppliers are offset by +10^9 to keep
+    the node-id space disjoint from customers)."""
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.graph import pagerank
+    from spectral_time_series_ray.stages.join import partition_merge_join
+
+    SUPP_OFF = 1_000_000_000
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def _ok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["o_orderkey"].to_numpy(np.int64),
+                             "cust": b["o_custkey"].to_numpy(np.int64)})
+
+    def _lk(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                             "supp": b["l_suppkey"].to_numpy(np.int64)})
+
+    joined = partition_merge_join(
+        line.map_batches(_lk, batch_format="pandas", batch_size=None),
+        orders.map_batches(_ok, batch_format="pandas", batch_size=None),
+        on="k", how="inner",
+    )
+
+    # distinct pairs with ONE int-keyed exchange (per-batch dedup →
+    # tag by pair hash → per-partition dedup), not a 2-key range sort
+    P = 32
+
+    def _edge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"src": b["cust"].to_numpy(np.int64),
+                          "dst": b["supp"].to_numpy(np.int64) + SUPP_OFF})
+        e = e.drop_duplicates()
+        e["_part"] = (
+            pd.util.hash_pandas_object(
+                e["src"] * 1_000_003 + e["dst"], index=False
+            ).to_numpy() % P
+        ).astype(np.int32)
+        return e
+
+    edges = (
+        joined.map_batches(_edge_partial, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["src", "dst"])[["src", "dst"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    ranks = pagerank(edges, iters=6)
+
+    # verification oracle: dense numpy power iteration on the driver
+    # (edge list is dimension-product bounded — see docstring)
+    edf = edges.to_pandas()
+    nodes = np.unique(np.concatenate([edf["src"], edf["dst"]]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outd = np.zeros(n)
+    src_i = edf["src"].map(idx).to_numpy()
+    dst_i = edf["dst"].map(idx).to_numpy()
+    np.add.at(outd, src_i, 1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        dang = r[outd == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst_i, r[src_i] / np.maximum(outd[src_i], 1))
+        r = 0.15 / n + 0.85 * (contrib + dang / n)
+    exp = pd.DataFrame({"node": nodes, "rank_exp": r})
+
+    got = ranks.to_pandas().merge(exp, on="node", how="outer")
+    max_err = float(
+        np.abs(np.nan_to_num(got["rank"].to_numpy(), nan=np.inf)
+               - np.nan_to_num(got["rank_exp"].to_numpy(), nan=-np.inf)).max()
+    )
+    mass = float(got["rank"].fillna(0).sum())
+    ok = bool(len(got) == n and max_err < 1e-10 and abs(mass - 1.0) < 1e-9)
+
+    top = (
+        got.loc[got["node"] >= SUPP_OFF]
+        .nlargest(10, "rank")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame({
+        "supp_key": (top["node"] - SUPP_OFF).astype(np.int64),
+        "rank": top["rank"].round(12),
+        "n_nodes": n,
+        "max_err": max_err,
+        "ok": ok,
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -2917,6 +3022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_weighted_sample": _ev_weighted_sample,
         "ev_bootstrap_ci": _ev_bootstrap_ci,
         "doc_global_ids": _doc_global_ids,
+        "graph_pagerank": _graph_pagerank,
         "tr_observability_pipeline": _tr_observability_pipeline,
         "ev_cms_user_counts": _ev_cms_user_counts,
         "ev_bottomk_sample": _ev_bottomk_sample,

@@ -126,3 +126,181 @@ def components_to_clusters(labels) -> pd.DataFrame:
     df = df.sort_values("doc_id").reset_index(drop=True)
     df["is_keeper"] = df["doc_id"] == df["cluster_id"]
     return df
+
+
+def pagerank(
+    edges,
+    damping: float = 0.85,
+    iters: int = 8,
+    num_partitions: int | None = None,
+):
+    """Distributed PageRank (Page et al., 1999) over a directed edge
+    Dataset ``(src: int64, dst: int64)`` by power iteration — the
+    standard Pregel/MapReduce shape. Returns a Dataset
+    ``(node, rank)`` with one row per node appearing in any edge.
+
+    Exactly TWO exchanges per iteration (a first cut with
+    partition-merge joins ran four and spent ~8 s/iter in pure
+    scheduling on a 2k-node graph):
+
+    1. ``union(edges tagged hash(src)%P, ranks tagged hash(node)%P)``
+       → one ``groupby(_part).map_groups`` merge that emits per-edge
+       contributions ``rank(src)/outdeg(src)`` toward each dst,
+       pre-reduced by dst inside the partition.
+    2. ``union(contribs tagged hash(dst)%P, STATIC node table tagged
+       once)`` → one ``groupby(_part).map_groups`` that sums
+       contributions per node, left-joins the node table (nodes with
+       no in-edges keep the teleport term), and emits the new rank
+       vector — fusing the groupby-sum and the join-back into one
+       pass.
+
+    Dangling mass (rank parked on nodes without out-edges) is read
+    from the PREVIOUS iteration's materialized rank vector with one
+    shuffle-free scan aggregate: ``sum(rank where outdeg == 0)`` —
+    exact, no mid-pipeline barrier. Edges and the node side are
+    tagged + materialized once, so an expensive upstream edge
+    pipeline runs once, not per iteration. Rank vectors only ever
+    move through int-keyed hash exchanges; the driver sees one float
+    per round.
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    # node table + out-degrees (one pass over edges)
+    def ends(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"node": pa.array(np.concatenate([s, d])),
+                      "outd": pa.array(np.concatenate([np.ones(len(s), np.int64),
+                                                       np.zeros(len(d), np.int64)]))})
+        return t.group_by(["node"]).aggregate([("outd", "sum")])
+
+    def _tag(df: pd.DataFrame, key: str) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(df[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+
+    # exchange-0 (setup): out-degree rollup; nodes side stays tagged +
+    # materialized for every iteration's update pass
+    from ray.data.aggregate import Sum
+
+    nodes = (
+        edges.map_batches(ends, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(Sum("outd_sum", alias_name="outd"))
+        .materialize()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+
+    def node_side(batch: pd.DataFrame) -> pd.DataFrame:
+        outd = batch["outd"].to_numpy(dtype=np.float64)
+        out = pd.DataFrame({
+            "node": batch["node"].to_numpy(np.int64),
+            "w": np.full(len(batch), np.nan),          # NaN marks the node side
+            "inv_outd": np.where(outd > 0, 1.0 / np.maximum(outd, 1.0), 0.0),
+        })
+        out["_part"] = _tag(out, "node")
+        return out
+
+    nodes_tagged = nodes.map_batches(
+        node_side, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def edge_side(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": batch["src"].to_numpy(np.int64),
+            "dst": batch["dst"].to_numpy(np.int64),
+            "w": np.full(len(batch), np.nan),          # NaN marks the edge side
+        })
+        out["_part"] = _tag(out, "key")
+        return out
+
+    edges_tagged = edges.map_batches(
+        edge_side, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    # ranks start uniform: (node, rank, inv_outd)
+    ranks = nodes_tagged.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"].to_numpy(np.int64),
+            "rank": np.full(len(b), 1.0 / n),
+            "inv_outd": b["inv_outd"].to_numpy(dtype=np.float64),
+        }),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+
+    def dangling_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        r = batch["rank"].to_numpy(dtype=np.float64)
+        dead = batch["inv_outd"].to_numpy(dtype=np.float64) == 0.0
+        return pd.DataFrame({"d": [float(r[dead].sum())]})
+
+    for _ in range(iters):
+        # shuffle-free scan: rank mass on nodes without out-edges
+        dangling = (
+            ranks.map_batches(dangling_partial, batch_format="pandas",
+                              batch_size=None).sum("d")
+            or 0.0
+        )
+
+        def rank_side(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "key": batch["node"].to_numpy(np.int64),
+                "dst": np.full(len(batch), -1, np.int64),   # filler; side is w-keyed
+                "w": batch["rank"].to_numpy() * batch["inv_outd"].to_numpy(),
+            })
+            out["_part"] = _tag(out, "key")
+            return out
+
+        both = edges_tagged.union(
+            ranks.map_batches(rank_side, batch_format="pandas", batch_size=None)
+        )
+
+        def contrib_part(g: pd.DataFrame) -> pd.DataFrame:
+            is_rank = g["w"].notna().to_numpy()   # edge rows carry w = NaN
+            rk = g.loc[is_rank, ["key", "w"]]
+            ed = g.loc[~is_rank, ["key", "dst"]]
+            m = ed.merge(rk, on="key", how="inner")
+            if not len(m):
+                return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                     "w": pd.Series([], dtype=np.float64),
+                                     "_part": pd.Series([], dtype=np.int32)})
+            out = m.groupby("dst", as_index=False)["w"].sum()
+            out.columns = ["node", "w"]
+            out["_part"] = _tag(out, "node")
+            return out[["node", "w", "_part"]]
+
+        contribs = both.groupby("_part").map_groups(
+            contrib_part, batch_format="pandas"
+        )
+
+        def update_part(g: pd.DataFrame) -> pd.DataFrame:
+            nd = g.loc[g["inv_outd"].notna(), ["node", "inv_outd"]]
+            cb = g.loc[g["inv_outd"].isna(), ["node", "w"]]
+            if len(cb):
+                sums = cb.groupby("node", as_index=False)["w"].sum()
+                nd = nd.merge(sums, on="node", how="left")
+                w = np.nan_to_num(nd["w"].to_numpy(dtype=np.float64), nan=0.0)
+            else:
+                w = np.zeros(len(nd))
+            return pd.DataFrame({
+                "node": nd["node"].to_numpy(np.int64),
+                "rank": base + damping * (w + dangling / n),
+                "inv_outd": nd["inv_outd"].to_numpy(dtype=np.float64),
+            })
+
+        def contrib_pad(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["inv_outd"] = np.nan                  # NaN marks the contrib side
+            return batch[["node", "w", "inv_outd", "_part"]]
+
+        merged = nodes_tagged.select_columns(["node", "w", "inv_outd", "_part"]).union(
+            contribs.map_batches(contrib_pad, batch_format="pandas",
+                                 batch_size=None)
+        )
+        ranks = merged.groupby("_part").map_groups(
+            update_part, batch_format="pandas"
+        ).materialize()
+
+    return ranks.select_columns(["node", "rank"])

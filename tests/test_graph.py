@@ -52,3 +52,46 @@ def test_cc_unconverged_warns(ray_session):
     pairs = [(i, i + 1) for i in range(8)]
     with pytest.warns(UserWarning, match="no fixpoint"):
         connected_components(_edges_ds(pairs), max_rounds=1, num_partitions=2)
+
+
+def _numpy_pagerank(edges_df, iters, damping=0.85):
+    nodes = np.unique(np.concatenate([edges_df["src"], edges_df["dst"]]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outd = np.zeros(n)
+    src_i = edges_df["src"].map(idx).to_numpy()
+    dst_i = edges_df["dst"].map(idx).to_numpy()
+    np.add.at(outd, src_i, 1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[outd == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst_i, r[src_i] / np.maximum(outd[src_i], 1))
+        r = (1 - damping) / n + damping * (contrib + dang / n)
+    return pd.DataFrame({"node": nodes, "rank": r})
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    edges_df = (
+        pd.DataFrame({"src": rng.integers(0, 300, 1500),
+                      "dst": rng.integers(0, 300, 1500)})
+        .drop_duplicates().reset_index(drop=True)
+    )
+    # add guaranteed dangling nodes (appear only as dst)
+    edges_df = pd.concat(
+        [edges_df, pd.DataFrame({"src": [0, 1], "dst": [9001, 9002]})],
+        ignore_index=True,
+    )
+    got = (
+        pagerank(ray.data.from_pandas(edges_df), iters=5, num_partitions=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    exp = _numpy_pagerank(edges_df, iters=5).sort_values("node").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got["rank"].to_numpy(), exp["rank"].to_numpy(), atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9  # rank mass conserved
