@@ -2977,6 +2977,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_theilsen_trend": Q.ev_theilsen_trend,
         "ev_json_props": Q.ev_json_props,
         "q7_nation_volume": Q.q7_nation_volume,
+        "q8_market_share": Q.q8_market_share,
+        "q13_customer_orders_dist": Q.q13_customer_orders_dist,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q17_small_qty_revenue": Q.q17_small_qty_revenue,
+        "q22_idle_customers": Q.q22_idle_customers,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -3890,6 +3895,89 @@ def oracle_sql() -> dict[str, str]:
                    join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderkey
             limit 10
+        """,
+        "q13_customer_orders_dist": """
+            with c as (
+              select c_custkey, count(o_orderkey) as c_count
+              from customer left join orders
+                on o_custkey = c_custkey and o_orderpriority <> '1-URGENT'
+              group by 1
+            )
+            select c_count, cast(count(*) as bigint) as custdist
+            from c group by c_count
+        """,
+        "q15_top_supplier": """
+            with r as (
+              select l_suppkey,
+                     sum(cast(round(l_extendedprice * 100) as bigint)
+                         * cast(round((1 - l_discount) * 100) as bigint)) as rev4
+              from lineitem
+              where l_shipdate >= timestamp '1996-01-01'
+                and l_shipdate <  timestamp '1996-04-01'
+              group by 1
+            )
+            select s_suppkey, s_name,
+                   round(cast(rev4 as double) / 10000, 2) as total_revenue
+            from r join supplier on s_suppkey = l_suppkey
+            where rev4 = (select max(rev4) from r)
+        """,
+        "q17_small_qty_revenue": """
+            with pa as (
+              select l_partkey,
+                     0.2 * (cast(sum(cast(round(l_quantity * 100) as bigint)) as double)
+                            / 100.0 / count(*)) as thr
+              from lineitem join part on p_partkey = l_partkey
+              where p_brand = 'Brand#11'
+              group by 1
+            )
+            select round(cast(sum(cast(round(l_extendedprice * 100) as bigint)) as double)
+                         / 700.0, 2) as avg_yearly,
+                   cast(count(*) as bigint) as n_lines
+            from lineitem join pa using (l_partkey)
+            where l_quantity < thr
+        """,
+        "q22_idle_customers": """
+            with thr as (
+              select cast(sum(cast(round(c_acctbal * 100) as bigint)) as double)
+                     / count(*) / 100.0 as v
+              from customer where c_acctbal > 0
+            ),
+            sel as (
+              select c_custkey, c_nationkey, c_acctbal
+              from customer, thr
+              where c_acctbal > thr.v
+                and not exists (select 1 from orders
+                                where o_custkey = c_custkey
+                                  and o_orderdate >= timestamp '2000-01-01')
+            )
+            select c_nationkey, cast(count(*) as bigint) as numcust,
+                   round(cast(sum(cast(round(c_acctbal * 100) as bigint)) as double)
+                         / 100.0, 2) as totacctbal
+            from sel group by 1
+        """,
+        "q8_market_share": """
+            with l as (
+              select l_orderkey,
+                     cast(round(l_extendedprice * 100) as bigint)
+                     * cast(round((1 - l_discount) * 100) as bigint) as rev4,
+                     (s_nationkey = 2) as is_t
+              from lineitem join part on p_partkey = l_partkey
+                            join supplier on s_suppkey = l_suppkey
+              where p_type = 'PROMO'
+            ),
+            o as (
+              select o_orderkey, year(o_orderdate) as o_year
+              from orders join customer on c_custkey = o_custkey
+                          join nation on n_nationkey = c_nationkey
+              where n_regionkey = 2
+                and o_orderdate >= timestamp '1995-01-01'
+                and o_orderdate <  timestamp '1997-01-01'
+            )
+            select o_year,
+                   round(cast(sum(case when is_t then rev4 else 0 end) as double)
+                         / cast(sum(rev4) as double), 6) as mkt_share
+            from l join o on o_orderkey = l_orderkey
+            group by o_year
         """,
         "q19_disjunctive": """
             select round(cast(sum(cast(round(l_extendedprice * 100) as bigint)

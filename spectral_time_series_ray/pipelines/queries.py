@@ -2580,3 +2580,327 @@ def q7_nation_volume(sf_dir: str):
         return batch
 
     return merged.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def q13_customer_orders_dist(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by order count
+    (orders filtered to non-URGENT). Scale path: NO left join — the
+    zero-order bucket is the COMPLEMENT count (total customers minus
+    customers seen in orders), so only per-customer count partials and
+    a bounded histogram (max orders per customer ≈ tens) ever move;
+    the driver merges one tiny count-of-counts frame per block."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") != "1-URGENT",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch["o_custkey"]})
+        t = t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+        return t.group_by(["o_custkey"]).aggregate([("n", "sum")])
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .aggregate(Sum("n_sum", alias_name="c_count"))
+    )
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["c_count"].value_counts()
+        return pd.DataFrame(
+            {"c_count": vc.index.to_numpy(np.int64),
+             "custdist": vc.to_numpy(np.int64)}
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby("c_count", as_index=False)["custdist"].sum()
+    )
+    n_cust = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = int(n_cust - hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist = hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return hist
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) with max revenue in a quarter.
+    Scale path: lineitem streams once emitting exact scale-1e4 int64
+    revenue partials per suppkey; the global argmax uses per-block
+    partial maxima (ties kept), so the driver sees at most a handful
+    of rows per block; winner names come from a key-filter-pushdown
+    supplier read."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= np.datetime64("1996-01-01", "us"))
+        & (pc.field("l_shipdate") < np.datetime64("1996-04-01", "us")),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep_i = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        d_i = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(ep_i, pc.subtract(pa.scalar(100, pa.int64()), d_i))
+        return pa.table({"l_suppkey": batch["l_suppkey"], "rev4": rev4}).group_by(
+            ["l_suppkey"]
+        ).aggregate([("rev4", "sum")])
+
+    totals = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev4_sum", alias_name="rev4"))
+    )
+
+    def block_max(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df[df["rev4"] == df["rev4"].max()]
+
+    cand = totals.map_batches(block_max, batch_format="pandas").to_pandas()
+    winners = cand[cand["rev4"] == cand["rev4"].max()].copy()
+    names = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+        filter=pc.field("s_suppkey").isin(winners["l_suppkey"].tolist()),
+    ).to_pandas()
+    out = winners.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = round_half_away(
+        out["rev4"].to_numpy(dtype=np.float64) / 1e4, 2
+    )
+    out = out.sort_values("s_suppkey").reset_index(drop=True)
+    return out[["s_suppkey", "s_name", "total_revenue"]]
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand. Scale path: the brand's partkeys are a DIMENSION slice →
+    broadcast LUT; the brand's lineitems stream twice (once for exact
+    per-part (count, qty-sum) moments, once to filter qty < 0.2*avg
+    and sum cents) — both passes prune partkeys at the scan and move
+    only fixed-width partials. The avg threshold is computed in the
+    same IEEE double ops as the DuckDB oracle (int sums → one
+    division), so the strict-< comparison is bit-identical."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pk = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand"],
+        filter=pc.field("p_brand") == "Brand#11",
+    ).to_pandas()["p_partkey"].to_numpy(np.int64)
+    pk_list = pk.tolist()
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        filter=pc.field("l_partkey").isin(pk_list),
+    ).materialize()
+
+    def moments(batch: pa.Table) -> pa.Table:
+        q_i = pc.cast(pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"l_partkey": batch["l_partkey"], "q2": q_i})
+        t = t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+        return t.group_by(["l_partkey"]).aggregate([("q2", "sum"), ("n", "sum")])
+
+    mom = (
+        li.map_batches(moments, batch_format="pyarrow", batch_size=None)
+        .groupby("l_partkey")
+        .aggregate(Sum("q2_sum", alias_name="q2"), Sum("n_sum", alias_name="n"))
+        .to_pandas()
+    )
+    # threshold per part: 0.2 * avg(quantity); same double ops as oracle
+    thr = 0.2 * ((mom["q2"].to_numpy(np.int64) / 100.0) / mom["n"].to_numpy(np.int64))
+    lut = np.full(int(pk.max()) + 1 if len(pk) else 1, -1.0, np.float64)
+    lut[mom["l_partkey"].to_numpy(np.int64)] = thr
+    lut_ref = ray.put(lut)
+
+    def small(batch: pa.Table) -> pa.Table:
+        t = ray.get(lut_ref)
+        pkv = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = q < t[pkv]
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.round(ep * 100.0).astype(np.int64)
+        return pa.table({"cents": [int(cents.sum())], "n": [int(keep.sum())]})
+
+    agg = li.map_batches(small, batch_format="pyarrow", batch_size=None).to_pandas()
+    cents, n = int(agg["cents"].sum()), int(agg["n"].sum())
+    return pd.DataFrame({
+        "avg_yearly": [round_half_away(cents / 700.0, 2)],
+        "n_lines": np.array([n], np.int64),
+    })
+
+
+def q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape: well-funded customers with no recent orders,
+    grouped by nation. Scale path: the global positive-balance average
+    is two int64 scalar partials (cents sum + count); the "no recent
+    order" test is an EXACT distributed anti-join (partition-merge,
+    never a driver key set); per-nation aggregates use scaled-int
+    cents so the oracle hash matches bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import partition_merge_join
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        b = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        cents = np.round(pos * 100.0).astype(np.int64)
+        return pa.table({"cents": [int(cents.sum())], "n": [len(pos)]})
+
+    bp = cust.map_batches(bal_partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    threshold = (float(bp["cents"].sum()) / float(bp["n"].sum())) / 100.0
+
+    rich = cust.map_batches(
+        lambda b: b[b["c_acctbal"].to_numpy() > threshold],
+        batch_format="pandas", batch_size=None,
+    )
+
+    recent = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= np.datetime64("2000-01-01", "us"),
+    ).select_columns(["o_custkey"]).map_batches(
+        lambda b: pd.DataFrame({"c_custkey": b["o_custkey"].unique()}),
+        batch_format="pandas", batch_size=None,
+    )
+    idle = partition_merge_join(rich, recent, on="c_custkey", how="anti")
+
+    def nat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["c_acctbal"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"c_nationkey": batch["c_nationkey"].to_numpy(np.int64),
+                          "cents": cents, "numcust": np.ones(len(batch), np.int64)})
+        return g.groupby("c_nationkey", as_index=False).sum()
+
+    out = (
+        idle.map_batches(nat_partial, batch_format="pandas", batch_size=None)
+        .groupby("c_nationkey")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("numcust", alias_name="numcust"))
+        .to_pandas()
+    )
+    out["totacctbal"] = round_half_away(out["cents"].to_numpy(np.float64) / 100.0, 2)
+    out["numcust"] = out["numcust"].astype(np.int64)
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+    return out.sort_values("c_nationkey").reset_index(drop=True)[
+        ["c_nationkey", "numcust", "totacctbal"]
+    ]
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: target nation's market share of PROMO-part
+    revenue among ASIA-region customers, by order year. Scale path:
+    part and supplier are DIMENSION sides → broadcast LUTs (promo
+    membership; supplier→is-target-nation); orders⨝customer co-locate
+    via hash join; lineitem streams once emitting per-orderkey
+    (rev_total, rev_target) scale-1e4 int64 partials that hash-join
+    the order→year side. Share = target/total in double, round 6 —
+    identical IEEE ops to the oracle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    P = _join_partitions()
+    TARGET_NATION = 2
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nat_keys = set(
+        int(k) for k in nation.loc[nation["n_regionkey"] == asia, "n_nationkey"]
+    )
+
+    promo = _read(
+        sf_dir, "part", columns=["p_partkey", "p_type"],
+        filter=pc.field("p_type") == "PROMO",
+    ).to_pandas()["p_partkey"].to_numpy(np.int64)
+    promo_lut = np.zeros(int(promo.max()) + 1 if len(promo) else 1, bool)
+    promo_lut[promo] = True
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    tgt_lut = np.zeros(int(sup["s_suppkey"].max()) + 1 if len(sup) else 1, bool)
+    tgt_lut[sup.loc[sup["s_nationkey"] == TARGET_NATION, "s_suppkey"].to_numpy()] = True
+
+    promo_ref, tgt_ref = ray.put(promo_lut), ray.put(tgt_lut)
+
+    cust = semi_join_keys(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        nat_keys, "c_nationkey",
+    ).select_columns(["c_custkey"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= np.datetime64("1995-01-01", "us"))
+        & (pc.field("o_orderdate") < np.datetime64("1997-01-01", "us")),
+    )
+
+    def year_col(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": batch["o_custkey"].to_numpy(np.int64),
+            "o_year": pd.DatetimeIndex(batch["o_orderdate"]).year.to_numpy(np.int64),
+        })
+
+    orders_y = orders.map_batches(year_col, batch_format="pandas", batch_size=None)
+    orders_j = orders_y.join(
+        cust, join_type="inner", num_partitions=P,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_year"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(promo_ref)
+        tl = ray.get(tgt_ref)
+        pkv = batch["l_partkey"].to_numpy(np.int64)
+        keep = (pkv < len(pl)) & pl[np.minimum(pkv, len(pl) - 1)]
+        if not keep.any():
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                                 "rev4": pd.Series([], dtype=np.int64),
+                                 "rev4_t": pd.Series([], dtype=np.int64)})
+        b = batch[keep]
+        ep_i = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        d_i = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        rev4 = ep_i * (100 - d_i)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        is_t = (sk < len(tl)) & tl[np.minimum(sk, len(tl) - 1)]
+        g = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                          "rev4": rev4,
+                          "rev4_t": np.where(is_t, rev4, 0)})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    li_p = li.map_batches(li_partial, batch_format="pandas", batch_size=None)
+    joined = li_p.join(
+        orders_j, join_type="inner", num_partitions=P,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def year_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[["o_year", "rev4", "rev4_t"]].groupby("o_year", as_index=False).sum()
+        return g
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pandas", batch_size=None)
+        .groupby("o_year")
+        .aggregate(Sum("rev4", alias_name="rev4"), Sum("rev4_t", alias_name="rev4_t"))
+        .to_pandas()
+    )
+    out["mkt_share"] = round_half_away(
+        out["rev4_t"].to_numpy(np.float64) / out["rev4"].to_numpy(np.float64), 6
+    )
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out.sort_values("o_year").reset_index(drop=True)[["o_year", "mkt_share"]]
