@@ -2881,6 +2881,67 @@ def _graph_pagerank(sf_dir: str):
     })
 
 
+def _graph_triangles(sf_dir: str):
+    """Exact triangle count (`graph.triangle_count`: degree-ordered
+    orientation + wedge closure, Suri & Vassilvitskii WWW'11) over the
+    part co-purchase graph: edge (u, v) iff parts u < v appear in the
+    SAME order in ≥ 2 distinct orders. Edge building is two int-keyed
+    exchanges: per-order part pairs expand inside an orderkey-hash
+    partition (bounded by lines-per-order²), then pair-key partials
+    merge and the ≥2 threshold filters. ORACLE-CHECKED: DuckDB mirrors
+    the pair expansion with a self-join and counts triangles with the
+    canonical u<v<w three-way join."""
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.graph import triangle_count
+
+    P = 32
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                            "p": b["l_partkey"].to_numpy(np.int64)})
+        out = out.drop_duplicates()
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["k"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["k", "p"])
+        m = g.merge(g, on="k", suffixes=("_a", "_b"))
+        m = m[m["p_a"] < m["p_b"]]
+        if not len(m):
+            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "_p2": pd.Series([], dtype=np.int32)})
+        pk = m["p_a"].to_numpy(np.int64) * (1 << 32) + m["p_b"].to_numpy(np.int64)
+        out = pd.DataFrame({"pk": pk}).groupby("pk", as_index=False).size()
+        out.columns = ["pk", "cnt"]
+        out["_p2"] = (
+            pd.util.hash_pandas_object(out["pk"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    def threshold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", as_index=False)["cnt"].sum()
+        s = s[s["cnt"] >= 2]
+        pk = s["pk"].to_numpy(np.int64)
+        return pd.DataFrame({"u": pk >> 32, "v": pk & ((1 << 32) - 1)})
+
+    edges = (
+        li.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(order_pairs, batch_format="pandas")
+        .groupby("_p2")
+        .map_groups(threshold, batch_format="pandas")
+        .materialize()
+    )
+    n_edges = int(edges.count())
+    tri = triangle_count(edges) if n_edges else 0
+    return pd.DataFrame({"triangles": np.array([tri], np.int64),
+                         "n_edges": np.array([n_edges], np.int64)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -2982,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": Q.q15_top_supplier,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
+        "graph_triangles": _graph_triangles,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -3895,6 +3957,25 @@ def oracle_sql() -> dict[str, str]:
                    join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderkey
             limit 10
+        """,
+        "graph_triangles": """
+            with pi as (
+              select a.l_orderkey as k,
+                     a.l_partkey as u, b.l_partkey as v
+              from lineitem a join lineitem b
+                on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+            ),
+            pairs as (
+              select u, v
+              from (select distinct k, u, v from pi)
+              group by u, v having count(*) >= 2
+            )
+            select (select cast(count(*) as bigint)
+                    from pairs e1
+                    join pairs e2 on e2.u = e1.u and e2.v > e1.v
+                    join pairs e3 on e3.u = e1.v and e3.v = e2.v) as triangles,
+                   cast(count(*) as bigint) as n_edges
+            from pairs
         """,
         "q13_customer_orders_dist": """
             with c as (

@@ -304,3 +304,118 @@ def pagerank(
         ).materialize()
 
     return ranks.select_columns(["node", "rank"])
+
+
+def triangle_count(
+    edges,
+    num_partitions: int | None = None,
+) -> int:
+    """Exact distributed triangle count over an undirected edge
+    Dataset ``(u: int64, v: int64)`` with ``u < v``, no duplicates,
+    node ids < 2^31 (pair keys pack into one int64).
+
+    Algorithm: degree-ordered orientation + wedge closure (the
+    MapReduce formulation of Suri & Vassilvitskii, WWW 2011; see also
+    Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009). Each
+    edge is oriented from the endpoint that is SMALLER in the total
+    order (degree, node id) to the larger; every node's out-degree is
+    then O(sqrt(m)), so the wedge expansion — all pairs of
+    out-neighbors per source — is bounded by m^1.5 overall with no
+    per-node hotspot, even for power-law graphs. A triangle
+    {a, b, c} ordered a<b<c by (deg, id) is counted exactly once: as
+    the wedge (b, c) at a, closed by the oriented edge b→c.
+
+    Exchanges (all int-keyed hash partitions): degree rollup,
+    2 × edge⨝degree (orientation), wedge expansion keyed by source,
+    wedge⨝edge semi-join on the packed pair key. The driver sees one
+    int.
+    """
+    from ray.data.aggregate import Sum
+
+    from .join import partition_merge_join
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    # degrees: one pass + one int-keyed rollup
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"node": pa.array(np.concatenate([u, v]))})
+        t = t.append_column("d", pa.array(np.ones(len(u) * 2, np.int64)))
+        return t.group_by(["node"]).aggregate([("d", "sum")])
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(Sum("d_sum", alias_name="deg"))
+    )
+
+    # orientation: attach deg(u) and deg(v) (two partition-merge joins)
+    ue = edges.map_batches(
+        lambda b: pd.DataFrame({"node": b["u"].to_numpy(np.int64),
+                                "v": b["v"].to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=None,
+    )
+    j1 = partition_merge_join(ue, deg, on="node", how="inner",
+                              num_partitions=P)
+    j1 = j1.map_batches(
+        lambda b: pd.DataFrame({"u": b["node"].to_numpy(np.int64),
+                                "du": b["deg"].to_numpy(np.int64),
+                                "node": b["v"].to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=None,
+    )
+    j2 = partition_merge_join(j1, deg, on="node", how="inner",
+                              num_partitions=P)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["node"].to_numpy(np.int64)
+        du = b["du"].to_numpy(np.int64)
+        dv = b["deg"].to_numpy(np.int64)
+        # src = smaller in (deg, id) order
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        dsrc = np.where(u_first, du, dv)
+        ddst = np.where(u_first, dv, du)
+        out = pd.DataFrame({"src": src, "dst": dst,
+                            "dk": ddst * (1 << 32) + dst})  # (deg,id) order key
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["src"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    oriented = j2.map_batches(
+        orient, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def wedge_part(g: pd.DataFrame) -> pd.DataFrame:
+        # per source: all out-neighbor pairs ordered by (deg, id)
+        g = g.sort_values(["src", "dk"], kind="stable")
+        keys = []
+        for _, grp in g.groupby("src", sort=False):
+            d = grp["dst"].to_numpy(np.int64)
+            c = len(d)
+            if c < 2:
+                continue
+            i, j = np.triu_indices(c, k=1)
+            keys.append(d[i] * (1 << 32) + d[j])
+        if not keys:
+            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64)})
+        pk = np.concatenate(keys)
+        return pd.DataFrame({"pk": pk})
+
+    wedges = oriented.groupby("_part").map_groups(
+        wedge_part, batch_format="pandas"
+    )
+
+    edge_keys = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {"pk": b["src"].to_numpy(np.int64) * (1 << 32)
+                   + b["dst"].to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=None,
+    )
+    closed = partition_merge_join(wedges, edge_keys, on="pk", how="semi",
+                                  num_partitions=P)
+    return int(closed.count())

@@ -95,3 +95,29 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
     assert len(got) == len(exp)
     assert np.allclose(got["rank"].to_numpy(), exp["rank"].to_numpy(), atol=1e-12)
     assert abs(got["rank"].sum() - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    import itertools
+
+    import ray.data
+
+    from spectral_time_series_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    n = 60
+    pairs = set()
+    for u, v in rng.integers(0, n, (400, 2)):
+        if u != v:
+            pairs.add((int(min(u, v)), int(max(u, v))))
+    # brute force over node triples
+    adj = {p: True for p in pairs}
+    expected = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj
+    )
+    edges = ray.data.from_pandas(
+        pd.DataFrame(sorted(pairs), columns=["u", "v"]).astype(np.int64)
+    )
+    got = triangle_count(edges, num_partitions=4)
+    assert got == expected and expected > 0
