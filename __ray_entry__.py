@@ -2881,6 +2881,23 @@ def _graph_pagerank(sf_dir: str):
     })
 
 
+_PHRASES = ("fast merge", "hash join", "row group",
+            "slow scan", "sort merge", "table scan")
+
+
+def _doc_phrase_match(sf_dir: str):
+    """Multi-pattern phrase statistics (`text.phrase_match_stats`):
+    patterns compile once per actor; each block contributes a
+    |phrases|-row partial, merged by one tiny groupby. ORACLE-CHECKED
+    against DuckDB split-counting (both sides count non-overlapping
+    occurrences)."""
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.text import phrase_match_stats
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return phrase_match_stats(ds, _PHRASES)
+
+
 def _graph_triangles(sf_dir: str):
     """Exact triangle count (`graph.triangle_count`: degree-ordered
     orientation + wedge closure, Suri & Vassilvitskii WWW'11) over the
@@ -3044,6 +3061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
         "graph_triangles": _graph_triangles,
+        "doc_phrase_match": _doc_phrase_match,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -3957,6 +3975,20 @@ def oracle_sql() -> dict[str, str]:
                    join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderkey
             limit 10
+        """,
+        "doc_phrase_match": """
+            with p as (
+              select * from (values ('fast merge'), ('hash join'),
+                                    ('row group'), ('slow scan'),
+                                    ('sort merge'), ('table scan')) as t(phrase)
+            )
+            select phrase,
+                   cast(sum(case when len(string_split(text, phrase)) > 1
+                            then 1 else 0 end) as bigint) as n_docs,
+                   cast(sum(len(string_split(text, phrase)) - 1) as bigint)
+                       as n_matches
+            from documents, p
+            group by phrase
         """,
         "graph_triangles": """
             with pi as (
