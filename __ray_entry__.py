@@ -2898,6 +2898,68 @@ def _doc_phrase_match(sf_dir: str):
     return phrase_match_stats(ds, _PHRASES)
 
 
+def _bucketed_join_priority(sf_dir: str):
+    """Shuffle-free bucketed join (`state.bucketed`): orders and
+    lineitem are each hash-bucketed by orderkey ONCE (the last shuffle
+    that key ever needs — the Hive/Spark bucketed-table pattern), then
+    the join runs as one task per aligned bucket pair with ZERO
+    exchange, feeding a per-priority revenue rollup. ORACLE-CHECKED
+    against the plain SQL join — proving the bucketed path is
+    result-identical to the shuffle join it replaces."""
+    import shutil
+
+    from spectral_time_series_ray.pipelines.queries import _read, round_half_away
+    from spectral_time_series_ray.state.bucketed import bucketed_join, write_bucketed
+
+    import os
+
+    scratch = f"/tmp/graft_bucketed/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    n_buckets = 16
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        ep = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                          "rev4": ep * (100 - d),
+                          "n_lines": np.ones(len(b), np.int64)})
+        return g.groupby("l_orderkey", as_index=False).sum()
+
+    write_bucketed(
+        li.map_batches(li_prep, batch_format="pandas", batch_size=None),
+        "l_orderkey", n_buckets, f"{scratch}/lineitem",
+    )
+    write_bucketed(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        "o_orderkey", n_buckets, f"{scratch}/orders",
+    )
+
+    joined = bucketed_join(f"{scratch}/lineitem", f"{scratch}/orders",
+                           how="inner")
+
+    def prio_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["o_orderpriority", "rev4", "n_lines"]].groupby(
+            "o_orderpriority", as_index=False
+        ).sum()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(prio_partial, batch_format="pandas", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev4", alias_name="rev4"), Sum("n_lines", alias_name="n_lines"))
+        .to_pandas()
+    )
+    out["revenue"] = round_half_away(out["rev4"].to_numpy(np.float64) / 1e4, 2)
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)[
+        ["o_orderpriority", "revenue", "n_lines"]
+    ]
+
+
 def _graph_triangles(sf_dir: str):
     """Exact triangle count (`graph.triangle_count`: degree-ordered
     orientation + wedge closure, Suri & Vassilvitskii WWW'11) over the
@@ -3062,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": Q.q22_idle_customers,
         "graph_triangles": _graph_triangles,
         "doc_phrase_match": _doc_phrase_match,
+        "bucketed_join_priority": _bucketed_join_priority,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -3975,6 +4038,20 @@ def oracle_sql() -> dict[str, str]:
                    join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderkey
             limit 10
+        """,
+        "bucketed_join_priority": """
+            with l as (
+              select l_orderkey,
+                     sum(cast(round(l_extendedprice * 100) as bigint)
+                         * cast(round((1 - l_discount) * 100) as bigint)) as rev4,
+                     cast(count(*) as bigint) as n_lines
+              from lineitem group by 1
+            )
+            select o_orderpriority,
+                   round(cast(sum(rev4) as double) / 10000, 2) as revenue,
+                   cast(sum(n_lines) as bigint) as n_lines
+            from l join orders on o_orderkey = l_orderkey
+            group by o_orderpriority
         """,
         "doc_phrase_match": """
             with p as (
