@@ -3125,6 +3125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _graph_triangles,
         "doc_phrase_match": _doc_phrase_match,
         "bucketed_join_priority": _bucketed_join_priority,
+        "ev_asof_next_error": Q.ev_asof_next_error,
+        "doc_conjunctive_search": Q.doc_conjunctive_search,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
@@ -4038,6 +4040,25 @@ def oracle_sql() -> dict[str, str]:
                    join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderkey
             limit 10
+        """,
+        "ev_asof_next_error": """
+            with l as (select event_id, user_id, ts from events
+                       where event_type = 'purchase'),
+                 r as (select user_id, ts, value from events
+                       where event_type = 'error')
+            select l.event_id, l.user_id,
+                   r.ts as error_ts,
+                   round(r.value, 2) as error_value
+            from l asof join r on l.user_id = r.user_id and l.ts <= r.ts
+        """,
+        "doc_conjunctive_search": """
+            with toks as (
+              select distinct doc_id, unnest(string_split(text, ' ')) as w
+              from documents
+            )
+            select doc_id from toks
+            where w in ('hash', 'join', 'sort')
+            group by doc_id having count(distinct w) = 3
         """,
         "bucketed_join_priority": """
             with l as (

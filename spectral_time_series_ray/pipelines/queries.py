@@ -2904,3 +2904,80 @@ def q8_market_share(sf_dir: str):
     )
     out["o_year"] = out["o_year"].astype(np.int64)
     return out.sort_values("o_year").reset_index(drop=True)[["o_year", "mkt_share"]]
+
+
+def ev_asof_next_error(sf_dir: str):
+    """FORWARD as-of join: each purchase event matched to the user's
+    NEXT error event at-or-after it (oracle: DuckDB
+    ``ASOF JOIN ... ON l.ts <= r.ts``). Same one-shuffle co-located
+    merge_asof as the backward flavor — direction is a parameter, not
+    a new operator."""
+    from ..stages.join import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def prep_right(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_type"] == "error"]
+        return pd.DataFrame(
+            {"user_id": batch["user_id"], "ts": batch["ts"],
+             "error_ts": batch["ts"], "error_value": batch["value"]}
+        )
+
+    right = ev.map_batches(prep_right, batch_format="pandas", batch_size=None)
+    joined = asof_join(left, right, key="user_id", ts_col="ts",
+                       direction="forward")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.dropna(subset=["error_ts"])  # inner semantics
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "error_ts": batch["error_ts"].astype("datetime64[us]"),
+                "error_value": round_half_away(
+                    batch["error_value"].to_numpy(np.float64), 2
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def doc_conjunctive_search(sf_dir: str, terms=("hash", "join", "sort")):
+    """Conjunctive term search via posting intersection: per-doc
+    distinct query-term hits stream as (doc_id, 1) partials, one
+    int-keyed rollup counts distinct matched terms per doc, and docs
+    matching ALL terms survive. The scan never ships text — only
+    fixed-width (doc_id, n) partials move (the inverted-index
+    intersection-by-rollup shape; full postings materialize only if
+    you persist them)."""
+    from ray.data.aggregate import Sum
+
+    term_set = frozenset(terms)
+    k = len(term_set)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, counts = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            n = len(term_set.intersection(text.split(" ")))
+            if n:
+                ids.append(doc_id)
+                counts.append(n)
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "n": np.array(counts, np.int64)})
+
+    def full_match(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[batch["n"] == k]
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64)})
+
+    return (
+        ds.map_batches(hits, batch_format="pandas", batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(full_match, batch_format="pandas", batch_size=None)
+    )
