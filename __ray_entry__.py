@@ -3062,17 +3062,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_lines": Q.q12_priority_lines,
         "q10_returned_items": Q.q10_returned_items,
         "q4_order_priority": Q.q4_order_priority,
-        "q14_promo_ratio": Q.q14_promo_ratio,
+        "q8_market_share": Q.q8_market_share,
         "q3_revenue_topk": Q.q3_revenue_topk,
         "q5_local_supplier": Q.q5_local_supplier,
         "ri_orphans": Q.ri_orphans,
-        "cust_order_leftjoin": Q.cust_order_leftjoin,
-        "orders_by_segment": Q.orders_by_segment,
+        "graph_triangles": _graph_triangles,
+        "bucketed_join_priority": _bucketed_join_priority,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_decontaminate": Q.doc_decontaminate,
         "doc_dup_spans": Q.doc_dup_spans,
-        "doc_hamming_pairs": Q.doc_hamming_pairs,
+        "doc_phrase_match": _doc_phrase_match,
         "doc_regex_extract": Q.doc_regex_extract,
         "doc_above_p90": Q.doc_above_p90,
         "doc_tfidf_top": Q.doc_tfidf_top,
@@ -3117,14 +3117,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_theilsen_trend": Q.ev_theilsen_trend,
         "ev_json_props": Q.ev_json_props,
         "q7_nation_volume": Q.q7_nation_volume,
-        "q8_market_share": Q.q8_market_share,
+        "q14_promo_ratio": Q.q14_promo_ratio,
         "q13_customer_orders_dist": Q.q13_customer_orders_dist,
         "q15_top_supplier": Q.q15_top_supplier,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
-        "graph_triangles": _graph_triangles,
-        "doc_phrase_match": _doc_phrase_match,
-        "bucketed_join_priority": _bucketed_join_priority,
+        "cust_order_leftjoin": Q.cust_order_leftjoin,
+        "doc_hamming_pairs": Q.doc_hamming_pairs,
+        "orders_by_segment": Q.orders_by_segment,
         "ev_asof_next_error": Q.ev_asof_next_error,
         "doc_conjunctive_search": Q.doc_conjunctive_search,
         "tr_gorilla": _tr_gorilla,
