@@ -3126,6 +3126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hamming_pairs": Q.doc_hamming_pairs,
         "orders_by_segment": Q.orders_by_segment,
         "ev_asof_next_error": Q.ev_asof_next_error,
+        "ev_scd2_intervals": Q.ev_scd2_intervals,
         "doc_conjunctive_search": Q.doc_conjunctive_search,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
@@ -4040,6 +4041,23 @@ def oracle_sql() -> dict[str, str]:
                    join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderkey
             limit 10
+        """,
+        "ev_scd2_intervals": """
+            with o as (
+              select user_id, ts, event_id, event_type,
+                     lag(event_type) over
+                       (partition by user_id order by ts, event_id) as prev_t
+              from events
+            ),
+            ch as (
+              select user_id, ts, event_id, event_type from o
+              where prev_t is null or prev_t <> event_type
+            )
+            select user_id, event_type as state, ts as valid_from,
+                   coalesce(lead(ts) over
+                     (partition by user_id order by ts, event_id),
+                     timestamp '9999-12-31') as valid_to
+            from ch
         """,
         "ev_asof_next_error": """
             with l as (select event_id, user_id, ts from events

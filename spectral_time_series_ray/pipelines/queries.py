@@ -2981,3 +2981,15 @@ def doc_conjunctive_search(sf_dir: str, terms=("hash", "join", "sort")):
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(full_match, batch_format="pandas", batch_size=None)
     )
+
+
+def ev_scd2_intervals(sf_dir: str):
+    """SCD type-2 dimension history (`olap.scd2_intervals`): per user,
+    consecutive same-type events collapse and each surviving state
+    carries [valid_from, valid_to) — NULL valid_to marks the current
+    state. One key-hash exchange, vectorized change-point pass."""
+    from ..stages.olap import scd2_intervals
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    return scd2_intervals(ds, key="user_id", state_col="event_type",
+                          order_cols=("ts", "event_id"))

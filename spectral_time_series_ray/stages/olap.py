@@ -490,3 +490,63 @@ def tier_stitch_aggregate(
             }
         )
     return pd.DataFrame(rows)
+
+
+def scd2_intervals(
+    ds,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    ts_col: str = "ts",
+):
+    """Slowly-changing-dimension type-2 history build from a CDC /
+    event stream: per ``key``, consecutive rows with the SAME
+    ``state_col`` collapse (change-point compression) and each
+    surviving state gets a validity interval
+    ``[valid_from, valid_to)`` — ``valid_to`` is the next change's
+    timestamp; the current (open-ended) state carries the
+    conventional far-future sentinel 9999-12-31 (hashable, unlike
+    NULL/NaT). The kimball-style dimension history table, as one
+    key-hash exchange + a vectorized partition pass (sort,
+    shift-compare, shift-back); no per-row Python.
+
+    ``order_cols`` must totally order rows within a key (end with a
+    unique id).
+    """
+    order_cols = list(order_cols)
+    n_parts = partitions_for_input(None)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, state_col, *order_cols]].copy()
+        out["_part"] = _part_of(out, [key], n_parts)
+        return out
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="stable")
+        k = g[key].to_numpy()
+        s = g[state_col].to_numpy()
+        new_key = np.empty(len(g), bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        changed = np.empty(len(g), bool)
+        changed[0] = True
+        changed[1:] = (s[1:] != s[:-1]) | new_key[1:]
+        kept = g.loc[changed, [key, state_col, ts_col]].reset_index(drop=True)
+        ts = kept[ts_col].to_numpy()
+        kk = kept[key].to_numpy()
+        valid_to = np.empty(len(kept), dtype=ts.dtype)
+        valid_to[:-1] = ts[1:]
+        mask_last = np.empty(len(kept), bool)
+        mask_last[:-1] = kk[:-1] != kk[1:]
+        mask_last[-1] = True
+        out = pd.DataFrame({
+            key: kept[key],
+            "state": kept[state_col],
+            "valid_from": kept[ts_col],
+            "valid_to": valid_to,
+        })
+        out.loc[mask_last, "valid_to"] = np.datetime64("9999-12-31", "us")
+        return out
+
+    partials = ds.map_batches(tag, batch_format="pandas", batch_size=None)
+    return partials.groupby("_part").map_groups(build, batch_format="pandas")

@@ -57,7 +57,7 @@ def compare(name, got, exp) -> str:
             return f"DTYPE col={c} got={got[c].dtype} exp={exp[c].dtype}"
     for c in got.columns:
         g, e = got[c].to_numpy(), exp[c].to_numpy()
-        if got[c].dtype.kind == "f":
+        if got[c].dtype.kind in "fM":
             both_nan = pd.isna(g) & pd.isna(e)
             ok = both_nan | (g == e)
         else:
