@@ -2960,6 +2960,96 @@ def _bucketed_join_priority(sf_dir: str):
     ]
 
 
+def _ev_zonemap_range(sf_dir: str):
+    """Zone-map file skipping (`state.zonemap`): events are sort-
+    exported by ts into many parquet files, the index is built from
+    FOOTER min/max statistics only (no data pages), and a 6-day range
+    aggregate reads just the overlapping files (+ row filter inside
+    them). Raises if pruning did not skip any file — the point of the
+    layout. ORACLE-CHECKED against the plain SQL range aggregate."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _read, round_half_away
+    from spectral_time_series_ray.state.zonemap import build_zonemap, prune_files
+
+    scratch = f"/tmp/graft_zonemap/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    # sorted layout: range-partitioned by ts; force >= 8 files so a
+    # 6-of-30-day range demonstrably skips most of them
+    ds.sort("ts").repartition(16).write_parquet(scratch)
+
+    zm = build_zonemap(f"{scratch}/*.parquet", "ts")
+    lo = np.datetime64("2024-01-10", "us")
+    hi = np.datetime64("2024-01-16", "us")
+    # footer stats surface as python datetimes; compare in us space
+    import datetime as _dt
+
+    zm2 = zm.copy()
+    zm2["min"] = zm2["min"].map(
+        lambda v: None if v is None else np.datetime64(v, "us")
+    )
+    zm2["max"] = zm2["max"].map(
+        lambda v: None if v is None else np.datetime64(v, "us")
+    )
+    files = prune_files(zm2, lo, hi)
+    if not (0 < len(files) < len(zm)):
+        raise AssertionError(
+            f"zonemap pruning ineffective: {len(files)}/{len(zm)} files kept"
+        )
+
+    import pyarrow.compute as pc2
+
+    sel = ray.data.read_parquet(
+        files,
+        filter=(pc2.field("ts") >= lo) & (pc2.field("ts") < hi),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({"n": [len(b)], "cents": [int(cents.sum())]})
+
+    agg = sel.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    return pd.DataFrame({
+        "n_events": np.array([int(agg["n"].sum())], np.int64),
+        "sum_value": [round_half_away(float(agg["cents"].sum()) / 100.0, 2)],
+    })
+
+
+def _bucketed_point_lookup(sf_dir: str):
+    """O(1)-files point reads (`state.bucketed.bucketed_lookup`):
+    orders are bucketed by orderkey once; each looked-up key hashes to
+    exactly ONE bucket file, so the 6-key lookup touches ≤ 6 of the 32
+    files regardless of table size. ORACLE-CHECKED against
+    ``WHERE o_orderkey IN (...)``."""
+    import os
+    import shutil
+
+    from spectral_time_series_ray.pipelines.queries import _read, round_half_away
+    from spectral_time_series_ray.state.bucketed import bucketed_lookup, write_bucketed
+
+    scratch = f"/tmp/graft_bucketed_pl/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_bucketed(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        "o_orderkey", 32, scratch,
+    )
+    keys = [1, 7, 424, 999, 4242, 987654321]  # last one absent
+    out = bucketed_lookup(scratch, keys)
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["o_totalprice"] = round_half_away(
+        out["o_totalprice"].to_numpy(np.float64), 2
+    )
+    return out[["o_orderkey", "o_orderpriority", "o_totalprice"]]
+
+
 def _graph_triangles(sf_dir: str):
     """Exact triangle count (`graph.triangle_count`: degree-ordered
     orientation + wedge closure, Suri & Vassilvitskii WWW'11) over the
@@ -3127,6 +3217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": Q.orders_by_segment,
         "ev_asof_next_error": Q.ev_asof_next_error,
         "ev_scd2_intervals": Q.ev_scd2_intervals,
+        "ev_zonemap_range": _ev_zonemap_range,
+        "bucketed_point_lookup": _bucketed_point_lookup,
         "doc_conjunctive_search": Q.doc_conjunctive_search,
         "tr_gorilla": _tr_gorilla,
         "tr_patch_precond": _tr_patch_precond,
@@ -4041,6 +4133,18 @@ def oracle_sql() -> dict[str, str]:
                    join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderkey
             limit 10
+        """,
+        "ev_zonemap_range": """
+            select cast(count(*) as bigint) as n_events,
+                   round(cast(sum(cast(round(value * 100) as bigint)) as double)
+                         / 100.0, 2) as sum_value
+            from events
+            where ts >= timestamp '2024-01-10' and ts < timestamp '2024-01-16'
+        """,
+        "bucketed_point_lookup": """
+            select o_orderkey, o_orderpriority, round(o_totalprice, 2) as o_totalprice
+            from orders
+            where o_orderkey in (1, 7, 424, 999, 4242, 987654321)
         """,
         "ev_scd2_intervals": """
             with o as (

@@ -172,7 +172,11 @@ def run_bench() -> dict:
                      # round-3 part 5: irregular-time aggregates,
                      # decontamination scan, skew-aware join
                      "ev_time_weighted_avg", "doc_decontaminate",
-                     "orders_by_segment"):
+                     "orders_by_segment",
+                     # round-3 part 8: graph analytics, bucketed join,
+                     # star join, multi-pattern text scan
+                     "graph_triangles", "bucketed_join_priority",
+                     "q8_market_share", "doc_phrase_match"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

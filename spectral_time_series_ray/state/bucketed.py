@@ -156,3 +156,27 @@ def bucketed_join(
 
     ids = ray.data.range(n, override_num_blocks=n)
     return ids.map_batches(join_bucket, batch_format="pandas", batch_size=None)
+
+
+def bucketed_lookup(root: str, keys) -> "pd.DataFrame":
+    """Point lookups against a bucketed layout WITHOUT a scan: each
+    key hashes to exactly one bucket file, so a k-key lookup reads at
+    most min(k, n_buckets) files out of the whole table — the O(1)
+    per-key read path that makes a 100 TB bucketed table queryable
+    interactively. Returns the matching rows (driver-side frame; point
+    lookups are small by definition)."""
+    m = read_bucketed_manifest(root)
+    keys = np.asarray(list(keys), dtype=np.int64)
+    buckets = _bucket_ids(pd.Series(keys), m["n_buckets"], m["key"])
+    frames = []
+    key_col = m["key"]
+    for b in np.unique(buckets):
+        want = set(keys[buckets == b].tolist())
+        df = _read_bucket(root, int(b))
+        if df is not None and len(df):
+            frames.append(df[df[key_col].isin(want)])
+    if not frames:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="object") for c in m["columns"]}
+        )
+    return pd.concat(frames, ignore_index=True)
