@@ -2839,7 +2839,7 @@ def _graph_pagerank(sf_dir: str):
         .materialize()
     )
 
-    ranks = pagerank(edges, iters=6)
+    ranks = pagerank(edges, iters=4)
 
     # verification oracle: dense numpy power iteration on the driver
     # (edge list is dimension-product bounded — see docstring)
@@ -2852,7 +2852,7 @@ def _graph_pagerank(sf_dir: str):
     dst_i = edf["dst"].map(idx).to_numpy()
     np.add.at(outd, src_i, 1)
     r = np.full(n, 1.0 / n)
-    for _ in range(6):
+    for _ in range(4):
         dang = r[outd == 0].sum()
         contrib = np.zeros(n)
         np.add.at(contrib, dst_i, r[src_i] / np.maximum(outd[src_i], 1))

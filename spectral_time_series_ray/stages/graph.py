@@ -163,9 +163,14 @@ def pagerank(
     move through int-keyed hash exchanges; the driver sees one float
     per round.
     """
-    from .rollup import partitions_for_input
-
-    P = num_partitions or partitions_for_input(None)
+    edges = edges.materialize()
+    if num_partitions is None:
+        # size P by edge volume (~32 MB of raw edges per partition)
+        # with a small floor — the cluster-CPU floor is pure overhead
+        # on small graphs (see triangle_count)
+        m = edges.count()
+        num_partitions = max(4, -(-m * 24 // (32 << 20)))
+    P = num_partitions
 
     # node table + out-degrees (one pass over edges)
     def ends(batch: pa.Table) -> pa.Table:
@@ -325,97 +330,130 @@ def triangle_count(
     {a, b, c} ordered a<b<c by (deg, id) is counted exactly once: as
     the wedge (b, c) at a, closed by the oriented edge b→c.
 
-    Exchanges (all int-keyed hash partitions): degree rollup,
-    2 × edge⨝degree (orientation), wedge expansion keyed by source,
-    wedge⨝edge semi-join on the packed pair key. The driver sees one
-    int.
+    Exactly FOUR int-keyed exchanges (a first cut with a separate
+    degree rollup + two partition-merge joins + a semi-join ran eight
+    and spent ~16 s in fixed per-exchange overhead on a 3.5k-edge
+    graph):
+
+    1. each edge emits a copy keyed by EACH endpoint; a node's copies
+       all co-locate, so its degree is a local count and attaches in
+       the same pass (the vertex-cut degree-attach trick) — out come
+       per-edge HALF records (pair key, endpoint degree, side);
+    2. halves merge on the pair key (each appears exactly twice),
+       the edge orients by (deg, id), and oriented edges re-key by
+       source;
+    3. per-source wedge expansion emits closure-candidate pair keys;
+       oriented edges re-key by their own pair key in the same pass;
+    4. wedge keys and edge keys co-locate by pair-key hash; each
+       partition counts wedge keys present in its edge-key set and
+       the driver sums one int per partition.
     """
-    from ray.data.aggregate import Sum
+    edges = edges.materialize()
+    if num_partitions is None:
+        # size P by EDGE VOLUME, not the cluster-CPU floor: the wedge
+        # expansion multiplies partition memory by out-degree (target
+        # ~32 MB of raw edges per partition), while a tiny graph in
+        # 4*cpus partitions is pure scheduling overhead
+        m = edges.count()
+        num_partitions = max(4, -(-m * 24 // (32 << 20)))
+    P = num_partitions
 
-    from .join import partition_merge_join
-    from .rollup import partitions_for_input
+    def _tag(arr: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy() % P
+        ).astype(np.int32)
 
-    P = num_partitions or partitions_for_input(None)
-
-    # degrees: one pass + one int-keyed rollup
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = pa.table({"node": pa.array(np.concatenate([u, v]))})
-        t = t.append_column("d", pa.array(np.ones(len(u) * 2, np.int64)))
-        return t.group_by(["node"]).aggregate([("d", "sum")])
-
-    deg = (
-        edges.map_batches(deg_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("node")
-        .aggregate(Sum("d_sum", alias_name="deg"))
-    )
-
-    # orientation: attach deg(u) and deg(v) (two partition-merge joins)
-    ue = edges.map_batches(
-        lambda b: pd.DataFrame({"node": b["u"].to_numpy(np.int64),
-                                "v": b["v"].to_numpy(np.int64)}),
-        batch_format="pandas", batch_size=None,
-    )
-    j1 = partition_merge_join(ue, deg, on="node", how="inner",
-                              num_partitions=P)
-    j1 = j1.map_batches(
-        lambda b: pd.DataFrame({"u": b["node"].to_numpy(np.int64),
-                                "du": b["deg"].to_numpy(np.int64),
-                                "node": b["v"].to_numpy(np.int64)}),
-        batch_format="pandas", batch_size=None,
-    )
-    j2 = partition_merge_join(j1, deg, on="node", how="inner",
-                              num_partitions=P)
-
-    def orient(b: pd.DataFrame) -> pd.DataFrame:
+    # exchange 1 input: one copy of each edge per endpoint
+    def copies(b: pd.DataFrame) -> pd.DataFrame:
         u = b["u"].to_numpy(np.int64)
-        v = b["node"].to_numpy(np.int64)
-        du = b["du"].to_numpy(np.int64)
-        dv = b["deg"].to_numpy(np.int64)
-        # src = smaller in (deg, id) order
+        v = b["v"].to_numpy(np.int64)
+        key = np.concatenate([u, v])
+        out = pd.DataFrame({
+            "key": key,
+            "u": np.concatenate([u, u]),
+            "v": np.concatenate([v, v]),
+        })
+        out["_part"] = _tag(out["key"].to_numpy())
+        return out
+
+    # exchange 1 reduce: local degree count + attach -> half records
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(np.int64)
+        # all copies of a node land here: degree == multiplicity of key
+        uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+        deg = counts[inv]
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        pk = u * (1 << 32) + v
+        out = pd.DataFrame({
+            "pk": pk,
+            "deg": deg.astype(np.int64),
+            "is_u": key == u,
+        })
+        out["_p2"] = _tag(pk)
+        return out
+
+    halves = (
+        edges.map_batches(copies, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(attach_deg, batch_format="pandas")
+    )
+
+    # exchange 2 reduce: merge the two halves, orient, re-key by src
+    def orient(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "is_u"], ascending=[True, False], kind="stable")
+        pk = g["pk"].to_numpy(np.int64)
+        deg = g["deg"].to_numpy(np.int64)
+        # rows alternate (is_u=True, is_u=False) per pk after the sort
+        du, dv = deg[0::2], deg[1::2]
+        upk = pk[0::2]
+        u = upk >> 32
+        v = upk & ((1 << 32) - 1)
         u_first = (du < dv) | ((du == dv) & (u < v))
         src = np.where(u_first, u, v)
         dst = np.where(u_first, v, u)
-        dsrc = np.where(u_first, du, dv)
         ddst = np.where(u_first, dv, du)
         out = pd.DataFrame({"src": src, "dst": dst,
                             "dk": ddst * (1 << 32) + dst})  # (deg,id) order key
-        out["_part"] = (
-            pd.util.hash_pandas_object(out["src"], index=False).to_numpy() % P
-        ).astype(np.int32)
+        out["_p3"] = _tag(src)
         return out
 
-    oriented = j2.map_batches(
-        orient, batch_format="pandas", batch_size=None
-    ).materialize()
+    oriented = (
+        halves.groupby("_p2")
+        .map_groups(orient, batch_format="pandas")
+        .materialize()
+    )
 
+    # exchange 3 reduce: wedges per source; edges re-key by pair key
+    # in the same co-partitioned stream (side=1 marks a real edge)
     def wedge_part(g: pd.DataFrame) -> pd.DataFrame:
-        # per source: all out-neighbor pairs ordered by (deg, id)
         g = g.sort_values(["src", "dk"], kind="stable")
-        keys = []
+        keys = [g["src"].to_numpy(np.int64) * (1 << 32)
+                + g["dst"].to_numpy(np.int64)]          # real-edge keys
+        sides = [np.ones(len(g), np.int8)]
         for _, grp in g.groupby("src", sort=False):
             d = grp["dst"].to_numpy(np.int64)
-            c = len(d)
-            if c < 2:
+            if len(d) < 2:
                 continue
-            i, j = np.triu_indices(c, k=1)
+            i, j = np.triu_indices(len(d), k=1)
             keys.append(d[i] * (1 << 32) + d[j])
-        if not keys:
-            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64)})
+            sides.append(np.zeros(len(i), np.int8))
         pk = np.concatenate(keys)
-        return pd.DataFrame({"pk": pk})
+        out = pd.DataFrame({"pk": pk, "side": np.concatenate(sides)})
+        out["_p4"] = _tag(pk)
+        return out
 
-    wedges = oriented.groupby("_part").map_groups(
-        wedge_part, batch_format="pandas"
-    )
+    tagged = oriented.groupby("_p3").map_groups(wedge_part, batch_format="pandas")
 
-    edge_keys = oriented.map_batches(
-        lambda b: pd.DataFrame(
-            {"pk": b["src"].to_numpy(np.int64) * (1 << 32)
-                   + b["dst"].to_numpy(np.int64)}),
-        batch_format="pandas", batch_size=None,
-    )
-    closed = partition_merge_join(wedges, edge_keys, on="pk", how="semi",
-                                  num_partitions=P)
-    return int(closed.count())
+    # exchange 4 reduce: per partition, count wedges whose pk is a real
+    # edge; ONE int per partition reaches the driver
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        pk = g["pk"].to_numpy(np.int64)
+        edge_set = pk[side == 1]
+        wedge = pk[side == 0]
+        n = int(np.isin(wedge, edge_set).sum())
+        return pd.DataFrame({"n": [n]})
+
+    counts = tagged.groupby("_p4").map_groups(close_part, batch_format="pandas")
+    return int(counts.to_pandas()["n"].sum())
