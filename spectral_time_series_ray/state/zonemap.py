@@ -52,7 +52,7 @@ def prune_files(zonemap: pd.DataFrame, lo, hi) -> list[str]:
     (files lacking stats are always kept)."""
     keep = []
     for r in zonemap.itertuples():
-        if r.min is None or r.max is None:
+        if pd.isna(r.min) or pd.isna(r.max):
             keep.append(r.path)
         elif r.min < hi and r.max >= lo:
             keep.append(r.path)
