@@ -2598,7 +2598,9 @@ def _ev_weighted_sample(sf_dir: str):
 
     h = hash_u64(full["event_id"].to_numpy(dtype=np.int64) ^ np.int64(7))
     u = (h.astype(np.float64) + 1.0) / 2.0**64
-    key = np.log(u) / full["value"].to_numpy(dtype=np.float64)
+    w = full["value"].to_numpy(dtype=np.float64)
+    key = np.full(len(w), -np.inf)
+    key[w > 0] = np.log(u[w > 0]) / w[w > 0]
     exp_ids = full.assign(_k=key).nlargest(K, "_k")["event_id"].tolist()
     exact_ok = s1["event_id"].tolist() == exp_ids
 

@@ -407,8 +407,9 @@ def weighted_sample_aes(
     the self-checks assert.  Per-block partial top-k bounds driver data
     to k rows per block.
 
-    Uses log-transformed keys (ln u / w) for numerical stability;
-    weights must be strictly positive.
+    Uses log-transformed keys (ln u / w) for numerical stability.
+    Zero-weight rows have inclusion probability 0 (key = -inf, never
+    sampled — the A-ES limit w→0); negative weights are an error.
     """
     import pandas as pd
 
@@ -416,12 +417,14 @@ def weighted_sample_aes(
 
     def partial_top(batch: pd.DataFrame) -> pd.DataFrame:
         w = batch[weight_col].to_numpy(dtype=np.float64)
-        if (w <= 0).any():
-            raise ValueError("weights must be strictly positive")
+        if (w < 0).any():
+            raise ValueError("weights must be non-negative")
         h = hash_u64(batch[id_col].to_numpy(dtype=np.int64) ^ np.int64(seed))
         # u in (0, 1]: map the 64-bit hash; +1 avoids u == 0
         u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
-        key = np.log(u) / w  # maximize u^(1/w) == maximize ln(u)/w
+        key = np.full(len(w), -np.inf)
+        pos = w > 0
+        key[pos] = np.log(u[pos]) / w[pos]  # maximize u^(1/w) == ln(u)/w
         out = batch[[id_col, weight_col]].copy()
         out["_aes_key"] = key
         return out.nlargest(k, "_aes_key")

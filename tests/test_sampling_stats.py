@@ -41,14 +41,21 @@ def test_weighted_sample_inclusion_bias():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_weighted_sample_rejects_nonpositive():
+def test_weighted_sample_zero_weight_never_sampled():
     import ray.data
 
     from spectral_time_series_ray.stages.sampling import weighted_sample_aes
 
-    df = pd.DataFrame({"id": [1, 2], "w": [1.0, 0.0]})
+    # zero weight = inclusion probability 0 (A-ES limit w -> 0);
+    # negative weights are an error
+    df = pd.DataFrame({"id": [1, 2, 3], "w": [1.0, 0.0, 2.0]})
+    top = weighted_sample_aes(ray.data.from_pandas(df), "id", "w", k=2)
+    assert set(top["id"]) == {1, 3}
     with pytest.raises(Exception):
-        weighted_sample_aes(ray.data.from_pandas(df), "id", "w", k=1)
+        weighted_sample_aes(
+            ray.data.from_pandas(pd.DataFrame({"id": [1], "w": [-1.0]})),
+            "id", "w", k=1,
+        )
 
 
 def test_poisson1_inverse_cdf_moments():
