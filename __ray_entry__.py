@@ -3214,6 +3214,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": Q.q15_top_supplier,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q9_profit_by_nation": Q.q9_profit_by_nation,
+        "q11_important_parts": Q.q11_important_parts,
+        "q16_supplier_cnt": Q.q16_supplier_cnt,
+        "q20_part_share_suppliers": Q.q20_part_share_suppliers,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "cust_order_leftjoin": Q.cust_order_leftjoin,
         "doc_hamming_pairs": Q.doc_hamming_pairs,
         "orders_by_segment": Q.orders_by_segment,
@@ -4289,6 +4295,105 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(cast(round(c_acctbal * 100) as bigint)) as double)
                          / 100.0, 2) as totacctbal
             from sel group by 1
+        """,
+        "q2_min_cost_supplier": """
+            with w as (
+              select l_partkey as pk,
+                     min(cast(round(round(l_extendedprice / l_quantity, 2) * 100)
+                              as bigint) * 1000000000 + l_suppkey) as packed
+              from lineitem
+              join supplier on s_suppkey = l_suppkey
+              join nation on n_nationkey = s_nationkey
+              join region on r_regionkey = n_regionkey
+              join part on p_partkey = l_partkey
+              where r_name = 'EUROPE' and p_size = 15 and p_type = 'STANDARD'
+              group by 1
+            )
+            select pk as p_partkey,
+                   cast(packed % 1000000000 as bigint) as s_suppkey,
+                   round(cast(packed // 1000000000 as double) / 100, 2) as min_cost
+            from w
+        """,
+        "q9_profit_by_nation": """
+            with l as (
+              select s_nationkey as nk, l_orderkey,
+                     cast(round(l_extendedprice * 100) as bigint)
+                     * (100 - cast(round(l_discount * 100) as bigint)) * 10
+                     - cast(round(p_retailprice * 10) as bigint)
+                       * cast(round(l_quantity) as bigint) * 9000 as profit5
+              from lineitem
+              join part on p_partkey = l_partkey
+              join supplier on s_suppkey = l_suppkey
+              where p_name like '%gear%'
+            )
+            select n_name, cast(year(o_orderdate) as bigint) as o_year,
+                   round(cast(sum(profit5) as double) / 100000, 2) as sum_profit
+            from l
+            join orders on o_orderkey = l_orderkey
+            join nation on n_nationkey = nk
+            group by 1, 2
+        """,
+        "q11_important_parts": """
+            with v as (
+              select l_partkey,
+                     sum(cast(round(l_extendedprice * 100) as bigint)
+                         * (100 - cast(round(l_discount * 100) as bigint))) as v4
+              from lineitem
+              join supplier on s_suppkey = l_suppkey
+              join nation on n_nationkey = s_nationkey
+              where n_name = 'NATION_12'
+              group by 1
+            )
+            select l_partkey as p_partkey,
+                   round(cast(v4 as double) / 10000, 2) as value
+            from v
+            where v4 * (select count(*) from v) > 2 * (select sum(v4) from v)
+        """,
+        "q16_supplier_cnt": """
+            select p_brand, p_type, cast(p_size as bigint) as p_size,
+                   cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+            from lineitem join part on p_partkey = l_partkey
+            where p_brand <> 'Brand#1' and p_type <> 'PROMO'
+              and p_size in (1, 4, 9, 14, 19, 23, 36, 45)
+              and l_suppkey % 7 <> 0
+            group by 1, 2, 3
+        """,
+        "q20_part_share_suppliers": """
+            with q as (
+              select l_partkey as pk, l_suppkey as sk,
+                     sum(cast(round(l_quantity) as bigint)) as qs
+              from lineitem join part on p_partkey = l_partkey
+              where p_name like '%bolt%'
+                and l_shipdate >= timestamp '1996-01-01'
+                and l_shipdate <  timestamp '1997-01-01'
+              group by 1, 2
+            ),
+            t as (select pk, sum(qs) as qt from q group by 1)
+            select distinct s_suppkey, s_name
+            from q join t using (pk) join supplier on s_suppkey = sk
+            where 2 * qs > qt
+        """,
+        "q21_waiting_suppliers": """
+            with ls as (
+              select l_orderkey as ok, l_suppkey as sk, max(l_shipdate) as ms
+              from lineitem group by 1, 2
+            ),
+            j as (
+              select ok, sk, (ms > o_orderdate + interval 90 day) as late
+              from ls join orders on o_orderkey = ok
+              where o_orderstatus = 'F'
+            ),
+            g as (
+              select ok, count(*) as n_supp,
+                     sum(case when late then 1 else 0 end) as n_late
+              from j group by 1
+            )
+            select s_suppkey, s_name, cast(count(*) as bigint) as numwait
+            from j join g using (ok) join supplier on s_suppkey = j.sk
+            where j.late and g.n_supp >= 2 and g.n_late = 1
+            group by 1, 2
+            order by numwait desc, s_suppkey asc
+            limit 20
         """,
         "q8_market_share": """
             with l as (

@@ -2993,3 +2993,456 @@ def ev_scd2_intervals(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
     return scd2_intervals(ds, key="user_id", state_col="event_type",
                           order_cols=("ts", "event_id"))
+
+
+# ------------------------------------------------- TPC-H completion
+# The remaining six TPC-H shapes (Q2/Q9/Q11/Q16/Q20/Q21). The test
+# schema has no partsupp table, so the part-supplier "catalog" is
+# derived from lineitem (distinct (l_partkey, l_suppkey) with
+# per-pair aggregates) — the join/subquery STRUCTURE of each query is
+# preserved even though the catalog side is computed, not stored.
+
+_Q2_SUPP_MULT = 1_000_000_000
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for each part of one size/type, the EUROPE
+    supplier offering the minimum catalog unit cost (correlated-min
+    subquery). Scale path: qualifying partkeys and the region's
+    suppliers are DIMENSION slices -> broadcast bool LUTs; lineitem
+    streams once emitting per-partkey MIN of an int64-packed
+    (unit-cost-cents, suppkey) word, so the correlated min + its
+    min-suppkey tie-break ride ONE mergeable Min aggregate; winners
+    decode on the driver (|qualifying parts| rows)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    pk = _read(
+        sf_dir, "part", columns=["p_partkey", "p_size", "p_type"],
+        filter=(pc.field("p_size") == 15) & (pc.field("p_type") == "STANDARD"),
+    ).to_pandas()["p_partkey"].to_numpy(np.int64)
+    if not len(pk):
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "s_suppkey": pd.Series([], dtype=np.int64),
+                             "min_cost": pd.Series([], dtype=np.float64)})
+    pk_lut = np.zeros(int(pk.max()) + 1, bool)
+    pk_lut[pk] = True
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    eu = region.loc[region["r_name"] == "EUROPE", "r_regionkey"].iloc[0]
+    eu_nations = set(int(k) for k in nation.loc[nation["n_regionkey"] == eu, "n_nationkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    eu_sk = supp.loc[supp["s_nationkey"].isin(eu_nations), "s_suppkey"].to_numpy(np.int64)
+    sk_lut = np.zeros(int(supp["s_suppkey"].max()) + 1, bool)
+    sk_lut[eu_sk] = True
+    assert int(supp["s_suppkey"].max()) < _Q2_SUPP_MULT
+    pk_ref, sk_ref = ray.put(pk_lut), ray.put(sk_lut)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        filter=pc.field("l_partkey").isin(pk.tolist()),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl, sl = ray.get(pk_ref), ray.get(sk_ref)
+        pkv = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skv = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (pkv < len(pl)) & pl[np.minimum(pkv, len(pl) - 1)]
+        keep &= (skv < len(sl)) & sl[np.minimum(skv, len(sl) - 1)]
+        if not keep.any():
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "packed": pa.array([], pa.int64())})
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        cost_c = np.asarray(
+            round_half_away(round_half_away(ep / q, 2) * 100.0, 0), np.int64
+        )
+        packed = cost_c * _Q2_SUPP_MULT + skv[keep]
+        t = pa.table({"p_partkey": pkv[keep], "packed": packed})
+        return t.group_by(["p_partkey"]).aggregate([("packed", "min")]).rename_columns(
+            ["p_partkey", "packed"]
+        )
+
+    w = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("p_partkey")
+        .aggregate(Min("packed", alias_name="packed"))
+        .to_pandas()  # |qualifying parts| rows — a dimension slice
+    )
+    packed = w["packed"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "p_partkey": w["p_partkey"].to_numpy(np.int64),
+        "s_suppkey": packed % _Q2_SUPP_MULT,
+        "min_cost": round_half_away((packed // _Q2_SUPP_MULT) / 100.0, 2),
+    })
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q9_profit_by_nation(sf_dir: str):
+    """TPC-H Q9 shape: profit by supplier nation and order year for
+    one part family ('%gear%'), cost proxied by p_retailprice (no
+    partsupp in this schema). Scale path: part (retail-tenths) and
+    supplier (nationkey) sides are broadcast LUTs; lineitem streams
+    once emitting per-(orderkey, nation) exact 1e-5-scaled int64
+    profit partials; the order-year side co-locates via ONE int-keyed
+    partition-merge join; the (nation, year) rollup is tiny."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import partition_merge_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    sel = part[part["p_name"].str.contains("gear")]
+    retail_lut = np.full(int(part["p_partkey"].max()) + 1, -1, np.int64)
+    retail_lut[sel["p_partkey"].to_numpy(np.int64)] = np.asarray(
+        round_half_away(sel["p_retailprice"].to_numpy(np.float64) * 10.0, 0), np.int64
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat_lut = np.full(int(supp["s_suppkey"].max()) + 1, -1, np.int64)
+    nat_lut[supp["s_suppkey"].to_numpy(np.int64)] = supp["s_nationkey"].to_numpy(np.int64)
+    r_ref, n_ref = ray.put(retail_lut), ray.put(nat_lut)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rl, nl = ray.get(r_ref), ray.get(n_ref)
+        pkv = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        retail_d = rl[pkv]
+        keep = retail_d >= 0
+        if not keep.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "nk": pa.array([], pa.int64()),
+                             "profit5": pa.array([], pa.int64())})
+        skv = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        ep_c = np.asarray(round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0), np.int64)
+        d_pct = np.asarray(round_half_away(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0), np.int64)
+        q_i = np.asarray(round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[keep], 0), np.int64)
+        profit5 = ep_c * (100 - d_pct) * 10 - retail_d[keep] * q_i * 9000
+        t = pa.table({
+            "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep],
+            "nk": nl[skv],
+            "profit5": profit5,
+        })
+        return t.group_by(["o_orderkey", "nk"]).aggregate([("profit5", "sum")]).rename_columns(
+            ["o_orderkey", "nk", "profit5"]
+        )
+
+    per_order = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_year": b["o_orderdate"].dt.year.to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=None,
+    )
+    joined = partition_merge_join(per_order, orders, on="o_orderkey", how="inner")
+
+    from ray.data.aggregate import Sum
+    out = (
+        joined.groupby(["nk", "o_year"])
+        .aggregate(Sum("profit5", alias_name="profit5"))
+        .to_pandas()  # |nations| x |years| rows
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = out.merge(nation, left_on="nk", right_on="n_nationkey")
+    out["sum_profit"] = round_half_away(out["profit5"].to_numpy(np.float64) / 1e5, 2)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)[
+        ["n_name", "o_year", "sum_profit"]
+    ]
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose catalog value through one
+    nation's suppliers exceeds a fraction of the nation total
+    (GROUP BY ... HAVING share-of-total). Scale path: the nation's
+    suppliers are a broadcast bool LUT; lineitem streams once into
+    per-partkey exact 1e-4-scaled int64 value partials; the global
+    total re-aggregates THOSE partials (no second scan); the HAVING
+    compares integers (1000*v > total) so the cut is exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = int(nation.loc[nation["n_name"] == "NATION_12", "n_nationkey"].iloc[0])
+    sel = supp.loc[supp["s_nationkey"] == nk, "s_suppkey"].to_numpy(np.int64)
+    sk_lut = np.zeros(int(supp["s_suppkey"].max()) + 1, bool)
+    sk_lut[sel] = True
+    sk_ref = ray.put(sk_lut)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_suppkey").isin(sel.tolist()),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sl = ray.get(sk_ref)
+        skv = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (skv < len(sl)) & sl[np.minimum(skv, len(sl) - 1)]
+        ep_c = np.asarray(round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0), np.int64)
+        d_pct = np.asarray(round_half_away(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100.0, 0), np.int64)
+        t = pa.table({
+            "p_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep],
+            "v4": ep_c * (100 - d_pct),
+        })
+        return t.group_by(["p_partkey"]).aggregate([("v4", "sum")]).rename_columns(
+            ["p_partkey", "v4"]
+        )
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("p_partkey")
+        .aggregate(Sum("v4", alias_name="v4"))
+        .materialize()
+    )
+    total = int(per_part.sum("v4") or 0)
+    n_parts = int(per_part.count())
+
+    def cut(batch: pd.DataFrame) -> pd.DataFrame:
+        # share > 2x the mean share: v * n > 2 * total (exact ints)
+        m = batch[batch["v4"].to_numpy(np.int64) * n_parts > 2 * total]
+        return pd.DataFrame({
+            "p_partkey": m["p_partkey"].to_numpy(np.int64),
+            "value": round_half_away(m["v4"].to_numpy(np.float64) / 1e4, 2),
+        })
+
+    out = per_part.map_batches(cut, batch_format="pandas", batch_size=None).to_pandas()
+    if "p_partkey" not in out.columns:  # nation slice empty at tiny sf
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                            "value": pd.Series([], dtype=np.float64)})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    combo, excluding one brand/type and a "complaints" supplier set
+    (suppkey % 7 == 0 stands in for the LIKE '%Complaints%' filter).
+    Scale path: qualifying parts map to a dense attr-combo id via a
+    broadcast LUT; blocks emit DISTINCT int64-packed (attr_id,
+    suppkey) words (Arrow group_by), one int-keyed exchange dedups
+    pairs globally, and per-attr counts are partial sums — supplier
+    ids never move as strings and the driver sees |combos| rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pc.field("p_brand") != "Brand#1") & (pc.field("p_type") != "PROMO")
+        & (pc.field("p_size").isin([1, 4, 9, 14, 19, 23, 36, 45])),
+    ).to_pandas()
+    combos = (
+        part[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates().sort_values(["p_brand", "p_type", "p_size"])
+        .reset_index(drop=True)
+    )
+    combo_id = {t: i for i, t in enumerate(
+        zip(combos["p_brand"], combos["p_type"], combos["p_size"]))}
+    attr_of_pk = np.full(int(part["p_partkey"].max()) + 1 if len(part) else 1, -1, np.int64)
+    for pkv, b, t, s in zip(part["p_partkey"], part["p_brand"], part["p_type"], part["p_size"]):
+        attr_of_pk[int(pkv)] = combo_id[(b, t, s)]
+    a_ref = ray.put(attr_of_pk)
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"],
+        filter=pc.field("l_partkey").isin(part["p_partkey"].tolist()),
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        al = ray.get(a_ref)
+        pkv = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skv = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (pkv < len(al)) & (al[np.minimum(pkv, len(al) - 1)] >= 0) & (skv % 7 != 0)
+        packed = al[pkv[keep]] * _Q2_SUPP_MULT + skv[keep]
+        return pa.table({"packed": np.unique(packed)})
+
+    distinct_pairs = (
+        li.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("packed")
+        .count()
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        aid = batch["packed"].to_numpy(np.int64) // _Q2_SUPP_MULT
+        vc = pd.Series(aid).value_counts()
+        return pd.DataFrame({"attr_id": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    counts = (
+        distinct_pairs.map_batches(count_partial, batch_format="pandas", batch_size=None)
+        .groupby("attr_id")
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+        .to_pandas()  # |combos| rows
+    )
+    out = combos.loc[counts["attr_id"].to_numpy(np.int64)].reset_index(drop=True)
+    out["supplier_cnt"] = counts["supplier_cnt"].to_numpy(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out.sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+
+
+def q20_part_share_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers who shipped more than half of a
+    part family's 1996 volume for at least one part (nested aggregate
+    + EXISTS semi-join). Scale path: qualifying partkeys broadcast;
+    lineitem streams once into per-(partkey, suppkey) packed int64
+    quantity partials; per-part totals re-aggregate the SAME partials;
+    the share test and the distinct-supplier projection stay
+    distributed, and supplier names come from a key-pushdown read."""
+    from ray.data.aggregate import Sum
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name"],
+    ).to_pandas()
+    sel = part[part["p_name"].str.contains("bolt")]["p_partkey"].to_numpy(np.int64)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=pc.field("l_partkey").isin(sel.tolist())
+        & (pc.field("l_shipdate") >= np.datetime64("1996-01-01", "us"))
+        & (pc.field("l_shipdate") < np.datetime64("1997-01-01", "us")),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pkv = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skv = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q_i = np.asarray(round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), 0), np.int64)
+        t = pa.table({"packed": pkv * _Q2_SUPP_MULT + skv, "q": q_i})
+        return t.group_by(["packed"]).aggregate([("q", "sum")]).rename_columns(
+            ["packed", "q"]
+        )
+
+    pair_q = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("packed")
+        .aggregate(Sum("q", alias_name="q"))
+        .materialize()
+    )
+    totals = (
+        pair_q.map_batches(
+            lambda b: pd.DataFrame({
+                "pk": b["packed"].to_numpy(np.int64) // _Q2_SUPP_MULT,
+                "q": b["q"].to_numpy(np.int64)}),
+            batch_format="pandas", batch_size=None)
+        .groupby("pk")
+        .aggregate(Sum("q", alias_name="qt"))
+        .to_pandas()  # |family parts| rows — a dimension slice
+    )
+    tot_lut = np.zeros(int(totals["pk"].max()) + 1 if len(totals) else 1, np.int64)
+    tot_lut[totals["pk"].to_numpy(np.int64)] = totals["qt"].to_numpy(np.int64)
+    import ray
+    t_ref = ray.put(tot_lut)
+
+    def winners(batch: pd.DataFrame) -> pd.DataFrame:
+        tl = ray.get(t_ref)
+        pkv = batch["packed"].to_numpy(np.int64) // _Q2_SUPP_MULT
+        skv = batch["packed"].to_numpy(np.int64) % _Q2_SUPP_MULT
+        keep = 2 * batch["q"].to_numpy(np.int64) > tl[pkv]
+        return pd.DataFrame({"s_suppkey": np.unique(skv[keep])})
+
+    sk = (
+        pair_q.map_batches(winners, batch_format="pandas", batch_size=None)
+        .groupby("s_suppkey")
+        .count()
+        .to_pandas()  # distinct winning suppliers — bounded by |supplier|
+    )
+    names = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+        filter=pc.field("s_suppkey").isin(sk["s_suppkey"].tolist()),
+    ).to_pandas()
+    return names.sort_values("s_suppkey").reset_index(drop=True)[["s_suppkey", "s_name"]]
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    finished multi-supplier order (EXISTS + NOT EXISTS self-joins on
+    lineitem), late = max shipdate > orderdate + 90 days. Scale path:
+    per-(orderkey, suppkey) MAX-shipdate partials pack into one
+    int-keyed exchange; the order side co-locates via the same
+    partition-merge join; the per-order EXISTS/NOT-EXISTS logic runs
+    vectorized inside each hash partition (every orderkey lives in
+    exactly one block after the join); per-supplier waits are partial
+    sums and the driver sees |supplier| rows for the top-20 cut."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.join import partition_merge_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = batch["l_shipdate"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        t = pa.table({"packed": ok * _Q2_SUPP_MULT + sk,
+                      "ms": ship.astype("datetime64[us]").astype(np.int64)})
+        return t.group_by(["packed"]).aggregate([("ms", "max")]).rename_columns(
+            ["packed", "ms"]
+        )
+
+    pairs = (
+        li.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("packed")
+        .aggregate(Max("ms", alias_name="ms"))
+        .map_batches(
+            lambda b: pd.DataFrame({
+                "o_orderkey": b["packed"].to_numpy(np.int64) // _Q2_SUPP_MULT,
+                "s_suppkey": b["packed"].to_numpy(np.int64) % _Q2_SUPP_MULT,
+                "ms": b["ms"].to_numpy(np.int64)}),
+            batch_format="pandas", batch_size=None)
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        filter=pc.field("o_orderstatus") == "F",
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "od": b["o_orderdate"].astype("datetime64[us]").astype(np.int64)}),
+        batch_format="pandas", batch_size=None,
+    )
+    joined = partition_merge_join(pairs, orders, on="o_orderkey", how="inner")
+
+    NINETY_DAYS_US = 90 * 86400 * 1_000_000
+
+    def per_order(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                                 "numwait": pd.Series([], dtype=np.int64)})
+        df = batch.copy()
+        df["late"] = df["ms"].to_numpy(np.int64) > df["od"].to_numpy(np.int64) + NINETY_DAYS_US
+        g = df.groupby("o_orderkey", sort=False).agg(
+            n_supp=("s_suppkey", "size"), n_late=("late", "sum"))
+        ok_orders = g[(g["n_supp"] >= 2) & (g["n_late"] == 1)].index
+        m = df[df["late"] & df["o_orderkey"].isin(ok_orders)]
+        vc = m["s_suppkey"].value_counts()
+        return pd.DataFrame({"s_suppkey": vc.index.to_numpy(np.int64),
+                             "numwait": vc.to_numpy(np.int64)})
+
+    waits = (
+        joined.map_batches(per_order, batch_format="pandas", batch_size=None)
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .to_pandas()  # |supplier| rows — a dimension
+    )
+    waits = waits.sort_values(["numwait", "s_suppkey"], ascending=[False, True]).head(20)
+    names = _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+        filter=pc.field("s_suppkey").isin(waits["s_suppkey"].tolist()),
+    ).to_pandas()
+    out = waits.merge(names, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out.reset_index(drop=True)[["s_suppkey", "s_name", "numwait"]]
