@@ -3369,13 +3369,15 @@ def q21_waiting_suppliers(sf_dir: str):
     """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
     finished multi-supplier order (EXISTS + NOT EXISTS self-joins on
     lineitem), late = max shipdate > orderdate + 90 days. Scale path:
-    per-(orderkey, suppkey) MAX-shipdate partials pack into one
-    int-keyed exchange; the order side co-locates via the same
-    partition-merge join; the per-order EXISTS/NOT-EXISTS logic runs
-    vectorized inside each hash partition (every orderkey lives in
-    exactly one block after the join); per-supplier waits are partial
-    sums and the driver sees |supplier| rows for the top-20 cut."""
-    from ray.data.aggregate import Max, Sum
+    blocks collapse to per-(orderkey, suppkey) MAX-shipdate PARTIALS
+    (Arrow group_by — no global pair groupby, which would range-sort
+    ~|lineitem| packed keys); the single orderkey-hash exchange of the
+    partition-merge join co-locates every partial of an order with its
+    order row, so the pair max-merge AND the EXISTS/NOT-EXISTS logic
+    both finish vectorized inside each partition; per-supplier waits
+    are partial sums and the driver sees |supplier| rows for the
+    top-20 cut."""
+    from ray.data.aggregate import Sum
 
     from ..stages.join import partition_merge_join
 
@@ -3389,21 +3391,13 @@ def q21_waiting_suppliers(sf_dir: str):
         ship = batch["l_shipdate"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
         t = pa.table({"packed": ok * _Q2_SUPP_MULT + sk,
                       "ms": ship.astype("datetime64[us]").astype(np.int64)})
-        return t.group_by(["packed"]).aggregate([("ms", "max")]).rename_columns(
-            ["packed", "ms"]
-        )
+        t = t.group_by(["packed"]).aggregate([("ms", "max")])
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": p // _Q2_SUPP_MULT,
+                         "s_suppkey": p % _Q2_SUPP_MULT,
+                         "ms": t["ms_max"]})
 
-    pairs = (
-        li.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
-        .groupby("packed")
-        .aggregate(Max("ms", alias_name="ms"))
-        .map_batches(
-            lambda b: pd.DataFrame({
-                "o_orderkey": b["packed"].to_numpy(np.int64) // _Q2_SUPP_MULT,
-                "s_suppkey": b["packed"].to_numpy(np.int64) % _Q2_SUPP_MULT,
-                "ms": b["ms"].to_numpy(np.int64)}),
-            batch_format="pandas", batch_size=None)
-    )
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
         filter=pc.field("o_orderstatus") == "F",
@@ -3421,7 +3415,10 @@ def q21_waiting_suppliers(sf_dir: str):
         if not len(batch):
             return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
                                  "numwait": pd.Series([], dtype=np.int64)})
-        df = batch.copy()
+        # finish the pair max-merge: the same (order, supplier) pair can
+        # arrive as partials from several lineitem blocks
+        df = batch.groupby(["o_orderkey", "s_suppkey"], sort=False, as_index=False).agg(
+            ms=("ms", "max"), od=("od", "first"))
         df["late"] = df["ms"].to_numpy(np.int64) > df["od"].to_numpy(np.int64) + NINETY_DAYS_US
         g = df.groupby("o_orderkey", sort=False).agg(
             n_supp=("s_suppkey", "size"), n_late=("late", "sum"))
