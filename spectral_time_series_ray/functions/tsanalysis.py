@@ -305,3 +305,121 @@ def holt_winters_scan(
         np.arange(S)[:, None], (T + h[None, :] - 1) % m
     ]
     return level, trend, fitted, fc
+
+
+def sliding_mean_std(x: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sliding-window mean and std over all length-``w`` subsequences
+    (cumsum trick, O(n)). Returns arrays of length ``len(x) - w + 1``."""
+    x = np.asarray(x, dtype=np.float64)
+    c = np.concatenate(([0.0], np.cumsum(x)))
+    c2 = np.concatenate(([0.0], np.cumsum(x * x)))
+    mu = (c[w:] - c[:-w]) / w
+    var = (c2[w:] - c2[:-w]) / w - mu * mu
+    return mu, np.sqrt(np.maximum(var, 0.0))
+
+
+def matrix_profile(x: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact z-normalized self-join matrix profile (STOMP recurrence,
+    Zhu et al., ICDM 2016): for every length-``w`` subsequence, the
+    z-normalized Euclidean distance to its nearest non-trivial match
+    and that match's index. Exclusion zone = w//2 around the diagonal.
+    O(n^2) with vectorized inner updates — sized for per-chunk series
+    (n <= a few thousand), NOT whole-corpus joins.
+
+    Near-constant subsequences (std ~ 0) match other near-constant
+    subsequences at distance 0 by convention.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    m = n - w + 1
+    if m < 2:
+        return np.full(max(m, 0), np.inf), np.full(max(m, 0), -1, np.int64)
+    mu, sig = sliding_mean_std(x, w)
+    flat = sig < 1e-10
+    sig_safe = np.where(flat, 1.0, sig)
+    excl = max(1, w // 2)
+
+    # QT_first[j] = dot(x[0:w], x[j:j+w]) for all j, via correlation
+    qt_first = np.convolve(x, x[w - 1::-1], mode="valid")
+
+    P = np.full(m, np.inf)
+    I = np.full(m, -1, np.int64)
+    qt = qt_first.copy()
+    for i in range(m):
+        if i > 0:
+            # STOMP: QT_i[j] = QT_{i-1}[j-1] - x[j-1]x[i-1] + x[j+w-1]x[i+w-1]
+            qt[1:] = qt[: m - 1] - x[: m - 1] * x[i - 1] + x[w:] * x[i + w - 1]
+            qt[0] = qt_first[i]
+        # z-normalized distance^2 = 2w(1 - (QT - w mu_i mu_j)/(w sig_i sig_j))
+        corr = (qt - w * mu[i] * mu) / (w * sig_safe[i] * sig_safe)
+        corr = np.where(flat | flat[i], np.where(flat & flat[i], 1.0, 0.0), corr)
+        d = np.sqrt(np.maximum(2.0 * w * (1.0 - corr), 0.0))
+        lo, hi = max(0, i - excl), min(m, i + excl + 1)
+        d[lo:hi] = np.inf
+        j = int(np.argmin(d))
+        P[i] = d[j]
+        I[i] = j
+    return P, I
+
+
+def spectral_residual_saliency(x: np.ndarray, ma_window: int = 21) -> np.ndarray:
+    """Spectral-residual saliency map (Hou & Zhang CVPR 2007, applied
+    to time series as in Ren et al., KDD 2019 §3.1): log-amplitude
+    spectrum minus its moving average, recombined with the original
+    phase — points that break the series' spectral regularity get
+    high saliency. O(n log n), fully vectorized."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 4:
+        return np.zeros(n)
+    eps = 1e-8
+    F = np.fft.fft(x)
+    amp = np.abs(F)
+    logamp = np.log(amp + eps)
+    k = min(ma_window, n) | 1  # odd
+    kernel = np.ones(k) / k
+    avg = np.convolve(np.pad(logamp, (k // 2, k // 2), mode="edge"), kernel, mode="valid")
+    residual = logamp - avg
+    sal = np.abs(np.fft.ifft(np.exp(residual) * np.exp(1j * np.angle(F))))
+    return sal
+
+
+def dtw_distance(x: np.ndarray, y: np.ndarray, band: int | None = None) -> float:
+    """Dynamic-time-warping distance (squared-error local cost, full
+    sum returned as sqrt of the optimal path cost) with an optional
+    Sakoe-Chiba band. The row recurrence is fully vectorized: with
+    t[j] = c[i,j] + min(D[i-1,j], D[i-1,j-1]) the horizontal term
+    unrolls to D[i,j] = csum[j] + min_{k<=j}(t[k] - csum[k]), a
+    prefix-min — no inner Python loop, O(n*m) total work."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, m = len(x), len(y)
+    if n == 0 or m == 0:
+        return float("inf")
+    if band is None:
+        band = max(n, m)
+    prev = np.full(m, np.inf)
+    # row 0
+    j_hi = min(m, band + 1)
+    c0 = (y[:j_hi] - x[0]) ** 2
+    prev[:j_hi] = np.cumsum(c0)
+    for i in range(1, n):
+        jlo, jhi = max(0, i - band), min(m, i + band + 1)
+        if jlo >= jhi:  # band excludes the whole row: no feasible path
+            prev = np.full(m, np.inf)
+            continue
+        c = (y[jlo:jhi] - x[i]) ** 2
+        shifted = np.empty(jhi - jlo)  # D[i-1, j-1]
+        if jlo == 0:
+            shifted[0] = np.inf
+            shifted[1:] = prev[jlo : jhi - 1]
+        else:
+            shifted[:] = prev[jlo - 1 : jhi - 1]
+        # D[i,j] = min(t[j], c[j] + D[i,j-1]) unrolls over the row to
+        # D[i,j] = S[j] + min_{k<=j}(t[k] - S[k]) with S = cumsum(c)
+        t = c + np.minimum(prev[jlo:jhi], shifted)
+        S = np.cumsum(c)
+        cur = np.full(m, np.inf)
+        cur[jlo:jhi] = S + np.minimum.accumulate(t - S)
+        prev = cur
+    return float(np.sqrt(prev[m - 1]))

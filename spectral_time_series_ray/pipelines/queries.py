@@ -3443,3 +3443,100 @@ def q21_waiting_suppliers(sf_dir: str):
     out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
     out["numwait"] = out["numwait"].astype(np.int64)
     return out.reset_index(drop=True)[["s_suppkey", "s_name", "numwait"]]
+
+
+def ev_m4_downsample(sf_dir: str):
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per (user,
+    4h pixel bucket) the min/max/first/last tuple — the lossless-
+    rendering aggregate for dashboard line charts. Scale path:
+    per-block pandas partials carry (min_v, max_v, argmin-ts first,
+    argmax-ts last); ONE int-keyed partition exchange merges them
+    (arg-pairs are not expressible as Ray's builtin aggregates), so
+    raw points never shuffle. (user_id, ts) is unique in the table, so
+    first/last are deterministic."""
+    import ray
+
+    from ..stages.rollup import partitions_for_input
+
+    P = partitions_for_input(None)
+    W = 4 * 3600 * 1_000_000  # 4h in us
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "bucket": (ts // W) * W,
+            "ts": ts,
+            "v": batch["value"].to_numpy(np.float64),
+        })
+        g = df.groupby(["user_id", "bucket"], sort=False)
+        agg = g.agg(min_v=("v", "min"), max_v=("v", "max"),
+                    f_ts=("ts", "idxmin"), l_ts=("ts", "idxmax")).reset_index()
+        agg["first_v"] = df["v"].to_numpy()[agg["f_ts"].to_numpy()]
+        agg["last_v"] = df["v"].to_numpy()[agg["l_ts"].to_numpy()]
+        agg["f_ts"] = df["ts"].to_numpy()[agg["f_ts"].to_numpy()]
+        agg["l_ts"] = df["ts"].to_numpy()[agg["l_ts"].to_numpy()]
+        agg["_part"] = (
+            pd.util.hash_pandas_object(agg["user_id"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return agg
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(["user_id", "bucket"], sort=False)
+        out = gb.agg(min_value=("min_v", "min"), max_value=("max_v", "max"),
+                     fi=("f_ts", "idxmin"), li=("l_ts", "idxmax")).reset_index()
+        out["first_value"] = g["first_v"].to_numpy()[out["fi"].to_numpy()]
+        out["last_value"] = g["last_v"].to_numpy()[out["li"].to_numpy()]
+        out["bucket_ts"] = pd.to_datetime(out["bucket"].to_numpy(np.int64), unit="us")
+        for c in ("first_value", "min_value", "max_value", "last_value"):
+            out[c] = round_half_away(out[c].to_numpy(np.float64), 6)
+        return out[["user_id", "bucket_ts", "first_value", "min_value",
+                    "max_value", "last_value"]]
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def ev_full_outer_days(sf_dir: str):
+    """FULL OUTER JOIN: daily click vs purchase counts per day, both
+    sides' unmatched days surviving with NULL counts. Scale path: each
+    side collapses to per-day count partials inside map_batches before
+    the join, so the full-outer exchange moves |days| rows, not
+    events; counts surface as float64 (SQL's nullable-count
+    convention after an outer join)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import partition_merge_join
+
+    def day_counts(etype: str):
+        ds = _read(
+            sf_dir, "events", columns=["ts", "event_type"],
+            filter=pc.field("event_type") == etype,
+        )
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            day = batch["ts"].dt.strftime("%Y-%m-%d")
+            vc = day.value_counts()
+            return pd.DataFrame({"day": vc.index.to_numpy(),
+                                 "n": vc.to_numpy(np.int64)})
+
+        return (
+            ds.map_batches(partial, batch_format="pandas", batch_size=None)
+            .groupby("day")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    clicks = _rename_ds(day_counts("click"), {"n": "n_click"})
+    purchases = _rename_ds(day_counts("purchase"), {"n": "n_purchase"})
+    joined = partition_merge_join(clicks, purchases, on="day", how="full_outer")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_click"] = batch["n_click"].astype(np.float64)
+        batch["n_purchase"] = batch["n_purchase"].astype(np.float64)
+        return batch[["day", "n_click", "n_purchase"]]
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)

@@ -784,3 +784,152 @@ def lttb_downsample(chunk_ds, k: int = 128, concurrency: int = 4):
         LTTBDownsampler, fn_constructor_kwargs={"k": k},
         batch_format="pandas", batch_size=256, concurrency=concurrency,
     )
+
+
+class MatrixProfiler:
+    """Actor-pool exact matrix profile per packed chunk row: for each
+    chunk's value series, the z-normalized nearest-neighbor distance
+    profile (STOMP) summarized as the motif (global min) and discord
+    (global max) with their indices. O(n^2) per chunk is the designed
+    budget — chunks are bounded by ``pack_series`` (<= ~4096 points),
+    so the quadratic term never sees a whole conversation at 100 TB.
+    """
+
+    def __init__(self, window: int = 16):
+        from ..functions.tsanalysis import matrix_profile
+
+        self.window = window
+        self._mp = matrix_profile
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        motif_d, motif_i, motif_j, discord_d, discord_i, n_sub = [], [], [], [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if len(v) < 2 * self.window:
+                motif_d.append(np.nan); motif_i.append(-1); motif_j.append(-1)
+                discord_d.append(np.nan); discord_i.append(-1); n_sub.append(0)
+                continue
+            P, I = self._mp(v, self.window)
+            finite = np.isfinite(P)
+            if not finite.any():
+                motif_d.append(np.nan); motif_i.append(-1); motif_j.append(-1)
+                discord_d.append(np.nan); discord_i.append(-1); n_sub.append(len(P))
+                continue
+            Pf = np.where(finite, P, np.inf)
+            mi = int(np.argmin(Pf))
+            Pd = np.where(finite, P, -np.inf)
+            di = int(np.argmax(Pd))
+            motif_d.append(float(P[mi])); motif_i.append(mi); motif_j.append(int(I[mi]))
+            discord_d.append(float(P[di])); discord_i.append(di); n_sub.append(len(P))
+        out = batch.drop(columns=[c for c in ("ts", "values", "values_precond")
+                                  if c in batch.columns]).copy()
+        out["motif_dist"] = np.asarray(motif_d, np.float64)
+        out["motif_idx"] = np.asarray(motif_i, np.int64)
+        out["motif_match"] = np.asarray(motif_j, np.int64)
+        out["discord_dist"] = np.asarray(discord_d, np.float64)
+        out["discord_idx"] = np.asarray(discord_i, np.int64)
+        out["n_subseq"] = np.asarray(n_sub, np.int64)
+        return out
+
+
+def matrix_profile_chunks(chunk_ds, window: int = 16, concurrency: int = 4):
+    """Motif/discord discovery per packed chunk (exact STOMP)."""
+    return chunk_ds.map_batches(
+        MatrixProfiler,
+        fn_constructor_kwargs={"window": window},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+class SaliencyScorer:
+    """Actor-pool spectral-residual anomaly scorer per packed chunk:
+    saliency map (Ren et al., KDD 2019) -> robust z-score of saliency
+    -> anomaly indices where score > ``threshold``. Emits per-chunk
+    anomaly count, top index and its score."""
+
+    def __init__(self, ma_window: int = 21, threshold: float = 6.0):
+        from ..functions.tsanalysis import spectral_residual_saliency
+
+        self.ma_window = ma_window
+        self.threshold = threshold
+        self._sal = spectral_residual_saliency
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_anom, top_idx, top_score = [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            v = np.where(np.isnan(v), np.nanmean(v) if np.isfinite(np.nanmean(v)) else 0.0, v)
+            if len(v) < 16:
+                n_anom.append(0); top_idx.append(-1); top_score.append(0.0)
+                continue
+            s = self._sal(v, self.ma_window)
+            med = np.median(s)
+            mad = np.median(np.abs(s - med)) + 1e-12
+            z = (s - med) / (1.4826 * mad)
+            flag = z > self.threshold
+            n_anom.append(int(flag.sum()))
+            ti = int(np.argmax(z))
+            top_idx.append(ti if flag.any() else -1)
+            top_score.append(float(z[ti]))
+        out = batch.drop(columns=[c for c in ("ts", "values", "values_precond")
+                                  if c in batch.columns]).copy()
+        out["n_anomalies"] = np.asarray(n_anom, np.int64)
+        out["top_anomaly_idx"] = np.asarray(top_idx, np.int64)
+        out["top_anomaly_score"] = np.asarray(top_score, np.float64)
+        return out
+
+
+def saliency_anomalies(chunk_ds, ma_window: int = 21, threshold: float = 6.0,
+                       concurrency: int = 4):
+    """Spectral-residual anomaly detection per packed chunk."""
+    return chunk_ds.map_batches(
+        SaliencyScorer,
+        fn_constructor_kwargs={"ma_window": ma_window, "threshold": threshold},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )
+
+
+class DTWScorer:
+    """Actor-pool banded-DTW distance of each row's series against a
+    BROADCAST query profile (ray.put once, fetched per actor in
+    __init__ — never re-shipped per batch)."""
+
+    def __init__(self, query_ref, band: int = 8):
+        import ray
+
+        from ..functions.tsanalysis import dtw_distance
+
+        self.query = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.band = band
+        self._dtw = dtw_distance
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        d, eu = [], []
+        q = self.query
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            d.append(self._dtw(v, q, self.band))
+            eu.append(float(np.sqrt(((v - q) ** 2).sum())) if len(v) == len(q) else np.nan)
+        out = batch.drop(columns=[c for c in ("ts", "values") if c in batch.columns]).copy()
+        out["dtw_dist"] = np.asarray(d, np.float64)
+        out["euclid_dist"] = np.asarray(eu, np.float64)
+        return out
+
+
+def dtw_score(series_ds, query: np.ndarray, band: int = 8, concurrency: int = 4):
+    """DTW distance per series row vs one broadcast query profile."""
+    import ray
+
+    query_ref = ray.put(np.asarray(query, dtype=np.float64))
+    return series_ds.map_batches(
+        DTWScorer,
+        fn_constructor_kwargs={"query_ref": query_ref, "band": band},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )

@@ -677,10 +677,11 @@ def partition_merge_join(
     joins whose build or probe side can be SPARSE (post-Bloom
     residues, filtered key sets).
 
-    ``how``: 'inner', 'left_outer', 'semi' (left rows whose key exists
-    on the right; right columns dropped), 'anti' (left rows whose key
-    does NOT exist on the right).  ``on`` must name the key column in
-    BOTH sides.
+    ``how``: 'inner', 'left_outer', 'full_outer' (both sides' unmatched
+    keys survive with NaN/None fill), 'semi' (left rows whose key
+    exists on the right; right columns dropped), 'anti' (left rows
+    whose key does NOT exist on the right).  ``on`` must name the key
+    column in BOTH sides.
     """
     import numpy as np
     import pandas as pd
@@ -721,7 +722,7 @@ def partition_merge_join(
             return left[left[on].isin(set(right[on]))]
         if how == "anti":
             return left[~left[on].isin(set(right[on]))]
-        pd_how = {"inner": "inner", "left_outer": "left"}[how]
+        pd_how = {"inner": "inner", "left_outer": "left", "full_outer": "outer"}[how]
         return left.merge(right, on=on, how=pd_how)
 
     return both.groupby("_part").map_groups(merge_part, batch_format="pandas")

@@ -715,3 +715,69 @@ def semdedup(
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pandas"
     )
+
+
+def pca_fit_distributed(ds, col: str = "embedding", k: int = 8):
+    """Distributed PCA over an embedding column via exact moment
+    partials: each block emits (n, sum, sum-of-outer-products) — one
+    (d + d^2)-float row per block — so the driver only ever merges
+    O(blocks * d^2) numbers, never rows. Population covariance
+    (ddof=0) eigendecomposition; components returned with a
+    deterministic sign convention (largest-|coord| entry positive).
+
+    Returns (mean[d], components[k,d] row-major by descending
+    eigenvalue, eigenvalues[d] descending, n_rows).
+    """
+    import numpy as np
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[col])
+        s = m.sum(axis=0)
+        o = (m.T @ m).ravel()
+        return pd.DataFrame({"n": [len(m)],
+                             "s": [s.astype(np.float64)],
+                             "o": [o.astype(np.float64)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    n = int(parts["n"].sum())
+    if n == 0:
+        raise ValueError("pca_fit_distributed: empty input")
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    o = np.sum(np.stack(parts["o"].to_numpy()), axis=0)
+    d = len(s)
+    mean = s / n
+    cov = o.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    comps = evecs[:, order].T  # rows = components
+    # deterministic sign: make the largest-|coord| entry positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps[:k], evals, n
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray,
+                col: str = "embedding", out_col: str = "pc"):
+    """Project each row onto the fitted components (broadcast via
+    ray.put; zero-copy matmul per batch). Adds ``out_col`` as a
+    list<float64> column and ``recon_err2`` (squared reconstruction
+    error using the kept components)."""
+    import ray
+
+    mc_ref = ray.put((np.asarray(mean, np.float64),
+                      np.asarray(components, np.float64)))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        mu, C = ray.get(mc_ref)
+        m = _to_matrix(batch[col]) - mu
+        z = m @ C.T
+        resid = m - z @ C
+        batch = batch.copy()
+        batch[out_col] = list(z)
+        batch["recon_err2"] = (resid ** 2).sum(axis=1)
+        return batch
+
+    return ds.map_batches(project, batch_format="pandas", batch_size=None)

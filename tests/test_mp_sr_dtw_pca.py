@@ -1,0 +1,147 @@
+"""Matrix profile / spectral residual / DTW kernels and distributed PCA.
+
+Kernels verify against brute-force references; PCA against numpy's
+exact eigendecomposition of the full covariance (tiny fixture).
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from spectral_time_series_ray.functions.tsanalysis import (
+    dtw_distance,
+    matrix_profile,
+    sliding_mean_std,
+    spectral_residual_saliency,
+)
+
+
+def _mp_brute(x, w):
+    n = len(x)
+    m = n - w + 1
+    excl = max(1, w // 2)
+    subs = np.lib.stride_tricks.sliding_window_view(x, w).astype(float)
+    mu, sd = subs.mean(1), subs.std(1)
+    Z = (subs - mu[:, None]) / np.where(sd < 1e-10, 1, sd)[:, None]
+    P = np.full(m, np.inf)
+    I = np.full(m, -1)
+    for i in range(m):
+        d = np.sqrt(((Z[i] - Z) ** 2).sum(1))
+        flat_i, flat = sd[i] < 1e-10, sd < 1e-10
+        d = np.where(flat_i | flat, np.where(flat_i & flat, 0.0, np.sqrt(2 * w)), d)
+        lo, hi = max(0, i - excl), min(m, i + excl + 1)
+        d[lo:hi] = np.inf
+        j = int(np.argmin(d))
+        P[i], I[i] = d[j], j
+    return P, I
+
+
+def _dtw_brute(x, y, band=None):
+    n, m = len(x), len(y)
+    band = band or max(n, m)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(1, i - band), min(m, i + band) + 1):
+            c = (x[i - 1] - y[j - 1]) ** 2
+            D[i, j] = c + min(D[i - 1, j], D[i - 1, j - 1], D[i, j - 1])
+    return float(np.sqrt(D[n, m]))
+
+
+def test_sliding_mean_std():
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, 100)
+    mu, sd = sliding_mean_std(x, 10)
+    subs = np.lib.stride_tricks.sliding_window_view(x, 10)
+    assert np.allclose(mu, subs.mean(1))
+    assert np.allclose(sd, subs.std(1), atol=1e-9)
+
+
+def test_matrix_profile_matches_brute_force():
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, 180)
+    P, I = matrix_profile(x, 12)
+    Pb, Ib = _mp_brute(x, 12)
+    assert np.allclose(P, Pb, atol=1e-6)
+    assert (I == Ib).all()
+
+
+def test_matrix_profile_planted_motif():
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 0.2, 220) + 5.0
+    pat = np.sin(np.arange(16) * 1.3) * 3
+    x[40:56] += pat
+    x[150:166] += pat
+    P, I = matrix_profile(x, 16)
+    # the two occurrences carry independent noise (sigma=0.2 on an
+    # amplitude-3 pattern) so the match is ~0.5, far below the noise
+    # floor of ~sqrt(2w) ~ 5.7
+    assert P[40] < 1.0 and I[40] == 150
+    assert P[150] < 1.0 and I[150] == 40
+    assert np.median(P) > 2.0
+
+
+def test_matrix_profile_constant_series():
+    x = np.ones(64)
+    P, I = matrix_profile(x, 8)
+    assert np.allclose(P, 0.0)  # constant matches constant at 0
+
+
+@pytest.mark.parametrize("band", [None, 1, 3, 10])
+def test_dtw_matches_brute_force(band):
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        a = rng.normal(0, 1, rng.integers(2, 30))
+        b = rng.normal(0, 1, rng.integers(2, 30))
+        d1, d2 = dtw_distance(a, b, band), _dtw_brute(a, b, band)
+        assert (np.isinf(d1) and np.isinf(d2)) or abs(d1 - d2) < 1e-9
+
+
+def test_dtw_identity_and_euclid_bound():
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 1, 40)
+    b = rng.normal(0, 1, 40)
+    assert dtw_distance(a, a) == 0.0
+    assert dtw_distance(a, b) <= float(np.sqrt(((a - b) ** 2).sum())) + 1e-12
+
+
+def test_spectral_residual_flags_spike_not_clean():
+    t = np.arange(512)
+    clean = 5 + 2 * np.sin(2 * np.pi * t / 32)
+    spiked = clean.copy()
+    spiked[200] += 8
+    s = spectral_residual_saliency(spiked)
+    assert int(np.argmax(s)) == 200
+    med, mad = np.median(s), np.median(np.abs(s - np.median(s))) + 1e-12
+    assert (s[200] - med) / (1.4826 * mad) > 6.0
+    sc = spectral_residual_saliency(clean)
+    medc = np.median(sc)
+    madc = np.median(np.abs(sc - medc)) + 1e-12
+    assert ((sc - medc) / (1.4826 * madc)).max() < 6.0
+
+
+def test_pca_distributed_matches_numpy(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.similarity import (
+        pca_fit_distributed,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(5)
+    d, n = 6, 400
+    base = rng.normal(0, 1, (n, 3)) @ rng.normal(0, 1, (3, d))  # rank-3 + noise
+    x = base + 0.01 * rng.normal(0, 1, (n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(x)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    mean, comps, evals, cnt = pca_fit_distributed(ds, k=3)
+    assert cnt == n
+    assert np.allclose(mean, x.mean(0), atol=1e-10)
+    cov = np.cov(x.T, bias=True)
+    ev_np = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(evals, ev_np, atol=1e-8)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+
+    out = pca_project(ds, mean, comps).to_pandas()
+    # population-covariance identity: mean recon err == dropped eigenvalue mass
+    assert abs(out["recon_err2"].mean() - ev_np[3:].sum()) < 1e-8
