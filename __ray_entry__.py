@@ -3362,20 +3362,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (each carries an ok column, green at sf0.001/0.01).
     return {
         "ev_rollup_1m": Q.ev_rollup_1m,
-        "ev_cascade_1h": Q.ev_cascade_1h,
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
-        "ev_sessions": Q.ev_sessions,
-        "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_incremental_rollup": Q.ev_incremental_rollup,
+        "ev_gapfill_1h": Q.ev_gapfill_1h,
+        "ev_sessions": Q.ev_sessions,
+        "ev_scd2_intervals": Q.ev_scd2_intervals,
+        "ev_time_weighted_avg": Q.ev_time_weighted_avg,
+        "ev_interval_coverage": Q.ev_interval_coverage,
+        "ev_asof_purchase": Q.ev_asof_purchase,
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_range_join": Q.ev_range_join,
         "ev_window_distinct": Q.ev_window_distinct,
-        "ev_session_overlap": Q.ev_session_overlap,
-        "ev_trend": Q.ev_trend,
-        "ev_time_weighted_avg": Q.ev_time_weighted_avg,
-        "ev_interval_coverage": Q.ev_interval_coverage,
-        "ev_local_day": Q.ev_local_day,
+        "ev_m4_downsample": Q.ev_m4_downsample,
         "ev_naive_forecast": Q.ev_naive_forecast,
         "ev_seasonal_mase": Q.ev_seasonal_mase,
         "ev_user_scaler": Q.ev_user_scaler,
@@ -3384,33 +3383,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_no_purchase_users": Q.ev_no_purchase_users,
         "ev_top_users": Q.ev_top_users,
         "ev_distinct_exact": Q.ev_distinct_exact,
-        "ev_asof_purchase": Q.ev_asof_purchase,
+        "ev_outliers_mad": Q.ev_outliers_mad,
+        "ev_funnel": Q.ev_funnel,
         "ev_type_cooccurrence": Q.ev_type_cooccurrence,
+        "ev_trend": Q.ev_trend,
         "q1_pricing": Q.q1_pricing,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q12_priority_lines": Q.q12_priority_lines,
         "q10_returned_items": Q.q10_returned_items,
-        "q4_order_priority": Q.q4_order_priority,
         "q8_market_share": Q.q8_market_share,
         "q3_revenue_topk": Q.q3_revenue_topk,
         "q5_local_supplier": Q.q5_local_supplier,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q16_supplier_cnt": Q.q16_supplier_cnt,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
+        "orders_by_segment": Q.orders_by_segment,
+        "bucketed_join_priority": _bucketed_join_priority,
+        "ev_full_outer_days": Q.ev_full_outer_days,
         "ri_orphans": Q.ri_orphans,
         "graph_triangles": _graph_triangles,
-        "bucketed_join_priority": _bucketed_join_priority,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_decontaminate": Q.doc_decontaminate,
         "doc_dup_spans": Q.doc_dup_spans,
         "doc_phrase_match": _doc_phrase_match,
-        "doc_regex_extract": Q.doc_regex_extract,
-        "doc_above_p90": Q.doc_above_p90,
-        "doc_tfidf_top": Q.doc_tfidf_top,
+        "doc_hamming_pairs": Q.doc_hamming_pairs,
         "emb_ann_topk": Q.emb_ann_topk,
         "emb_ann_filtered": Q.emb_ann_filtered,
         "emb_label_stats": Q.emb_label_stats,
+        "ev_cascade_1h": Q.ev_cascade_1h,
+        "ev_session_overlap": Q.ev_session_overlap,
+        "ev_local_day": Q.ev_local_day,
+        "q4_order_priority": Q.q4_order_priority,
+        "doc_regex_extract": Q.doc_regex_extract,
+        "doc_above_p90": Q.doc_above_p90,
+        "doc_tfidf_top": Q.doc_tfidf_top,
         "emb_sim_pairs": Q.emb_sim_pairs,
-        "ev_outliers_mad": Q.ev_outliers_mad,
-        "ev_funnel": Q.ev_funnel,
         "ev_rollup_1h_type": Q.ev_rollup_1h_type,
         "ev_interarrival": Q.ev_interarrival,
         "ev_trailing_window": Q.ev_trailing_window,
@@ -3451,19 +3459,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": Q.q15_top_supplier,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
-        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "q9_profit_by_nation": Q.q9_profit_by_nation,
         "q11_important_parts": Q.q11_important_parts,
-        "q16_supplier_cnt": Q.q16_supplier_cnt,
         "q20_part_share_suppliers": Q.q20_part_share_suppliers,
-        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
-        "ev_m4_downsample": Q.ev_m4_downsample,
-        "ev_full_outer_days": Q.ev_full_outer_days,
         "cust_order_leftjoin": Q.cust_order_leftjoin,
-        "doc_hamming_pairs": Q.doc_hamming_pairs,
-        "orders_by_segment": Q.orders_by_segment,
         "ev_asof_next_error": Q.ev_asof_next_error,
-        "ev_scd2_intervals": Q.ev_scd2_intervals,
         "ev_zonemap_range": _ev_zonemap_range,
         "bucketed_point_lookup": _bucketed_point_lookup,
         "doc_conjunctive_search": Q.doc_conjunctive_search,
