@@ -3350,6 +3350,139 @@ def _emb_pca(sf_dir: str):
     })
 
 
+
+def _tr_kalman(sf_dir: str):
+    """Kalman local-level filter + RTS smoother per packed chunk
+    (`stages/analytics.kalman_smooth`), SELF-VERIFYING against a
+    planted random-walk-plus-noise conversation whose latent truth is
+    known: the smoother must (a) beat the raw observations against the
+    truth in RMSE and (b) be at least as close as the causal filter
+    (the smoother conditions on the full chunk). Real chunks assert
+    finite summaries and positive smoothed variance."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import kalman_smooth
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    Q_VAR, R_VAR = 0.25, 4.0
+    rng = np.random.default_rng(31)
+    k = np.arange(256)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    latent = 20.0 + np.cumsum(rng.normal(0, np.sqrt(Q_VAR), 256))
+    obs = latent + rng.normal(0, np.sqrt(R_VAR), 256)
+    planted = pd.DataFrame({"conv_id": "__planted_kalman__",
+                            "bucket_ts": pd.Series(grid), "mean_latency": obs})
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(
+        both, "1m", value_col="mean_latency", method="locf"
+    ).materialize()
+
+    out = kalman_smooth(chunks, q=Q_VAR, r=R_VAR, concurrency=4).to_pandas()
+
+    pl = kalman_smooth(
+        chunks.filter(expr="conv_id == '__planted_kalman__'"),
+        q=Q_VAR, r=R_VAR, emit_series=True, concurrency=1,
+    ).to_pandas()
+    assert len(pl) == 1, "planted conversation missing"
+    sm = np.asarray(pl["smoothed"].iloc[0], np.float64)
+    fi = np.asarray(pl["filtered"].iloc[0], np.float64)
+    rmse_sm = float(np.sqrt(((sm - latent) ** 2).mean()))
+    rmse_fi = float(np.sqrt(((fi - latent) ** 2).mean()))
+    rmse_obs = float(np.sqrt(((obs - latent) ** 2).mean()))
+    planted_ok = bool(rmse_sm < rmse_obs and rmse_sm <= rmse_fi + 1e-12)
+
+    base_ok = (
+        np.isfinite(out["smooth_obs_rmse"].to_numpy())
+        & (out["smooth_var"].to_numpy() > 0)
+    )
+    out["ok"] = np.where(out["conv_id"] == "__planted_kalman__", planted_ok, base_ok)
+    return out[["conv_id", "chunk_idx", "smooth_obs_rmse", "smooth_var",
+                "smooth_last", "ok"]]
+
+
+
+def _graph_bfs_hops(sf_dir: str):
+    """Single-source shortest-hop BFS (`graph.bfs_hops`: Pregel-style
+    iterative frontier, one semi-join + one anti-join exchange per
+    round) over the part co-purchase graph (same >=2-co-occurrence
+    edge set as graph_triangles), source = smallest part id with an
+    edge, depth capped at 5. ORACLE-CHECKED per hop level: DuckDB
+    mirrors it with a WITH RECURSIVE walk + min(hop) collapse."""
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.graph import bfs_hops
+
+    P = 32
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                            "p": b["l_partkey"].to_numpy(np.int64)})
+        out = out.drop_duplicates()
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["k"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["k", "p"])
+        m = g.merge(g, on="k", suffixes=("_a", "_b"))
+        m = m[m["p_a"] < m["p_b"]]
+        if not len(m):
+            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "_p2": pd.Series([], dtype=np.int32)})
+        pk = m["p_a"].to_numpy(np.int64) * (1 << 32) + m["p_b"].to_numpy(np.int64)
+        out = pd.DataFrame({"pk": pk}).groupby("pk", as_index=False).size()
+        out.columns = ["pk", "cnt"]
+        out["_p2"] = (
+            pd.util.hash_pandas_object(out["pk"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    def threshold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", as_index=False)["cnt"].sum()
+        s = s[s["cnt"] >= 2]
+        pk = s["pk"].to_numpy(np.int64)
+        return pd.DataFrame({"u": pk >> 32, "v": pk & ((1 << 32) - 1)})
+
+    edges = (
+        li.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(order_pairs, batch_format="pandas")
+        .groupby("_p2")
+        .map_groups(threshold, batch_format="pandas")
+        .materialize()
+    )
+    if int(edges.count()) == 0:
+        return pd.DataFrame({"hop": pd.Series([], dtype=np.int64),
+                             "n_nodes": pd.Series([], dtype=np.int64)})
+    source = int(edges.min("u"))
+
+    dist = bfs_hops(edges, source, max_hops=5)
+    out = (
+        dist.map_batches(
+            lambda b: b["hop"].value_counts().rename_axis("hop")
+            .reset_index(name="n_nodes"),
+            batch_format="pandas", batch_size=None)
+        .groupby("hop")
+        .sum("n_nodes")
+        .to_pandas()  # <= 6 rows
+    )
+    out.columns = ["hop", "n_nodes"]
+    out["hop"] = out["hop"].astype(np.int64)
+    out["n_nodes"] = out["n_nodes"].astype(np.int64)
+    return out.sort_values("hop").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -3402,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_full_outer_days": Q.ev_full_outer_days,
         "ri_orphans": Q.ri_orphans,
         "graph_triangles": _graph_triangles,
+        "graph_bfs_hops": _graph_bfs_hops,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_decontaminate": Q.doc_decontaminate,
@@ -3500,6 +3634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_resample": _tr_resample,
         "tr_series_analysis": _tr_series_analysis,
         "tr_matrix_profile": _tr_matrix_profile,
+        "tr_kalman": _tr_kalman,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,
@@ -4460,6 +4595,34 @@ def oracle_sql() -> dict[str, str]:
                        as n_matches
             from documents, p
             group by phrase
+        """,
+        "graph_bfs_hops": """
+            with recursive pi as (
+              select a.l_orderkey as k,
+                     a.l_partkey as u, b.l_partkey as v
+              from lineitem a join lineitem b
+                on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+            ),
+            pairs as (
+              select u, v
+              from (select distinct k, u, v from pi)
+              group by u, v having count(*) >= 2
+            ),
+            sym as (
+              select u as s, v as d from pairs
+              union all
+              select v, u from pairs
+            ),
+            walk as (
+              select (select min(u) from pairs) as node, 0 as hop
+              union
+              select sym.d, walk.hop + 1
+              from walk join sym on sym.s = walk.node
+              where walk.hop < 5
+            )
+            select hop, cast(count(*) as bigint) as n_nodes
+            from (select node, min(hop) as hop from walk group by 1)
+            group by 1
         """,
         "graph_triangles": """
             with pi as (

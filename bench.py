@@ -176,7 +176,11 @@ def run_bench() -> dict:
                      # round-3 part 8: graph analytics, bucketed join,
                      # star join, multi-pattern text scan
                      "graph_triangles", "bucketed_join_priority",
-                     "q8_market_share", "doc_phrase_match"):
+                     "q8_market_share", "doc_phrase_match",
+                     # round-3 part 9/10: hardest new TPC-H shape,
+                     # M4 read path, motif mining, PCA
+                     "q21_waiting_suppliers", "ev_m4_downsample",
+                     "tr_matrix_profile", "emb_pca"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

@@ -423,3 +423,45 @@ def dtw_distance(x: np.ndarray, y: np.ndarray, band: int | None = None) -> float
         cur[jlo:jhi] = S + np.minimum.accumulate(t - S)
         prev = cur
     return float(np.sqrt(prev[m - 1]))
+
+
+def kalman_local_level(
+    x: np.ndarray, q: float, r: float, mu0: float | None = None, p0: float = 1e6
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Kalman filter + RTS smoother for the local-level model
+    (x_t = x_{t-1} + w, w~N(0,q); y_t = x_t + v, v~N(0,r)).
+    NaN observations are treated as missing (pure predict step), so
+    this doubles as a probabilistic gap-filler. Returns
+    (filtered_mean, smoothed_mean, smoothed_var), all length n.
+    O(n), fully sequential per series — run per chunk in an actor
+    pool, never across chunk boundaries."""
+    y = np.asarray(x, dtype=np.float64)
+    n = len(y)
+    if n == 0:
+        return np.zeros(0), np.zeros(0), np.zeros(0)
+    m_pred = np.empty(n)  # prior mean at t
+    p_pred = np.empty(n)  # prior var at t
+    m_filt = np.empty(n)
+    p_filt = np.empty(n)
+    first = np.flatnonzero(np.isfinite(y))
+    mu = float(y[first[0]]) if mu0 is None and len(first) else (mu0 or 0.0)
+    m, p = mu, p0
+    for t in range(n):
+        # predict
+        if t > 0:
+            p = p + q
+        m_pred[t], p_pred[t] = m, p
+        # update
+        if np.isfinite(y[t]):
+            k = p / (p + r)
+            m = m + k * (y[t] - m)
+            p = (1.0 - k) * p
+        m_filt[t], p_filt[t] = m, p
+    # RTS smoother
+    m_smooth = m_filt.copy()
+    p_smooth = p_filt.copy()
+    for t in range(n - 2, -1, -1):
+        g = p_filt[t] / p_pred[t + 1] if p_pred[t + 1] > 0 else 0.0
+        m_smooth[t] = m_filt[t] + g * (m_smooth[t + 1] - m_pred[t + 1])
+        p_smooth[t] = p_filt[t] + g * g * (p_smooth[t + 1] - p_pred[t + 1])
+    return m_filt, m_smooth, p_smooth

@@ -933,3 +933,58 @@ def dtw_score(series_ds, query: np.ndarray, band: int = 8, concurrency: int = 4)
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+class KalmanSmoother:
+    """Actor-pool Kalman local-level filter + RTS smoother per packed
+    chunk (q = level-noise var, r = observation-noise var). NaN cells
+    act as missing observations (pure predict), so the smoother is
+    also a probabilistic gap-filler. Emits per-chunk summaries; with
+    ``emit_series=True`` also the smoothed/filtered series (list
+    columns) for verification paths."""
+
+    def __init__(self, q: float = 0.1, r: float = 1.0, emit_series: bool = False):
+        from ..functions.tsanalysis import kalman_local_level
+
+        self.q = q
+        self.r = r
+        self.emit_series = emit_series
+        self._kalman = kalman_local_level
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rmse_o, var_s, last_s, series_s, series_f = [], [], [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            if len(v) == 0:
+                rmse_o.append(np.nan); var_s.append(np.nan); last_s.append(np.nan)
+                series_s.append(np.zeros(0)); series_f.append(np.zeros(0))
+                continue
+            mf, ms, ps = self._kalman(v, self.q, self.r)
+            fin = np.isfinite(v)
+            rmse_o.append(float(np.sqrt(np.mean((ms[fin] - v[fin]) ** 2))) if fin.any() else np.nan)
+            var_s.append(float(np.nanmean(ps)))
+            last_s.append(float(ms[-1]))
+            if self.emit_series:
+                series_s.append(ms)
+                series_f.append(mf)
+        out = batch.drop(columns=[c for c in ("ts", "values", "values_precond")
+                                  if c in batch.columns]).copy()
+        out["smooth_obs_rmse"] = np.asarray(rmse_o, np.float64)
+        out["smooth_var"] = np.asarray(var_s, np.float64)
+        out["smooth_last"] = np.asarray(last_s, np.float64)
+        if self.emit_series:
+            out["smoothed"] = series_s
+            out["filtered"] = series_f
+        return out
+
+
+def kalman_smooth(chunk_ds, q: float = 0.1, r: float = 1.0,
+                  emit_series: bool = False, concurrency: int = 4):
+    """Kalman local-level smoothing per packed chunk."""
+    return chunk_ds.map_batches(
+        KalmanSmoother,
+        fn_constructor_kwargs={"q": q, "r": r, "emit_series": emit_series},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )

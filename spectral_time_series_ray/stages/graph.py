@@ -468,3 +468,71 @@ def triangle_count(
 
     counts = tagged.groupby("_p4").map_groups(close_part, batch_format="pandas")
     return int(counts.to_pandas()["n"].sum())
+
+
+def bfs_hops(edges_ds, source: int, max_hops: int = 5, num_partitions: int | None = None):
+    """Single-source shortest-hop BFS over an undirected edge Dataset
+    ``(u, v)`` — the iterative-frontier (Pregel-style) formulation:
+    each round SEMI-joins the edge list against the current frontier
+    (one int-keyed exchange), dedups the discovered endpoints, and
+    ANTI-joins against the visited set, so per round only
+    O(|frontier| + touched edges) rows move and the driver never holds
+    node sets. Rounds are bounded by ``max_hops`` (graph diameter caps
+    the useful number). Returns a Dataset (node, hop) of every node
+    within ``max_hops`` of ``source`` — callers aggregate distributed;
+    the driver never holds node lists.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from .join import partition_merge_join
+
+    # symmetrize once: directed (s, d) both ways
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        return pd.DataFrame({"s": np.concatenate([u, v]),
+                             "d": np.concatenate([v, u])})
+
+    directed = edges_ds.map_batches(sym, batch_format="pandas", batch_size=None).materialize()
+
+    visited = ray.data.from_pandas(
+        pd.DataFrame({"node": np.array([source], np.int64),
+                      "hop": np.array([0], np.int64)})
+    )
+    frontier = visited
+    out = [visited]
+    for h in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda b: pd.DataFrame({"s": b["node"].to_numpy(np.int64)}),
+            batch_format="pandas", batch_size=None,
+        )
+        touched = partition_merge_join(directed, fr, on="s", how="semi")
+        cand = touched.map_batches(
+            lambda b: pd.DataFrame({"node": np.unique(b["d"].to_numpy(np.int64))}),
+            batch_format="pandas", batch_size=None,
+        )
+        seen = visited.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64)}),
+            batch_format="pandas", batch_size=None,
+        )
+        fresh = partition_merge_join(cand, seen, on="node", how="anti")
+        # dedup endpoints discovered from several partitions
+        new = fresh.map_batches(
+            lambda b, hop=h: pd.DataFrame(
+                {"node": np.unique(b["node"].to_numpy(np.int64))}
+            ).assign(hop=np.int64(hop)),
+            batch_format="pandas", batch_size=None,
+        ).materialize()
+        # the anti-join partitions by node hash, so each node lives in
+        # exactly one block and the per-block unique IS a global unique
+        if new.count() == 0:
+            break
+        out.append(new)
+        frontier = new
+        visited = visited.union(new).materialize()
+    res = out[0]
+    for d in out[1:]:
+        res = res.union(d)
+    return res

@@ -145,3 +145,36 @@ def test_pca_distributed_matches_numpy(ray_session):
     out = pca_project(ds, mean, comps).to_pandas()
     # population-covariance identity: mean recon err == dropped eigenvalue mass
     assert abs(out["recon_err2"].mean() - ev_np[3:].sum()) < 1e-8
+
+
+def test_kalman_matches_gp_posterior():
+    from spectral_time_series_ray.functions.tsanalysis import kalman_local_level
+
+    rng = np.random.default_rng(7)
+    n, q, r = 40, 0.5, 2.0
+    lat = 10 + np.cumsum(rng.normal(0, np.sqrt(q), n))
+    y = lat + rng.normal(0, np.sqrt(r), n)
+    p0, mu0 = 1e6, y[0]
+    idx = np.arange(n)
+    C = p0 + q * np.minimum.outer(idx, idx)
+    post = mu0 + C @ np.linalg.solve(C + r * np.eye(n), y - mu0)
+    mf, ms, ps = kalman_local_level(y, q, r, mu0=mu0, p0=p0)
+    assert np.abs(ms - post).max() < 1e-8
+    # smoother beats raw observations against the latent truth
+    assert np.sqrt(((ms - lat) ** 2).mean()) < np.sqrt(((y - lat) ** 2).mean())
+
+
+def test_kalman_handles_missing():
+    from spectral_time_series_ray.functions.tsanalysis import kalman_local_level
+
+    rng = np.random.default_rng(8)
+    y = 5 + np.cumsum(rng.normal(0, 0.3, 60))
+    y2 = y.copy()
+    y2[20:30] = np.nan
+    mf, ms, ps = kalman_local_level(y2, 0.1, 0.5)
+    assert np.isfinite(ms).all()
+    # inside the gap the smoother interpolates between the endpoints
+    assert ms[20:30].min() >= min(y[19], y[30]) - 3
+    assert ms[20:30].max() <= max(y[19], y[30]) + 3
+    # smoothed variance inflates inside the gap
+    assert ps[24] > ps[5]
