@@ -3409,6 +3409,86 @@ def _tr_kalman(sf_dir: str):
                 "smooth_last", "ok"]]
 
 
+def _tr_sax(sf_dir: str):
+    """SAX symbolic representation per packed chunk
+    (`stages/analytics.sax_encode`, Lin et al. DMKD 2007) followed by a
+    DISTRIBUTED motif-family rollup on the symbolic words (groupby on
+    8-char strings — raw series never shuffle). SELF-VERIFYING:
+    (a) two planted conversations carrying the SAME shape at different
+    scale/offset must produce the SAME word (z-norm invariance) while a
+    planted inverted shape must differ; (b) MINDIST(word_a, word_b) is
+    a LOWER BOUND of the z-normalized Euclidean distance, asserted on
+    the planted pair (the lower-bounding lemma that makes SAX a valid
+    index at scale)."""
+    import ray.data
+
+    from spectral_time_series_ray.functions.tsanalysis import sax_mindist
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import sax_encode
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    k = np.arange(256)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    shape = np.sin(k / 256 * 4 * np.pi) + 0.3 * np.cos(k / 256 * 10 * np.pi)
+    planted = pd.concat([
+        pd.DataFrame({"conv_id": "__planted_sax_a__", "bucket_ts": pd.Series(grid),
+                      "mean_latency": 10.0 + 2.0 * shape}),
+        pd.DataFrame({"conv_id": "__planted_sax_b__", "bucket_ts": pd.Series(grid),
+                      "mean_latency": 100.0 + 50.0 * shape}),  # scaled+shifted
+        pd.DataFrame({"conv_id": "__planted_sax_c__", "bucket_ts": pd.Series(grid),
+                      "mean_latency": 10.0 - 2.0 * shape}),    # inverted
+    ])
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    W, A = 8, 4
+    sax = sax_encode(chunks, w=W, alphabet=A, concurrency=4).materialize()
+
+    pl = sax.map_batches(
+        lambda b: b[b["conv_id"].str.startswith("__planted_sax")],
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    words = dict(zip(pl["conv_id"], pl["sax_word"]))
+    same = words["__planted_sax_a__"] == words["__planted_sax_b__"]
+    diff = words["__planted_sax_a__"] != words["__planted_sax_c__"]
+    # MINDIST lower bound on the a/c pair (z-norm distance of the
+    # planted series is known analytically up to the grid sampling)
+    za = shape / shape.std()
+    zc = -shape / shape.std()
+    md = sax_mindist(words["__planted_sax_a__"], words["__planted_sax_c__"], 256, A)
+    bound_ok = md <= float(np.linalg.norm(za - zc)) + 1e-9
+    planted_ok = bool(same and diff and bound_ok)
+
+    from ray.data.aggregate import Sum
+
+    def fam(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("sax_word", as_index=False).agg(
+            n_chunks=("chunk_idx", "size"), n_points=("n_points", "sum"))
+        return g
+
+    out = (
+        sax.map_batches(
+            lambda b: b[~b["conv_id"].str.startswith("__planted_sax")],
+            batch_format="pandas", batch_size=None,
+        )
+        .map_batches(fam, batch_format="pandas", batch_size=None)
+        .groupby("sax_word")
+        .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                   Sum("n_points", alias_name="n_points"))
+        .to_pandas()  # <= alphabet^w families, corpus-independent
+    )
+    out = out.sort_values("n_chunks", ascending=False).head(50).reset_index(drop=True)
+    out["word_len_ok"] = out["sax_word"].str.len().eq(8)
+    out["ok"] = bool(planted_ok) & out["word_len_ok"] & (out["n_chunks"] > 0)
+    return out[["sax_word", "n_chunks", "n_points", "ok"]]
+
 
 def _graph_bfs_hops(sf_dir: str):
     """Single-source shortest-hop BFS (`graph.bfs_hops`: Pregel-style
@@ -3635,6 +3715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_series_analysis": _tr_series_analysis,
         "tr_matrix_profile": _tr_matrix_profile,
         "tr_kalman": _tr_kalman,
+        "tr_sax": _tr_sax,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

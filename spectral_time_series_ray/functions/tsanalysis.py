@@ -465,3 +465,113 @@ def kalman_local_level(
         m_smooth[t] = m_filt[t] + g * (m_smooth[t + 1] - m_pred[t + 1])
         p_smooth[t] = p_filt[t] + g * g * (p_smooth[t + 1] - p_pred[t + 1])
     return m_filt, m_smooth, p_smooth
+
+
+# ------------------------------------------------------------ SAX
+# Gaussian breakpoints for alphabet sizes 2..20 come from the normal
+# quantiles Phi^-1(i/a) — computed on demand via an erfinv-free
+# rational approximation is unnecessary: numpy has no ppf, so use the
+# Acklam-style inverse through np.sqrt(2)*erfinv when scipy is absent.
+# We precompute with the Beasley-Springer-Moro polynomial to stay in
+# the stdlib+numpy envelope.
+
+def _norm_ppf(p: np.ndarray) -> np.ndarray:
+    """Inverse standard-normal CDF (Beasley-Springer-Moro), |err|<3e-9
+    on (0,1) — good far beyond what SAX breakpoints need."""
+    p = np.asarray(p, dtype=np.float64)
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    out = np.empty_like(p)
+    plow, phigh = 0.02425, 1 - 0.02425
+    lo = p < plow
+    hi = p > phigh
+    mid = ~(lo | hi)
+    if lo.any():
+        q = np.sqrt(-2 * np.log(p[lo]))
+        out[lo] = ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5])
+                   / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    if hi.any():
+        q = np.sqrt(-2 * np.log(1 - p[hi]))
+        out[hi] = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5])
+                    / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    if mid.any():
+        q = p[mid] - 0.5
+        r = q * q
+        out[mid] = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q
+                    / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1))
+    return out
+
+
+def sax_breakpoints(alphabet: int) -> np.ndarray:
+    """The a-1 Gaussian breakpoints beta_1..beta_{a-1} of Lin et al.
+    (DMKD 2007 'Experiencing SAX'): equiprobable N(0,1) regions."""
+    if alphabet < 2:
+        raise ValueError("alphabet must be >= 2")
+    return _norm_ppf(np.arange(1, alphabet) / alphabet)
+
+
+def paa(x: np.ndarray, w: int) -> np.ndarray:
+    """Piecewise Aggregate Approximation: mean of each of ``w``
+    equal-duration segments (Keogh et al. 2001). Handles n not
+    divisible by w with the fractional-overlap convention (each point
+    contributes to the segment(s) it overlaps, weighted by overlap) so
+    PAA is exactly the average of the continuous-time step function.
+    NaNs must be imputed upstream."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if w <= 0 or n == 0:
+        return np.zeros(0)
+    if w >= n:
+        return x.copy() if w == n else np.interp(
+            np.linspace(0, n - 1, w), np.arange(n), x)
+    if n % w == 0:
+        return x.reshape(w, n // w).mean(axis=1)
+    # fractional segmentation via prefix integral of the step function
+    prefix = np.concatenate([[0.0], np.cumsum(x)])
+
+    def integral(t: np.ndarray) -> np.ndarray:
+        i = np.floor(t).astype(np.int64)
+        i = np.clip(i, 0, n - 1)
+        return prefix[i] + (t - i) * x[i]
+
+    edges = np.linspace(0.0, float(n), w + 1)
+    seg = integral(edges[1:]) - integral(edges[:-1])
+    return seg / (n / w)
+
+
+def sax_word(x: np.ndarray, w: int = 8, alphabet: int = 4) -> tuple[str, np.ndarray]:
+    """SAX symbolic word for one series: z-normalize (ddof=0), PAA to
+    ``w`` segments, quantize by Gaussian breakpoints. Returns
+    (word, paa_values_normalized). A constant series maps to the middle
+    symbol repeated (z-norm degenerates; convention: all zeros)."""
+    x = np.asarray(x, dtype=np.float64)
+    mu = float(x.mean()) if len(x) else 0.0
+    sd = float(x.std())
+    z = (x - mu) / sd if sd > 0 else np.zeros_like(x)
+    pa_ = paa(z, w)
+    bps = sax_breakpoints(alphabet)
+    idx = np.searchsorted(bps, pa_, side="left")
+    word = "".join(chr(ord("a") + int(i)) for i in idx)
+    return word, pa_
+
+
+def sax_mindist(word_a: str, word_b: str, n: int, alphabet: int = 4) -> float:
+    """MINDIST lower bound between two SAX words of original length n
+    (Lin et al. 2007 eq. 6) — provably <= the Euclidean distance of
+    the z-normalized originals."""
+    if len(word_a) != len(word_b):
+        raise ValueError("words must share length")
+    w = len(word_a)
+    bps = sax_breakpoints(alphabet)
+    ia = np.frombuffer(word_a.encode(), dtype=np.uint8) - ord("a")
+    ib = np.frombuffer(word_b.encode(), dtype=np.uint8) - ord("a")
+    lo = np.minimum(ia, ib).astype(np.int64)
+    hi = np.maximum(ia, ib).astype(np.int64)
+    gap = np.where(hi - lo <= 1, 0.0, bps[np.maximum(hi - 1, 0)] - bps[np.minimum(lo, len(bps) - 1)])
+    return float(np.sqrt(n / w) * np.sqrt((gap**2).sum()))

@@ -988,3 +988,47 @@ def kalman_smooth(chunk_ds, q: float = 0.1, r: float = 1.0,
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+class SAXEncoder:
+    """Actor-pool SAX symbolic encoder per packed chunk (Lin et al.,
+    DMKD 2007): z-normalize the chunk's value series, PAA to ``w``
+    segments, quantize by Gaussian breakpoints. Emits the symbolic
+    word plus the PAA sketch — the scale path for motif GROUPING at
+    100 TB: downstream groupby runs on short strings, never on raw
+    series."""
+
+    def __init__(self, w: int = 8, alphabet: int = 4):
+        from ..functions.tsanalysis import sax_word
+
+        self.w = w
+        self.alphabet = alphabet
+        self._sax = sax_word
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words, paas, lens = [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[np.isfinite(v)]
+            if len(v) == 0:
+                words.append(""); paas.append(np.zeros(0)); lens.append(0)
+                continue
+            word, pa_ = self._sax(v, self.w, self.alphabet)
+            words.append(word); paas.append(pa_); lens.append(len(v))
+        out = batch.drop(columns=[c for c in ("ts", "values", "values_precond")
+                                  if c in batch.columns]).copy()
+        out["sax_word"] = pd.Series(words, dtype=object)
+        out["paa"] = paas
+        out["n_points"] = np.asarray(lens, np.int64)
+        return out
+
+
+def sax_encode(chunk_ds, w: int = 8, alphabet: int = 4, concurrency: int = 4):
+    """SAX symbolic words per packed chunk."""
+    return chunk_ds.map_batches(
+        SAXEncoder,
+        fn_constructor_kwargs={"w": w, "alphabet": alphabet},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )

@@ -178,3 +178,44 @@ def test_kalman_handles_missing():
     assert ms[20:30].max() <= max(y[19], y[30]) + 3
     # smoothed variance inflates inside the gap
     assert ps[24] > ps[5]
+
+
+def test_sax_znorm_invariance_and_breakpoints():
+    from spectral_time_series_ray.functions.tsanalysis import (
+        paa,
+        sax_breakpoints,
+        sax_word,
+    )
+
+    assert np.allclose(sax_breakpoints(4), [-0.67449, 0.0, 0.67449], atol=1e-4)
+    x = np.arange(12.0)
+    assert np.allclose(paa(x, 4), [1, 4, 7, 10])
+    rng = np.random.default_rng(5)
+    s = rng.normal(size=128)
+    w1, _ = sax_word(s, 8, 4)
+    w2, _ = sax_word(7.0 + 3.5 * s, 8, 4)  # affine transform, positive scale
+    assert w1 == w2
+    assert len(w1) == 8 and set(w1) <= set("abcd")
+
+
+def test_sax_mindist_lower_bounds_euclidean():
+    from spectral_time_series_ray.functions.tsanalysis import sax_mindist, sax_word
+
+    rng = np.random.default_rng(6)
+    for _ in range(100):
+        a, b = rng.normal(size=64), rng.normal(size=64)
+        wa, _ = sax_word(a, 8, 4)
+        wb, _ = sax_word(b, 8, 4)
+        za = (a - a.mean()) / a.std()
+        zb = (b - b.mean()) / b.std()
+        assert sax_mindist(wa, wb, 64, 4) <= np.linalg.norm(za - zb) + 1e-9
+
+
+def test_paa_fractional_preserves_mean():
+    from spectral_time_series_ray.functions.tsanalysis import paa
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=17)  # not divisible by 5
+    p = paa(x, 5)
+    # continuous-time step-function segmentation conserves total mass
+    assert abs(p.mean() - x.mean()) < 1e-12
