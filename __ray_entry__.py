@@ -3657,6 +3657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_top_hours_per_type": Q.ev_top_hours_per_type,
         "ev_dist_funcs": Q.ev_dist_funcs,
         "ev_type_correlation": Q.ev_type_correlation,
+        "ev_ccf_leadlag": Q.ev_ccf_leadlag,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "q18_big_orders": Q.q18_big_orders,
@@ -4450,6 +4451,30 @@ def oracle_sql() -> dict[str, str]:
                      partition by user_id order by value
                    ), 9) as cume_d
             from events
+        """,
+        "ev_ccf_leadlag": """
+            with h as (
+              select time_bucket(interval '1 hour', ts) as hs,
+                     sum(case when event_type = 'click' then 1 else 0 end) as na,
+                     sum(case when event_type = 'purchase' then 1 else 0 end) as nb
+              from events group by 1),
+            bounds as (select min(hs) as lo, max(hs) as hi from h),
+            grid as (
+              select unnest(generate_series(lo, hi, interval '1 hour')) as hs
+              from bounds),
+            d as (
+              select g.hs, coalesce(h.na, 0) as na, coalesce(h.nb, 0) as nb
+              from grid g left join h on g.hs = h.hs),
+            lags(k) as (values (-3),(-2),(-1),(0),(1),(2),(3)),
+            pairs as (
+              select l.k, a.na as x, b.nb as y
+              from lags l
+              join d a on true
+              join d b on b.hs = a.hs + l.k * interval '1 hour')
+            select cast(k as bigint) as lag,
+                   count(*) as n_pairs,
+                   round(corr(x, y), 9) as ccf
+            from pairs group by 1 order by 1
         """,
         "ev_type_correlation": """
             with h as (

@@ -3540,3 +3540,18 @@ def ev_full_outer_days(sf_dir: str):
         return batch[["day", "n_click", "n_purchase"]]
 
     return joined.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def ev_ccf_leadlag(sf_dir: str):
+    """Lead-lag cross-correlation (`analytics.lagged_ccf`): ccf(k) =
+    corr(click_t, purchase_{t+k}) over hourly counts at lags -3..3.
+    One distributed bucket-count pass; the merged grid is
+    calendar-bounded, so the per-lag exact-int64 moment evaluation is
+    dimension-bounded. Oracle: DuckDB corr over the dense
+    generate_series hour grid self-joined at each lag."""
+    from ..stages.analytics import lagged_ccf
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    out = lagged_ccf(ds, "click", "purchase", max_lag=3)
+    out["ccf"] = round_half_away(out["ccf"].to_numpy(np.float64), 9)
+    return out.sort_values("lag").reset_index(drop=True)

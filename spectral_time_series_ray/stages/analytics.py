@@ -1032,3 +1032,78 @@ def sax_encode(chunk_ds, w: int = 8, alphabet: int = 4, concurrency: int = 4):
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+def lagged_ccf(
+    ds,
+    type_a: str,
+    type_b: str,
+    max_lag: int = 3,
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    bucket_us: int = 3_600_000_000,
+):
+    """Cross-correlation function between the per-bucket count series
+    of two labels at lags ``-max_lag..max_lag`` (lead-lag detection:
+    ccf(k) = corr(a_t, b_{t+k}), so a peak at k>0 means a LEADS b by k
+    buckets).
+
+    Scale path: one distributed pass collapses events to per-bucket
+    (n_a, n_b) int partials merged by a bucket-key groupby; the merged
+    grid is CALENDAR-bounded (hours between global min and max — e.g.
+    ~175k rows for 20 years), independent of corpus size, so the final
+    dense reindex + per-lag EXACT int64 moment evaluation on the
+    driver is dimension-bounded (same argument as
+    ``pairwise_correlation``). Missing buckets count 0 on both sides.
+    Returns DataFrame (lag, n_pairs, ccf).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        lab = batch[label_col].to_pandas().to_numpy()
+        bucket = t // bucket_us * bucket_us
+        df = pd.DataFrame({
+            "bucket": bucket,
+            "n_a": (lab == type_a).astype(np.int64),
+            "n_b": (lab == type_b).astype(np.int64),
+        })
+        g = df.groupby("bucket", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .to_pandas()  # calendar-bounded, not corpus-bounded
+    )
+    if len(grid) == 0:
+        return pd.DataFrame({"lag": pd.Series([], dtype=np.int64),
+                             "n_pairs": pd.Series([], dtype=np.int64),
+                             "ccf": pd.Series([], dtype=np.float64)})
+    grid = grid.sort_values("bucket")
+    lo, hi = int(grid["bucket"].iloc[0]), int(grid["bucket"].iloc[-1])
+    hours = np.arange(lo, hi + bucket_us, bucket_us, dtype=np.int64)
+    dense = pd.DataFrame({"bucket": hours}).merge(grid, on="bucket", how="left").fillna(0)
+    a = dense["n_a"].to_numpy(np.int64)
+    b = dense["n_b"].to_numpy(np.int64)
+    H = len(a)
+    rows = []
+    for k in range(-max_lag, max_lag + 1):
+        if k >= 0:
+            x, y = a[: H - k] if k else a, b[k:]
+        else:
+            x, y = a[-k:], b[: H + k]
+        n = len(x)
+        if n < 2:
+            rows.append((k, n, np.nan))
+            continue
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int(np.dot(x, y))
+        sx2, sy2 = int(np.dot(x, x)), int(np.dot(y, y))
+        num = n * sxy - sx * sy
+        den = np.sqrt(float(n * sx2 - sx * sx)) * np.sqrt(float(n * sy2 - sy * sy))
+        rows.append((k, n, num / den if den > 0 else np.nan))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "ccf"]).astype(
+        {"lag": np.int64, "n_pairs": np.int64, "ccf": np.float64})

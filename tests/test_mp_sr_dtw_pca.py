@@ -219,3 +219,33 @@ def test_paa_fractional_preserves_mean():
     p = paa(x, 5)
     # continuous-time step-function segmentation conserves total mass
     assert abs(p.mean() - x.mean()) < 1e-12
+
+
+def test_lagged_ccf_detects_planted_lag(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import lagged_ccf
+
+    rng = np.random.default_rng(11)
+    H = 200
+    base = rng.poisson(20, H)
+    ts0 = np.datetime64("2024-01-01", "us")
+    rows = []
+    for h in range(H):
+        t = ts0 + np.timedelta64(h * 3600_000_000, "us")
+        rows.append({"ts": t, "event_type": "click", "n": int(base[h])})
+        # purchase follows click by exactly 2 hours (planted lag +2)
+        if h + 2 < H:
+            rows.append({"ts": t + np.timedelta64(2 * 3600_000_000, "us"),
+                         "event_type": "purchase", "n": int(base[h])})
+    expanded = pd.DataFrame([
+        {"ts": r["ts"], "event_type": r["event_type"]}
+        for r in rows for _ in range(r["n"])
+    ])
+    ds = ray.data.from_pandas(expanded)
+    out = lagged_ccf(ds, "click", "purchase", max_lag=3)
+    peak = int(out.loc[out["ccf"].idxmax(), "lag"])
+    assert peak == 2
+    assert out.loc[out["lag"] == 2, "ccf"].iloc[0] > 0.95
+    # overlap-window sizes shrink by |lag|
+    assert (out["n_pairs"] == out["n_pairs"].max() - out["lag"].abs()).all()
