@@ -3490,6 +3490,61 @@ def _tr_sax(sf_dir: str):
     return out[["sax_word", "n_chunks", "n_points", "ok"]]
 
 
+def _tr_bursts(sf_dir: str):
+    """Kleinberg 2-state burst detection per conversation
+    (`stages/analytics.burst_stats`, Kleinberg KDD 2002) over
+    inter-turn gaps. SELF-VERIFYING: a planted conversation with a
+    known 40-gap rapid-fire region inside slow traffic must yield a
+    single dominant burst covering that region (boundaries within 10
+    gaps), while a planted uniform control must stay burst-free; real
+    conversations assert conservation (gaps_in_burst <= n_gaps,
+    frac in [0,1], longest <= gaps_in_burst)."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.analytics import burst_stats
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+
+    rng = np.random.default_rng(17)
+    gaps = np.concatenate([
+        rng.exponential(60, 100), rng.exponential(2, 40), rng.exponential(60, 60),
+    ])
+    ts = np.int64(1_700_000_000_000_000) + np.cumsum(
+        np.concatenate([[0.0], gaps]) * 1e6).astype(np.int64)
+    ctrl_ts = np.int64(1_700_000_000_000_000) + np.cumsum(
+        np.concatenate([[0.0], rng.exponential(60, 200)]) * 1e6).astype(np.int64)
+    planted = pd.concat([
+        pd.DataFrame({"conv_id": "__planted_burst__",
+                      "turn_idx": np.arange(len(ts), dtype=np.int32),
+                      "ts": ts.astype("datetime64[us]")}),
+        pd.DataFrame({"conv_id": "__planted_steady__",
+                      "turn_idx": np.arange(len(ctrl_ts), dtype=np.int32),
+                      "ts": ctrl_ts.astype("datetime64[us]")}),
+    ])
+    both = ds.union(ray.data.from_pandas(planted))
+    out = burst_stats(both, s=4.0, gamma=1.0).to_pandas()
+
+    pb = out[out["conv_id"] == "__planted_burst__"].iloc[0]
+    pc_ = out[out["conv_id"] == "__planted_steady__"].iloc[0]
+    planted_ok = bool(
+        pb["n_bursts"] >= 1
+        and abs(pb["first_burst_start"] - 100) <= 10
+        and pb["longest_burst"] >= 30
+        and pc_["gaps_in_burst"] < 10
+    )
+    base = ~out["conv_id"].str.startswith("__planted_")
+    cons_ok = (
+        (out["gaps_in_burst"] <= out["n_gaps"])
+        & (out["frac_gaps_in_burst"].between(0.0, 1.0))
+        & (out["longest_burst"] <= out["gaps_in_burst"])
+    )
+    out["ok"] = np.where(base, cons_ok, planted_ok)
+    out = out.sort_values("conv_id").reset_index(drop=True)
+    return out[["conv_id", "n_gaps", "n_bursts", "gaps_in_burst",
+                "frac_gaps_in_burst", "longest_burst", "ok"]]
+
+
 def _graph_bfs_hops(sf_dir: str):
     """Single-source shortest-hop BFS (`graph.bfs_hops`: Pregel-style
     iterative frontier, one semi-join + one anti-join exchange per
@@ -3717,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_matrix_profile": _tr_matrix_profile,
         "tr_kalman": _tr_kalman,
         "tr_sax": _tr_sax,
+        "tr_bursts": _tr_bursts,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

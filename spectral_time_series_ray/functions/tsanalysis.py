@@ -575,3 +575,62 @@ def sax_mindist(word_a: str, word_b: str, n: int, alphabet: int = 4) -> float:
     hi = np.maximum(ia, ib).astype(np.int64)
     gap = np.where(hi - lo <= 1, 0.0, bps[np.maximum(hi - 1, 0)] - bps[np.minimum(lo, len(bps) - 1)])
     return float(np.sqrt(n / w) * np.sqrt((gap**2).sum()))
+
+
+def kleinberg_bursts(
+    gaps: np.ndarray, s: float = 2.0, gamma: float = 1.0
+) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """Kleinberg's 2-state burst automaton (Kleinberg, KDD 2002) over
+    inter-arrival gaps: state 0 emits gaps at the base rate
+    a0 = n/T, state 1 at the burst rate a1 = s*a0; entering the burst
+    state costs ``gamma * ln n``, leaving is free. Exact 2-state
+    Viterbi, O(n). Returns (state_per_gap, [(start, end)] burst gap
+    intervals, end exclusive). Gaps of zero are clamped to the
+    smallest positive gap to keep the exponential density finite."""
+    g = np.asarray(gaps, dtype=np.float64)
+    n = len(g)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), []
+    pos = g[g > 0]
+    eps = float(pos.min()) if len(pos) else 1.0
+    g = np.maximum(g, eps)
+    T = float(g.sum())
+    a0 = n / T
+    a1 = s * a0
+    # emission costs: -ln(a_i e^{-a_i x}) = a_i x - ln a_i
+    c0 = a0 * g - np.log(a0)
+    c1 = a1 * g - np.log(a1)
+    tau = gamma * np.log(n) if n > 1 else gamma
+    # Viterbi over states {0, 1}
+    INF = np.inf
+    cost = np.array([c0[0], c1[0] + tau])
+    back = np.empty((n, 2), dtype=np.int8)
+    back[0] = (0, 0)
+    for t in range(1, n):
+        stay0, from1 = cost[0], cost[1]          # entering 0 is free
+        if stay0 <= from1:
+            new0, back[t, 0] = stay0 + c0[t], 0
+        else:
+            new0, back[t, 0] = from1 + c0[t], 1
+        up = cost[0] + tau                        # entering 1 pays tau
+        if cost[1] <= up:
+            new1, back[t, 1] = cost[1] + c1[t], 1
+        else:
+            new1, back[t, 1] = up + c1[t], 0
+        cost[0], cost[1] = new0, new1
+    states = np.empty(n, dtype=np.int64)
+    states[-1] = int(cost[1] < cost[0])
+    for t in range(n - 1, 0, -1):
+        states[t - 1] = back[t, states[t]]
+    # collapse to intervals
+    bursts: list[tuple[int, int]] = []
+    in_b = False
+    for t in range(n):
+        if states[t] == 1 and not in_b:
+            start, in_b = t, True
+        elif states[t] == 0 and in_b:
+            bursts.append((start, t))
+            in_b = False
+    if in_b:
+        bursts.append((start, n))
+    return states, bursts

@@ -1107,3 +1107,84 @@ def lagged_ccf(
         rows.append((k, n, num / den if den > 0 else np.nan))
     return pd.DataFrame(rows, columns=["lag", "n_pairs", "ccf"]).astype(
         {"lag": np.int64, "n_pairs": np.int64, "ccf": np.float64})
+
+
+def burst_stats(
+    ds,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    s: float = 4.0,
+    gamma: float = 1.0,
+    num_partitions: int | None = None,
+):
+    """Kleinberg burst detection per conversation
+    (`functions.tsanalysis.kleinberg_bursts`): ONE conv-hash shuffle of
+    three narrow columns, then per partition a lexsort + per-key O(n)
+    2-state Viterbi over the inter-turn gaps. Emits one row per key:
+    n_bursts, gaps_in_burst, frac_gaps_in_burst, longest_burst,
+    first_burst_start (order index of the first bursty gap; -1 when
+    none). Keys never split across partitions, so the sequential
+    automaton state stays partition-local."""
+    import pyarrow as pa
+
+    from ..functions.tsanalysis import kleinberg_bursts
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    ds = ds.select_columns([key, order_col, ts_col]).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "n_bursts": pd.Series([], dtype=np.int64),
+                "gaps_in_burst": pd.Series([], dtype=np.int64),
+                "frac_gaps_in_burst": pd.Series([], dtype=np.float64),
+                "longest_burst": pd.Series([], dtype=np.int64),
+                "first_burst_start": pd.Series([], dtype=np.int64),
+            })
+        codes, uniques = pd.factorize(df[key], sort=False)
+        order = np.lexsort((df[order_col].to_numpy(), codes))
+        codes_s = codes[order]
+        t = df[ts_col].to_numpy(dtype="datetime64[us]").view("int64")[order]
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        ends = np.append(starts[1:], len(df))
+        rows = []
+        for kidx, (lo, hi) in enumerate(zip(starts, ends)):
+            gaps = np.diff(t[lo:hi]) / 1e6
+            if len(gaps) < 2:
+                rows.append((uniques[codes_s[lo]], len(gaps), 0, 0, 0.0, 0, -1))
+                continue
+            _, bursts = kleinberg_bursts(gaps, s=s, gamma=gamma)
+            in_b = sum(e - b for b, e in bursts)
+            longest = max((e - b for b, e in bursts), default=0)
+            first = bursts[0][0] if bursts else -1
+            rows.append((uniques[codes_s[lo]], len(gaps), len(bursts), in_b,
+                         in_b / len(gaps), longest, first))
+        return pd.DataFrame(rows, columns=[
+            key, "n_gaps", "n_bursts", "gaps_in_burst", "frac_gaps_in_burst",
+            "longest_burst", "first_burst_start",
+        ]).astype({"n_gaps": np.int64, "n_bursts": np.int64,
+                   "gaps_in_burst": np.int64, "frac_gaps_in_burst": np.float64,
+                   "longest_burst": np.int64, "first_burst_start": np.int64})
+
+    return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")

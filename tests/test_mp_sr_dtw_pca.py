@@ -249,3 +249,52 @@ def test_lagged_ccf_detects_planted_lag(ray_session):
     assert out.loc[out["lag"] == 2, "ccf"].iloc[0] > 0.95
     # overlap-window sizes shrink by |lag|
     assert (out["n_pairs"] == out["n_pairs"].max() - out["lag"].abs()).all()
+
+
+def test_kleinberg_recovers_planted_burst():
+    from spectral_time_series_ray.functions.tsanalysis import kleinberg_bursts
+
+    rng = np.random.default_rng(3)
+    gaps = np.concatenate([
+        rng.exponential(60, 100), rng.exponential(2, 40), rng.exponential(60, 60),
+    ])
+    states, bursts = kleinberg_bursts(gaps, s=4.0, gamma=1.0)
+    main = max(bursts, key=lambda b: b[1] - b[0])
+    assert main[0] >= 90 and main[1] <= 150 and main[1] - main[0] >= 30
+    # uniform control stays quiet
+    _, ctrl = kleinberg_bursts(rng.exponential(60, 200), s=4.0, gamma=1.0)
+    assert sum(e - b for b, e in ctrl) < 10
+
+
+def test_kleinberg_matches_bruteforce_viterbi():
+    from spectral_time_series_ray.functions.tsanalysis import kleinberg_bursts
+
+    rng = np.random.default_rng(4)
+    gaps = np.maximum(rng.exponential(10, 60), 1e-9)
+    s, gamma = 3.0, 1.0
+    states, _ = kleinberg_bursts(gaps, s=s, gamma=gamma)
+    # independent exhaustive DP over full state sequences (n small)
+    g = np.maximum(gaps, gaps[gaps > 0].min())
+    n = len(g)
+    a0 = n / g.sum()
+    a1 = s * a0
+    c = np.stack([a0 * g - np.log(a0), a1 * g - np.log(a1)])
+    tau = gamma * np.log(n)
+    best = {(0,): c[0, 0], (1,): c[1, 0] + tau}
+    for t in range(1, n):
+        nxt = {}
+        for seq, cost in best.items():
+            for st in (0, 1):
+                pen = tau if (st == 1 and seq[-1] == 0) else 0.0
+                cand = cost + c[st, t] + pen
+                key = seq + (st,)
+                nxt[key] = cand
+        # prune: keep best per last-state (optimal substructure)
+        pruned = {}
+        for seq, cost in nxt.items():
+            k = seq[-1]
+            if k not in pruned or cost < pruned[k][1]:
+                pruned[k] = (seq, cost)
+        best = {seq: cost for seq, cost in pruned.values()}
+    opt = min(best.items(), key=lambda kv: kv[1])[0]
+    assert np.array_equal(states, np.array(opt))
