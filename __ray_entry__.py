@@ -3490,6 +3490,61 @@ def _tr_sax(sf_dir: str):
     return out[["sax_word", "n_chunks", "n_points", "ok"]]
 
 
+def _tr_changepoints(sf_dir: str):
+    """Exact PELT mean-shift changepoints per packed chunk
+    (`stages/analytics.pelt_changepoints`, Killick et al. JASA 2012).
+    SELF-VERIFYING: a planted 3-segment conversation (means 20/35/10,
+    shifts at 80 and 180 on the minute grid) must yield exactly 2
+    changepoints within +/-3 of the planted indices; a planted
+    constant-mean control must yield 0. Real chunks assert
+    n_changepoints >= 0 and finite largest_shift."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import pelt_changepoints
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    rng = np.random.default_rng(29)
+    k = np.arange(256)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    v = np.concatenate([
+        rng.normal(20, 1, 80), rng.normal(35, 1, 100), rng.normal(10, 1, 76),
+    ])
+    planted = pd.concat([
+        pd.DataFrame({"conv_id": "__planted_cps__", "bucket_ts": pd.Series(grid),
+                      "mean_latency": v}),
+        pd.DataFrame({"conv_id": "__planted_flat__", "bucket_ts": pd.Series(grid),
+                      "mean_latency": rng.normal(20, 1, 256)}),
+    ])
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = pelt_changepoints(chunks, emit_points=True, concurrency=4).to_pandas()
+
+    pb = out[out["conv_id"] == "__planted_cps__"].iloc[0]
+    pf = out[out["conv_id"] == "__planted_flat__"].iloc[0]
+    got = np.asarray(pb["changepoints"], np.int64)
+    planted_ok = bool(
+        pb["n_changepoints"] == 2
+        and len(got) == 2
+        and abs(got[0] - 80) <= 3 and abs(got[1] - 180) <= 3
+        and pf["n_changepoints"] == 0
+    )
+    base = ~out["conv_id"].str.startswith("__planted_")
+    cons_ok = (out["n_changepoints"] >= 0) & np.isfinite(
+        out["largest_shift"].fillna(0.0))
+    out["ok"] = np.where(base, cons_ok, planted_ok)
+    out = out.sort_values(["conv_id", "chunk_idx"]).reset_index(drop=True)
+    return out[["conv_id", "chunk_idx", "n_changepoints", "largest_shift", "ok"]]
+
+
 def _tr_bursts(sf_dir: str):
     """Kleinberg 2-state burst detection per conversation
     (`stages/analytics.burst_stats`, Kleinberg KDD 2002) over
@@ -3773,6 +3828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_kalman": _tr_kalman,
         "tr_sax": _tr_sax,
         "tr_bursts": _tr_bursts,
+        "tr_changepoints": _tr_changepoints,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

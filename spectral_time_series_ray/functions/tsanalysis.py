@@ -634,3 +634,61 @@ def kleinberg_bursts(
     if in_b:
         bursts.append((start, n))
     return states, bursts
+
+
+def pelt_mean_changepoints(
+    x: np.ndarray, beta: float | None = None, min_size: int = 2
+) -> list[int]:
+    """Exact penalized multi-changepoint detection for mean shifts —
+    PELT (Killick, Fearnhead & Eckley, JASA 2012) with the Gaussian
+    mean-change segment cost C(a,b) = sum (y - ybar)^2 computed O(1)
+    from prefix sums. Penalty defaults to 2 * sigma_hat^2 * ln n with
+    sigma_hat^2 from first differences (robust to the mean shifts
+    themselves). Pruning keeps the expected runtime linear while the
+    result equals the exact optimal-partition DP. Returns the sorted
+    changepoint indices (each the START of a new segment)."""
+    y = np.asarray(x, dtype=np.float64)
+    n = len(y)
+    if n < 2 * min_size:
+        return []
+    if beta is None:
+        d = np.diff(y)
+        sigma2 = float(np.median(np.abs(d - np.median(d))) / 0.6745) ** 2 / 2.0
+        if sigma2 <= 0:
+            sigma2 = float(d.var()) / 2.0 or 1.0
+        beta = 2.0 * sigma2 * np.log(n)
+    s1 = np.concatenate([[0.0], np.cumsum(y)])
+    s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def cost(a: np.ndarray, b: int) -> np.ndarray:
+        # sum of squared deviations of y[a:b] around its mean, vectorized in a
+        m = b - a
+        ss = s2[b] - s2[a]
+        sm = s1[b] - s1[a]
+        return ss - sm * sm / m
+
+    F = np.full(n + 1, np.inf)
+    F[0] = -beta
+    prev = np.full(n + 1, -1, dtype=np.int64)
+    # candidate set holds only ELIGIBLE starts (s <= t - min_size);
+    # each iteration admits the start that just became eligible
+    cand = [0]
+    for t in range(min_size, n + 1):
+        a = np.array(cand, dtype=np.int64)
+        vals = F[a] + cost(a, t) + beta
+        j = int(np.argmin(vals))
+        F[t] = vals[j]
+        prev[t] = a[j]
+        # PELT prune: s stays viable only if F[s] + C(s,t) <= F[t]
+        keep = F[a] + cost(a, t) <= F[t]
+        cand = [int(s) for s, k in zip(a, keep) if k]
+        nxt = t + 1 - min_size
+        if nxt > 0 and np.isfinite(F[nxt]):
+            cand.append(nxt)
+    cps = []
+    t = n
+    while t > 0 and prev[t] >= 0:
+        if prev[t] > 0:
+            cps.append(int(prev[t]))
+        t = int(prev[t])
+    return sorted(cps)

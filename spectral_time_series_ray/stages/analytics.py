@@ -1188,3 +1188,58 @@ def burst_stats(
                    "longest_burst": np.int64, "first_burst_start": np.int64})
 
     return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+
+
+class PELTChangepoints:
+    """Actor-pool exact PELT mean-shift changepoint detection per
+    packed chunk (`functions.tsanalysis.pelt_mean_changepoints`).
+    Chunks are bounded by ``pack_series`` so the expected-linear scan
+    never sees a whole conversation; chunk boundaries are natural
+    segment boundaries (same contract as the Gorilla state reset)."""
+
+    def __init__(self, beta: float | None = None, min_size: int = 2,
+                 emit_points: bool = False):
+        from ..functions.tsanalysis import pelt_mean_changepoints
+
+        self.beta = beta
+        self.min_size = min_size
+        self.emit_points = emit_points
+        self._pelt = pelt_mean_changepoints
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_cps, largest, cps_o = [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[np.isfinite(v)]
+            if len(v) < 2 * self.min_size:
+                n_cps.append(0); largest.append(np.nan); cps_o.append(np.zeros(0, np.int64))
+                continue
+            cps = self._pelt(v, beta=self.beta, min_size=self.min_size)
+            n_cps.append(len(cps))
+            if cps:
+                edges = [0, *cps, len(v)]
+                means = [float(v[a:b].mean()) for a, b in zip(edges, edges[1:])]
+                largest.append(float(np.max(np.abs(np.diff(means)))))
+            else:
+                largest.append(0.0)
+            cps_o.append(np.asarray(cps, np.int64))
+        out = batch.drop(columns=[c for c in ("ts", "values", "values_precond")
+                                  if c in batch.columns]).copy()
+        out["n_changepoints"] = np.asarray(n_cps, np.int64)
+        out["largest_shift"] = np.asarray(largest, np.float64)
+        if self.emit_points:
+            out["changepoints"] = cps_o
+        return out
+
+
+def pelt_changepoints(chunk_ds, beta: float | None = None, min_size: int = 2,
+                      emit_points: bool = False, concurrency: int = 4):
+    """Exact PELT mean-shift changepoints per packed chunk."""
+    return chunk_ds.map_batches(
+        PELTChangepoints,
+        fn_constructor_kwargs={"beta": beta, "min_size": min_size,
+                               "emit_points": emit_points},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )

@@ -298,3 +298,48 @@ def test_kleinberg_matches_bruteforce_viterbi():
         best = {seq: cost for seq, cost in pruned.values()}
     opt = min(best.items(), key=lambda kv: kv[1])[0]
     assert np.array_equal(states, np.array(opt))
+
+
+def test_pelt_matches_exact_dp_and_recovers_planted():
+    from spectral_time_series_ray.functions.tsanalysis import pelt_mean_changepoints
+
+    rng = np.random.default_rng(2)
+    y = np.concatenate([
+        rng.normal(0, 1, 80), rng.normal(5, 1, 60), rng.normal(-3, 1, 70),
+    ])
+    cps = pelt_mean_changepoints(y)
+    assert len(cps) == 2 and abs(cps[0] - 80) <= 2 and abs(cps[1] - 140) <= 2
+    assert pelt_mean_changepoints(rng.normal(0, 1, 150)) == []
+
+    def brute(y, beta, min_size=2):
+        n = len(y)
+        s1 = np.concatenate([[0.0], np.cumsum(y)])
+        s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+        def c(a, b):
+            m = b - a
+            return s2[b] - s2[a] - (s1[b] - s1[a]) ** 2 / m
+
+        F = np.full(n + 1, np.inf)
+        F[0] = -beta
+        prev = np.full(n + 1, -1, int)
+        for t in range(min_size, n + 1):
+            for s in range(0, t - min_size + 1):
+                if np.isfinite(F[s]):
+                    v = F[s] + c(s, t) + beta
+                    if v < F[t]:
+                        F[t], prev[t] = v, s
+        out, t = [], n
+        while t > 0 and prev[t] >= 0:
+            if prev[t] > 0:
+                out.append(prev[t])
+            t = prev[t]
+        return sorted(out)
+
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        yy = np.concatenate([
+            r.normal(0, 1, 30), r.normal(r.uniform(1, 4), 1, 25), r.normal(-2, 1, 20),
+        ])
+        beta = 2 * np.log(len(yy))
+        assert pelt_mean_changepoints(yy, beta=beta) == brute(yy, beta)
