@@ -3490,6 +3490,98 @@ def _tr_sax(sf_dir: str):
     return out[["sax_word", "n_chunks", "n_points", "ok"]]
 
 
+def _tr_context_windows(sf_dir: str):
+    """Greedy token-budget context-window assembly over conversations
+    (`stages/packing.context_windows`) — the finetune-sample builder:
+    token counts vectorized before the exchange so text never shuffles.
+    SELF-VERIFYING, all checks DISTRIBUTED or on bounded summaries:
+    (a) exact token conservation — sum of window n_tokens equals an
+    independent distributed token count over the raw table; (b) no
+    window over budget unless flagged oversize (a single turn alone
+    exceeding it); (c) windows per conversation are contiguous and
+    non-overlapping: sum(n_turns) == turns in conversation; (d) a
+    planted conversation with known per-turn token counts cuts at the
+    exact expected boundaries."""
+    import ray.data
+
+    from spectral_time_series_ray.functions.textstats import BPE_RE
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.packing import context_windows
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
+
+    # planted: 7 turns whose BPE-ish token counts are exactly 10 each
+    # except turn 3 (25) -> budget 30 cuts greedily at [0,3) [3,4) [4,7)
+    t10 = ("alpha " * 10).strip()   # 10 tokens: "alpha" + " alpha"*9
+    t25 = ("alpha " * 25).strip()
+    texts = [t10, t10, t10, t25, t10, t10, t10]
+    planted = pd.DataFrame({
+        "conv_id": "__planted_ctx__",
+        "turn_idx": np.arange(7, dtype=np.int32),
+        "role": ["user", "assistant", "user", "assistant", "user",
+                 "assistant", "user"],
+        "text": texts,
+    })
+    n_tok_planted = [len(BPE_RE.findall(t)) for t in texts]
+    import pyarrow as _pa
+
+    both = ds.union(ray.data.from_arrow(_pa.Table.from_pandas(planted)))
+    BUDGET = 30
+    win = context_windows(both, max_tokens=BUDGET).materialize()
+
+    # (a) conservation vs an independent distributed count
+    def tok_count(batch: pd.DataFrame) -> pd.DataFrame:
+        n = sum(len(BPE_RE.findall(t)) for t in batch["text"])
+        return pd.DataFrame({"n": [n]})
+
+    total_raw = int(
+        both.map_batches(tok_count, batch_format="pandas", batch_size=1024).sum("n")
+    )
+    total_win = int(win.sum("n_tokens"))
+    conserve_ok = total_raw == total_win
+
+    # (b)+(c): distributed budget check + per-conv turn conservation
+    def invariants(batch: pd.DataFrame) -> pd.DataFrame:
+        bad_budget = int(((batch["n_tokens"] > BUDGET) & ~batch["oversize"]).sum())
+        g = batch.groupby("conv_id").agg(
+            turns=("n_turns", "sum"),
+            span=("end_turn_excl", "max"),
+            base=("start_turn", "min"),
+        )
+        bad_span = int((g["turns"] != g["span"] - g["base"]).sum())
+        return pd.DataFrame({"bad_budget": [bad_budget], "bad_span": [bad_span]})
+
+    inv = win.map_batches(invariants, batch_format="pandas", batch_size=None).to_pandas()
+    budget_ok = int(inv["bad_budget"].sum()) == 0
+    # spans are per-conv and convs never split across _part groups, but
+    # map_batches blocks may split a group -> aggregate spans per conv first
+    pw = win.to_pandas()  # windows table: rows ~ turns/avg-window, bounded here
+    g = pw.groupby("conv_id").agg(turns=("n_turns", "sum"),
+                                  span=("end_turn_excl", "max"),
+                                  base=("start_turn", "min"))
+    span_ok = bool((g["turns"] == g["span"] - g["base"]).all())
+
+    # (d) planted boundaries
+    pl = pw[pw["conv_id"] == "__planted_ctx__"].sort_values("window_idx")
+    exp_counts = n_tok_planted
+    planted_ok = (
+        list(pl["start_turn"]) == [0, 3, 4]
+        and list(pl["end_turn_excl"]) == [3, 4, 7]
+        and list(pl["n_tokens"]) == [sum(exp_counts[0:3]), exp_counts[3],
+                                     sum(exp_counts[4:7])]
+        and not pl["oversize"].any()
+    )
+
+    out = (
+        pw.groupby("conv_id", as_index=False)
+        .agg(n_windows=("window_idx", "size"), n_tokens=("n_tokens", "sum"),
+             n_oversize=("oversize", "sum"), user_start_frac=("starts_on_role", "mean"))
+    )
+    out["n_oversize"] = out["n_oversize"].astype(np.int64)
+    out["ok"] = bool(conserve_ok and budget_ok and span_ok and planted_ok)
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _tr_changepoints(sf_dir: str):
     """Exact PELT mean-shift changepoints per packed chunk
     (`stages/analytics.pelt_changepoints`, Killick et al. JASA 2012).
@@ -3829,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_sax": _tr_sax,
         "tr_bursts": _tr_bursts,
         "tr_changepoints": _tr_changepoints,
+        "tr_context_windows": _tr_context_windows,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

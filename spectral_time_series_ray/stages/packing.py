@@ -108,3 +108,118 @@ def packing_stats(packed_df: pd.DataFrame, max_length: int) -> dict:
         "naive_padding_frac": 1.0 - total / max(1, n_seqs * max_length),
         "packed_padding_frac": 1.0 - total / max(1, n_bins * max_length),
     }
+
+
+def context_windows(
+    ds,
+    max_tokens: int = 512,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    start_role: str = "user",
+    num_partitions: int | None = None,
+):
+    """Assemble per-conversation TRAINING CONTEXT WINDOWS under a token
+    budget — the finetune-sample builder an LLM data pipeline runs over
+    chat transcripts: greedy contiguous packing of turns (order
+    preserved) into windows with ``sum(tokens) <= max_tokens``; each
+    window reports whether it opens on a ``start_role`` turn
+    (chat-template convention — callers filter or re-cut on it).
+
+    Scale path: token counts are computed VECTORIZED per batch before
+    the exchange (compiled BPE-ish pre-tokenizer), so the conv-hash
+    shuffle moves only (conv, turn, role, n_tokens) narrow rows — the
+    text column never shuffles; the window assembly is a per-key O(n)
+    scan inside each partition. A single turn longer than the budget
+    becomes its own over-budget singleton flagged ``oversize`` (the
+    caller decides truncate-vs-drop), so token conservation holds
+    exactly: sum over windows == sum over turns.
+
+    Returns one row per window: (key, window_idx, start_turn,
+    end_turn_excl, n_turns, n_tokens, starts_on_role, oversize).
+    """
+    import pyarrow as pa
+
+    from ..functions.textstats import BPE_RE
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    class TokenCount:
+        def __init__(self):
+            self._re = BPE_RE
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rx = self._re
+            toks = np.fromiter(
+                (len(rx.findall(t)) for t in batch[text_col]),
+                dtype=np.int64, count=len(batch),
+            )
+            out = pd.DataFrame({
+                key: batch[key],
+                order_col: batch[order_col].to_numpy(np.int64),
+                role_col: batch[role_col],
+                "n_tokens": toks,
+            })
+            out["_part"] = (
+                pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+            ).astype(np.int32)
+            return out
+
+    narrow = ds.select_columns([key, order_col, role_col, text_col]).map_batches(
+        TokenCount, batch_format="pandas", batch_size=1024, concurrency=4
+    )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "window_idx": pd.Series([], dtype=np.int64),
+                "start_turn": pd.Series([], dtype=np.int64),
+                "end_turn_excl": pd.Series([], dtype=np.int64),
+                "n_turns": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "starts_on_role": pd.Series([], dtype=bool),
+                "oversize": pd.Series([], dtype=bool),
+            })
+        codes, uniques = pd.factorize(df[key], sort=False)
+        order = np.lexsort((df[order_col].to_numpy(), codes))
+        codes_s = codes[order]
+        turn = df[order_col].to_numpy(np.int64)[order]
+        tok = df["n_tokens"].to_numpy(np.int64)[order]
+        is_start_role = (df[role_col].to_numpy() == start_role)[order]
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        ends = np.append(starts[1:], len(df))
+        rows = []
+        for lo, hi in zip(starts, ends):
+            cid = uniques[codes_s[lo]]
+            widx = 0
+            i = lo
+            while i < hi:
+                if tok[i] > max_tokens:
+                    rows.append((cid, widx, turn[i], turn[i] + 1, 1, int(tok[i]),
+                                 bool(is_start_role[i]), True))
+                    widx += 1
+                    i += 1
+                    continue
+                # greedy fill
+                j, acc = i, 0
+                while j < hi and acc + tok[j] <= max_tokens:
+                    acc += int(tok[j])
+                    j += 1
+                rows.append((cid, widx, turn[i], turn[j - 1] + 1, j - i, acc,
+                             bool(is_start_role[i]), False))
+                widx += 1
+                i = j
+        return pd.DataFrame(rows, columns=[
+            key, "window_idx", "start_turn", "end_turn_excl", "n_turns",
+            "n_tokens", "starts_on_role", "oversize",
+        ]).astype({"window_idx": np.int64, "start_turn": np.int64,
+                   "end_turn_excl": np.int64, "n_turns": np.int64,
+                   "n_tokens": np.int64})
+
+    return narrow.groupby("_part").map_groups(assemble, batch_format="pandas")

@@ -343,3 +343,36 @@ def test_pelt_matches_exact_dp_and_recovers_planted():
         ])
         beta = 2 * np.log(len(yy))
         assert pelt_mean_changepoints(yy, beta=beta) == brute(yy, beta)
+
+
+def test_context_windows_conservation_and_budget(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.functions.textstats import BPE_RE
+    from spectral_time_series_ray.stages.packing import context_windows
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for c in range(12):
+        n = int(rng.integers(1, 40))
+        for t in range(n):
+            k = int(rng.integers(1, 60))
+            rows.append({"conv_id": f"c{c}", "turn_idx": t,
+                         "role": "user" if t % 2 == 0 else "assistant",
+                         "text": ("tok " * k).strip()})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    win = context_windows(ds, max_tokens=32).to_pandas()
+    # conservation: window tokens == raw tokens
+    raw = sum(len(BPE_RE.findall(t)) for t in df["text"])
+    assert int(win["n_tokens"].sum()) == raw
+    # budget respected except flagged oversize singletons
+    over = win[win["n_tokens"] > 32]
+    assert over["oversize"].all() and (over["n_turns"] == 1).all()
+    # per conversation: contiguous, non-overlapping, complete
+    g = win.groupby("conv_id")
+    for cid, grp in g:
+        grp = grp.sort_values("window_idx")
+        n_turns_conv = int((df["conv_id"] == cid).sum())
+        assert int(grp["n_turns"].sum()) == n_turns_conv
+        assert list(grp["start_turn"])[1:] == list(grp["end_turn_excl"])[:-1]
