@@ -3847,6 +3847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_new_users_cum": Q.ev_new_users_cum,
         "ev_dow_profile": Q.ev_dow_profile,
         "ev_value_histogram": Q.ev_value_histogram,
+        "ev_chi2_independence": Q.ev_chi2_independence,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
@@ -3860,6 +3861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dist_funcs": Q.ev_dist_funcs,
         "ev_type_correlation": Q.ev_type_correlation,
         "ev_ccf_leadlag": Q.ev_ccf_leadlag,
+        "ev_value_histogram": Q.ev_value_histogram,
+        "ev_chi2_independence": Q.ev_chi2_independence,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "q18_big_orders": Q.q18_big_orders,
@@ -4680,6 +4683,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_pairs,
                    round(corr(x, y), 9) as ccf
             from pairs group by 1 order by 1
+        """,
+        "ev_value_histogram": """
+            select event_type,
+                   cast(least(floor(value / 50.0), 9) as bigint) as bucket,
+                   count(*) as n
+            from events group by 1, 2
+        """,
+        "ev_chi2_independence": """
+            with c as (
+              select event_type as t, extract(hour from ts) as h,
+                     count(*) as o
+              from events group by 1, 2),
+            tot as (select sum(o) as n from c),
+            r as (select t, sum(o) as rt from c group by 1),
+            col as (select h, sum(o) as ct from c group by 1),
+            grid as (
+              select r.t, col.h, r.rt * col.ct / tot.n as e
+              from r cross join col cross join tot),
+            j as (
+              select grid.t, grid.h, coalesce(c.o, 0) as o, grid.e
+              from grid left join c on c.t = grid.t and c.h = grid.h)
+            select round(sum((o - e) * (o - e) / e), 6) as chi2,
+                   cast((count(distinct t) - 1) * (count(distinct h) - 1) as bigint) as dof,
+                   cast(sum(o) as bigint) as n
+            from j
         """,
         "ev_type_correlation": """
             with h as (

@@ -3555,3 +3555,73 @@ def ev_ccf_leadlag(sf_dir: str):
     out = lagged_ccf(ds, "click", "purchase", max_lag=3)
     out["ccf"] = round_half_away(out["ccf"].to_numpy(np.float64), 9)
     return out.sort_values("lag").reset_index(drop=True)
+
+
+def ev_value_histogram(sf_dir: str):
+    """Equi-width histogram of value per event_type (10 buckets of
+    width 50, open-topped): per-batch (type, bucket) count partials
+    collapse each block to <= |types| x 10 rows before ONE tiny
+    groupby merge — the corpus never shuffles. Bucket ids from the
+    same IEEE floor(value / 50.0) the oracle runs."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(
+            np.floor(batch["value"].to_numpy(np.float64) / 50.0), 9.0
+        ).astype(np.int64)
+        g = pd.DataFrame({"event_type": batch["event_type"], "bucket": b})
+        out = g.groupby(["event_type", "bucket"], as_index=False).size()
+        out.columns = ["event_type", "bucket", "n"]
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |types| x 10 rows
+    )
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+
+
+def ev_chi2_independence(sf_dir: str):
+    """Pearson chi-square test of independence between event_type and
+    hour-of-day: ONE distributed contingency pass (per-batch (type,
+    hour) count partials, tiny groupby merge), then the closed form on
+    the |types| x 24 bounded grid. Expected counts from exact integer
+    marginals; the statistic is a sum of <= 120 double terms, so the
+    6-decimal round matches the oracle's arithmetic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.DatetimeIndex(batch["ts"]).hour.to_numpy(np.int64)
+        g = pd.DataFrame({"event_type": batch["event_type"], "hour": h})
+        out = g.groupby(["event_type", "hour"], as_index=False).size()
+        out.columns = ["event_type", "hour", "o"]
+        return out
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("o", alias_name="o"))
+        .to_pandas()  # <= |types| x 24
+    )
+    piv = c.pivot_table(index="event_type", columns="hour", values="o",
+                        aggfunc="sum", fill_value=0)
+    O = piv.to_numpy(np.float64)
+    rt = O.sum(axis=1, keepdims=True)
+    ct = O.sum(axis=0, keepdims=True)
+    n = O.sum()
+    E = rt * ct / n
+    chi2 = float(((O - E) ** 2 / E).sum())
+    dof = (O.shape[0] - 1) * (O.shape[1] - 1)
+    return pd.DataFrame({
+        "chi2": [round_half_away(np.float64(chi2), 6)],
+        "dof": np.array([dof], np.int64),
+        "n": np.array([int(n)], np.int64),
+    })
