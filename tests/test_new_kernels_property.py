@@ -1,0 +1,106 @@
+"""Property-based tests for the round-3 part-11 kernels: PAA/SAX,
+Kleinberg bursts, PELT, Kalman. Pure-numpy — no Ray session needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spectral_time_series_ray.functions.tsanalysis import (
+    kalman_local_level,
+    kleinberg_bursts,
+    paa,
+    pelt_mean_changepoints,
+    sax_mindist,
+    sax_word,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(5, 200),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 10_000),
+)
+def test_paa_mass_conservation_any_shape(n, w, seed):
+    x = np.random.default_rng(seed).normal(size=n)
+    p = paa(x, w)
+    assert len(p) == w
+    if w <= n:
+        # continuous-time step-function segmentation conserves the mean
+        assert abs(p.mean() - x.mean()) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), a=st.integers(2, 8))
+def test_sax_mindist_lower_bound_property(seed, a):
+    rng = np.random.default_rng(seed)
+    x, y = rng.normal(size=48), rng.normal(size=48)
+    wx, _ = sax_word(x, 8, a)
+    wy, _ = sax_word(y, 8, a)
+    zx = (x - x.mean()) / x.std()
+    zy = (y - y.mean()) / y.std()
+    assert sax_mindist(wx, wy, 48, a) <= np.linalg.norm(zx - zy) + 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(5, 80))
+def test_kleinberg_states_valid_and_deterministic(seed, n):
+    gaps = np.random.default_rng(seed).exponential(10, n)
+    s1, b1 = kleinberg_bursts(gaps, s=3.0)
+    s2, b2 = kleinberg_bursts(gaps, s=3.0)
+    assert np.array_equal(s1, s2) and b1 == b2
+    assert set(np.unique(s1)) <= {0, 1}
+    # intervals exactly tile the state-1 region
+    assert sum(e - b for b, e in b1) == int(s1.sum())
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_pelt_optimality_vs_exact_dp(seed):
+    rng = np.random.default_rng(seed)
+    y = np.concatenate([
+        rng.normal(0, 1, 20),
+        rng.normal(rng.uniform(-3, 3), 1, 20),
+        rng.normal(rng.uniform(-3, 3), 1, 15),
+    ])
+    beta = 2 * np.log(len(y))
+    got = pelt_mean_changepoints(y, beta=beta)
+
+    n = len(y)
+    s1 = np.concatenate([[0.0], np.cumsum(y)])
+    s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def cost(a, b):
+        m = b - a
+        return s2[b] - s2[a] - (s1[b] - s1[a]) ** 2 / m
+
+    F = np.full(n + 1, np.inf)
+    F[0] = -beta
+    prev = np.full(n + 1, -1, int)
+    for t in range(2, n + 1):
+        for s in range(0, t - 1):
+            if np.isfinite(F[s]):
+                v = F[s] + cost(s, t) + beta
+                if v < F[t]:
+                    F[t], prev[t] = v, s
+    exp, t = [], n
+    while t > 0 and prev[t] >= 0:
+        if prev[t] > 0:
+            exp.append(prev[t])
+        t = prev[t]
+    assert got == sorted(exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(5, 60))
+def test_kalman_smoother_equals_gp_posterior(seed, n):
+    rng = np.random.default_rng(seed)
+    q, r = float(rng.uniform(0.1, 2)), float(rng.uniform(0.5, 4))
+    y = 3 + np.cumsum(rng.normal(0, np.sqrt(q), n)) + rng.normal(0, np.sqrt(r), n)
+    p0, mu0 = 1e6, float(y[0])
+    idx = np.arange(n)
+    C = p0 + q * np.minimum.outer(idx, idx)
+    post = mu0 + C @ np.linalg.solve(C + r * np.eye(n), y - mu0)
+    _, ms, ps = kalman_local_level(y, q, r, mu0=mu0, p0=p0)
+    assert np.abs(ms - post).max() < 1e-6
+    assert (ps >= -1e-12).all()
