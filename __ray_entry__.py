@@ -3553,16 +3553,11 @@ def _tr_context_windows(sf_dir: str):
 
     inv = win.map_batches(invariants, batch_format="pandas", batch_size=None).to_pandas()
     budget_ok = int(inv["bad_budget"].sum()) == 0
-    # spans are per-conv and convs never split across _part groups, but
-    # map_batches blocks may split a group -> aggregate spans per conv first
-    pw = win.to_pandas()  # windows table: rows ~ turns/avg-window, bounded here
-    g = pw.groupby("conv_id").agg(turns=("n_turns", "sum"),
-                                  span=("end_turn_excl", "max"),
-                                  base=("start_turn", "min"))
-    span_ok = bool((g["turns"] == g["span"] - g["base"]).all())
-
-    # (d) planted boundaries
-    pl = pw[pw["conv_id"] == "__planted_ctx__"].sort_values("window_idx")
+    # (d) planted boundaries (3 rows by key filter)
+    pl = win.map_batches(
+        lambda b: b[b["conv_id"] == "__planted_ctx__"],
+        batch_format="pandas", batch_size=None,
+    ).to_pandas().sort_values("window_idx")
     exp_counts = n_tok_planted
     planted_ok = (
         list(pl["start_turn"]) == [0, 3, 4]
@@ -3572,12 +3567,42 @@ def _tr_context_windows(sf_dir: str):
         and not pl["oversize"].any()
     )
 
+    # ONE conv-key groupby carries BOTH the span-conservation stats and
+    # the per-conv result summary (block partials first: convs may
+    # split across blocks); the returned table IS the query result, so
+    # the only driver materialization is the result itself
+    from ray.data.aggregate import Max as RMax
+    from ray.data.aggregate import Min as RMin
+    from ray.data.aggregate import Sum as RSum
+
+    def summary_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("conv_id", as_index=False).agg(
+            n_windows=("window_idx", "size"), n_tokens=("n_tokens", "sum"),
+            n_oversize=("oversize", "sum"), n_user_start=("starts_on_role", "sum"),
+            turns=("n_turns", "sum"), span=("end_turn_excl", "max"),
+            base=("start_turn", "min"))
+        for c in ("n_windows", "n_tokens", "n_oversize", "n_user_start",
+                  "turns", "span", "base"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
     out = (
-        pw.groupby("conv_id", as_index=False)
-        .agg(n_windows=("window_idx", "size"), n_tokens=("n_tokens", "sum"),
-             n_oversize=("oversize", "sum"), user_start_frac=("starts_on_role", "mean"))
+        win.map_batches(summary_partial, batch_format="pandas", batch_size=None)
+        .groupby("conv_id")
+        .aggregate(RSum("n_windows", alias_name="n_windows"),
+                   RSum("n_tokens", alias_name="n_tokens"),
+                   RSum("n_oversize", alias_name="n_oversize"),
+                   RSum("n_user_start", alias_name="n_user_start"),
+                   RSum("turns", alias_name="turns"),
+                   RMax("span", alias_name="span"),
+                   RMin("base", alias_name="base"))
+        .to_pandas()  # one row per conversation: the query's RESULT
     )
-    out["n_oversize"] = out["n_oversize"].astype(np.int64)
+    span_ok = bool((out["turns"] == out["span"] - out["base"]).all())
+    out["user_start_frac"] = out["n_user_start"] / out["n_windows"]
+    out = out.drop(columns=["n_user_start", "turns", "span", "base"])
+    for c in ("n_windows", "n_tokens", "n_oversize"):
+        out[c] = out[c].astype(np.int64)
     out["ok"] = bool(conserve_ok and budget_ok and span_ok and planted_ok)
     return out.sort_values("conv_id").reset_index(drop=True)
 
