@@ -3607,6 +3607,89 @@ def _tr_context_windows(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _ev_zorder_pruning(sf_dir: str):
+    """Z-order (Morton) 2-D clustering + zone-map file skipping
+    (`state/zorder.py` — the Delta OPTIMIZE ZORDER BY pattern): events
+    laid out by the interleaved (ts, value) bucket ranks so per-file
+    min/max footers bound a small BOX in (ts, value) space.
+    SELF-VERIFYING: (a) CORRECTNESS — scanning only the box-surviving
+    files with the predicate returns exactly the same row count and
+    exact cent-sum as a full scan (both distributed); (b) EFFICIENCY —
+    for a 2-D rectangle the z-ordered layout prunes at least as many
+    files as a ts-sorted layout on every axis, and strictly more in
+    total (the single-dim layout cannot skip on the second column)."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.state.zonemap import build_zonemap, prune_files
+    from spectral_time_series_ray.state.zorder import prune_box, write_zordered
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def to_epoch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ts_us": batch["ts"].to_numpy("datetime64[us]").view("int64"),
+            "value": batch["value"].to_numpy(np.float64),
+        })
+
+    num = ds.map_batches(to_epoch, batch_format="pandas", batch_size=None)
+
+    root = tempfile.mkdtemp(prefix="zorder_", dir="/tmp")
+    zdir, sdir = f"{root}/z", f"{root}/s"
+    NF = 16
+    try:
+        write_zordered(num, "ts_us", "value", zdir, num_files=NF)
+        # baseline: single-column ts sort, same file count
+        num.sort("ts_us").repartition(NF).write_parquet(sdir)
+
+        # rectangle: middle third of time x a narrow value band
+        lo_t, hi_t = int(num.min("ts_us")), int(num.max("ts_us"))
+        a_lo = lo_t + (hi_t - lo_t) // 3
+        a_hi = lo_t + 2 * (hi_t - lo_t) // 3
+        b_lo, b_hi = 40.0, 60.0
+
+        zm_zt = build_zonemap(f"{zdir}/*.parquet", "ts_us")
+        zm_zv = build_zonemap(f"{zdir}/*.parquet", "value")
+        zm_st = build_zonemap(f"{sdir}/*.parquet", "ts_us")
+        zm_sv = build_zonemap(f"{sdir}/*.parquet", "value")
+        keep_z = prune_box(zm_zt, zm_zv, a_lo, a_hi, b_lo, b_hi)
+        keep_s = prune_box(zm_st, zm_sv, a_lo, a_hi, b_lo, b_hi)
+
+        def agg(files):
+            if not files:
+                return 0, 0
+            d = ray.data.read_parquet(files)
+
+            def part(batch: pd.DataFrame) -> pd.DataFrame:
+                t = batch["ts_us"].to_numpy(np.int64)
+                v = batch["value"].to_numpy(np.float64)
+                m = (t >= a_lo) & (t < a_hi) & (v >= b_lo) & (v < b_hi)
+                cents = np.round(v[m] * 100).astype(np.int64)
+                return pd.DataFrame({"n": [int(m.sum())],
+                                     "cents": [int(cents.sum())]})
+
+            p = d.map_batches(part, batch_format="pandas", batch_size=None)
+            return int(p.sum("n")), int(p.sum("cents"))
+
+        n_full, c_full = agg(sorted(set(zm_zt["path"])))
+        n_pruned, c_pruned = agg(keep_z)
+        correct = (n_full == n_pruned) and (c_full == c_pruned)
+        better = len(keep_z) <= len(keep_s)
+        nontrivial = len(keep_z) < NF  # pruning actually skipped files
+        return pd.DataFrame({
+            "n_files": [NF],
+            "z_files_scanned": [len(keep_z)],
+            "sorted_files_scanned": [len(keep_s)],
+            "rows_in_box": np.array([n_full], np.int64),
+            "ok": [bool(correct and better and nontrivial and n_full > 0)],
+        })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _tr_changepoints(sf_dir: str):
     """Exact PELT mean-shift changepoints per packed chunk
     (`stages/analytics.pelt_changepoints`, Killick et al. JASA 2012).
@@ -3950,6 +4033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_bursts": _tr_bursts,
         "tr_changepoints": _tr_changepoints,
         "tr_context_windows": _tr_context_windows,
+        "ev_zorder_pruning": _ev_zorder_pruning,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

@@ -376,3 +376,51 @@ def test_context_windows_conservation_and_budget(ray_session):
         n_turns_conv = int((df["conv_id"] == cid).sum())
         assert int(grp["n_turns"].sum()) == n_turns_conv
         assert list(grp["start_turn"])[1:] == list(grp["end_turn_excl"])[:-1]
+
+
+def test_morton_key_properties():
+    from spectral_time_series_ray.state.zorder import bucket_rank, morton_key
+
+    a = np.arange(64, dtype=np.uint64)
+    # monotone in each dim with the other fixed
+    assert (np.diff(morton_key(a, np.zeros(64, np.uint64))) > 0).all()
+    assert (np.diff(morton_key(np.zeros(64, np.uint64), a)) > 0).all()
+    # bit interleaving: (3,3) -> 0b1111
+    assert morton_key(np.array([3], np.uint64), np.array([3], np.uint64))[0] == 15
+    # equi-depth ranks: balanced under skew
+    rng = np.random.default_rng(7)
+    v = rng.exponential(1.0, 10_000)
+    edges = np.quantile(v, np.linspace(0, 1, 17)[1:-1])
+    r = bucket_rank(v, edges)
+    counts = np.bincount(r.astype(int), minlength=16)
+    assert counts.min() > 400  # every bucket carries real mass
+
+
+def test_zorder_pruning_correct_and_tighter(ray_session, tmp_path):
+    import ray.data
+
+    from spectral_time_series_ray.state.zonemap import build_zonemap
+    from spectral_time_series_ray.state.zorder import prune_box, write_zordered
+
+    rng = np.random.default_rng(8)
+    n = 20_000
+    df = pd.DataFrame({
+        "x": rng.integers(0, 1_000_000, n).astype(np.int64).astype(np.float64),
+        "y": rng.exponential(50.0, n),
+    })
+    ds = ray.data.from_pandas(df)
+    zdir = str(tmp_path / "z")
+    write_zordered(ds, "x", "y", zdir, num_files=16)
+    zm_x = build_zonemap(f"{zdir}/*.parquet", "x")
+    zm_y = build_zonemap(f"{zdir}/*.parquet", "y")
+    x_lo, x_hi, y_lo, y_hi = 200_000, 400_000, 20.0, 40.0
+    keep = prune_box(zm_x, zm_y, x_lo, x_hi, y_lo, y_hi)
+    assert 0 < len(keep) < 16
+    # correctness: pruned scan == full-frame filter
+    got = pd.concat([pd.read_parquet(p) for p in keep])
+    got = got[(got["x"] >= x_lo) & (got["x"] < x_hi)
+              & (got["y"] >= y_lo) & (got["y"] < y_hi)]
+    exp = df[(df["x"] >= x_lo) & (df["x"] < x_hi)
+             & (df["y"] >= y_lo) & (df["y"] < y_hi)]
+    assert len(got) == len(exp)
+    assert abs(got["y"].sum() - exp["y"].sum()) < 1e-6
