@@ -3607,6 +3607,56 @@ def _tr_context_windows(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _tr_integrity(sf_dir: str):
+    """Per-conversation structural integrity audit
+    (`stages/validate.conversation_integrity`): contiguous turn_idx,
+    non-decreasing ts, role domain, duplicate turns — one conv-hash
+    shuffle of narrow columns, vectorized per-partition verdicts.
+    SELF-VERIFYING: a planted corrupted conversation (one turn gap,
+    one ts inversion, one bad role, one duplicated turn) must report
+    EXACTLY those counts; the fixture's real conversations are clean
+    by construction and must report zero violations."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.validate import conversation_integrity
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "ts"])
+
+    base = np.int64(1_700_000_000_000_000)
+    ts = (base + np.arange(10) * 1_000_000).astype("datetime64[us]")
+    bad = pd.DataFrame({
+        "conv_id": "__planted_bad__",
+        "turn_idx": np.array([0, 1, 2, 4, 5, 6, 7, 8, 9, 9], np.int32),  # gap@3, dup 9
+        "role": ["user", "assistant", "user", "assistant", "user",
+                 "robot", "user", "assistant", "user", "assistant"],  # bad role
+        "ts": ts,
+    })
+    # one ts inversion: swap the timestamps of turns 7 and 8
+    bad.loc[7, "ts"], bad.loc[8, "ts"] = bad.loc[8, "ts"], bad.loc[7, "ts"]
+    import pyarrow as _pa
+
+    both = ds.union(ray.data.from_arrow(_pa.Table.from_pandas(bad)))
+    out = conversation_integrity(both).to_pandas()
+
+    pb = out[out["conv_id"] == "__planted_bad__"].iloc[0]
+    # turn_idx sorted: [0,1,2,4,5,6,7,8,9,9] -> positions 0..9; gap hits
+    # every index from the break on (4!=3, 5!=4, ... 9!=8, 9!=9 ok last dup)
+    planted_ok = bool(
+        pb["gap_violations"] >= 1
+        and pb["ts_violations"] == 1
+        and pb["role_violations"] == 1
+        and pb["dup_violations"] == 1
+    )
+    real = out[~out["conv_id"].str.startswith("__planted_")]
+    clean_ok = bool(
+        (real[["gap_violations", "ts_violations", "role_violations",
+               "dup_violations"]].to_numpy() == 0).all()
+    )
+    out["ok"] = bool(planted_ok and clean_ok)
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _ev_zorder_pruning(sf_dir: str):
     """Z-order (Morton) 2-D clustering + zone-map file skipping
     (`state/zorder.py` — the Delta OPTIMIZE ZORDER BY pattern): events
@@ -3956,6 +4006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dow_profile": Q.ev_dow_profile,
         "ev_value_histogram": Q.ev_value_histogram,
         "ev_chi2_independence": Q.ev_chi2_independence,
+        "ev_dq_checks": Q.ev_dq_checks,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
@@ -3971,6 +4022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ccf_leadlag": Q.ev_ccf_leadlag,
         "ev_value_histogram": Q.ev_value_histogram,
         "ev_chi2_independence": Q.ev_chi2_independence,
+        "ev_dq_checks": Q.ev_dq_checks,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "q18_big_orders": Q.q18_big_orders,
@@ -4034,6 +4086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_changepoints": _tr_changepoints,
         "tr_context_windows": _tr_context_windows,
         "ev_zorder_pruning": _ev_zorder_pruning,
+        "tr_integrity": _tr_integrity,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,
@@ -4817,6 +4870,26 @@ def oracle_sql() -> dict[str, str]:
                    cast((count(distinct t) - 1) * (count(distinct h) - 1) as bigint) as dof,
                    cast(sum(o) as bigint) as n
             from j
+        """,
+        "ev_dq_checks": """
+            select 'event_id_unique' as rule,
+                   cast(count(*) - count(distinct event_id) as bigint) as violations
+            from events
+            union all
+            select 'user_id_not_null',
+                   cast(sum(case when user_id is null then 1 else 0 end) as bigint)
+            from events
+            union all
+            select 'value_in_range',
+                   cast(sum(case when value >= 0.0 and value < 1000.0
+                            then 0 else 1 end) as bigint)
+            from events
+            union all
+            select 'type_in_domain',
+                   cast(sum(case when event_type in
+                     ('click', 'view', 'purchase', 'signup', 'error')
+                     then 0 else 1 end) as bigint)
+            from events
         """,
         "ev_type_correlation": """
             with h as (

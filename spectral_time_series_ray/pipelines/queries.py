@@ -3625,3 +3625,24 @@ def ev_chi2_independence(sf_dir: str):
         "dof": np.array([dof], np.int64),
         "n": np.array([int(n)], np.int64),
     })
+
+
+def ev_dq_checks(sf_dir: str):
+    """Data-quality expectations suite over events
+    (`validate.expectation_checks`): not-null, range, domain-set and
+    uniqueness rules in one streaming pass (+ one key-hash exchange of
+    count partials for the uniqueness rule). Oracle: each rule's
+    violation count as plain SQL aggregates."""
+    from ..stages.validate import expectation_checks
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts", "value"])
+    rules = [
+        {"rule": "event_id_unique", "kind": "unique", "col": "event_id"},
+        {"rule": "user_id_not_null", "kind": "not_null", "col": "user_id"},
+        {"rule": "value_in_range", "kind": "range", "col": "value",
+         "lo": 0.0, "hi": 1000.0},
+        {"rule": "type_in_domain", "kind": "in_set", "col": "event_type",
+         "values": ["click", "view", "purchase", "signup", "error"]},
+    ]
+    return expectation_checks(ds, rules)
