@@ -3607,6 +3607,65 @@ def _tr_context_windows(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _emb_kcenter(sf_dir: str):
+    """Greedy k-center coreset selection over embeddings
+    (`stages/similarity.kcenter_greedy`, Gonzalez 1985 farthest-point):
+    centers broadcast per round, one (max-min-dist, argmax) partial per
+    block, vectors never shuffle. SELF-VERIFYING: (a) the cover-radius
+    history is non-increasing (farthest-point invariant); (b) the
+    selection 2-approximates: a DISTRIBUTED pass checks every point is
+    within the final radius of some center (the radius IS the
+    objective, by construction of the next-candidate search); (c) a
+    planted far-away outlier cluster must be hit by the first few
+    centers."""
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.similarity import kcenter_greedy
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # plant a tiny far cluster at +10 offset with huge ids
+    d = len(ds.limit(1).to_pandas()["embedding"].iloc[0])
+    rng = np.random.default_rng(41)
+    far = pd.DataFrame({
+        "vec_id": np.arange(5) + 10_000_000,
+        "embedding": [(np.full(d, 10.0) + 0.01 * rng.normal(size=d)).tolist()
+                      for _ in range(5)],
+    })
+    import pyarrow as _pa
+
+    both = ds.union(ray.data.from_arrow(_pa.Table.from_pandas(far))).materialize()
+    K = 8
+    centers, radii = kcenter_greedy(both, k=K)
+
+    monotone = all(radii[i] >= radii[i + 1] - 1e-9 for i in range(len(radii) - 1))
+    planted_hit = bool((centers["vec_id"] >= 10_000_000).any())
+
+    # distributed cover check at the final radius
+    import ray as _ray
+
+    C = np.stack([np.asarray(v, np.float64) for v in centers["vec"]])
+    c_ref = _ray.put(C)
+    R2 = (radii[-1] + 1e-9) ** 2
+
+    def uncovered(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm = _ray.get(c_ref)
+        X = np.stack([np.asarray(v, np.float64) for v in batch["embedding"]])
+        d2 = ((X * X).sum(1, keepdims=True) - 2.0 * X @ Cm.T
+              + (Cm * Cm).sum(1)[None, :]).min(axis=1)
+        return pd.DataFrame({"n": [int((d2 > R2).sum())]})
+
+    n_uncovered = int(
+        both.map_batches(uncovered, batch_format="pandas", batch_size=4096).sum("n")
+    )
+    ok = bool(monotone and planted_hit and n_uncovered == 0 and len(centers) == K)
+    out = centers[["vec_id"]].copy()
+    out["order"] = np.arange(len(out), dtype=np.int64)
+    out["cover_radius"] = radii[-1]
+    out["ok"] = ok
+    return out.reset_index(drop=True)
+
+
 def _tr_integrity(sf_dir: str):
     """Per-conversation structural integrity audit
     (`stages/validate.conversation_integrity`): contiguous turn_idx,
@@ -4087,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_context_windows": _tr_context_windows,
         "ev_zorder_pruning": _ev_zorder_pruning,
         "tr_integrity": _tr_integrity,
+        "emb_kcenter": _emb_kcenter,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

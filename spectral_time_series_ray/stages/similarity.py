@@ -781,3 +781,81 @@ def pca_project(ds, mean: np.ndarray, components: np.ndarray,
         return batch
 
     return ds.map_batches(project, batch_format="pandas", batch_size=None)
+
+
+def kcenter_greedy(
+    ds,
+    k: int = 8,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_id: int | None = None,
+):
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation used for diversity-aware training
+    -data selection): iteratively add the point FARTHEST from the
+    current centers. Distributed: centers broadcast per round
+    (``ray.put`` of a [c, d] matrix), each batch emits ONE
+    (max_min_dist, argmax_id, argmax_vec) partial row, the driver
+    merges O(blocks) partials — vectors never shuffle and the driver
+    holds only the k centers. k rounds => k passes; k is small by
+    design (coresets, seeding, diverse eval suites).
+
+    Returns (centers_df[id, vec], radius_history) where radius_history
+    is the cover radius BEFORE each added center — non-increasing, and
+    the final value is the k-center objective of the selection.
+    """
+    import ray
+
+    first = (
+        ds.select_columns([id_col, col]).limit(1).to_pandas()
+        if seed_id is None
+        else None
+    )
+    if seed_id is None:
+        seed_vec = np.asarray(first[col].iloc[0], np.float64)
+        seed = (int(first[id_col].iloc[0]), seed_vec)
+    else:
+        row = ds.map_batches(
+            lambda b: b[b[id_col] == seed_id],
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()
+        seed = (seed_id, np.asarray(row[col].iloc[0], np.float64))
+
+    ids = [seed[0]]
+    centers = [seed[1]]
+    radii = []
+    for _ in range(1, k + 1):
+        C = np.stack(centers)
+        c_ref = ray.put(C)
+
+        def farthest(batch: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            Cm = _ray.get(c_ref)
+            X = np.stack([np.asarray(v, np.float64) for v in batch[col]])
+            # squared L2 to every center, min over centers
+            d2 = (
+                (X * X).sum(1, keepdims=True)
+                - 2.0 * X @ Cm.T
+                + (Cm * Cm).sum(1)[None, :]
+            )
+            dmin = d2.min(axis=1)
+            j = int(np.argmax(dmin))
+            return pd.DataFrame({
+                "d2": [float(dmin[j])],
+                "cand_id": [int(batch[id_col].iloc[j])],
+                "cand_vec": [X[j]],
+            })
+
+        parts = ds.map_batches(
+            farthest, batch_format="pandas", batch_size=4096
+        ).to_pandas()  # O(blocks) rows
+        best = parts.loc[parts["d2"].idxmax()]
+        radii.append(float(np.sqrt(best["d2"])))
+        if len(ids) >= k:
+            break
+        ids.append(int(best["cand_id"]))
+        centers.append(np.asarray(best["cand_vec"], np.float64))
+    out = pd.DataFrame({id_col: np.asarray(ids, np.int64),
+                        "vec": centers})
+    return out, radii

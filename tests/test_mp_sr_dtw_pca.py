@@ -424,3 +424,33 @@ def test_zorder_pruning_correct_and_tighter(ray_session, tmp_path):
              & (df["y"] >= y_lo) & (df["y"] < y_hi)]
     assert len(got) == len(exp)
     assert abs(got["y"].sum() - exp["y"].sum()) < 1e-6
+
+
+def test_kcenter_two_approximation(ray_session):
+    import itertools
+
+    import ray.data
+
+    from spectral_time_series_ray.stages.similarity import kcenter_greedy
+
+    rng = np.random.default_rng(15)
+    X = rng.normal(size=(60, 4))
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                       "embedding": [x.tolist() for x in X]})
+    ds = ray.data.from_pandas(df)
+    K = 3
+    centers, radii = kcenter_greedy(ds, k=K)
+    assert len(centers) == K
+    assert all(radii[i] >= radii[i + 1] - 1e-9 for i in range(len(radii) - 1))
+    got_r = radii[-1]
+
+    def cover_radius(center_idx):
+        C = X[list(center_idx)]
+        d2 = ((X * X).sum(1, keepdims=True) - 2 * X @ C.T + (C * C).sum(1)[None, :])
+        return float(np.sqrt(d2.min(axis=1).max()))
+
+    opt = min(cover_radius(c) for c in itertools.combinations(range(60), K))
+    assert got_r <= 2 * opt + 1e-9  # Gonzalez guarantee
+    # and the greedy selection actually covers at its reported radius
+    sel = [int(df[df["vec_id"] == i].index[0]) for i in centers["vec_id"]]
+    assert abs(cover_radius(sel) - got_r) < 1e-9
