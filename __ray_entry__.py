@@ -4066,6 +4066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_value_histogram": Q.ev_value_histogram,
         "ev_chi2_independence": Q.ev_chi2_independence,
         "ev_dq_checks": Q.ev_dq_checks,
+        "ev_k_anonymity": Q.ev_k_anonymity,
+        "ev_attribution": Q.ev_attribution,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
@@ -4082,6 +4084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_value_histogram": Q.ev_value_histogram,
         "ev_chi2_independence": Q.ev_chi2_independence,
         "ev_dq_checks": Q.ev_dq_checks,
+        "ev_k_anonymity": Q.ev_k_anonymity,
+        "ev_attribution": Q.ev_attribution,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "q18_big_orders": Q.q18_big_orders,
@@ -4950,6 +4954,41 @@ def oracle_sql() -> dict[str, str]:
                      ('click', 'view', 'purchase', 'signup', 'error')
                      then 0 else 1 end) as bigint)
             from events
+        """,
+        "ev_k_anonymity": """
+            with g as (
+              select event_type, extract(hour from ts) as h, count(*) as n
+              from events group by 1, 2)
+            select cast(50 as bigint) as k,
+                   cast(count(*) as bigint) as n_groups,
+                   cast(sum(case when n < 50 then 1 else 0 end) as bigint)
+                     as groups_at_risk,
+                   cast(coalesce(sum(case when n < 50 then n end), 0) as bigint)
+                     as rows_at_risk,
+                   cast(min(n) as bigint) as min_group_size
+            from g
+        """,
+        "ev_attribution": """
+            with p as (
+              select user_id, ts, value from events
+              where event_type = 'purchase'),
+            c as (
+              select user_id, ts as click_ts from events
+              where event_type = 'click'),
+            j as (
+              select p.ts, p.value, c.click_ts
+              from p asof left join c
+                on p.user_id = c.user_id and c.click_ts <= p.ts)
+            select date_trunc('day', ts) as day,
+                   count(*) as n_purchases,
+                   cast(sum(case when click_ts is not null
+                       and ts - click_ts <= interval '1 hour'
+                       then 1 else 0 end) as bigint) as n_attributed,
+                   cast(coalesce(sum(case when click_ts is not null
+                       and ts - click_ts <= interval '1 hour'
+                       then cast(round(value * 100) as bigint) end), 0)
+                     as bigint) as attributed_cents
+            from j group by 1
         """,
         "ev_type_correlation": """
             with h as (

@@ -3646,3 +3646,92 @@ def ev_dq_checks(sf_dir: str):
          "values": ["click", "view", "purchase", "signup", "error"]},
     ]
     return expectation_checks(ds, rules)
+
+
+def ev_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the quasi-identifier (event_type,
+    hour-of-day): one distributed contingency pass (per-batch count
+    partials, tiny groupby merge on the bounded |types| x 24 grid),
+    then the suppression accounting closed-form. A privacy gate a
+    training-data pipeline runs before release."""
+    from ray.data.aggregate import Sum
+
+    K = 50
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.DatetimeIndex(batch["ts"]).hour.to_numpy(np.int64)
+        g = pd.DataFrame({"event_type": batch["event_type"], "hour": h})
+        out = g.groupby(["event_type", "hour"], as_index=False).size()
+        out.columns = ["event_type", "hour", "n"]
+        return out
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded grid
+    )
+    n = c["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "k": np.array([K], np.int64),
+        "n_groups": np.array([len(c)], np.int64),
+        "groups_at_risk": np.array([int((n < K).sum())], np.int64),
+        "rows_at_risk": np.array([int(n[n < K].sum())], np.int64),
+        "min_group_size": np.array([int(n.min()) if len(n) else 0], np.int64),
+    })
+
+
+def ev_attribution(sf_dir: str):
+    """Last-click attribution: each purchase joined to the user's most
+    recent prior-or-equal click (one-shuffle co-located as-of merge),
+    attributed only when the gap is <= 1 hour; exact cent-sums per
+    day. Oracle: DuckDB ASOF LEFT JOIN with the same window filter."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import asof_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+    left = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda b: pd.DataFrame({"user_id": b["user_id"], "ts": b["ts"],
+                                "value": b["value"]}),
+        batch_format="pandas", batch_size=None,
+    )
+
+    def prep_right(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_type"] == "click"]
+        return pd.DataFrame({"user_id": batch["user_id"], "ts": batch["ts"],
+                             "click_ts": batch["ts"]})
+
+    right = ev.map_batches(prep_right, batch_format="pandas", batch_size=None)
+    joined = asof_join(left, right, key="user_id", ts_col="ts",
+                       direction="backward")
+
+    HOUR_US = 3_600_000_000
+
+    def day_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["ts"].to_numpy("datetime64[us]")
+        day = t.astype("datetime64[D]").astype("datetime64[us]")
+        ct = batch["click_ts"].to_numpy("datetime64[us]")
+        gap = t.view("int64") - ct.view("int64")
+        attributed = (~pd.isna(batch["click_ts"]).to_numpy()) & (gap <= HOUR_US)
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "day": day,
+            "n_purchases": np.ones(len(batch), np.int64),
+            "n_attributed": attributed.astype(np.int64),
+            "attributed_cents": np.where(attributed, cents, 0),
+        })
+        return g.groupby("day", as_index=False).sum()
+
+    out = (
+        joined.map_batches(day_partial, batch_format="pandas", batch_size=None)
+        .groupby("day")
+        .aggregate(Sum("n_purchases", alias_name="n_purchases"),
+                   Sum("n_attributed", alias_name="n_attributed"),
+                   Sum("attributed_cents", alias_name="attributed_cents"))
+        .to_pandas()  # |days| rows
+    )
+    for c in ("n_purchases", "n_attributed", "attributed_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
