@@ -4068,6 +4068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dq_checks": Q.ev_dq_checks,
         "ev_k_anonymity": Q.ev_k_anonymity,
         "ev_attribution": Q.ev_attribution,
+        "ev_funnel_windowed": Q.ev_funnel_windowed,
+        "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
@@ -4086,6 +4088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dq_checks": Q.ev_dq_checks,
         "ev_k_anonymity": Q.ev_k_anonymity,
         "ev_attribution": Q.ev_attribution,
+        "ev_funnel_windowed": Q.ev_funnel_windowed,
+        "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "q18_big_orders": Q.q18_big_orders,
@@ -4989,6 +4993,42 @@ def oracle_sql() -> dict[str, str]:
                        then cast(round(value * 100) as bigint) end), 0)
                      as bigint) as attributed_cents
             from j group by 1
+        """,
+        "ev_funnel_windowed": """
+            with t1 as (
+              select user_id, min(ts) as t from events
+              where event_type = 'view' group by 1),
+            t2 as (
+              select e.user_id, min(e.ts) as t
+              from events e join t1 on e.user_id = t1.user_id
+              where e.event_type = 'click'
+                and e.ts >= t1.t and e.ts <= t1.t + interval '1 hour'
+              group by 1),
+            t3 as (
+              select e.user_id, min(e.ts) as t
+              from events e join t2 on e.user_id = t2.user_id
+              where e.event_type = 'purchase'
+                and e.ts >= t2.t and e.ts <= t2.t + interval '1 hour'
+              group by 1)
+            select cast((select count(*) from t1) as bigint) as n_step1,
+                   cast((select count(*) from t2) as bigint) as n_step2,
+                   cast((select count(*) from t3) as bigint) as n_step3
+        """,
+        "ev_cohort_retention": """
+            with su as (
+              select user_id, min(ts) as su_ts from events
+              where event_type = 'signup' group by 1),
+            a as (
+              select e.user_id,
+                     date_trunc('day', su.su_ts) as cohort_day,
+                     datediff('day', date_trunc('day', su.su_ts),
+                              date_trunc('day', e.ts)) as days_since
+              from events e join su on e.user_id = su.user_id)
+            select cohort_day,
+                   cast(days_since as bigint) as days_since,
+                   cast(count(distinct user_id) as bigint) as n_users
+            from a where days_since >= 0
+            group by 1, 2
         """,
         "ev_type_correlation": """
             with h as (

@@ -3735,3 +3735,138 @@ def ev_attribution(sf_dir: str):
     for c in ("n_purchases", "n_attributed", "attributed_cents"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
+
+
+def ev_funnel_windowed(sf_dir: str):
+    """TIME-BOUNDED sequential funnel (MATCH_RECOGNIZE-lite): first
+    'view', then the first 'click' within 1 hour OF THAT VIEW, then the
+    first 'purchase' within 1 hour OF THAT CLICK — each step's anchor
+    depends on the previous match, so this is sequential pattern
+    matching, not a per-step min. ONE user-hash shuffle of (user,
+    step-code int8, ts); each partition resolves the chain with three
+    vectorized groupby-min + merge sweeps; only per-partition step
+    counts reach the driver."""
+    from ..stages.rollup import partitions_for_input
+
+    steps = ("view", "click", "purchase")
+    step_code = {s: i for i, s in enumerate(steps)}
+    P = partitions_for_input(None)
+    W_US = 3_600_000_000
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(steps),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": batch["user_id"],
+            "step": batch["event_type"].map(step_code).astype(np.int8),
+            "ts": batch["ts"].to_numpy("datetime64[us]").view("int64"),
+        })
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["user_id"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    narrow = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def chain_part(df: pd.DataFrame) -> pd.DataFrame:
+        s0 = df[df["step"] == 0].groupby("user_id", as_index=False)["ts"].min()
+        s0.columns = ["user_id", "t1"]
+        if not len(s0):
+            return pd.DataFrame({"n_step1": [0], "n_step2": [0], "n_step3": [0]})
+        c = df[df["step"] == 1].merge(s0, on="user_id")
+        c = c[(c["ts"] >= c["t1"]) & (c["ts"] <= c["t1"] + W_US)]
+        s1 = c.groupby("user_id", as_index=False)["ts"].min()
+        s1.columns = ["user_id", "t2"]
+        p = df[df["step"] == 2].merge(s1, on="user_id")
+        p = p[(p["ts"] >= p["t2"]) & (p["ts"] <= p["t2"] + W_US)]
+        s2 = p.groupby("user_id", as_index=False)["ts"].min()
+        return pd.DataFrame({"n_step1": [len(s0)], "n_step2": [len(s1)],
+                             "n_step3": [len(s2)]})
+
+    parts = narrow.groupby("_part").map_groups(chain_part, batch_format="pandas")
+    agg = parts.to_pandas().sum()  # O(P) rows
+    return pd.DataFrame({
+        "n_step1": np.array([agg["n_step1"]], np.int64),
+        "n_step2": np.array([agg["n_step2"]], np.int64),
+        "n_step3": np.array([agg["n_step3"]], np.int64),
+    })
+
+
+def ev_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by FIRST-signup day,
+    distinct active users per (cohort_day, days_since) cell. Scale
+    path: one user-hash exchange co-locates each user's signup-min
+    with their activity rows (partition-merge join), per-partition
+    DISTINCT (cohort, diff, user) collapse, then only bounded
+    (cohort x horizon) count partials merge."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import partition_merge_join
+
+    DAY_US = 86_400_000_000
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def signup_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"] == "signup"]
+        out = pd.DataFrame({
+            "user_id": b["user_id"],
+            "su": b["ts"].to_numpy("datetime64[us]").view("int64"),
+        })
+        return out.groupby("user_id", as_index=False)["su"].min()
+
+    signup = ev.map_batches(signup_partial, batch_format="pandas", batch_size=None)
+
+    def act_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "at": batch["ts"].to_numpy("datetime64[us]").view("int64"),
+        })
+
+    act = ev.map_batches(act_partial, batch_format="pandas", batch_size=None)
+    joined = partition_merge_join(act, signup, on="user_id", how="inner")
+
+    from ..stages.rollup import partitions_for_input
+
+    P2 = partitions_for_input(None)
+
+    def cell_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-block DISTINCT (cell, user) rows; a block may split a
+        # user, so the GLOBAL distinct happens in the cell-key exchange
+        su = batch.groupby("user_id")["su"].min()
+        b = batch.merge(su.rename("su_min"), on="user_id")
+        cohort = b["su_min"].to_numpy(np.int64) // DAY_US
+        diff = b["at"].to_numpy(np.int64) // DAY_US - cohort
+        keep = diff >= 0
+        g = pd.DataFrame({"cohort_day": cohort[keep], "days_since": diff[keep],
+                          "user_id": b["user_id"].to_numpy()[keep]})
+        g = g.drop_duplicates()
+        cell = g["cohort_day"].to_numpy(np.int64) * 100_000 + g[
+            "days_since"].to_numpy(np.int64)
+        g["_p2"] = (
+            pd.util.hash_pandas_object(pd.Series(cell), index=False).to_numpy()
+            % P2
+        ).astype(np.int32)
+        return g
+
+    def cell_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["cohort_day", "days_since", "user_id"])
+        out = g.groupby(["cohort_day", "days_since"], as_index=False).size()
+        out.columns = ["cohort_day", "days_since", "n_users"]
+        return out
+
+    out = (
+        joined.map_batches(cell_rows, batch_format="pandas", batch_size=None)
+        .groupby("_p2")
+        .map_groups(cell_count, batch_format="pandas")
+        .groupby(["cohort_day", "days_since"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()  # bounded: days x horizon cells
+    )
+    out["cohort_day"] = (out["cohort_day"].to_numpy(np.int64) * DAY_US).astype(
+        "datetime64[us]")
+    out["days_since"] = out["days_since"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_day", "days_since"]).reset_index(drop=True)
