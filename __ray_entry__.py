@@ -3607,6 +3607,58 @@ def _tr_context_windows(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _tr_conv_neardup(sf_dir: str):
+    """Near-duplicate CONVERSATIONS via MERGEABLE MinHash
+    (`stages/dedup.conversation_minhash_neardup`): per-turn partial
+    signatures min-merge into per-conversation signatures — MinHash of
+    a union is the min of the MinHashes — so conversation text is
+    never concatenated or shuffled; only [num_perm] fixed-width
+    partials move. SELF-VERIFYING: a planted pair of conversations
+    sharing the same turn texts (order shuffled) must surface with
+    est_jaccard ~1; a planted unrelated conversation must NOT pair
+    with them; est_jaccard of every returned pair is in [0.5, 1]."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.dedup import conversation_minhash_neardup
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "text"])
+
+    rng = np.random.default_rng(19)
+    turns = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "epsilon",
+                             "zeta", "theta", "kappa"], size=30))
+        for _ in range(12)
+    ]
+    other = [
+        " ".join(rng.choice(["omicron", "sigma", "tau", "upsilon", "phi"],
+                            size=30))
+        for _ in range(12)
+    ]
+    planted = pd.concat([
+        pd.DataFrame({"conv_id": "__planted_dup_a__", "text": turns}),
+        pd.DataFrame({"conv_id": "__planted_dup_b__",
+                      "text": list(reversed(turns))}),  # same set, new order
+        pd.DataFrame({"conv_id": "__planted_other__", "text": other}),
+    ])
+    import pyarrow as _pa
+
+    both = ds.union(ray.data.from_arrow(_pa.Table.from_pandas(planted)))
+    pairs = conversation_minhash_neardup(both)
+
+    hit = pairs[
+        (pairs["a"] == "__planted_dup_a__") & (pairs["b"] == "__planted_dup_b__")
+    ]
+    planted_ok = len(hit) == 1 and float(hit["est_jaccard"].iloc[0]) >= 0.9
+    other_paired = bool(
+        ((pairs["a"] == "__planted_other__") | (pairs["b"] == "__planted_other__"))
+        .any()
+    )
+    range_ok = bool(pairs["est_jaccard"].between(0.5, 1.0).all())
+    pairs["ok"] = bool(planted_ok and not other_paired and range_ok)
+    return pairs.reset_index(drop=True)
+
+
 def _emb_kcenter(sf_dir: str):
     """Greedy k-center coreset selection over embeddings
     (`stages/similarity.kcenter_greedy`, Gonzalez 1985 farthest-point):
@@ -4155,6 +4207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_zorder_pruning": _ev_zorder_pruning,
         "tr_integrity": _tr_integrity,
         "emb_kcenter": _emb_kcenter,
+        "tr_conv_neardup": _tr_conv_neardup,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

@@ -1008,3 +1008,119 @@ def duplicate_span_coverage(
 
     both = ntok_t.union(cov_t)
     return both.groupby("_part").map_groups(merge_part, batch_format="pandas")
+
+
+def conversation_minhash_neardup(
+    ds,
+    key: str = "conv_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    num_partitions: int | None = None,
+):
+    """Near-duplicate CONVERSATIONS via mergeable MinHash: each turn
+    emits a PER-TURN partial signature (elementwise min of permuted
+    shingle hashes); the per-conversation signature is the elementwise
+    MIN-MERGE of its turns' partials — MinHash of a union is the min
+    of the MinHashes, so the conversation's text is NEVER concatenated
+    or shuffled: only fixed-width [num_perm] uint64 partials move
+    through ONE conv-hash exchange. Banding + in-bucket exact
+    signature-agreement verification as in ``minhash_lsh_dedup``.
+
+    Returns (conv pairs a < b, est_jaccard) for band-colliding pairs
+    with signature agreement >= 0.5.
+    """
+    import pyarrow as pa
+
+    from ..functions.hashing import MinHasher, shingle_hashes
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed)
+
+    class TurnPartial:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = []
+            for t in batch[text_col]:
+                sh = shingle_hashes(str(t), n=shingle_n)
+                sigs.append(self.mh.signature(sh).view(np.int64))
+            out = pd.DataFrame({key: batch[key]})
+            out["sig"] = sigs
+            out["_part"] = (
+                pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+            ).astype(np.int32)
+            return out
+
+    partials = ds.select_columns([key, text_col]).map_batches(
+        TurnPartial, batch_format="pandas", batch_size=1024, concurrency=4
+    )
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(df[key], sort=False)
+        S = np.stack([np.asarray(s, np.int64) for s in df["sig"]]).view(np.uint64)
+        out_sig = np.full((len(uniques), S.shape[1]), np.iinfo(np.uint64).max,
+                          dtype=np.uint64)
+        np.minimum.at(out_sig, codes, S)
+        return pd.DataFrame({key: uniques, "sig": [r.view(np.int64) for r in out_sig]})
+
+    conv_sigs = partials.groupby("_part").map_groups(
+        min_merge, batch_format="pandas"
+    ).materialize()
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ks, cs, bs = [], [], []
+        for cid, sig in zip(batch[key], batch["sig"]):
+            bk = mh.band_keys(np.asarray(sig, np.int64).view(np.uint64))
+            for b, k in enumerate(bk):
+                ks.append(np.int64(k))
+                cs.append(cid)
+                bs.append(b)
+        out = pd.DataFrame({"bkey": np.asarray(ks, np.int64), "band": np.asarray(bs, np.int32), key: cs})
+        out["_p2"] = (
+            (out["bkey"].to_numpy(np.int64).view(np.uint64)
+             ^ (out["band"].to_numpy(np.int32).astype(np.uint64) << np.uint64(56)))
+            % np.uint64(P)
+        ).astype(np.int32)
+        return out
+
+    bands_ds = conv_sigs.map_batches(band_rows, batch_format="pandas", batch_size=None)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for (_, _), g in df.groupby(["bkey", "band"], sort=False):
+            ids = sorted(set(g[key]))
+            if len(ids) < 2 or len(ids) > 200:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    pairs = bands_ds.groupby("_p2").map_groups(bucket_pairs, batch_format="pandas")
+    cand = pairs.to_pandas().drop_duplicates()  # sparse: band-colliding pairs
+    if not len(cand):
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "est_jaccard": pd.Series([], dtype=np.float64)})
+    import ray as _ray
+
+    cand_ids = _ray.put(set(cand["a"]) | set(cand["b"]))  # sparse
+    sig_map = conv_sigs.map_batches(
+        lambda b: b[b[key].isin(_ray.get(cand_ids))],
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()  # bounded by candidate count, not corpus
+    lut = dict(zip(sig_map[key], sig_map["sig"]))
+    est = []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa = np.asarray(lut[a], np.int64)
+        sb = np.asarray(lut[b], np.int64)
+        est.append(float((sa == sb).mean()))
+    cand = cand.assign(est_jaccard=np.asarray(est, np.float64))
+    cand = cand[cand["est_jaccard"] >= 0.5]
+    return cand.sort_values(["a", "b"]).reset_index(drop=True)
