@@ -1045,12 +1045,27 @@ def conversation_minhash_neardup(
             self.mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = []
-            for t in batch[text_col]:
-                sh = shingle_hashes(str(t), n=shingle_n)
-                sigs.append(self.mh.signature(sh).view(np.int64))
+            from ..functions.hashing import _MERSENNE61, mulmod_p61
+
+            mh_ = self.mh
+            sh = [shingle_hashes(str(t).split(), n=shingle_n)
+                  for t in batch[text_col]]
+            lens = np.fromiter((len(s) for s in sh), np.int64, len(sh))
+            sigs = np.full((len(batch), mh_.num_perm),
+                           np.iinfo(np.uint64).max, dtype=np.uint64)
+            nz = np.flatnonzero(lens)
+            if len(nz):
+                # hash EVERY shingle of the batch in one vectorized
+                # pass, then a segmented min per turn (reduceat) —
+                # no per-row [num_perm, S] matmuls
+                x = np.concatenate([sh[i] for i in nz]) % _MERSENNE61
+                H = (mulmod_p61(mh_.a[:, None], x[None, :])
+                     + mh_.b[:, None]) % _MERSENNE61
+                starts = np.concatenate(
+                    [[0], np.cumsum(lens[nz])[:-1]]).astype(np.int64)
+                sigs[nz] = np.minimum.reduceat(H, starts, axis=1).T
             out = pd.DataFrame({key: batch[key]})
-            out["sig"] = sigs
+            out["sig"] = [r.view(np.int64) for r in sigs]
             out["_part"] = (
                 pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
             ).astype(np.int32)
