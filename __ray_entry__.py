@@ -4122,7 +4122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_attribution": Q.ev_attribution,
         "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_cohort_retention": Q.ev_cohort_retention,
+        "doc_bm25_search": Q.doc_bm25_search,
         "ev_cohort_retention": Q.ev_cohort_retention,
+        "doc_bm25_search": Q.doc_bm25_search,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
         "ev_hopping_windows": Q.ev_hopping_windows,
@@ -4142,6 +4144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_attribution": Q.ev_attribution,
         "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_cohort_retention": Q.ev_cohort_retention,
+        "doc_bm25_search": Q.doc_bm25_search,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "q18_big_orders": Q.q18_big_orders,
@@ -5082,6 +5085,41 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct user_id) as bigint) as n_users
             from a where days_since >= 0
             group by 1, 2
+        """,
+        "doc_bm25_search": """
+            with tok as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) as term,
+                     len(string_split(text, ' ')) as dl
+              from documents),
+            stats as (
+              select (select count(*) from documents) as n,
+                     (select avg(len(string_split(text, ' '))) from documents)
+                       as avgdl),
+            q(term) as (values ('hash'), ('join'), ('stream')),
+            dfreq as (
+              select q.term, count(distinct tok.doc_id) as df
+              from q left join tok on tok.term = q.term
+              group by q.term),
+            tf as (
+              select doc_id, term, count(*) as tf, any_value(dl) as dl
+              from tok where term in (select term from q)
+              group by 1, 2),
+            scored as (
+              select tf.doc_id,
+                     sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                       as raw
+              from tf join dfreq on tf.term = dfreq.term
+              cross join stats
+              group by 1),
+            r as (
+              select doc_id, round(raw * 1e6) / 1e6 as score,
+                     row_number() over (
+                       order by round(raw * 1e6) / 1e6 desc, doc_id asc) as rk
+              from scored)
+            select doc_id, score from r where rk <= 10
         """,
         "ev_type_correlation": """
             with h as (

@@ -3870,3 +3870,17 @@ def ev_cohort_retention(sf_dir: str):
     out["days_since"] = out["days_since"].astype(np.int64)
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values(["cohort_day", "days_since"]).reset_index(drop=True)
+
+
+def doc_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (`text.bm25_search`) for a fixed 3-term
+    query: two streaming passes, zero shuffle, per-block partial
+    top-k. Oracle: the same Robertson/Sparck-Jones formula spelled out
+    in SQL over string_split tokens, ranked on the 6-decimal-rounded
+    score with doc_id tie-break."""
+    from ..stages.text import bm25_search
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_search(ds, ("hash", "join", "stream"), k=10)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "score"]]

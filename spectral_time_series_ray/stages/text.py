@@ -730,3 +730,81 @@ def phrase_match_stats(ds, phrases, text_col: str = "text", concurrency: int = 4
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_matches"] = out["n_matches"].astype(np.int64)
     return out.sort_values("phrase").reset_index(drop=True)
+
+
+def bm25_search(
+    ds,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 ranked retrieval for a fixed query: TWO streaming passes,
+    no shuffle. Pass 1 collapses each block to (n_docs, sum_dl, df per
+    query term) fixed-width partials; pass 2 scores matching docs with
+    the merged global stats and keeps a per-block partial top-k, so
+    only O(blocks x k) candidate rows reach the driver. Tokenization
+    is a literal single-space split (mirrors SQL ``string_split``).
+    Scores are rounded to 6 decimals BEFORE ranking so the ordering is
+    reproducible across engines. Returns the top-k (doc_id, score)."""
+    import ray
+
+    terms = list(query_terms)
+    T = len(terms)
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        dl = 0
+        df_counts = np.zeros(T, np.int64)
+        for t in batch[text_col]:
+            toks = str(t).split(" ")
+            dl += len(toks)
+            s = set(toks)
+            for i, q in enumerate(terms):
+                if q in s:
+                    df_counts[i] += 1
+        out = {"n_docs": [n], "sum_dl": [dl]}
+        for i, q in enumerate(terms):
+            out[f"df_{i}"] = [int(df_counts[i])]
+        return pd.DataFrame(out)
+
+    st = ds.select_columns([text_col]).map_batches(
+        stats_partial, batch_format="pandas", batch_size=None
+    ).to_pandas().sum()  # O(blocks) fixed-width partials
+    N = int(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / N
+    dfs = np.array([int(st[f"df_{i}"]) for i in range(T)], np.float64)
+    idf = np.log(1.0 + (N - dfs + 0.5) / (dfs + 0.5))
+    idf_ref = ray.put(idf)
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        idf_ = _ray.get(idf_ref)
+        ids, scores = [], []
+        for did, t in zip(batch[id_col], batch[text_col]):
+            toks = str(t).split(" ")
+            dl = len(toks)
+            sc = 0.0
+            hit = False
+            for i, q in enumerate(terms):
+                tf = toks.count(q)
+                if tf:
+                    hit = True
+                    sc += idf_[i] * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * dl / avgdl))
+            if hit:
+                ids.append(did)
+                scores.append(sc)
+        out = pd.DataFrame({id_col: ids, "score": np.asarray(scores, np.float64)})
+        out["score"] = np.round(out["score"] * 1e6) / 1e6
+        return out.sort_values(
+            ["score", id_col], ascending=[False, True]).head(k)
+
+    cand = ds.select_columns([id_col, text_col]).map_batches(
+        score_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # O(blocks x k)
+    return cand.sort_values(["score", id_col], ascending=[False, True]).head(
+        k).reset_index(drop=True)
