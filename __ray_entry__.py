@@ -4123,8 +4123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "doc_bm25_search": Q.doc_bm25_search,
+        "ev_ks_test": Q.ev_ks_test,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "doc_bm25_search": Q.doc_bm25_search,
+        "ev_ks_test": Q.ev_ks_test,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
         "ev_hopping_windows": Q.ev_hopping_windows,
@@ -4145,6 +4147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "doc_bm25_search": Q.doc_bm25_search,
+        "ev_ks_test": Q.ev_ks_test,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "q18_big_orders": Q.q18_big_orders,
@@ -5120,6 +5123,27 @@ def oracle_sql() -> dict[str, str]:
                        order by round(raw * 1e6) / 1e6 desc, doc_id asc) as rk
               from scored)
             select doc_id, score from r where rk <= 10
+        """,
+        "ev_ks_test": """
+            with h as (
+              select cast(round(value * 100) as bigint) as cents,
+                     sum(case when event_type = 'click' then 1 else 0 end) as n1,
+                     sum(case when event_type = 'purchase' then 1 else 0 end) as n2
+              from events
+              where event_type in ('click', 'purchase')
+              group by 1),
+            tot as (select sum(n1) as t1, sum(n2) as t2 from h),
+            c as (
+              select cents,
+                     sum(n1) over (order by cents) as c1,
+                     sum(n2) over (order by cents) as c2
+              from h)
+            select round(max(abs(cast(c.c1 as double) / tot.t1
+                                 - cast(c.c2 as double) / tot.t2)), 9) as ks,
+                   cast(tot.t1 as bigint) as n_click,
+                   cast(tot.t2 as bigint) as n_purchase
+            from c cross join tot
+            group by tot.t1, tot.t2
         """,
         "ev_type_correlation": """
             with h as (

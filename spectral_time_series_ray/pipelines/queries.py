@@ -3884,3 +3884,53 @@ def doc_bm25_search(sf_dir: str):
     out = bm25_search(ds, ("hash", "join", "stream"), k=10)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out[["doc_id", "score"]]
+
+
+def ev_ks_test(sf_dir: str):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of 'click' and 'purchase' events — distributed via
+    the bounded-domain trick: values are fixed 2-decimal, so per-batch
+    CENT-histogram partials merge in one tiny groupby and the ECDF max
+    -gap evaluates on the bounded distinct-value grid (domain-sized,
+    not corpus-sized). Oracle: the same running-fraction max in SQL
+    window functions."""
+
+    ds = _read(
+        sf_dir, "events", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    from ..stages.rollup import partitions_for_input
+
+    P = partitions_for_input(None)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        is_a = (batch["event_type"] == "click").to_numpy()
+        g = pd.DataFrame({"cents": cents,
+                          "n1": is_a.astype(np.int64),
+                          "n2": (~is_a).astype(np.int64)})
+        g = g.groupby("cents", as_index=False).sum()
+        g["_part"] = (g["cents"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cents", as_index=False)[["n1", "n2"]].sum()
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge_part, batch_format="pandas")
+        .to_pandas()  # bounded by the value DOMAIN, not the corpus
+    )
+    h = h.sort_values("cents")
+    n1 = int(h["n1"].sum())
+    n2 = int(h["n2"].sum())
+    c1 = np.cumsum(h["n1"].to_numpy(np.int64))
+    c2 = np.cumsum(h["n2"].to_numpy(np.int64))
+    ks = float(np.max(np.abs(c1 / n1 - c2 / n2))) if len(h) else 0.0
+    return pd.DataFrame({
+        "ks": [round_half_away(np.float64(ks), 9)],
+        "n_click": np.array([n1], np.int64),
+        "n_purchase": np.array([n2], np.int64),
+    })
