@@ -3607,6 +3607,85 @@ def _tr_context_windows(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _tr_erasure(sf_dir: str):
+    """GDPR right-to-be-forgotten propagation
+    (`state/manifest.erase_users`): erase one conversation from a
+    partitioned 1m-rollup tier, rewriting ONLY the partitions that
+    contain it (distributed key-column discovery probe — one boolean
+    per file to the driver). SELF-VERIFYING: (a) a distributed scan of
+    the post-erasure tier finds ZERO rows for the erased key; (b) row
+    conservation — rows_after == rows_before - rows_of_erased_key, and
+    the surviving rows' n_turns sum equals the pre-computed sum minus
+    the erased conversation's contribution (nothing else was touched);
+    (c) partitions without the key keep their original manifests."""
+    import shutil
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.state.manifest import erase_users, read_manifests
+
+    from spectral_time_series_ray.state.manifest import write_partitioned
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
+    target = str(m1.limit(1).to_pandas()["conv_id"].iloc[0])
+    n_rows = int(m1.count())
+    total_turns = int(m1.aggregate(Sum("n_turns", alias_name="s"))["s"])
+
+    def key_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["conv_id"] == target).to_numpy()
+        return pd.DataFrame({"rows": [int(m.sum())],
+                             "turns": [int(batch["n_turns"].to_numpy()[m].sum())]})
+
+    ks = m1.map_batches(key_stats, batch_format="pandas", batch_size=None).to_pandas()
+    target_rows, target_turns = int(ks["rows"].sum()), int(ks["turns"].sum())
+
+    out_root = tempfile.mkdtemp(prefix="erase_", dir="/tmp")
+    try:
+        write_partitioned(m1, out_root, "1m", fingerprint="base")
+        pre_manifests = {m["date"]: m.get("run_id") for m in read_manifests(out_root, "1m")}
+        rewritten = erase_users(out_root, "1m", {target}, key="conv_id",
+                                fingerprint="erase1")
+        reread = ray.data.read_parquet(f"{out_root}/tier=1m").materialize()
+        left = int(
+            reread.map_batches(
+                lambda b: pd.DataFrame({"n": [int((b["conv_id"] == target).sum())]}),
+                batch_format="pandas", batch_size=None,
+            ).sum("n")
+        )
+        after_rows = int(reread.count())
+        after_turns = int(reread.aggregate(Sum("n_turns", alias_name="s"))["s"])
+        post_manifests = {m["date"]: m.get("run_id") for m in read_manifests(out_root, "1m")}
+        untouched_ok = all(
+            post_manifests[d] == rid
+            for d, rid in pre_manifests.items()
+            if d not in rewritten
+        )
+        ok = (
+            left == 0
+            and after_rows == n_rows - target_rows
+            and after_turns == total_turns - target_turns
+            and len(rewritten) >= 1
+            and untouched_ok
+        )
+        return pd.DataFrame({
+            "erased_key_rows": np.array([target_rows], np.int64),
+            "partitions_rewritten": np.array([len(rewritten)], np.int64),
+            "rows_after": np.array([after_rows], np.int64),
+            "rows_left_for_key": np.array([left], np.int64),
+            "ok": [bool(ok)],
+        })
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 def _tr_conv_neardup(sf_dir: str):
     """Near-duplicate CONVERSATIONS via MERGEABLE MinHash
     (`stages/dedup.conversation_minhash_neardup`): per-turn partial
@@ -4214,6 +4293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_integrity": _tr_integrity,
         "emb_kcenter": _emb_kcenter,
         "tr_conv_neardup": _tr_conv_neardup,
+        "tr_erasure": _tr_erasure,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

@@ -306,3 +306,84 @@ def upsert_partitions(
         merged, out_root, tier, fingerprint=fingerprint,
         lineage=lineage, resume=False,
     )
+
+
+def erase_users(
+    out_root: str,
+    tier: str,
+    user_ids,
+    key: str = "conv_id",
+    fingerprint: str = "",
+):
+    """GDPR-style erasure: remove every row whose ``key`` is in
+    ``user_ids`` from a partitioned tier, rewriting ONLY the partitions
+    that actually contain those keys (right-to-be-forgotten
+    propagation).
+
+    Flow: a footer-free discovery scan reads just the ``key`` column of
+    each partition and collapses to (date, contains_target) — one tiny
+    boolean per partition; only flagged partitions are read fully,
+    filtered, and republished through the atomic manifest protocol.
+    Untouched partitions keep their original files and manifests (the
+    caller's self-check can assert byte-identity). Returns
+    {date: (rows_before, rows_after)} for the rewritten partitions.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    import ray as _ray
+
+    targets = set(user_ids)
+    t_ref = _ray.put(targets)
+    tier_dir = os.path.join(out_root, f"tier={tier}")
+    date_files: dict[str, list[str]] = {}
+    for ddir in sorted(_glob.glob(os.path.join(tier_dir, "date=*"))):
+        files = sorted(_glob.glob(os.path.join(ddir, "*.parquet")))
+        if files:
+            date_files[os.path.basename(ddir).split("=", 1)[1]] = files
+
+    # DISTRIBUTED discovery: one task per file reads ONLY the key
+    # column and emits a (date, hit) boolean — the driver sees one row
+    # per file, never key values
+    def probe(batch):
+        import pandas as pd
+
+        rows = []
+        tg = _ray.get(t_ref)
+        for date, path in zip(batch["date"], batch["path"]):
+            col = _pq.read_table(path, columns=[key])[key].to_pylist()
+            rows.append({"date": date, "hit": bool(tg.intersection(col))})
+        return pd.DataFrame(rows)
+
+    probe_in = ray.data.from_items(
+        [{"date": d, "path": p} for d, fl in date_files.items() for p in fl]
+    )
+    hits = probe_in.map_batches(probe, batch_format="pandas", batch_size=8).to_pandas()
+    affected = {
+        d: date_files[d]
+        for d in sorted(set(hits.loc[hits["hit"], "date"]))
+    }
+
+    out: dict[str, tuple[int, int]] = {}
+    for date, files in affected.items():
+        ds = ray.data.read_parquet(files)
+        if "date" in ds.schema().names:
+            ds = ds.drop_columns(["date"])
+        before = int(ds.count())
+
+        def drop_targets(batch, targets=targets):
+            import pandas as pd
+
+            df = batch if isinstance(batch, pd.DataFrame) else batch.to_pandas()
+            return df[~df[key].isin(targets)]
+
+        kept = ds.map_batches(drop_targets, batch_format="pandas",
+                              batch_size=None).materialize()
+        after = int(kept.count())
+        counts = write_partitioned(
+            kept, out_root, tier, fingerprint=fingerprint, resume=False,
+        )
+        out[date] = (before, counts.get(date, after))
+    return out
