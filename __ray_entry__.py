@@ -4126,7 +4126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ev_rollup_1m": Q.ev_rollup_1m,
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
-        "ev_incremental_rollup": Q.ev_incremental_rollup,
+        "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_sessions": Q.ev_sessions,
         "ev_scd2_intervals": Q.ev_scd2_intervals,
@@ -4136,29 +4136,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_window_funcs": Q.ev_window_funcs,
         "ev_rank_funcs": Q.ev_rank_funcs,
         "ev_range_join": Q.ev_range_join,
-        "ev_window_distinct": Q.ev_window_distinct,
+        "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_m4_downsample": Q.ev_m4_downsample,
         "ev_naive_forecast": Q.ev_naive_forecast,
         "ev_seasonal_mase": Q.ev_seasonal_mase,
         "ev_user_scaler": Q.ev_user_scaler,
         "ev_multivariate_precond": Q.ev_multivariate_precond,
         "ev_retained_users": Q.ev_retained_users,
-        "ev_no_purchase_users": Q.ev_no_purchase_users,
+        "ev_attribution": Q.ev_attribution,
         "ev_top_users": Q.ev_top_users,
         "ev_distinct_exact": Q.ev_distinct_exact,
         "ev_outliers_mad": Q.ev_outliers_mad,
         "ev_funnel": Q.ev_funnel,
-        "ev_type_cooccurrence": Q.ev_type_cooccurrence,
+        "ev_dq_checks": Q.ev_dq_checks,
         "ev_trend": Q.ev_trend,
         "q1_pricing": Q.q1_pricing,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q12_priority_lines": Q.q12_priority_lines,
-        "q10_returned_items": Q.q10_returned_items,
+        "doc_bm25_search": Q.doc_bm25_search,
         "q8_market_share": Q.q8_market_share,
         "q3_revenue_topk": Q.q3_revenue_topk,
         "q5_local_supplier": Q.q5_local_supplier,
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
-        "q16_supplier_cnt": Q.q16_supplier_cnt,
+        "ev_ks_test": Q.ev_ks_test,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "orders_by_segment": Q.orders_by_segment,
         "bucketed_join_priority": _bucketed_join_priority,
@@ -4196,13 +4196,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dow_profile": Q.ev_dow_profile,
         "ev_value_histogram": Q.ev_value_histogram,
         "ev_chi2_independence": Q.ev_chi2_independence,
-        "ev_dq_checks": Q.ev_dq_checks,
+        "ev_type_cooccurrence": Q.ev_type_cooccurrence,
         "ev_k_anonymity": Q.ev_k_anonymity,
-        "ev_attribution": Q.ev_attribution,
-        "ev_funnel_windowed": Q.ev_funnel_windowed,
-        "ev_cohort_retention": Q.ev_cohort_retention,
-        "doc_bm25_search": Q.doc_bm25_search,
-        "ev_ks_test": Q.ev_ks_test,
+        "ev_no_purchase_users": Q.ev_no_purchase_users,
+        "ev_window_distinct": Q.ev_window_distinct,
+        "ev_incremental_rollup": Q.ev_incremental_rollup,
+        "q10_returned_items": Q.q10_returned_items,
+        "q16_supplier_cnt": Q.q16_supplier_cnt,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "doc_bm25_search": Q.doc_bm25_search,
         "ev_ks_test": Q.ev_ks_test,
