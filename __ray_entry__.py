@@ -4173,6 +4173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_match": _doc_phrase_match,
         "doc_hamming_pairs": Q.doc_hamming_pairs,
         "emb_ann_topk": Q.emb_ann_topk,
+        "doc_hybrid_rrf": Q.doc_hybrid_rrf,
         "emb_ann_filtered": Q.emb_ann_filtered,
         "emb_label_stats": Q.emb_label_stats,
         "ev_cascade_1h": Q.ev_cascade_1h,
@@ -4753,6 +4754,57 @@ def oracle_sql() -> dict[str, str]:
                      (select embedding::DOUBLE[] from embeddings where vec_id = 0)), 6) as score
             from embeddings a
             order by score desc, a.vec_id asc limit 10
+        """,
+        "doc_hybrid_rrf": """
+            with tok as (
+              select doc_id,
+                     unnest(string_split(text, ' ')) as term,
+                     len(string_split(text, ' ')) as dl
+              from documents),
+            stats as (
+              select (select count(*) from documents) as n,
+                     (select avg(len(string_split(text, ' '))) from documents)
+                       as avgdl),
+            q(term) as (values ('hash'), ('join'), ('stream')),
+            dfreq as (
+              select q.term, count(distinct tok.doc_id) as df
+              from q left join tok on tok.term = q.term
+              group by q.term),
+            tf as (
+              select doc_id, term, count(*) as tf, any_value(dl) as dl
+              from tok where term in (select term from q)
+              group by 1, 2),
+            scored as (
+              select tf.doc_id,
+                     sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                       as raw
+              from tf join dfreq on tf.term = dfreq.term
+              cross join stats
+              group by 1),
+            br as (
+              select doc_id,
+                     row_number() over (
+                       order by round(raw * 1e6) / 1e6 desc, doc_id asc) as b_rank
+              from scored
+              qualify b_rank <= 20),
+            ar as (
+              select vec_id as doc_id,
+                     row_number() over (
+                       order by round(list_cosine_similarity(
+                         embedding::DOUBLE[],
+                         (select embedding::DOUBLE[] from embeddings
+                          where vec_id = 0)), 6) desc, vec_id asc) as a_rank
+              from embeddings
+              qualify a_rank <= 20),
+            f as (
+              select coalesce(br.doc_id, ar.doc_id) as doc_id,
+                     round(coalesce(1.0 / (60 + br.b_rank), 0.0)
+                           + coalesce(1.0 / (60 + ar.a_rank), 0.0), 9) as rrf
+              from br full outer join ar on br.doc_id = ar.doc_id)
+            select doc_id, rrf from f
+            order by rrf desc, doc_id asc limit 10
         """,
         "emb_label_stats": """
             select a.label, count(*) as n_vecs,

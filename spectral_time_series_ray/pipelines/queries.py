@@ -3886,6 +3886,61 @@ def doc_bm25_search(sf_dir: str):
     return out[["doc_id", "score"]]
 
 
+def doc_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): fuse the BM25 lexical ranking with the embedding
+    cosine ranking over the aligned ``doc_id == vec_id`` corpus.
+
+    Each leg is the existing distributed path — two-pass zero-shuffle
+    BM25 (`text.bm25_search`) and broadcast-query partial-top-k cosine
+    (`similarity.ann_brute_force`) — producing its deterministic
+    (rounded score desc, id asc) top-20. Fusion itself touches only
+    the 2x20 bounded candidate rows on the driver:
+    ``rrf = 1/(60+bm25_rank) + 1/(60+cos_rank)`` (absent leg
+    contributes 0, added in that fixed order for IEEE-identical sums
+    vs the oracle). Output: top-10 by (rounded rrf desc, doc_id asc)."""
+    from ..stages.similarity import ann_brute_force
+    from ..stages.text import bm25_search
+
+    n_leg = 20
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lex = bm25_search(docs, ("hash", "join", "stream"), k=n_leg)
+    lex = lex.reset_index(drop=True)
+    lex["b_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vec(sf_dir)[None, :]
+    # partial top-50 per block so rounding cannot demote a true top-20
+    sem = ann_brute_force(emb, q, k=50, concurrency=2).to_pandas()
+    sem["score"] = round_half_away(sem["score"].to_numpy(), 6)
+    sem = (
+        sem.sort_values(["score", "vec_id"], ascending=[False, True])
+        .head(n_leg)
+        .reset_index(drop=True)
+    )
+    sem["a_rank"] = np.arange(1, len(sem) + 1, dtype=np.int64)
+
+    fused = pd.merge(
+        lex[["doc_id", "b_rank"]],
+        sem[["vec_id", "a_rank"]].rename(columns={"vec_id": "doc_id"}),
+        on="doc_id",
+        how="outer",
+    )
+    b = fused["b_rank"].to_numpy(np.float64)
+    a = fused["a_rank"].to_numpy(np.float64)
+    tb = np.where(np.isnan(b), 0.0, 1.0 / (60.0 + b))
+    ta = np.where(np.isnan(a), 0.0, 1.0 / (60.0 + a))
+    fused["rrf"] = round_half_away(tb + ta, 9)
+    fused["doc_id"] = fused["doc_id"].astype(np.int64)
+    out = (
+        fused.sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "rrf"]]
+
+
 def ev_ks_test(sf_dir: str):
     """EXACT two-sample Kolmogorov-Smirnov statistic between the value
     distributions of 'click' and 'purchase' events — distributed via
