@@ -3607,6 +3607,172 @@ def _tr_context_windows(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _tr_sft_pairs(sf_dir: str):
+    """SFT (prompt, response) pair extraction from chat transcripts
+    (`stages/packing.sft_pairs`): every assistant turn pairs with the
+    NEAREST PRECEDING user turn under stable (conv_id, turn_idx)
+    ordering; one conv-hash exchange carries the text (both texts must
+    co-locate — any metadata-first join-back re-shuffles text at least
+    once more). SELF-VERIFYING, all checks DISTRIBUTED:
+    (a) pair count equals an independent METADATA-ONLY path — per-conv
+        min user turn (groupby Min) partition-merge-joined back to the
+        narrow assistant-turn table, counting turns after that min;
+    (b) per-turn TEXT EQUALITY end-to-end (the north-rule invariant):
+        pre-exchange per-turn FNV hashes keyed conv|turn join the
+        emitted pairs on BOTH sides — every matched row must agree on
+        hash AND role, and matched counts equal n_pairs on each side;
+    (c) uniqueness: distinct (conv, response_turn) == n_pairs;
+    (d) a planted conversation with a known role layout yields exactly
+        its expected pairs, texts included."""
+    import ray.data
+    from ray.data.aggregate import Min as RMin
+
+    from spectral_time_series_ray.functions.hashing import fnv1a_u64
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.join import partition_merge_join
+    from spectral_time_series_ray.stages.packing import sft_pairs
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "text"])
+
+    planted = pd.DataFrame({
+        "conv_id": "__planted_sft__",
+        "turn_idx": np.arange(8, dtype=np.int32),
+        "role": ["assistant", "user", "tool", "assistant", "assistant",
+                 "user", "user", "assistant"],
+        "text": [f"planted sft text {i}" for i in range(8)],
+    })
+    exp_pairs = {(1, 3), (1, 4), (6, 7)}  # turn 0 has no prior user
+    import pyarrow as _pa
+
+    both = ds.union(ray.data.from_arrow(_pa.Table.from_pandas(planted)))
+
+    pairs = sft_pairs(both).materialize()
+    n_pairs = int(pairs.count())
+
+    # ---- (a) independent metadata-only count ----------------------
+    def narrow(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"].to_numpy(np.int64),
+            "role": batch["role"],
+        })
+
+    meta = both.select_columns(["conv_id", "turn_idx", "role"]).map_batches(
+        narrow, batch_format="pandas", batch_size=None
+    )
+    umin = (
+        meta.filter(expr="role == 'user'")
+        .groupby("conv_id")
+        .aggregate(RMin("turn_idx", alias_name="min_user"))
+    )
+    asst = meta.filter(expr="role == 'assistant'")
+    joined = partition_merge_join(asst, umin, on="conv_id", how="inner")
+
+    def count_after(batch: pd.DataFrame) -> pd.DataFrame:
+        n = int((batch["turn_idx"].to_numpy(np.int64)
+                 > batch["min_user"].to_numpy(np.int64)).sum())
+        return pd.DataFrame({"n": [n]})
+
+    n_expected = int(
+        joined.map_batches(count_after, batch_format="pandas", batch_size=None).sum("n")
+    )
+    count_ok = n_pairs == n_expected
+
+    # ---- (b) end-to-end text equality via pre-exchange hashes -----
+    def src_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "skey": batch["conv_id"].astype(str) + "|"
+                    + batch["turn_idx"].astype(np.int64).astype(str),
+            "src_role": batch["role"],
+            "src_hash": fnv1a_u64(list(batch["text"])).view(np.int64),
+        })
+
+    src = both.map_batches(src_hash, batch_format="pandas", batch_size=None)
+
+    def probe(col_idx: str, col_hash: str, out_hash: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "skey": batch["conv_id"].astype(str) + "|"
+                        + batch[col_idx].astype(np.int64).astype(str),
+                out_hash: batch[col_hash].to_numpy(np.int64),
+            })
+        return f
+
+    def match_stats(role: str, out_hash: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            ok = ((batch["src_hash"].to_numpy(np.int64)
+                   == batch[out_hash].to_numpy(np.int64))
+                  & (batch["src_role"] == role).to_numpy())
+            return pd.DataFrame({"n": [len(batch)], "n_ok": [int(ok.sum())]})
+        return f
+
+    side_ok = {}
+    for side, col_idx, col_hash, role in (
+        ("prompt", "prompt_turn_idx", "prompt_hash", "user"),
+        ("response", "response_turn_idx", "response_hash", "assistant"),
+    ):
+        pr = pairs.map_batches(
+            probe(col_idx, col_hash, "pair_hash"),
+            batch_format="pandas", batch_size=None,
+        )
+        j = partition_merge_join(pr, src, on="skey", how="inner")
+        st = j.map_batches(
+            match_stats(role, "pair_hash"), batch_format="pandas", batch_size=None
+        ).to_pandas().sum()
+        side_ok[side] = int(st["n"]) == n_pairs and int(st["n_ok"]) == n_pairs
+
+    # ---- (c) distinct response turns == n_pairs --------------------
+    n_distinct = int(
+        pairs.map_batches(
+            probe("response_turn_idx", "response_hash", "pair_hash"),
+            batch_format="pandas", batch_size=None,
+        ).groupby("skey").count().count()
+    )
+    distinct_ok = n_distinct == n_pairs
+
+    # ---- (d) planted conversation ----------------------------------
+    pl = pairs.map_batches(
+        lambda b: b[b["conv_id"] == "__planted_sft__"],
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    got = set(zip(pl["prompt_turn_idx"].astype(int),
+                  pl["response_turn_idx"].astype(int)))
+    planted_ok = (
+        got == exp_pairs
+        and (pl["prompt_text"]
+             == "planted sft text " + pl["prompt_turn_idx"].astype(int).astype(str)).all()
+        and (pl["response_text"]
+             == "planted sft text " + pl["response_turn_idx"].astype(int).astype(str)).all()
+    )
+
+    # result: per-conversation pair summary (bounded by #convs)
+    def summary_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("conv_id", as_index=False).agg(
+            n_pairs=("response_turn_idx", "size"),
+            first_response=("response_turn_idx", "min"),
+            last_response=("response_turn_idx", "max"),
+        )
+        for c in ("n_pairs", "first_response", "last_response"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Max as RMax
+    from ray.data.aggregate import Sum as RSum
+
+    out = (
+        pairs.map_batches(summary_partial, batch_format="pandas", batch_size=None)
+        .groupby("conv_id")
+        .aggregate(RSum("n_pairs", alias_name="n_pairs"),
+                   RMin("first_response", alias_name="first_response"),
+                   RMax("last_response", alias_name="last_response"))
+        .to_pandas()
+    )
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["ok"] = bool(count_ok and side_ok["prompt"] and side_ok["response"]
+                     and distinct_ok and planted_ok)
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _tr_erasure(sf_dir: str):
     """GDPR right-to-be-forgotten propagation
     (`state/manifest.erase_users`): erase one conversation from a
@@ -4290,6 +4456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_bursts": _tr_bursts,
         "tr_changepoints": _tr_changepoints,
         "tr_context_windows": _tr_context_windows,
+        "tr_sft_pairs": _tr_sft_pairs,
         "ev_zorder_pruning": _ev_zorder_pruning,
         "tr_integrity": _tr_integrity,
         "emb_kcenter": _emb_kcenter,

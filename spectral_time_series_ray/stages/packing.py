@@ -223,3 +223,101 @@ def context_windows(
                    "n_tokens": np.int64})
 
     return narrow.groupby("_part").map_groups(assemble, batch_format="pandas")
+
+
+def sft_pairs(
+    ds,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    num_partitions: int | None = None,
+):
+    """Extract (prompt, response) supervised-finetuning pairs from chat
+    transcripts: every ``response_role`` turn pairs with the NEAREST
+    PRECEDING ``prompt_role`` turn of the same conversation under
+    stable ``order_col`` ordering (intervening tool / assistant turns
+    are skipped over — the chat-template convention); response turns
+    with no earlier prompt turn are dropped.
+
+    Scale path: both texts must co-locate per conversation, so the
+    corpus makes exactly ONE conv-hash exchange (any join-back
+    realization that ships only metadata first still has to re-shuffle
+    the text side at least once to attach it — strictly more exchange
+    volume). Pairing inside each partition is vectorized: factorize +
+    lexsort + a single running-maximum over prompt positions with a
+    group-start guard — no Python loop over rows.
+
+    Returns one row per pair: (key, prompt_turn_idx, response_turn_idx,
+    prompt_text, response_text, prompt_hash, response_hash). The hashes
+    are FNV-1a over the EMITTED texts, computed after the exchange, so
+    joining them back against pre-exchange per-turn hashes proves
+    per-turn text equality end-to-end (the north-rule invariant).
+    """
+    from ..functions.hashing import fnv1a_u64
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key, order_col, role_col, text_col]].copy()
+        out["_part"] = (
+            pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    tagged = ds.select_columns([key, order_col, role_col, text_col]).map_batches(
+        tag, batch_format="pandas", batch_size=None
+    )
+
+    empty = pd.DataFrame({
+        key: pd.Series([], dtype=object),
+        "prompt_turn_idx": pd.Series([], dtype=np.int64),
+        "response_turn_idx": pd.Series([], dtype=np.int64),
+        "prompt_text": pd.Series([], dtype=object),
+        "response_text": pd.Series([], dtype=object),
+        "prompt_hash": pd.Series([], dtype=np.int64),
+        "response_hash": pd.Series([], dtype=np.int64),
+    })
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty.copy()
+        codes, uniques = pd.factorize(df[key], sort=False)
+        order = np.lexsort((df[order_col].to_numpy(), codes))
+        codes_s = codes[order]
+        turn = df[order_col].to_numpy(np.int64)[order]
+        role = df[role_col].to_numpy()[order]
+        text = df[text_col].to_numpy()[order]
+
+        n = len(df)
+        pos = np.arange(n, dtype=np.int64)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        grp_start = pos[new_key][np.cumsum(new_key) - 1]  # group start per row
+
+        is_prompt = role == prompt_role
+        # running max of prompt positions; values leaked from a previous
+        # group are < this group's start position, so the guard below
+        # rejects them without a per-group reset
+        last_prompt = np.maximum.accumulate(np.where(is_prompt, pos, -1))
+        take = (role == response_role) & (last_prompt >= grp_start)
+        if not take.any():
+            return empty.copy()
+        ppos = last_prompt[take]
+        p_text = text[ppos]
+        r_text = text[take]
+        return pd.DataFrame({
+            key: np.asarray(uniques)[codes_s[take]],
+            "prompt_turn_idx": turn[ppos],
+            "response_turn_idx": turn[take],
+            "prompt_text": p_text,
+            "response_text": r_text,
+            "prompt_hash": fnv1a_u64(list(p_text)).view(np.int64),
+            "response_hash": fnv1a_u64(list(r_text)).view(np.int64),
+        })
+
+    return tagged.groupby("_part").map_groups(pair, batch_format="pandas")

@@ -72,3 +72,49 @@ def test_pack_bins_stage(ray_session):
     assert (chk["bin_fill"] == chk["fill"]).all()
     stats = packing_stats(out, 2048)
     assert stats["packed_padding_frac"] < stats["naive_padding_frac"]
+
+
+def _sft_reference(df: pd.DataFrame) -> set[tuple]:
+    """Brute-force nearest-preceding-user pairing."""
+    want = set()
+    for conv, g in df.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        last_user = None
+        for _, r in g.iterrows():
+            if r["role"] == "user":
+                last_user = (int(r["turn_idx"]), r["text"])
+            elif r["role"] == "assistant" and last_user is not None:
+                want.add((conv, last_user[0], int(r["turn_idx"]),
+                          last_user[1], r["text"]))
+    return want
+
+
+def test_sft_pairs_vs_bruteforce(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.packing import sft_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(40):
+        n = int(rng.integers(1, 12))
+        roles = rng.choice(["user", "assistant", "tool"], size=n)
+        for t in range(n):
+            rows.append((f"c{c:03d}", t, roles[t], f"text-{c}-{t}"))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    # shuffled on disk: order must be restored by the stage
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = sft_pairs(ds, num_partitions=3).to_pandas()
+
+    got = set(zip(out["conv_id"], out["prompt_turn_idx"].astype(int),
+                  out["response_turn_idx"].astype(int),
+                  out["prompt_text"], out["response_text"]))
+    assert got == _sft_reference(df)
+    # hashes match an independent recomputation of the emitted text
+    from spectral_time_series_ray.functions.hashing import fnv1a_u64
+    assert (out["prompt_hash"].to_numpy(np.int64)
+            == fnv1a_u64(list(out["prompt_text"])).view(np.int64)).all()
+    # each response turn appears at most once
+    assert not out.duplicated(["conv_id", "response_turn_idx"]).any()
