@@ -4313,7 +4313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_top_users": Q.ev_top_users,
         "ev_distinct_exact": Q.ev_distinct_exact,
         "ev_outliers_mad": Q.ev_outliers_mad,
-        "ev_funnel": Q.ev_funnel,
+        "ev_decay_score": Q.ev_decay_score,
         "ev_dq_checks": Q.ev_dq_checks,
         "ev_trend": Q.ev_trend,
         "q1_pricing": Q.q1_pricing,
@@ -4396,6 +4396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ks_test": Q.ev_ks_test,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
+        "ev_funnel": Q.ev_funnel,
         "q18_big_orders": Q.q18_big_orders,
         "q19_disjunctive": Q.q19_disjunctive,
         "doc_mode_source": Q.doc_mode_source,
@@ -5076,6 +5077,22 @@ def oracle_sql() -> dict[str, str]:
                      sum(o_totalprice) as total_spent
               from orders group by 1) o
             on c.c_custkey = o.o_custkey
+        """,
+        "ev_decay_score": """
+            with mx as (select max(cast(ts as date)) as d from events),
+            a as (
+              select user_id,
+                     cast(round(value * 100) as bigint)
+                       * (1::BIGINT << (30 - date_diff('day', cast(ts as date), mx.d)))
+                       as num,
+                     (1::BIGINT << (30 - date_diff('day', cast(ts as date), mx.d)))
+                       as den
+              from events cross join mx
+              where date_diff('day', cast(ts as date), mx.d) between 0 and 30)
+            select user_id,
+                   round(cast(sum(num) as double) / 1073741824.0, 6) as decayed_value,
+                   round(cast(sum(den) as double) / 1073741824.0, 6) as effective_n
+            from a group by 1
         """,
         "ev_funnel": """
             with f as (

@@ -415,6 +415,51 @@ def ev_type_hour_count(sf_dir: str):
     return ds.groupby("event_type").map_groups(merge, batch_format="pandas")
 
 
+def ev_decay_score(sf_dir: str):
+    """Per-user EXPONENTIALLY TIME-DECAYED value score (1-day
+    half-life, evaluated at the global max event date) — the retention
+    / engagement-scoring aggregate of a streaming feature store.
+
+    Exactness trick: decay weights are DYADIC — ``2^(30 - age_days)``
+    as int64 — so ``cents * weight`` and every partial sum are pure
+    integer arithmetic on BOTH engines (no float association drift);
+    the single trailing division by 2^30 is an exact power-of-two
+    scale. Shuffle shape: per-block (user, num, den) int partials ->
+    one int-keyed hash exchange (`hash_groupby_sum`) — raw rows never
+    move. The eval anchor (max event date) is one tiny distributed Max
+    pass. Ages beyond 30 days weight 0 (weights would underflow the
+    shift), matching the oracle's filter."""
+    from ..stages.join import hash_groupby_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    max_ts = ds.max("ts")
+    max_day = int(np.datetime64(pd.Timestamp(max_ts), "D").astype(np.int64))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        day = batch["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        age = max_day - day
+        keep = (age >= 0) & (age <= 30)
+        w = np.zeros(len(batch), np.int64)
+        w[keep] = np.int64(1) << (30 - age[keep])
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "num": cents * w,
+            "den": w,
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    out = hash_groupby_sum(parts, "user_id", ("num", "den")).to_pandas()
+    scale = float(1 << 30)
+    out["decayed_value"] = round_half_away(
+        out["num"].to_numpy(np.int64).astype(np.float64) / scale, 6)
+    out["effective_n"] = round_half_away(
+        out["den"].to_numpy(np.int64).astype(np.float64) / scale, 6)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out[["user_id", "decayed_value", "effective_n"]]
+
+
 def ev_top_users(sf_dir: str):
     """Top-10 users by total value: per-batch Arrow partials, hash
     groupby merge, then only per-block partial top-50s reach the
