@@ -127,6 +127,57 @@ def _tr_gorilla(sf_dir: str):
     )
 
 
+def _tr_pla(sf_dir: str):
+    """Bounded-error piecewise-linear (swing filter, Elmeleegy et al.
+    VLDB'09) compression over the flagship chunk rows — the lossy
+    sibling of tr_gorilla. SELF-VERIFYING distributed: every chunk is
+    compressed, reconstructed at its own timestamps, and the eps error
+    bound checked EXACTLY per chunk; a planted noiseless linear ramp
+    must collapse to a single segment (exact fit), and the summary
+    carries the achieved points-per-segment compression."""
+    import pyarrow as _pa
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.compress import pla_verify_chunks
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+
+    # planted: exact linear ramp -> one segment, zero error
+    # (from_pandas: the pack stage's blocks are pandas — union must match)
+    k = np.arange(256)
+    planted = pd.DataFrame({
+        "conv_id": ["__planted_pla__"],
+        "chunk_idx": np.array([0], np.int64),
+        "ts": [np.int64(1_700_000_000_000_000) + k * 60_000_000],
+        "values": [2.5 + 0.125 * k.astype(np.float64)],
+    })
+    chunks = chunks.union(ray.data.from_pandas(planted))
+
+    EPS = 0.05
+    ver = pla_verify_chunks(chunks, eps=EPS, concurrency=4).to_pandas()
+    pl = ver[ver["conv_id"] == "__planted_pla__"]
+    planted_ok = (
+        len(pl) == 1
+        and int(pl["n_segments"].iloc[0]) == 1
+        and float(pl["max_err"].iloc[0]) <= 1e-9
+    )
+    n_pts = int(ver["n_points"].sum())
+    n_seg = int(ver["n_segments"].sum())
+    return pd.DataFrame({
+        "n_chunks": [len(ver)],
+        "n_points": [n_pts],
+        "n_segments": [n_seg],
+        "points_per_segment": [float(n_pts / max(1, n_seg))],
+        "max_err": [float(ver["max_err"].max())],
+        "ok": [bool(ver["bound_ok"].all()) and planted_ok],
+    })
+
+
 def _tr_spectral(sf_dir: str):
     """Welch spectral summaries over the gap-filled 1m latency series,
     SELF-VERIFYING via a planted tone: a synthetic conversation with a
@@ -4420,6 +4471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_point_lookup": _bucketed_point_lookup,
         "doc_conjunctive_search": Q.doc_conjunctive_search,
         "tr_gorilla": _tr_gorilla,
+        "tr_pla": _tr_pla,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
         "emb_ann_ivf": _emb_ann_ivf,

@@ -130,3 +130,50 @@ def decompress_chunks(enc_ds, concurrency: int = 4):
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+class PLAChunkVerifier:
+    """Lossy bounded-error PLA compression (`functions/pla`, swing
+    filter) per packed chunk in one actor pass: compress, reconstruct
+    at the chunk's own timestamps, and emit (n_points, n_segments,
+    points_per_segment, max_err, bound_ok). The eps guarantee is
+    checked EXACTLY per chunk — bound_ok is the operator's contract,
+    not a statistical summary. NaN samples (gap-fill disabled) are
+    excluded from the fit and the check."""
+
+    def __init__(self, eps: float = 0.1):
+        self.eps = float(eps)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.pla import pla_compress, pla_max_error
+
+        rows = []
+        for _, r in batch.iterrows():
+            ts = np.asarray(r["ts"], dtype=np.int64).astype(np.float64)
+            vals = np.asarray(r["values"], dtype=np.float64)
+            m = np.isfinite(vals)
+            t, v = ts[m], vals[m]
+            if len(t):
+                s0, v0, sl = pla_compress(t, v, self.eps)
+                err = pla_max_error(t, v, s0, v0, sl)
+                nseg = len(s0)
+            else:
+                err, nseg = 0.0, 0
+            rows.append({
+                "conv_id": r["conv_id"], "chunk_idx": int(r["chunk_idx"]),
+                "n_points": int(len(t)), "n_segments": nseg,
+                "max_err": err,
+                "bound_ok": bool(err <= self.eps + 1e-9),
+            })
+        return pd.DataFrame(rows)
+
+
+def pla_verify_chunks(chunk_ds, eps: float = 0.1, concurrency: int = 4):
+    """Distributed PLA compress->reconstruct->bound-check over chunks."""
+    return chunk_ds.map_batches(
+        PLAChunkVerifier,
+        fn_constructor_kwargs={"eps": eps},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )

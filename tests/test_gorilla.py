@@ -82,3 +82,60 @@ def test_chunk_api():
     np.testing.assert_array_equal(t2, t)
     np.testing.assert_array_equal(v2.view(np.uint64), v.view(np.uint64))
     assert 0 < bpp < 16  # tighter than raw 16 bytes/point
+
+
+# ------------------------------------------------------------------ PLA
+def test_pla_error_bound_and_ratio():
+    from spectral_time_series_ray.functions.pla import (
+        pla_compress,
+        pla_decompress,
+        pla_max_error,
+    )
+
+    rng = np.random.default_rng(5)
+    t = np.cumsum(rng.uniform(0.5, 2.0, 4000))
+    # smooth signal + noise: PLA should compress hard at eps >> noise
+    v = np.sin(t / 40.0) * 10 + rng.normal(0, 0.05, len(t))
+    for eps in (0.5, 0.1):
+        s0, v0, sl = pla_compress(t, v, eps)
+        err = pla_max_error(t, v, s0, v0, sl)
+        assert err <= eps + 1e-12, (eps, err)
+    s0, v0, sl = pla_compress(t, v, 0.5)
+    assert len(s0) < len(t) / 8  # real compression on smooth data
+
+    # anchor samples are exact
+    rec = pla_decompress(s0, v0, sl, s0)
+    assert np.allclose(rec, v0)
+
+
+def test_pla_pathological_inputs():
+    from spectral_time_series_ray.functions.pla import pla_compress, pla_max_error
+
+    rng = np.random.default_rng(6)
+    # alternating spikes: worst case, segments stay short but bound holds
+    t = np.arange(200, dtype=np.float64)
+    v = np.where(np.arange(200) % 2 == 0, 100.0, -100.0)
+    s0, v0, sl = pla_compress(t, v, 1.0)
+    assert pla_max_error(t, v, s0, v0, sl) <= 1.0 + 1e-12
+
+    # single point / two points / empty
+    for n in (0, 1, 2):
+        tt, vv = t[:n], v[:n]
+        s0, v0, sl = pla_compress(tt, vv, 1.0)
+        if n:
+            assert pla_max_error(tt, vv, s0, v0, sl) <= 1.0 + 1e-12
+
+    # strictly increasing check
+    import pytest
+
+    with pytest.raises(ValueError):
+        pla_compress(np.array([0.0, 0.0, 1.0]), np.zeros(3), 1.0)
+
+    # random walks at several eps
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        tt = np.cumsum(r.uniform(0.1, 3.0, 1000))
+        vv = np.cumsum(r.normal(0, 1, 1000))
+        for eps in (0.0, 0.25, 2.0):
+            s0, v0, sl = pla_compress(tt, vv, eps)
+            assert pla_max_error(tt, vv, s0, v0, sl) <= eps + 1e-9
