@@ -3824,6 +3824,107 @@ def _tr_sft_pairs(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _tr_compaction(sf_dir: str):
+    """Small-file compaction over a partitioned rollup tier
+    (`state/manifest.compact_partitions`) — the LSM/Iceberg maintenance
+    op: long-running streaming writes fan out one file per block, and
+    compaction rewrites each over-fragmented date partition to its
+    byte-sized file count through a staging dir + atomic swap, with the
+    manifest row count verified BEFORE the swap. SELF-VERIFYING:
+    (a) every rewritten partition has strictly fewer files; (b) an
+    ORDER-INSENSITIVE distributed content fingerprint (sum of per-row
+    hashes + row count) is identical before and after; (c) manifests
+    keep their row counts and gain a compaction record."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.state.manifest import (
+        compact_partitions,
+        read_manifests,
+        write_partitioned,
+    )
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    out_root = tempfile.mkdtemp(prefix="sts_compact_", dir="/tmp")
+    try:
+        write_partitioned(m1.repartition(12), out_root, "1m", fingerprint="c")
+        tier_dir = os.path.join(out_root, "tier=1m")
+
+        def fingerprint() -> tuple[int, int]:
+            t = ray.data.read_parquet(tier_dir)
+            cols = sorted(c for c in t.schema().names if c != "date")
+
+            def h(batch: pd.DataFrame) -> pd.DataFrame:
+                # canonicalize dtypes per block: Arrow->pandas block
+                # conversion can drift (ns vs us timestamps, int vs
+                # float promotion) and hash_pandas_object is
+                # dtype-sensitive
+                canon = {}
+                for c in cols:
+                    s = batch[c]
+                    if str(s.dtype).startswith("datetime64"):
+                        canon[c] = s.astype("datetime64[ns]")
+                    elif s.dtype.kind in "iu":
+                        canon[c] = s.astype(np.int64)
+                    elif s.dtype.kind == "f":
+                        canon[c] = s.astype(np.float64)
+                    else:
+                        canon[c] = s.astype(object)
+                v = pd.util.hash_pandas_object(
+                    pd.DataFrame(canon), index=False
+                ).to_numpy(np.uint64)
+                # keep the sum uint64 EXPLICITLY: a Python int above
+                # 2^63 makes this column object/uint64 per block, and
+                # mixed int64/uint64 blocks concat-promote to float64,
+                # silently losing low bits of the fingerprint
+                return pd.DataFrame({
+                    "n": np.array([len(batch)], np.int64),
+                    "s": np.array([v.sum(dtype=np.uint64)], np.uint64),
+                })
+
+            agg = t.map_batches(h, batch_format="pandas", batch_size=None).to_pandas()
+            return int(agg["n"].sum()), int(np.uint64(agg["s"].to_numpy(np.uint64).sum(dtype=np.uint64)))
+
+        files_of = lambda: {
+            d: len([f for f in os.listdir(os.path.join(tier_dir, d))
+                    if f.endswith(".parquet")])
+            for d in os.listdir(tier_dir) if d.startswith("date=")
+        }
+        n_before, h_before = fingerprint()
+        fb = files_of()
+        res = compact_partitions(out_root, "1m", target_bytes=1 << 30)
+        n_after, h_after = fingerprint()
+        fa = files_of()
+
+        reduced_ok = bool(res) and all(
+            fa[f"date={d}"] < fb[f"date={d}"] for d in res
+        )
+        content_ok = (n_before, h_before) == (n_after, h_after)
+        mans = read_manifests(out_root, "1m")
+        man_ok = all(
+            ("compaction" in m) == (m["date"] in res) for m in mans
+        ) and all(int(m["row_count"]) >= 0 for m in mans)
+        return pd.DataFrame({
+            "n_partitions": [len(fb)],
+            "n_compacted": [len(res)],
+            "files_before": [int(sum(fb.values()))],
+            "files_after": [int(sum(fa.values()))],
+            "rows": [n_before],
+            "ok": [bool(reduced_ok and content_ok and man_ok)],
+        })
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
 def _tr_erasure(sf_dir: str):
     """GDPR right-to-be-forgotten propagation
     (`state/manifest.erase_users`): erase one conversation from a
@@ -4515,6 +4616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter": _emb_kcenter,
         "tr_conv_neardup": _tr_conv_neardup,
         "tr_erasure": _tr_erasure,
+        "tr_compaction": _tr_compaction,
         "tr_anomaly_sr": _tr_anomaly_sr,
         "ev_dtw_similar_users": _ev_dtw_similar_users,
         "emb_pca": _emb_pca,

@@ -180,7 +180,11 @@ def run_bench() -> dict:
                      # round-3 part 9/10: hardest new TPC-H shape,
                      # M4 read path, motif mining, PCA
                      "q21_waiting_suppliers", "ev_m4_downsample",
-                     "tr_matrix_profile", "emb_pca"):
+                     "tr_matrix_profile", "emb_pca",
+                     # round-3 part 14: rank fusion, SFT pair
+                     # extraction, decay scoring, lossy PLA
+                     "doc_hybrid_rrf", "tr_sft_pairs",
+                     "ev_decay_score", "tr_pla"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):
