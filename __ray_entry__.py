@@ -2550,6 +2550,161 @@ def _tr_tier_upsert(sf_dir: str):
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+def _tr_time_travel(sf_dir: str):
+    """Snapshot-versioned tier store (`state/snapshots.py`): commit a
+    (conv, 1-minute) mergeable rollup of 90% of the turns as snapshot
+    v1, upsert the held-back 10% 'late' rows into HEAD (v2), then
+    vacuum down to the last version. SELF-VERIFYING: (a) TIME TRAVEL —
+    after the upsert, reading the PINNED v1 still fingerprint-equals
+    the original on-time aggregate (order-invariant wrapping-sum hash,
+    computed distributed); (b) HEAD fingerprint-equals a from-scratch
+    aggregate over ALL turns; (c) ISOLATION — every date untouched by
+    late rows keeps byte-identical file references across v1 and v2
+    (proving the upsert rewrote only the touched partitions); (d)
+    VACUUM — expiring v1 deletes >=1 now-unreferenced file, HEAD still
+    fingerprint-matches, and only snapshot-referenced files remain on
+    disk. Data files are immutable; each snapshot is one atomic JSON
+    publish, so readers pin consistent versions with no coordination."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.state.snapshots import (
+        commit_snapshot,
+        list_snapshots,
+        read_snapshot,
+        snapshot_meta,
+        upsert_snapshot,
+        vacuum_snapshots,
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        b = pc_.floor_temporal(batch["ts"], unit="minute")
+        tl = pc_.utf8_length(batch["text"])
+        return pa.table(
+            {"conv_id": batch["conv_id"], "bucket_ts": b,
+             "n_turns": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+             "sum_text_len": pc_.cast(tl, pa.int64()),
+             "turn_idx": batch["turn_idx"]}
+        )
+
+    def agg(ds):
+        from ray.data.aggregate import Sum
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return batch.group_by(["conv_id", "bucket_ts"]).aggregate(
+                [("n_turns", "sum"), ("sum_text_len", "sum")]
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["conv_id", "bucket_ts"])
+            .aggregate(
+                Sum("n_turns_sum", alias_name="n_turns"),
+                Sum("sum_text_len_sum", alias_name="sum_text_len"),
+            )
+        )
+
+    LATE_CUTOFF = np.datetime64("2024-01-18", "us")
+
+    def split(batch: pa.Table, late: bool) -> pa.Table:
+        hc = pd.util.hash_pandas_object(
+            batch["conv_id"].to_pandas(), index=False
+        ).to_numpy()
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (hc + ti * np.uint64(1315423911)) % np.uint64(10)
+        recent = (
+            batch["bucket_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            >= LATE_CUTOFF
+        )
+        is_late = (h == 0) & recent
+        return batch.filter(pa.array(is_late if late else ~is_late))
+
+    def fingerprint(ds) -> tuple[int, int]:
+        def bh(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["bucket_ts"] = df["bucket_ts"].astype("datetime64[us]").astype(np.int64)
+            h = pd.util.hash_pandas_object(
+                df[["conv_id", "bucket_ts", "n_turns", "sum_text_len"]], index=False
+            ).to_numpy()
+            s = int(h.view(np.int64).sum(dtype=np.int64)) if len(h) else 0
+            return pa.table({"h": [s], "n": [len(h)]})
+
+        p = ds.map_batches(bh, batch_format="pyarrow", batch_size=None).to_pandas()
+        return int(p["h"].to_numpy().sum(dtype=np.int64)), int(p["n"].sum())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["conv_id", "bucket_ts"], as_index=False)[
+            ["n_turns", "sum_text_len"]
+        ].sum()
+        g["n_turns"] = g["n_turns"].astype(np.int64)
+        g["sum_text_len"] = g["sum_text_len"].astype(np.int64)
+        return g
+
+    raw = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    turns = raw.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+    ontime = turns.map_batches(lambda b: split(b, False), batch_format="pyarrow", batch_size=None)
+    late = turns.map_batches(lambda b: split(b, True), batch_format="pyarrow", batch_size=None)
+
+    root = tempfile.mkdtemp(prefix="snapstore_", dir="/tmp")
+    try:
+        h_v1_exp, n_v1_exp = fingerprint(agg(ontime))
+        m1 = commit_snapshot(agg(ontime), root, "1m")
+        m2 = upsert_snapshot(agg(late), root, "1m", merge)
+        touched = [d for d in m2["partitions"]
+                   if m2["partitions"][d] != m1["partitions"].get(d)]
+        untouched = [d for d in m1["partitions"] if d not in touched]
+        untouched_ok = bool(untouched) and all(
+            m1["partitions"][d] == m2["partitions"][d] for d in untouched
+        )
+
+        h_v1, n_v1 = fingerprint(read_snapshot(root, "1m", version=1))
+        time_travel_ok = (h_v1, n_v1) == (h_v1_exp, n_v1_exp) and n_v1 > 0
+        h_head, n_head = fingerprint(read_snapshot(root, "1m"))
+        h_all, n_all = fingerprint(agg(turns))
+        head_ok = (h_head, n_head) == (h_all, n_all)
+
+        vac = vacuum_snapshots(root, "1m", keep_last=1)
+        h_head2, n_head2 = fingerprint(read_snapshot(root, "1m"))
+        referenced = {
+            p for ps in snapshot_meta(root, "1m")["partitions"].values() for p in ps
+        }
+        on_disk = {
+            os.path.relpath(p, root)
+            for p in _glob.glob(
+                os.path.join(root, "tier=1m", "_data", "*", "date=*", "*.parquet")
+            )
+        }
+        vacuum_ok = (
+            vac["files_deleted"] >= 1
+            and (h_head2, n_head2) == (h_all, n_all)
+            and on_disk == referenced
+            and list_snapshots(root, "1m") == [2]
+        )
+        ok = time_travel_ok and head_ok and untouched_ok and vacuum_ok and len(touched) > 0
+        return pd.DataFrame(
+            {
+                "versions_committed": [2],
+                "n_partitions": [len(m2["partitions"])],
+                "n_touched": [len(touched)],
+                "rows_head": [n_head],
+                "time_travel_ok": [time_travel_ok],
+                "head_match": [head_ok],
+                "isolation_ok": [untouched_ok],
+                "vacuum_ok": [vacuum_ok],
+                "ok": [ok],
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ev_sorted_export(sf_dir: str):
     """Global total-order export: ``Dataset.sort`` range-partitions the
     events by (ts, event_id) and writes one parquet file per sorted
@@ -4629,6 +4784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_spectrogram": _tr_spectrogram,
         "tr_compressed_tier": _tr_compressed_tier,
         "tr_tier_upsert": _tr_tier_upsert,
+        "tr_time_travel": _tr_time_travel,
         "ev_sorted_export": _ev_sorted_export,
         "ev_weighted_sample": _ev_weighted_sample,
         "ev_bootstrap_ci": _ev_bootstrap_ci,

@@ -1,0 +1,249 @@
+"""Snapshot-versioned tier store: time travel + vacuum.
+
+The manifest store (`state/manifest.py`) keeps ONE live version per
+date partition — an upsert or compaction rewrites the partition in
+place, so yesterday's view of the tier is gone. This module adds the
+lakehouse-style versioned layer on top of the same partitioned-parquet
+layout (the public Iceberg/Delta snapshot model: an immutable data-file
+pool plus a log of manifests, each pinning the exact file set of one
+consistent table version):
+
+- data files are IMMUTABLE, written once under
+  ``<root>/tier=<tier>/_data/<run_id>/date=<D>/*.parquet``;
+- each commit publishes a JSON snapshot
+  ``<root>/_snapshots/<tier>/v<NNNNNN>.json`` mapping every date
+  partition to the exact file list (root-relative paths) that makes up
+  that version, via atomic tmp+rename — a torn write never surfaces;
+- a reader pins a snapshot and sees that version forever (time
+  travel); the highest published version is HEAD — the directory
+  listing IS the log, no mutable pointer file to corrupt;
+- an upsert commits a NEW snapshot that re-points only the touched
+  dates at freshly written files; untouched dates keep byte-identical
+  file references, so concurrent v1 readers are isolated from the v2
+  writer (single-writer, multi-reader — the standard snapshot model);
+- ``vacuum`` deletes files referenced by no retained snapshot.
+
+Scale notes: a snapshot holds one entry per (date, file) — metadata,
+not data; commits are one distributed ``write_parquet`` with
+``partition_cols`` (no driver loop over partitions); reads list files
+from the pinned snapshot only, so planning cost is O(files in
+snapshot), independent of how many historical versions exist.
+
+Reference analogue: the closest thing in the reference is Lightning's
+``ckpt_path="last"`` resume (`uni2ts/cli/conf/pretrain/default.yaml:13`)
+— a single mutable HEAD; the versioned log generalizes it to
+point-in-time reads, which the north rule's resumable/lineage
+requirement needs once late-data upserts rewrite history.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+SNAP_DIR = "_snapshots"
+
+
+def _snap_dir(root: str, tier: str) -> str:
+    return os.path.join(root, SNAP_DIR, tier)
+
+
+def list_snapshots(root: str, tier: str) -> list[int]:
+    """Published versions, ascending. Unreadable/torn files are skipped
+    (publish is atomic, so these can only be foreign junk)."""
+    d = _snap_dir(root, tier)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def snapshot_meta(root: str, tier: str, version: int | None = None) -> dict:
+    """Load one snapshot manifest (HEAD when ``version`` is None)."""
+    versions = list_snapshots(root, tier)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots for tier {tier!r} under {root}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{v} of tier {tier!r} not found (have {versions})"
+        )
+    with open(os.path.join(_snap_dir(root, tier), f"v{v:06d}.json")) as f:
+        return json.load(f)
+
+
+def _publish(root: str, tier: str, meta: dict) -> dict:
+    d = _snap_dir(root, tier)
+    os.makedirs(d, exist_ok=True)
+    v = meta["version"]
+    tmp = os.path.join(d, f".v{v:06d}.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(d, f"v{v:06d}.json"))
+    return meta
+
+
+def _add_date(ds, date_from: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.floor_temporal(batch[date_from], unit="day"), format="%Y-%m-%d"
+        )
+        return batch.append_column("date", day)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def _write_run(ds_with_date, root: str, tier: str) -> tuple[dict, dict]:
+    """One distributed partitioned write into a fresh immutable run dir.
+    Returns ({date: [relpaths]}, {date: rows})."""
+    run_id = uuid.uuid4().hex[:8]
+    run_dir = os.path.join(root, f"tier={tier}", "_data", run_id)
+    mat = ds_with_date.materialize()
+    counts = {r["date"]: int(r["count()"]) for r in mat.groupby("date").count().take_all()}
+    if counts:
+        mat.write_parquet(run_dir, partition_cols=["date"])
+    partitions: dict[str, list[str]] = {}
+    for date in counts:
+        files = sorted(
+            glob.glob(os.path.join(run_dir, f"date={date}", "*.parquet"))
+        )
+        partitions[date] = [os.path.relpath(p, root) for p in files]
+    return partitions, counts
+
+
+def commit_snapshot(ds, root: str, tier: str, op: str = "append",
+                    date_from: str = "bucket_ts") -> dict:
+    """Write ``ds`` as a brand-new full version of the tier and publish
+    it as the next snapshot. ``date_from`` names the timestamp column
+    the date partition derives from."""
+    partitions, counts = _write_run(_add_date(ds, date_from), root, tier)
+    versions = list_snapshots(root, tier)
+    meta = {
+        "version": (versions[-1] + 1) if versions else 1,
+        "parent": versions[-1] if versions else None,
+        "op": op,
+        "partitions": partitions,
+        "row_counts": counts,
+    }
+    return _publish(root, tier, meta)
+
+
+def read_snapshot(root: str, tier: str, version: int | None = None,
+                  columns: list[str] | None = None):
+    """A Dataset over exactly the files pinned by one snapshot. The
+    ``date`` is path-encoded, not stored in the files; re-derive it
+    from the bucket timestamp if needed."""
+    meta = snapshot_meta(root, tier, version)
+    files = [os.path.join(root, p) for ps in meta["partitions"].values() for p in ps]
+    if not files:
+        raise FileNotFoundError(f"snapshot v{meta['version']} of {tier!r} is empty")
+    return _read_physical(files, columns)
+
+
+def _read_physical(files: list[str], columns: list[str] | None = None):
+    """read_parquet that surfaces the PHYSICAL file schema only: hive
+    inference attaches every ``key=value`` path segment (tier=, date=,
+    the run id's parent dirs are exempt) as a column — drop them."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ds = ray.data.read_parquet(files, columns=columns)
+    if columns is None:
+        physical = set(pq.read_schema(files[0]).names)
+        inferred = [c for c in ds.schema().names if c not in physical]
+        if inferred:
+            ds = ds.drop_columns(inferred)
+    return ds
+
+
+def upsert_snapshot(late_ds, root: str, tier: str, merge_fn,
+                    date_from: str = "bucket_ts") -> dict:
+    """Merge late-arriving mergeable rows into HEAD and publish the
+    next snapshot. Only the date partitions the late rows touch are
+    read back, re-merged per date by ``merge_fn`` (a pandas
+    frame -> frame reducer, e.g. groupby-sum of additive partials), and
+    written as NEW immutable files; every other date keeps its existing
+    file references byte-for-byte, so older snapshots stay readable
+    (time travel) and HEAD readers never see a half-merged state."""
+    parent = snapshot_meta(root, tier)
+    late = _add_date(late_ds, date_from).materialize()
+    dates = sorted(r["date"] for r in late.groupby("date").count().take_all())
+    if not dates:
+        return parent
+    old_files = [
+        os.path.join(root, p)
+        for d in dates
+        for p in parent["partitions"].get(d, [])
+    ]
+    parts = late.drop_columns(["date"])
+    if old_files:
+        parts = parts.union(_read_physical(old_files))
+
+    def apply_merge(df):
+        return merge_fn(df.drop(columns=["date"]))
+
+    merged = _add_date(parts, date_from).groupby("date").map_groups(
+        apply_merge, batch_format="pandas"
+    )
+    new_parts, new_counts = _write_run(_add_date(merged, date_from), root, tier)
+    partitions = dict(parent["partitions"])
+    counts = dict(parent["row_counts"])
+    partitions.update(new_parts)
+    counts.update(new_counts)
+    meta = {
+        "version": parent["version"] + 1,
+        "parent": parent["version"],
+        "op": "upsert",
+        "partitions": partitions,
+        "row_counts": counts,
+    }
+    return _publish(root, tier, meta)
+
+
+def vacuum_snapshots(root: str, tier: str, keep_last: int = 2) -> dict:
+    """Expire all but the last ``keep_last`` snapshots and delete every
+    data file no retained snapshot references. Returns counts. Safe
+    order: snapshot manifests are removed FIRST (so a crash mid-vacuum
+    can only leave orphan data files — re-vacuum collects them — never
+    a published snapshot pointing at deleted files)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_snapshots(root, tier)
+    keep = versions[-keep_last:]
+    drop = [v for v in versions if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        meta = snapshot_meta(root, tier, v)
+        for ps in meta["partitions"].values():
+            referenced.update(ps)
+    for v in drop:
+        os.remove(os.path.join(_snap_dir(root, tier), f"v{v:06d}.json"))
+    data_root = os.path.join(root, f"tier={tier}", "_data")
+    deleted = 0
+    for p in glob.glob(os.path.join(data_root, "*", "date=*", "*.parquet")):
+        if os.path.relpath(p, root) not in referenced:
+            os.remove(p)
+            deleted += 1
+    # sweep empty date/run dirs left behind
+    for d in sorted(glob.glob(os.path.join(data_root, "*", "date=*")), reverse=True):
+        if not os.listdir(d):
+            os.rmdir(d)
+    for d in sorted(glob.glob(os.path.join(data_root, "*")), reverse=True):
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+    return {
+        "snapshots_expired": len(drop),
+        "files_deleted": deleted,
+        "files_retained": len(referenced),
+    }

@@ -1,0 +1,142 @@
+"""Snapshot-versioned tier store: time travel, isolation, vacuum."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spectral_time_series_ray.state.snapshots import (
+    commit_snapshot,
+    list_snapshots,
+    read_snapshot,
+    snapshot_meta,
+    upsert_snapshot,
+    vacuum_snapshots,
+)
+
+
+def _frame(days, rows_per_day, value0=1):
+    ts, conv, val = [], [], []
+    for d in range(days):
+        for i in range(rows_per_day):
+            ts.append(np.datetime64(f"2024-02-{d + 1:02d}T03:00:00", "us"))
+            conv.append(f"c{i % 3}")
+            val.append(value0 + d * 10 + i)
+    return pd.DataFrame({"conv_id": conv, "bucket_ts": ts, "n": np.int64(1),
+                         "total": np.asarray(val, dtype=np.int64)})
+
+
+def _make_merge():
+    # defined as a local closure so cloudpickle ships it by VALUE — the
+    # test module is not importable inside Ray workers
+    def merge(df):
+        import numpy as _np
+
+        g = df.groupby(["conv_id", "bucket_ts"], as_index=False)[["n", "total"]].sum()
+        g["n"] = g["n"].astype(_np.int64)
+        g["total"] = g["total"].astype(_np.int64)
+        return g
+
+    return merge
+
+
+_merge = _make_merge()
+
+
+def _sorted(df):
+    df = df.copy()
+    df["bucket_ts"] = pd.to_datetime(df["bucket_ts"]).astype("datetime64[us]")
+    return df.sort_values(["conv_id", "bucket_ts", "total"]).reset_index(drop=True)[
+        ["conv_id", "bucket_ts", "n", "total"]
+    ]
+
+
+def test_commit_read_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "store")
+    df = _frame(days=3, rows_per_day=4)
+    meta = commit_snapshot(ray.data.from_pandas(df), root, "1h")
+    assert meta["version"] == 1 and meta["parent"] is None
+    assert sum(meta["row_counts"].values()) == len(df)
+    assert sorted(meta["partitions"]) == ["2024-02-01", "2024-02-02", "2024-02-03"]
+    got = read_snapshot(root, "1h").to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(df))
+
+
+def test_upsert_time_travel_isolation(ray_session, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "store")
+    base = _merge(_frame(days=3, rows_per_day=4))
+    commit_snapshot(ray.data.from_pandas(base), root, "1h")
+    # late rows hit only day 3
+    late = base[base["bucket_ts"] == np.datetime64("2024-02-03T03:00:00", "us")].copy()
+    late["total"] = np.int64(1000)
+    m2 = upsert_snapshot(ray.data.from_pandas(late), root, "1h", _merge)
+    assert m2["version"] == 2 and m2["parent"] == 1
+
+    # v1 still reads the ORIGINAL data (time travel)
+    v1 = read_snapshot(root, "1h", version=1).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(v1), _sorted(base))
+
+    # HEAD equals a from-scratch merge over base+late
+    head = read_snapshot(root, "1h").to_pandas()
+    expect = _merge(pd.concat([base, late]))
+    pd.testing.assert_frame_equal(_sorted(head), _sorted(expect))
+
+    # untouched dates keep byte-identical file references
+    m1 = snapshot_meta(root, "1h", 1)
+    for d in ("2024-02-01", "2024-02-02"):
+        assert m1["partitions"][d] == m2["partitions"][d]
+    assert m1["partitions"]["2024-02-03"] != m2["partitions"]["2024-02-03"]
+
+
+def test_vacuum_expires_old_versions(ray_session, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "store")
+    base = _merge(_frame(days=2, rows_per_day=3))
+    commit_snapshot(ray.data.from_pandas(base), root, "1h")
+    late = base[base["bucket_ts"] == np.datetime64("2024-02-02T03:00:00", "us")]
+    upsert_snapshot(ray.data.from_pandas(late), root, "1h", _merge)
+
+    res = vacuum_snapshots(root, "1h", keep_last=1)
+    assert res["snapshots_expired"] == 1
+    assert res["files_deleted"] >= 1  # v1's replaced day-2 files are gone
+    assert list_snapshots(root, "1h") == [2]
+    # HEAD still reads fine and v1 is unreachable
+    head = read_snapshot(root, "1h").to_pandas()
+    expect = _merge(pd.concat([base, late]))
+    pd.testing.assert_frame_equal(_sorted(head), _sorted(expect))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(root, "1h", version=1)
+    # every file still on disk is referenced by the retained snapshot
+    m2 = snapshot_meta(root, "1h")
+    referenced = {p for ps in m2["partitions"].values() for p in ps}
+    import glob
+
+    on_disk = {
+        os.path.relpath(p, root)
+        for p in glob.glob(os.path.join(root, "tier=1h", "_data", "*", "date=*", "*.parquet"))
+    }
+    assert on_disk == referenced
+
+
+def test_torn_snapshot_ignored_and_missing_errors(ray_session, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "store")
+    with pytest.raises(FileNotFoundError):
+        snapshot_meta(root, "1h")
+    commit_snapshot(ray.data.from_pandas(_frame(1, 2)), root, "1h")
+    # junk that atomic publish could never produce is skipped
+    snapdir = os.path.join(root, "_snapshots", "1h")
+    with open(os.path.join(snapdir, "vgarbage.json"), "w") as f:
+        f.write("{")
+    assert list_snapshots(root, "1h") == [1]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(root, "1h", version=7)
+    with pytest.raises(ValueError):
+        vacuum_snapshots(root, "1h", keep_last=0)
