@@ -4644,9 +4644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": Q.doc_decontaminate,
         "doc_dup_spans": Q.doc_dup_spans,
         "doc_phrase_match": _doc_phrase_match,
-        "doc_hamming_pairs": Q.doc_hamming_pairs,
+        "doc_ssjoin": Q.doc_ssjoin,
         "emb_ann_topk": Q.emb_ann_topk,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
+        "doc_hamming_pairs": Q.doc_hamming_pairs,
         "emb_ann_filtered": Q.emb_ann_filtered,
         "emb_label_stats": Q.emb_label_stats,
         "ev_cascade_1h": Q.ev_cascade_1h,
@@ -6276,6 +6277,37 @@ def oracle_sql() -> dict[str, str]:
             from grams join bench using (g)
             where grams.doc_id % 97 <> 0
             group by grams.doc_id
+        """,
+        "doc_ssjoin": """
+            -- exact all-pairs Jaccard >= 0.6 over distinct word
+            -- 3-gram shingle sets (the engine mines the same pairs
+            -- with prefix filtering over 64-bit shingle ids)
+            with toks as (
+              select doc_id, string_split(text, ' ') as w from documents
+            ),
+            grams as (
+              select distinct doc_id, array_to_string(w[i:i+2], ' ') as g
+              from toks, unnest(generate_series(1, len(w) - 2)) as t(i)
+              where len(w) >= 3
+            ),
+            sizes as (
+              select doc_id, count(*) as s from grams group by doc_id
+            ),
+            inter as (
+              select x.doc_id as a, y.doc_id as b, count(*) as i
+              from grams x join grams y on x.g = y.g and x.doc_id < y.doc_id
+              group by 1, 2
+            ),
+            pairs as (
+              select i.a, i.b, i.i, sa.s + sb.s - i.i as u
+              from inter i
+              join sizes sa on sa.doc_id = i.a
+              join sizes sb on sb.doc_id = i.b
+            )
+            select cast(a as bigint) as a, cast(b as bigint) as b,
+                   round(cast(i as double) / u, 6) as jaccard
+            from pairs where cast(i as double) / u >= 0.6
+            order by a, b
         """,
         "doc_hamming_pairs": """
             -- the half-key equality in the join is pigeonhole-lossless

@@ -4034,3 +4034,25 @@ def ev_ks_test(sf_dir: str):
         "n_click": np.array([n1], np.int64),
         "n_purchase": np.array([n2], np.int64),
     })
+
+
+def doc_ssjoin(sf_dir: str):
+    """Exact set-similarity self-join over documents: ALL pairs with
+    word-3-gram shingle-set Jaccard >= 0.6, mined by prefix filtering
+    (`dedup.ssjoin_prefix`) — exact recall, unlike the MinHash/SimHash
+    tiers. Only verified near-dup pairs (sparse) reach the driver.
+    Oracle: DuckDB computes the same grams/intersections from the raw
+    strings; the engine works on 64-bit shingle ids (collision odds
+    ~1e-11 at this corpus size)."""
+    from ..stages.dedup import ssjoin_prefix
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ssjoin_prefix(ds, threshold=0.6, shingle_n=3).to_pandas()
+    if "a" not in out.columns:
+        out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "jaccard": pd.Series([], dtype=np.float64)})
+    out["jaccard"] = np.round(out["jaccard"].to_numpy(np.float64), 6)
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

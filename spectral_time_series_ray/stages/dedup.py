@@ -1127,8 +1127,17 @@ def conversation_minhash_neardup(
             ).astype(np.int32)
             return out
 
+    # size the actor pool to the CLUSTER: a fixed pool larger than the
+    # CPU count reserves every slot and starves the upstream read
+    # (observed: the stage crawls at ~1 core on an 8-CPU session)
+    try:
+        import ray as _ray
+
+        _pool = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) - 2))
+    except Exception:
+        _pool = 4
     partials = ds.select_columns([key, text_col]).map_batches(
-        TurnPartial, batch_format="pandas", batch_size=2048, concurrency=16
+        TurnPartial, batch_format="pandas", batch_size=2048, concurrency=_pool
     )
 
     def min_merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -1195,3 +1204,185 @@ def conversation_minhash_neardup(
     cand = cand.assign(est_jaccard=np.asarray(est, np.float64))
     cand = cand[cand["est_jaccard"] >= 0.5]
     return cand.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def ssjoin_prefix(
+    ds,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    join_partitions: int | None = None,
+    bucket_warn: int = 10_000,
+):
+    """EXACT set-similarity self-join: ALL document pairs whose word
+    ``shingle_n``-gram shingle sets have Jaccard >= ``threshold``, via
+    prefix filtering (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo et al.
+    WWW'07 All-Pairs; Xiao et al. WWW'08 PPJoin). Unlike the
+    MinHash-LSH family above, recall is EXACT — the prefix-filter lemma
+    guarantees every qualifying pair shares at least one token among
+    each side's first ``p = s - ceil(t*s) + 1`` tokens under any fixed
+    global token order — so this is the ground-truth pair miner the
+    approximate tiers are measured against.
+
+    Scale path: one tokenize+shingle pass emits each doc's
+    sorted-unique 64-bit shingle ids (strings never shuffle). The
+    global order is ascending hash id — a uniform random permutation of
+    tokens, so a token's chance of landing in a prefix is ~(1-t)
+    regardless of its frequency; expected bucket load is (1-t)*df
+    (df-ordered prefixes, the classic selectivity refinement, would
+    shrink hot buckets further at the cost of two more int-keyed
+    exchanges). Prefix tokens explode to (gid, doc, size) rows; one
+    int-keyed exchange groups them per gid, where candidate pairs are
+    generated under the size filter ``t*|b| <= |a|`` (|a|<=|b|);
+    oversized buckets are processed EXACTLY (dropping would break the
+    recall guarantee) but logged above ``bucket_warn``. Candidates
+    dedup globally on the pair key, hash-join TWICE against the shingle
+    Dataset, and verify with exact ``np.intersect1d`` Jaccard. Output:
+    Dataset (a, b, jaccard) with a < b, verified pairs only.
+
+    Docs with fewer than ``shingle_n`` tokens have no shingles and are
+    excluded (mirrors the SQL oracle's ``len(w) >= shingle_n`` guard).
+    """
+    import math
+
+    from ..functions.hashing import shingle_hashes
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    if join_partitions is None:
+        try:
+            import ray
+
+            join_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            join_partitions = 4
+
+    def featurize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, sizes = [], [], []
+        for d, t in zip(batch[id_col], batch[text_col]):
+            toks = t.split()
+            if len(toks) < shingle_n:
+                continue
+            sh = shingle_hashes(toks, n=shingle_n)  # sorted unique
+            ids.append(d)
+            blobs.append(sh.tobytes())
+            sizes.append(len(sh))
+        return pd.DataFrame({id_col: ids, "shingles": blobs,
+                             "s": np.asarray(sizes, np.int64)})
+
+    feat = ds.map_batches(featurize, batch_format="pandas", batch_size=1024).materialize()
+
+    def prefix_explode(batch: pd.DataFrame) -> pd.DataFrame:
+        gids, docs, sizes = [], [], []
+        for d, blob, s in zip(batch[id_col], batch["shingles"], batch["s"]):
+            p = int(s) - math.ceil(threshold * int(s) - 1e-12) + 1
+            pref = np.frombuffer(blob, dtype=np.uint64)[:p]
+            gids.append(pref)
+            docs.append(np.full(len(pref), d, dtype=np.int64))
+            sizes.append(np.full(len(pref), s, dtype=np.int64))
+        if not gids:
+            return pd.DataFrame({"gid": pd.Series([], dtype=np.int64),
+                                 "doc": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "gid": np.concatenate(gids).view(np.int64),
+            "doc": np.concatenate(docs),
+            "s": np.concatenate(sizes),
+        })
+
+    exploded = feat.map_batches(prefix_explode, batch_format="pandas", batch_size=None)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("gid", sort=False):
+            m = len(grp)
+            if m < 2:
+                continue
+            if m > bucket_warn:
+                logging.getLogger(__name__).warning(
+                    "ssjoin_prefix: prefix bucket of %d docs (gid hot key); "
+                    "processed exactly — consider df-ordered prefixes", m,
+                )
+            order = np.lexsort((grp["doc"].to_numpy(), grp["s"].to_numpy()))
+            docs = grp["doc"].to_numpy(np.int64)[order]
+            sizes = grp["s"].to_numpy(np.int64)[order]
+            for i in range(m - 1):
+                # sizes ascending: stop once t*|b| > |a| can never hold
+                hi = np.searchsorted(sizes, sizes[i] / threshold, side="right")
+                for j in range(i + 1, hi):
+                    a, b = docs[i], docs[j]
+                    if a == b:
+                        continue
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+        return pd.DataFrame({"a": np.asarray(out_a, np.int64),
+                             "b": np.asarray(out_b, np.int64)})
+
+    pairs = exploded.groupby("gid").map_groups(bucket_pairs, batch_format="pandas")
+
+    # global distinct on the pair key (the same pair surfaces from every
+    # shared prefix token): one int-keyed exchange
+    def pk_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "pk": pd.Series([], dtype=np.int64)})
+        b2 = batch.drop_duplicates(["a", "b"]).copy()
+        b2["pk"] = (b2["a"].to_numpy(np.int64) << 32) | b2["b"].to_numpy(np.int64)
+        return b2
+
+    distinct = (
+        pairs.map_batches(pk_tag, batch_format="pandas", batch_size=None)
+        .groupby("pk")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .drop_columns(["pk"])
+    ).materialize()
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    if distinct.count() == 0:
+        import ray.data
+
+        return ray.data.from_pandas(empty)
+
+    from .join import partition_merge_join
+
+    def _rename(mapping):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns=mapping)
+
+        return f
+
+    # candidate pairs are SPARSE after the size filter: use the
+    # partition-merge join (int-keyed exchange + in-partition merge)
+    # rather than Dataset.join, whose hash-shuffle setup dominates on
+    # small probe sides
+    sh_a = feat.drop_columns(["s"]).map_batches(
+        _rename({id_col: "a", "shingles": "sh_a"}),
+        batch_format="pandas", batch_size=None)
+    sh_b = feat.drop_columns(["s"]).map_batches(
+        _rename({id_col: "b", "shingles": "sh_b"}),
+        batch_format="pandas", batch_size=None)
+    with_a = partition_merge_join(
+        distinct, sh_a, on="a", how="inner", num_partitions=join_partitions)
+    with_b = partition_merge_join(
+        with_a, sh_b, on="b", how="inner", num_partitions=join_partitions)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        jac = np.empty(len(df))
+        for i, (ba, bb) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy(np.int64)[keep],
+                             "b": df["b"].to_numpy(np.int64)[keep],
+                             "jaccard": jac[keep]})
+
+    return with_b.map_batches(verify, batch_format="pandas", batch_size=None)

@@ -702,8 +702,14 @@ def partition_merge_join(
                 if c not in batch.columns:
                     batch[c] = None
             batch["_side"] = side
+            key = batch[on]
+            if key.dtype == object:
+                # a chained join can deliver the key as object dtype
+                # (see merge_part note below); hash the NATIVE dtype so
+                # both sides partition identically
+                key = key.infer_objects()
             batch["_part"] = (
-                pd.util.hash_pandas_object(batch[on], index=False).to_numpy() % P
+                pd.util.hash_pandas_object(key, index=False).to_numpy() % P
             ).astype(np.int32)
             return batch[all_cols + ["_side", "_part"]]
 
@@ -716,8 +722,13 @@ def partition_merge_join(
     )
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        left = g.loc[g["_side"] == "l", lcols]
-        right = g.loc[g["_side"] == "r", rcols]
+        # the union concatenates int64 columns from one side with the
+        # other side's None fill, silently promoting them to OBJECT
+        # dtype; restore native dtypes so downstream consumers (e.g. a
+        # second join keyed on a column that was a payload here) hash
+        # and compare the values they were given, not boxed objects
+        left = g.loc[g["_side"] == "l", lcols].infer_objects()
+        right = g.loc[g["_side"] == "r", rcols].infer_objects()
         if how == "semi":
             return left[left[on].isin(set(right[on]))]
         if how == "anti":
