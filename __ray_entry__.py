@@ -3831,7 +3831,6 @@ def _tr_sft_pairs(sf_dir: str):
     (d) a planted conversation with a known role layout yields exactly
         its expected pairs, texts included."""
     import ray.data
-    from ray.data.aggregate import Min as RMin
 
     from spectral_time_series_ray.functions.hashing import fnv1a_u64
     from spectral_time_series_ray.sources.transcripts import read_transcripts
@@ -3856,83 +3855,108 @@ def _tr_sft_pairs(sf_dir: str):
     n_pairs = int(pairs.count())
 
     # ---- (a) independent metadata-only count ----------------------
+    # ONE int-keyed conv-hash exchange: every row of a conversation
+    # lands in one partition, where per-conv min-user-turn and the
+    # count of assistant turns after it compute locally (string-keyed
+    # Ray groupbys measured ~10x slower at this key count)
+    PA = 32
+
     def narrow(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "conv_id": batch["conv_id"],
             "turn_idx": batch["turn_idx"].to_numpy(np.int64),
-            "role": batch["role"],
+            "is_user": (batch["role"] == "user").to_numpy(),
+            "is_asst": (batch["role"] == "assistant").to_numpy(),
         })
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["conv_id"], index=False).to_numpy() % PA
+        ).astype(np.int32)
+        return out[out["is_user"] | out["is_asst"]]
 
     meta = both.select_columns(["conv_id", "turn_idx", "role"]).map_batches(
         narrow, batch_format="pandas", batch_size=None
     )
-    umin = (
-        meta.filter(expr="role == 'user'")
-        .groupby("conv_id")
-        .aggregate(RMin("turn_idx", alias_name="min_user"))
-    )
-    asst = meta.filter(expr="role == 'assistant'")
-    joined = partition_merge_join(asst, umin, on="conv_id", how="inner")
 
-    def count_after(batch: pd.DataFrame) -> pd.DataFrame:
-        n = int((batch["turn_idx"].to_numpy(np.int64)
-                 > batch["min_user"].to_numpy(np.int64)).sum())
+    def part_expected(g: pd.DataFrame) -> pd.DataFrame:
+        um = g[g["is_user"]].groupby("conv_id")["turn_idx"].min()
+        a = g[g["is_asst"]]
+        mins = a["conv_id"].map(um)
+        n = int((a["turn_idx"].to_numpy(np.float64)
+                 > mins.to_numpy(np.float64)).sum())  # NaN (no user) never >
         return pd.DataFrame({"n": [n]})
 
     n_expected = int(
-        joined.map_batches(count_after, batch_format="pandas", batch_size=None).sum("n")
+        meta.groupby("_part").map_groups(part_expected, batch_format="pandas").sum("n")
     )
     count_ok = n_pairs == n_expected
 
     # ---- (b) end-to-end text equality via pre-exchange hashes -----
+    # int64 turn keys (FNV of conv | turn), BOTH pair sides unioned into
+    # one probe -> a single int-keyed merge join against one hash scan
+    def _tkey(conv, turn) -> np.ndarray:
+        return fnv1a_u64(
+            [f"{c}|{t}" for c, t in zip(conv, turn)]
+        ).view(np.int64)
+
     def src_hash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "skey": batch["conv_id"].astype(str) + "|"
-                    + batch["turn_idx"].astype(np.int64).astype(str),
+            "tkey": _tkey(batch["conv_id"], batch["turn_idx"].to_numpy(np.int64)),
             "src_role": batch["role"],
             "src_hash": fnv1a_u64(list(batch["text"])).view(np.int64),
         })
 
     src = both.map_batches(src_hash, batch_format="pandas", batch_size=None)
 
-    def probe(col_idx: str, col_hash: str, out_hash: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "skey": batch["conv_id"].astype(str) + "|"
-                        + batch[col_idx].astype(np.int64).astype(str),
-                out_hash: batch[col_hash].to_numpy(np.int64),
-            })
-        return f
+    def probe_both(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col_idx, col_hash, role in (
+            ("prompt_turn_idx", "prompt_hash", "user"),
+            ("response_turn_idx", "response_hash", "assistant"),
+        ):
+            frames.append(pd.DataFrame({
+                "tkey": _tkey(batch["conv_id"], batch[col_idx].to_numpy(np.int64)),
+                "pair_hash": batch[col_hash].to_numpy(np.int64),
+                "exp_role": role,
+            }))
+        return pd.concat(frames, ignore_index=True)
 
-    def match_stats(role: str, out_hash: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            ok = ((batch["src_hash"].to_numpy(np.int64)
-                   == batch[out_hash].to_numpy(np.int64))
-                  & (batch["src_role"] == role).to_numpy())
-            return pd.DataFrame({"n": [len(batch)], "n_ok": [int(ok.sum())]})
-        return f
+    pr = pairs.map_batches(probe_both, batch_format="pandas", batch_size=None)
+    j = partition_merge_join(pr, src, on="tkey", how="inner")
 
-    side_ok = {}
-    for side, col_idx, col_hash, role in (
-        ("prompt", "prompt_turn_idx", "prompt_hash", "user"),
-        ("response", "response_turn_idx", "response_hash", "assistant"),
-    ):
-        pr = pairs.map_batches(
-            probe(col_idx, col_hash, "pair_hash"),
-            batch_format="pandas", batch_size=None,
-        )
-        j = partition_merge_join(pr, src, on="skey", how="inner")
-        st = j.map_batches(
-            match_stats(role, "pair_hash"), batch_format="pandas", batch_size=None
-        ).to_pandas().sum()
-        side_ok[side] = int(st["n"]) == n_pairs and int(st["n_ok"]) == n_pairs
+    def match_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = ((batch["src_hash"].to_numpy(np.int64)
+               == batch["pair_hash"].to_numpy(np.int64))
+              & (batch["src_role"] == batch["exp_role"]).to_numpy())
+        is_p = (batch["exp_role"] == "user").to_numpy()
+        return pd.DataFrame({
+            "n_p": [int(is_p.sum())], "ok_p": [int((ok & is_p).sum())],
+            "n_r": [int((~is_p).sum())], "ok_r": [int((ok & ~is_p).sum())],
+        })
+
+    st = j.map_batches(match_stats, batch_format="pandas", batch_size=None).to_pandas().sum()
+    side_ok = {
+        "prompt": int(st["n_p"]) == n_pairs and int(st["ok_p"]) == n_pairs,
+        "response": int(st["n_r"]) == n_pairs and int(st["ok_r"]) == n_pairs,
+    }
 
     # ---- (c) distinct response turns == n_pairs --------------------
+    # int-keyed: per-block distinct partials -> one key-hash exchange;
+    # a block split cannot double-count because the final distinct runs
+    # inside the key's single partition
+    def resp_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "tkey": np.unique(_tkey(
+                batch["conv_id"], batch["response_turn_idx"].to_numpy(np.int64)))
+        })
+        out["_part"] = (out["tkey"].to_numpy(np.uint64) % np.uint64(PA)).astype(np.int32)
+        return out
+
     n_distinct = int(
-        pairs.map_batches(
-            probe("response_turn_idx", "response_hash", "pair_hash"),
-            batch_format="pandas", batch_size=None,
-        ).groupby("skey").count().count()
+        pairs.map_batches(resp_keys, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda g: pd.DataFrame({"n": [int(g["tkey"].nunique())]}),
+                    batch_format="pandas")
+        .sum("n")
     )
     distinct_ok = n_distinct == n_pairs
 
@@ -3951,7 +3975,9 @@ def _tr_sft_pairs(sf_dir: str):
              == "planted sft text " + pl["response_turn_idx"].astype(int).astype(str)).all()
     )
 
-    # result: per-conversation pair summary (bounded by #convs)
+    # result: per-conversation pair summary (bounded by #convs) — block
+    # partials then ONE conv-hash exchange (int _part key, never a
+    # string-keyed Ray sort)
     def summary_partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("conv_id", as_index=False).agg(
             n_pairs=("response_turn_idx", "size"),
@@ -3960,17 +3986,25 @@ def _tr_sft_pairs(sf_dir: str):
         )
         for c in ("n_pairs", "first_response", "last_response"):
             g[c] = g[c].astype(np.int64)
+        g["_part"] = (
+            pd.util.hash_pandas_object(g["conv_id"], index=False).to_numpy() % PA
+        ).astype(np.int32)
         return g
 
-    from ray.data.aggregate import Max as RMax
-    from ray.data.aggregate import Sum as RSum
+    def summary_merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("conv_id", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"),
+            first_response=("first_response", "min"),
+            last_response=("last_response", "max"),
+        )
+        for c in ("n_pairs", "first_response", "last_response"):
+            m[c] = m[c].astype(np.int64)
+        return m
 
     out = (
         pairs.map_batches(summary_partial, batch_format="pandas", batch_size=None)
-        .groupby("conv_id")
-        .aggregate(RSum("n_pairs", alias_name="n_pairs"),
-                   RMin("first_response", alias_name="first_response"),
-                   RMax("last_response", alias_name="last_response"))
+        .groupby("_part")
+        .map_groups(summary_merge, batch_format="pandas")
         .to_pandas()
     )
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
