@@ -2705,6 +2705,158 @@ def _tr_time_travel(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _tr_versioned_erasure(sf_dir: str):
+    """GDPR erasure on the snapshot-versioned tier store
+    (`state/snapshots.erase_and_expire`): the right to be forgotten
+    overrides time travel — erase filters the affected HEAD partitions
+    AND expires all history, so no retained snapshot can resolve the
+    erased keys. SELF-VERIFYING, distributed: (a) HEAD after erasure
+    fingerprint-equals a from-scratch aggregate over the surviving
+    conversations (order-invariant wrapping-sum hash); (b) PHYSICAL
+    check — a distributed key-column scan over every parquet file left
+    on disk finds zero target rows; (c) only one snapshot remains and
+    >=1 file was deleted; (d) untouched partitions keep their original
+    file references through the erase commit."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.state.snapshots import (
+        commit_snapshot,
+        erase_and_expire,
+        list_snapshots,
+        read_snapshot,
+        snapshot_meta,
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        b = pc_.floor_temporal(batch["ts"], unit="minute")
+        tl = pc_.utf8_length(batch["text"])
+        return pa.table(
+            {"conv_id": batch["conv_id"], "bucket_ts": b,
+             "n_turns": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+             "sum_text_len": pc_.cast(tl, pa.int64())}
+        )
+
+    def agg(ds):
+        from ray.data.aggregate import Sum
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return batch.group_by(["conv_id", "bucket_ts"]).aggregate(
+                [("n_turns", "sum"), ("sum_text_len", "sum")]
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["conv_id", "bucket_ts"])
+            .aggregate(
+                Sum("n_turns_sum", alias_name="n_turns"),
+                Sum("sum_text_len_sum", alias_name="sum_text_len"),
+            )
+        )
+
+    def fingerprint(ds) -> tuple[int, int]:
+        def bh(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["bucket_ts"] = df["bucket_ts"].astype("datetime64[us]").astype(np.int64)
+            h = pd.util.hash_pandas_object(
+                df[["conv_id", "bucket_ts", "n_turns", "sum_text_len"]], index=False
+            ).to_numpy()
+            s = int(h.view(np.int64).sum(dtype=np.int64)) if len(h) else 0
+            return pa.table({"h": [s], "n": [len(h)]})
+
+        p = ds.map_batches(bh, batch_format="pyarrow", batch_size=None).to_pandas()
+        return int(p["h"].to_numpy().sum(dtype=np.int64)), int(p["n"].sum())
+
+    raw = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    turns = raw.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+
+    # targets: a deterministic ~5% of conversations (splitmix-style hash)
+    def pick_targets(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        h = pd.util.hash_pandas_object(pd.Series(conv), index=False).to_numpy()
+        keep = (h % np.uint64(20)) == 0
+        return pa.table({"conv_id": pa.array([c for c, k in zip(conv, keep) if k])})
+
+    tgt_rows = (
+        turns.select_columns(["conv_id"])
+        .map_batches(pick_targets, batch_format="pyarrow", batch_size=None)
+        .groupby("conv_id").count().take_all()
+    )
+    targets = {r["conv_id"] for r in tgt_rows}
+    if not targets:
+        # tiny corpora can dodge the 5% hash slice — erase the
+        # lexicographically smallest conversation (deterministic)
+        targets = {turns.min("conv_id")}
+
+    root = tempfile.mkdtemp(prefix="snaperase_", dir="/tmp")
+    try:
+        m1 = commit_snapshot(agg(turns), root, "1m")
+        res = erase_and_expire(root, "1m", targets)
+        m2 = snapshot_meta(root, "1m")
+
+        def drop_targets(batch: pa.Table) -> pa.Table:
+            mask = ~pd.Series(batch["conv_id"].to_pylist()).isin(targets)
+            return batch.filter(pa.array(mask.to_numpy()))
+
+        surv = agg(turns.map_batches(drop_targets, batch_format="pyarrow", batch_size=None))
+        h_exp, n_exp = fingerprint(surv)
+        h_got, n_got = fingerprint(read_snapshot(root, "1m"))
+        head_ok = (h_got, n_got) == (h_exp, n_exp) and n_got > 0
+
+        files = _glob.glob(os.path.join(root, "tier=1m", "_data", "*", "date=*", "*.parquet"))
+        t_ref = ray.put(targets)
+
+        def scan(batch: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as _pq
+
+            tg = ray.get(t_ref)
+            n = 0
+            for p in batch["path"]:
+                col = _pq.read_table(p, columns=["conv_id"])["conv_id"].to_pylist()
+                n += sum(c in tg for c in col)
+            return pd.DataFrame({"n": [n]})
+
+        leaked = int(
+            ray.data.from_items([{"path": p} for p in files])
+            .map_batches(scan, batch_format="pandas", batch_size=8)
+            .sum("n")
+        )
+        physical_ok = leaked == 0 and len(files) > 0
+        history_ok = (
+            list_snapshots(root, "1m") == [m2["version"]]
+            and res["snapshots_expired"] >= 1
+            and res["files_deleted"] >= 1
+        )
+        untouched = [d for d in m1["partitions"] if d in m2["partitions"]
+                     and m1["partitions"][d] == m2["partitions"][d]]
+        ok = (head_ok and physical_ok and history_ok
+              and res["rows_removed"] > 0 and len(targets) > 0)
+        return pd.DataFrame(
+            {
+                "n_targets": [len(targets)],
+                "rows_removed": [res["rows_removed"]],
+                "partitions_rewritten": [res["partitions_rewritten"]],
+                "n_untouched_preserved": [len(untouched)],
+                "files_deleted": [res["files_deleted"]],
+                "head_match": [head_ok],
+                "physical_erasure_ok": [physical_ok],
+                "history_expired_ok": [history_ok],
+                "ok": [ok],
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ev_sorted_export(sf_dir: str):
     """Global total-order export: ``Dataset.sort`` range-partitions the
     events by (ts, event_id) and writes one parquet file per sorted
@@ -4820,6 +4972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_compressed_tier": _tr_compressed_tier,
         "tr_tier_upsert": _tr_tier_upsert,
         "tr_time_travel": _tr_time_travel,
+        "tr_versioned_erasure": _tr_versioned_erasure,
         "ev_sorted_export": _ev_sorted_export,
         "ev_weighted_sample": _ev_weighted_sample,
         "ev_bootstrap_ci": _ev_bootstrap_ci,

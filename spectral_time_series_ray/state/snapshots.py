@@ -247,3 +247,104 @@ def vacuum_snapshots(root: str, tier: str, keep_last: int = 2) -> dict:
         "files_deleted": deleted,
         "files_retained": len(referenced),
     }
+
+
+def erase_and_expire(root: str, tier: str, user_ids, key: str = "conv_id") -> dict:
+    """GDPR erasure on a snapshot-versioned tier. The right to be
+    forgotten overrides time travel: it is not enough to filter HEAD —
+    the erased keys must be unreadable in EVERY version, so the erase
+    (1) commits a new HEAD whose affected partitions are filtered and
+    (2) expires all history (``vacuum keep_last=1``), deleting every
+    data file an old snapshot could have resolved the keys from. This
+    is the documented erasure/versioning interplay in the public
+    lakehouse model (Delta/Iceberg: DELETE then VACUUM to make the
+    removal physical).
+
+    Flow: a distributed probe reads ONLY the key column of each file
+    pinned by HEAD and emits one boolean per file — key values never
+    reach the driver. Only flagged date partitions are re-read,
+    filtered, and written as new immutable files; untouched dates keep
+    their existing file references in the new snapshot (they provably
+    contain none of the targets, so history expiry cannot leak them).
+    Returns {"rows_removed", "partitions_rewritten", "files_deleted",
+    "snapshots_expired", "head_version"}.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    head = snapshot_meta(root, tier)
+    targets = set(user_ids)
+    t_ref = ray.put(targets)
+
+    probe_rows = [
+        {"date": d, "path": os.path.join(root, p)}
+        for d, ps in head["partitions"].items()
+        for p in ps
+    ]
+    if not probe_rows:
+        return {"rows_removed": 0, "partitions_rewritten": 0,
+                "files_deleted": 0, "snapshots_expired": 0,
+                "head_version": head["version"]}
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        tg = ray.get(t_ref)
+        hits = []
+        for path in batch["path"]:
+            col = pq.read_table(path, columns=[key])[key].to_pylist()
+            hits.append(bool(tg.intersection(col)))
+        return pd.DataFrame({"date": batch["date"], "hit": hits})
+
+    hits = (
+        ray.data.from_items(probe_rows)
+        .map_batches(probe, batch_format="pandas", batch_size=8)
+        .to_pandas()  # one boolean per file
+    )
+    affected = sorted(set(hits.loc[hits["hit"], "date"]))
+    if not affected:
+        return {"rows_removed": 0, "partitions_rewritten": 0,
+                "files_deleted": 0, "snapshots_expired": 0,
+                "head_version": head["version"]}
+
+    old_files = [
+        os.path.join(root, p) for d in affected for p in head["partitions"][d]
+    ]
+    old = _read_physical(old_files)
+    before = int(old.count())
+
+    def drop_targets(batch: pd.DataFrame) -> pd.DataFrame:
+        tg = ray.get(t_ref)
+        return batch[~batch[key].isin(tg)]
+
+    kept = old.map_batches(drop_targets, batch_format="pandas", batch_size=None)
+    # date re-derives from the bucket column inside _write_run via the
+    # same _add_date the original commit used
+    date_from = head.get("date_from", "bucket_ts")
+    new_parts, new_counts = _write_run(_add_date(kept, date_from), root, tier)
+    partitions = dict(head["partitions"])
+    counts = dict(head["row_counts"])
+    for d in affected:
+        # a partition may vanish entirely if every row was the target's
+        partitions[d] = new_parts.get(d, [])
+        counts[d] = new_counts.get(d, 0)
+        if not partitions[d]:
+            del partitions[d]
+            del counts[d]
+    meta = {
+        "version": head["version"] + 1,
+        "parent": head["version"],
+        "op": f"erase:{key}",
+        "partitions": partitions,
+        "row_counts": counts,
+    }
+    _publish(root, tier, meta)
+    vac = vacuum_snapshots(root, tier, keep_last=1)
+    after = sum(new_counts.get(d, 0) for d in affected)
+    return {
+        "rows_removed": before - after,
+        "partitions_rewritten": len(affected),
+        "files_deleted": vac["files_deleted"],
+        "snapshots_expired": vac["snapshots_expired"],
+        "head_version": meta["version"],
+    }

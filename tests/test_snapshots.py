@@ -140,3 +140,49 @@ def test_torn_snapshot_ignored_and_missing_errors(ray_session, tmp_path):
         read_snapshot(root, "1h", version=7)
     with pytest.raises(ValueError):
         vacuum_snapshots(root, "1h", keep_last=0)
+
+
+def test_erase_and_expire_removes_from_all_versions(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import erase_and_expire
+
+    root = str(tmp_path / "store")
+    base = _merge(_frame(days=3, rows_per_day=4))
+    commit_snapshot(ray.data.from_pandas(base), root, "1h")
+    late = base[base["bucket_ts"] == np.datetime64("2024-02-03T03:00:00", "us")]
+    upsert_snapshot(ray.data.from_pandas(late), root, "1h", _merge)
+
+    res = erase_and_expire(root, "1h", {"c1"})
+    assert res["rows_removed"] == 3  # c1 appears once per day
+    assert res["partitions_rewritten"] == 3
+    assert res["snapshots_expired"] == 2
+    assert list_snapshots(root, "1h") == [res["head_version"]]
+
+    # HEAD no longer contains c1 and equals the filtered merge
+    head = read_snapshot(root, "1h").to_pandas()
+    assert not (head["conv_id"] == "c1").any()
+    expect = _merge(pd.concat([base, late]))
+    expect = expect[expect["conv_id"] != "c1"]
+    pd.testing.assert_frame_equal(_sorted(head), _sorted(expect))
+
+    # PHYSICAL erasure: no file on disk contains the key
+    import pyarrow.parquet as pq
+
+    for p in glob.glob(os.path.join(root, "tier=1h", "_data", "*", "date=*", "*.parquet")):
+        assert "c1" not in set(pq.read_table(p, columns=["conv_id"])["conv_id"].to_pylist())
+
+
+def test_erase_and_expire_no_match_is_noop(ray_session, tmp_path):
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import erase_and_expire
+
+    root = str(tmp_path / "store")
+    commit_snapshot(ray.data.from_pandas(_merge(_frame(2, 3))), root, "1h")
+    m1 = snapshot_meta(root, "1h")
+    res = erase_and_expire(root, "1h", {"zz-not-there"})
+    assert res["rows_removed"] == 0 and res["partitions_rewritten"] == 0
+    assert snapshot_meta(root, "1h") == m1  # no new version published
