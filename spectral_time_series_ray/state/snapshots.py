@@ -348,3 +348,62 @@ def erase_and_expire(root: str, tier: str, user_ids, key: str = "conv_id") -> di
         "snapshots_expired": vac["snapshots_expired"],
         "head_version": meta["version"],
     }
+
+
+def compact_snapshot(root: str, tier: str, target_bytes: int = 128 << 20) -> dict:
+    """File compaction as a SNAPSHOT COMMIT: every date partition of
+    HEAD holding more parquet files than ``ceil(bytes/target)`` is
+    rewritten into that many new immutable files, and a new snapshot is
+    published re-pointing ONLY those dates. Unlike the in-place
+    manifest-store compaction (`manifest.compact_partitions`, staging
+    dir + swap), no live file is ever touched: readers pinned to the
+    old version keep reading the fragmented files until ``vacuum``
+    expires them — compaction becomes crash-safe for free (a crash
+    before publish leaves an orphan run dir that the next vacuum
+    collects; a crash after publish is simply the new version).
+
+    Row-count safety: each rewritten partition's count is verified
+    against HEAD's recorded count BEFORE publish. Returns
+    {date: (files_before, files_after)}; empty if nothing to compact.
+    """
+    head = snapshot_meta(root, tier)
+    todo: dict[str, list[str]] = {}
+    for date, rels in head["partitions"].items():
+        files = [os.path.join(root, p) for p in rels]
+        nbytes = sum(os.path.getsize(p) for p in files)
+        needed = max(1, -(-nbytes // target_bytes))
+        if len(files) > needed:
+            todo[date] = files
+    if not todo:
+        return {}
+
+    import ray.data
+
+    run_id = uuid.uuid4().hex[:8]
+    run_dir = os.path.join(root, f"tier={tier}", "_data", run_id)
+    results: dict[str, tuple[int, int]] = {}
+    partitions = dict(head["partitions"])
+    for date, files in sorted(todo.items()):
+        nbytes = sum(os.path.getsize(p) for p in files)
+        needed = max(1, -(-nbytes // target_bytes))
+        ds = _read_physical(files).repartition(int(needed))
+        n_rows = int(ds.count())
+        if int(head["row_counts"][date]) != n_rows:
+            raise RuntimeError(
+                f"compaction row-count mismatch for {tier}/{date}: "
+                f"snapshot {head['row_counts'][date]} vs files {n_rows}"
+            )
+        ddir = os.path.join(run_dir, f"date={date}")
+        ds.write_parquet(ddir)
+        new = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
+        partitions[date] = [os.path.relpath(p, root) for p in new]
+        results[date] = (len(files), len(new))
+    meta = {
+        "version": head["version"] + 1,
+        "parent": head["version"],
+        "op": "compact",
+        "partitions": partitions,
+        "row_counts": dict(head["row_counts"]),
+    }
+    _publish(root, tier, meta)
+    return results

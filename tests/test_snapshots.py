@@ -186,3 +186,40 @@ def test_erase_and_expire_no_match_is_noop(ray_session, tmp_path):
     res = erase_and_expire(root, "1h", {"zz-not-there"})
     assert res["rows_removed"] == 0 and res["partitions_rewritten"] == 0
     assert snapshot_meta(root, "1h") == m1  # no new version published
+
+
+def test_compact_snapshot_versioned(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import compact_snapshot
+
+    root = str(tmp_path / "store")
+    base = _merge(_frame(days=2, rows_per_day=4))
+    # force fragmentation: commit from many tiny blocks
+    ds = ray.data.from_pandas(base).repartition(6)
+    commit_snapshot(ds, root, "1h")
+    m1 = snapshot_meta(root, "1h")
+    frag = {d: len(ps) for d, ps in m1["partitions"].items()}
+    assert max(frag.values()) > 1
+
+    res = compact_snapshot(root, "1h", target_bytes=1 << 30)
+    assert res and all(after < before for before, after in res.values())
+    m2 = snapshot_meta(root, "1h")
+    assert m2["version"] == 2 and m2["op"] == "compact"
+    assert m2["row_counts"] == m1["row_counts"]
+
+    # both versions readable and equal; v1 still sees the OLD files
+    v1 = read_snapshot(root, "1h", version=1).to_pandas()
+    v2 = read_snapshot(root, "1h", version=2).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(v1), _sorted(v2))
+    pd.testing.assert_frame_equal(_sorted(v2), _sorted(base))
+    for d in res:
+        assert m1["partitions"][d] != m2["partitions"][d]
+    # idempotent: nothing left to compact at this target
+    assert compact_snapshot(root, "1h", target_bytes=1 << 30) == {}
+    # vacuum drops the fragmented files, HEAD unaffected
+    vacuum_snapshots(root, "1h", keep_last=1)
+    v2b = read_snapshot(root, "1h").to_pandas()
+    pd.testing.assert_frame_equal(_sorted(v2b), _sorted(base))
