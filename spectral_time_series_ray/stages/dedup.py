@@ -1293,10 +1293,30 @@ def ssjoin_prefix(
 
     exploded = feat.map_batches(prefix_explode, batch_format="pandas", batch_size=None)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby("gid", sort=False):
-            m = len(grp)
+    # pair generation: ONE bounded exchange (gid hash % P partitions —
+    # NOT one Ray group per gid: map_groups pays per-group task/frame
+    # overhead, ~10x slower at 1e5+ distinct gids), then fully
+    # vectorized segmented candidate expansion inside each partition.
+    P = join_partitions
+
+    def tag_gid_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            batch["gid"].to_numpy().view(np.uint64) % np.uint64(P)
+        ).astype(np.int32)
+        return batch
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gid = g["gid"].to_numpy(np.int64)
+        docs = g["doc"].to_numpy(np.int64)
+        sizes = g["s"].to_numpy(np.int64)
+        order = np.lexsort((docs, sizes, gid))
+        gid, docs, sizes = gid[order], docs[order], sizes[order]
+        seg = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        seg_end = np.r_[seg[1:], len(gid)]
+        chunks = []
+        for st, en in zip(seg, seg_end):
+            m = int(en - st)
             if m < 2:
                 continue
             if m > bucket_warn:
@@ -1304,39 +1324,53 @@ def ssjoin_prefix(
                     "ssjoin_prefix: prefix bucket of %d docs (gid hot key); "
                     "processed exactly — consider df-ordered prefixes", m,
                 )
-            order = np.lexsort((grp["doc"].to_numpy(), grp["s"].to_numpy()))
-            docs = grp["doc"].to_numpy(np.int64)[order]
-            sizes = grp["s"].to_numpy(np.int64)[order]
-            for i in range(m - 1):
-                # sizes ascending: stop once t*|b| > |a| can never hold
-                hi = np.searchsorted(sizes, sizes[i] / threshold, side="right")
-                for j in range(i + 1, hi):
-                    a, b = docs[i], docs[j]
-                    if a == b:
-                        continue
-                    out_a.append(min(a, b))
-                    out_b.append(max(a, b))
-        return pd.DataFrame({"a": np.asarray(out_a, np.int64),
-                             "b": np.asarray(out_b, np.int64)})
+            s_seg = sizes[st:en]
+            d_seg = docs[st:en]
+            # sizes ascending: candidate j for i only while t*|b| <= |a|
+            hi = np.searchsorted(s_seg, s_seg / threshold, side="right")
+            cnt = np.maximum(hi - np.arange(1, m + 1), 0)
+            tot = int(cnt.sum())
+            if not tot:
+                continue
+            i_idx = np.repeat(np.arange(m), cnt)
+            offs = np.cumsum(cnt) - cnt
+            j_idx = np.arange(tot) - np.repeat(offs, cnt) + i_idx + 1
+            a = d_seg[i_idx]
+            b = d_seg[j_idx]
+            keep = a != b
+            if keep.any():
+                pk = (np.minimum(a[keep], b[keep]) << 32) | np.maximum(
+                    a[keep], b[keep])
+                chunks.append(pk)
+        if not chunks:
+            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64)})
+        # partition-local dedup bounds the exchange payload
+        return pd.DataFrame({"pk": np.unique(np.concatenate(chunks))})
 
-    pairs = exploded.groupby("gid").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = (
+        exploded.map_batches(tag_gid_part, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
 
     # global distinct on the pair key (the same pair surfaces from every
-    # shared prefix token): one int-keyed exchange
-    def pk_tag(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "pk": pd.Series([], dtype=np.int64)})
-        b2 = batch.drop_duplicates(["a", "b"]).copy()
-        b2["pk"] = (b2["a"].to_numpy(np.int64) << 32) | b2["b"].to_numpy(np.int64)
-        return b2
+    # shared prefix token landing in a different gid partition): one
+    # more bounded int-keyed exchange, P groups total
+    def tag_pk_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            batch["pk"].to_numpy().view(np.uint64) % np.uint64(P)
+        ).astype(np.int32)
+        return batch
+
+    def unpack_unique(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pk"].to_numpy(np.int64))
+        return pd.DataFrame({"a": pk >> 32, "b": pk & np.int64(0xFFFFFFFF)})
 
     distinct = (
-        pairs.map_batches(pk_tag, batch_format="pandas", batch_size=None)
-        .groupby("pk")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .drop_columns(["pk"])
+        pairs.map_batches(tag_pk_part, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(unpack_unique, batch_format="pandas")
     ).materialize()
 
     empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
