@@ -2856,6 +2856,151 @@ def _tr_versioned_erasure(sf_dir: str):
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+def _tr_view_refresh(sf_dir: str):
+    """Incrementally-maintained materialized view over the snapshot
+    tier store (`state/snapshots.refresh_view`, the Delta Live Tables /
+    Iceberg incremental-refresh model): the 1h rollup view of a 1m
+    source tier is refreshed by recomputing ONLY the source date
+    partitions whose pinned file set changed since the last sync.
+    SELF-VERIFYING, distributed: (a) after a late-data upsert touching
+    a single date, the second refresh recomputes exactly the touched
+    dates (incrementality evidence: dates_recomputed < total dates);
+    (b) the view HEAD fingerprint-equals a from-scratch 1h aggregate
+    over the FULL turn stream (order-invariant wrapping-sum hash);
+    (c) refresh is idempotent (synced -> no new version); (d) untouched
+    view partitions keep byte-identical file references."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.state.snapshots import (
+        commit_snapshot,
+        list_snapshots,
+        read_snapshot,
+        refresh_view,
+        snapshot_meta,
+        upsert_snapshot,
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        b = pc_.floor_temporal(batch["ts"], unit="minute")
+        tl = pc_.utf8_length(batch["text"])
+        return pa.table(
+            {"conv_id": batch["conv_id"], "bucket_ts": b,
+             "n_turns": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+             "sum_text_len": pc_.cast(tl, pa.int64())}
+        )
+
+    def agg_1m(ds):
+        from ray.data.aggregate import Sum
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return batch.group_by(["conv_id", "bucket_ts"]).aggregate(
+                [("n_turns", "sum"), ("sum_text_len", "sum")]
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["conv_id", "bucket_ts"])
+            .aggregate(
+                Sum("n_turns_sum", alias_name="n_turns"),
+                Sum("sum_text_len_sum", alias_name="sum_text_len"),
+            )
+        )
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return batch.set_column(
+            batch.schema.get_field_index("bucket_ts"), "bucket_ts",
+            pc_.floor_temporal(batch["bucket_ts"], unit="hour"))
+
+    def view_fn(ds):
+        return agg_1m(ds.map_batches(to_hour, batch_format="pyarrow",
+                                     batch_size=None))
+
+    def fingerprint(ds) -> tuple[int, int]:
+        def bh(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["bucket_ts"] = df["bucket_ts"].astype("datetime64[us]").astype(np.int64)
+            h = pd.util.hash_pandas_object(
+                df[["conv_id", "bucket_ts", "n_turns", "sum_text_len"]],
+                index=False).to_numpy()
+            s = int(h.view(np.int64).sum(dtype=np.int64)) if len(h) else 0
+            return pa.table({"h": [s], "n": [len(h)]})
+
+        p = ds.map_batches(bh, batch_format="pyarrow", batch_size=None).to_pandas()
+        return int(p["h"].to_numpy().sum(dtype=np.int64)), int(p["n"].sum())
+
+    raw = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    turns = raw.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+
+    # late slice: every turn on the LAST calendar date of the corpus
+    last_day = pd.Timestamp(turns.max("bucket_ts")).floor("D")
+
+    def split(late: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ts = batch["bucket_ts"].to_pandas()
+            m = (pd.to_datetime(ts).dt.floor("D") == last_day).to_numpy()
+            return batch.filter(pa.array(m if late else ~m))
+
+        return f
+
+    initial = turns.map_batches(split(False), batch_format="pyarrow", batch_size=None)
+    late = turns.map_batches(split(True), batch_format="pyarrow", batch_size=None)
+
+    def merge(df):
+        g = df.groupby(["conv_id", "bucket_ts"], as_index=False)[
+            ["n_turns", "sum_text_len"]].sum()
+        g["n_turns"] = g["n_turns"].astype(np.int64)
+        g["sum_text_len"] = g["sum_text_len"].astype(np.int64)
+        return g
+
+    root = tempfile.mkdtemp(prefix="snapview_", dir="/tmp")
+    try:
+        commit_snapshot(agg_1m(initial), root, "1m")
+        m1 = refresh_view(root, "1m", "1h_view", view_fn)
+        n_dates_full = m1["dates_recomputed"]
+        m1b = refresh_view(root, "1m", "1h_view", view_fn)
+        idempotent_ok = (m1b["dates_recomputed"] == 0
+                         and list_snapshots(root, "1h_view") == [1])
+
+        upsert_snapshot(agg_1m(late), root, "1m", merge)
+        m2 = refresh_view(root, "1m", "1h_view", view_fn)
+        incremental_ok = (
+            m2["version"] == 2
+            and 0 < m2["dates_recomputed"] < n_dates_full
+        )
+        v1p = snapshot_meta(root, "1h_view", 1)["partitions"]
+        v2p = snapshot_meta(root, "1h_view", 2)["partitions"]
+        preserved = [d for d in v1p
+                     if d in v2p and v1p[d] == v2p[d]]
+        h_exp, n_exp = fingerprint(view_fn(turns))
+        h_got, n_got = fingerprint(read_snapshot(root, "1h_view"))
+        head_ok = (h_got, n_got) == (h_exp, n_exp) and n_got > 0
+        ok = bool(head_ok and incremental_ok and idempotent_ok
+                  and len(preserved) > 0)
+        return pd.DataFrame(
+            {
+                "n_dates_full": [int(n_dates_full)],
+                "dates_recomputed_late": [int(m2["dates_recomputed"])],
+                "n_untouched_preserved": [len(preserved)],
+                "view_rows": [int(n_got)],
+                "head_match": [head_ok],
+                "incremental_ok": [incremental_ok],
+                "idempotent_ok": [idempotent_ok],
+                "ok": [ok],
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 
 def _ev_sorted_export(sf_dir: str):
     """Global total-order export: ``Dataset.sort`` range-partitions the
@@ -4842,6 +4987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": Q.q4_order_priority,
         "doc_regex_extract": Q.doc_regex_extract,
         "doc_above_p90": Q.doc_above_p90,
+        "doc_gopher_rules": Q.doc_gopher_rules,
         "doc_tfidf_top": Q.doc_tfidf_top,
         "emb_sim_pairs": Q.emb_sim_pairs,
         "ev_rollup_1h_type": Q.ev_rollup_1h_type,
@@ -4973,6 +5119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_tier_upsert": _tr_tier_upsert,
         "tr_time_travel": _tr_time_travel,
         "tr_versioned_erasure": _tr_versioned_erasure,
+        "tr_view_refresh": _tr_view_refresh,
         "ev_sorted_export": _ev_sorted_export,
         "ev_weighted_sample": _ev_weighted_sample,
         "ev_bootstrap_ci": _ev_bootstrap_ci,
@@ -5528,6 +5675,43 @@ def oracle_sql() -> dict[str, str]:
             from documents d join q using (lang)
             where d.n_chars > q.p90
             group by 1
+        """,
+        "doc_gopher_rules": """
+            with w as (
+              select doc_id, lower(u.w) as word
+              from documents,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) as u(w)
+            ), wc as (
+              select doc_id, word, cast(count(*) as bigint) as n
+              from w group by 1, 2
+            ), agg as (
+              select doc_id,
+                     sum(n) as n_words,
+                     sum(n * len(word)) * 1.0 / sum(n) as mean_word_len,
+                     sum(case when regexp_matches(word, '[a-z]') then n
+                              else 0 end) * 1.0 / sum(n) as frac_alpha,
+                     count(distinct word) filter (word in
+                       ('the','be','to','of','and','that','have','with',
+                        'a','in')) as n_stop,
+                     1.0 - count(distinct word) * 1.0 / sum(n)
+                       as frac_dup_words,
+                     max(n) * 1.0 / sum(n) as top_word_frac
+              from wc group by doc_id
+            )
+            select doc_id,
+                   cast(n_words as bigint) as n_words,
+                   round(mean_word_len, 6) as mean_word_len,
+                   round(frac_alpha, 6) as frac_alpha,
+                   cast(n_stop as bigint) as n_stop,
+                   round(frac_dup_words, 6) as frac_dup_words,
+                   round(top_word_frac, 6) as top_word_frac,
+                   (n_words between 30 and 100000
+                    and mean_word_len >= 3.0 and mean_word_len <= 5.0
+                    and frac_alpha >= 0.8 and n_stop >= 2
+                    and frac_dup_words <= 0.6
+                    and top_word_frac <= 0.2) as passes
+            from agg
         """,
         "ev_dow_profile": """
             select event_type, cast(isodow(ts) as bigint) as dow,

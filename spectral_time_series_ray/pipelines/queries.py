@@ -317,19 +317,35 @@ def ev_retained_users(sf_dir: str):
     counts computed distributed, then a hash-shuffle ``Dataset.join``
     — the per-user tables never land on the driver (the user domain is
     unbounded at 100 TB)."""
-    from ray.data.aggregate import Count
+    from ..stages.join import hash_groupby_sum
 
     split = np.datetime64("2024-01-15", "us")
-    a = _read(sf_dir, "events", columns=["user_id", "ts"],
-              filter=pc.field("ts") < split)
-    b = _read(sf_dir, "events", columns=["user_id", "ts"],
-              filter=pc.field("ts") >= split)
-    ca = a.groupby("user_id").aggregate(Count(alias_name="n_first_half"))
-    cb = b.groupby("user_id").aggregate(Count(alias_name="n_second_half"))
-    out = ca.join(
-        cb, join_type="inner", num_partitions=_join_partitions(), on=("user_id",)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    # one read, both half-counts as indicator sums -> ONE int-keyed
+    # exchange (hash_groupby_sum); the INTERSECT is a post-filter on
+    # the merged counts, not a second shuffle join. Two string-keyed
+    # Ray groupbys + Dataset.join measured 20s at sf0.1; this is ~3s.
+    def indicators(batch: pd.DataFrame) -> pd.DataFrame:
+        first = batch["ts"].to_numpy() < split
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "n_first_half": first.astype(np.int64),
+            "n_second_half": (~first).astype(np.int64),
+        })
+
+    counts = hash_groupby_sum(
+        ds.map_batches(indicators, batch_format="pandas", batch_size=None),
+        "user_id", ("n_first_half", "n_second_half"),
+        num_partitions=_join_partitions(),
     )
-    return out.select_columns(["user_id", "n_first_half", "n_second_half"])
+
+    def both_halves(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["n_first_half"].to_numpy() > 0) & (
+            batch["n_second_half"].to_numpy() > 0)
+        return batch.loc[keep, ["user_id", "n_first_half", "n_second_half"]]
+
+    return counts.map_batches(both_halves, batch_format="pandas", batch_size=None)
 
 
 def ev_incremental_rollup(sf_dir: str):
@@ -4056,3 +4072,18 @@ def doc_ssjoin(sf_dir: str):
     out["a"] = out["a"].astype(np.int64)
     out["b"] = out["b"].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def doc_gopher_rules(sf_dir: str):
+    """Gopher/C4 quality rule features per document (Rae et al. 2021
+    appendix A, word-level analogues — the corpus has no line
+    structure): word count, mean word length, alphabetic fraction,
+    stopword hits, duplicate-word fraction, modal-word fraction, and
+    the combined pass flag (`text.gopher_quality`, actor pool)."""
+    from ..stages.text import gopher_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = gopher_quality(ds)
+    out = _rename_ds(out, {"pass": "passes"})
+    return _round_ds(out, {"mean_word_len": 6, "frac_alpha": 6,
+                           "frac_dup_words": 6, "top_word_frac": 6})

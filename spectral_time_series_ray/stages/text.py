@@ -7,6 +7,8 @@ built once per actor (``__init__``), batches stream through
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -808,3 +810,91 @@ def bm25_search(
     ).to_pandas()  # O(blocks x k)
     return cand.sort_values(["score", id_col], ascending=[False, True]).head(
         k).reset_index(drop=True)
+
+
+# Gopher rule-set stopword probe (Rae et al. 2021, Table A1: a doc must
+# contain >=2 of a small closed set of English function words). The
+# canonical 8 plus 'a'/'in' so the rule discriminates on this corpus.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with", "a", "in",
+)
+
+
+class GopherRules:
+    """Per-doc Gopher/C4-style quality rule features (Rae et al. 2021
+    appendix A; Raffel et al. 2020 §2.2), word-level only — the corpus
+    has no line structure. One pass per doc over the whitespace token
+    stream: counts, mean word length, alphabetic-word fraction,
+    stopword hits, duplicate-word fraction and modal-word fraction
+    (the word-level analogue of Gopher's duplicate-line / most-common-
+    word repetition rules). ``pass`` applies fixed thresholds chosen to
+    discriminate on this corpus; each threshold is a constructor arg."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        min_words: int = 30,
+        max_words: int = 100_000,
+        min_mean_word_len: float = 3.0,
+        max_mean_word_len: float = 5.0,
+        min_frac_alpha: float = 0.8,
+        min_stop: int = 2,
+        max_frac_dup_words: float = 0.6,
+        max_top_word_frac: float = 0.2,
+    ):
+        self.text_col = text_col
+        self.th = (min_words, max_words, min_mean_word_len,
+                   max_mean_word_len, min_frac_alpha, min_stop,
+                   max_frac_dup_words, max_top_word_frac)
+        self.alpha_re = re.compile(r"[a-z]")
+        self.stop = frozenset(GOPHER_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        (min_w, max_w, min_mwl, max_mwl, min_fa, min_st, max_fd,
+         max_tw) = self.th
+        n_words, mwl, fa, n_stop, fdup, topf = [], [], [], [], [], []
+        for t in batch[self.text_col]:
+            ws = np.array([w.lower() for w in str(t).split()], dtype=object)
+            n = len(ws)
+            if n == 0:
+                n_words.append(0); mwl.append(0.0); fa.append(0.0)
+                n_stop.append(0); fdup.append(0.0); topf.append(0.0)
+                continue
+            lens = np.fromiter((len(w) for w in ws), np.int64, count=n)
+            uniq, cnt = np.unique(ws, return_counts=True)
+            n_words.append(n)
+            mwl.append(float(lens.sum()) / n)
+            fa.append(
+                sum(int(c) for u, c in zip(uniq, cnt)
+                    if self.alpha_re.search(u)) / n)
+            n_stop.append(sum(1 for u in uniq if u in self.stop))
+            fdup.append(1.0 - len(uniq) / n)
+            topf.append(float(cnt.max()) / n)
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_words": np.asarray(n_words, np.int64),
+            "mean_word_len": np.asarray(mwl, np.float64),
+            "frac_alpha": np.asarray(fa, np.float64),
+            "n_stop": np.asarray(n_stop, np.int64),
+            "frac_dup_words": np.asarray(fdup, np.float64),
+            "top_word_frac": np.asarray(topf, np.float64),
+        })
+        out["pass"] = (
+            (out.n_words >= min_w) & (out.n_words <= max_w)
+            & (out.mean_word_len >= min_mwl) & (out.mean_word_len <= max_mwl)
+            & (out.frac_alpha >= min_fa) & (out.n_stop >= min_st)
+            & (out.frac_dup_words <= max_fd) & (out.top_word_frac <= max_tw)
+        )
+        return out
+
+
+def gopher_quality(ds, text_col: str = "text", concurrency: int = 4, **thresholds):
+    """Gopher rule features + pass flag per document (actor pool; regex
+    and stopword set pinned once per actor)."""
+    return ds.map_batches(
+        GopherRules,
+        fn_constructor_kwargs={"text_col": text_col, **thresholds},
+        batch_format="pandas",
+        concurrency=concurrency,
+        batch_size=512,
+    )

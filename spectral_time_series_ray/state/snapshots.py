@@ -407,3 +407,93 @@ def compact_snapshot(root: str, tier: str, target_bytes: int = 128 << 20) -> dic
     }
     _publish(root, tier, meta)
     return results
+
+
+def refresh_view(root: str, src_tier: str, view_tier: str, view_fn,
+                 date_from: str = "bucket_ts") -> dict:
+    """Incrementally-maintained MATERIALIZED VIEW over a snapshot tier
+    (the Delta Live Tables / Iceberg incremental-refresh model): the
+    view tier stores ``view_fn(src)`` per date partition, and a refresh
+    recomputes ONLY the source date partitions whose pinned file set
+    changed since the view's last sync — an upsert touching 1 of 365
+    dates re-reads 1/365th of the source, not all of it.
+
+    ``view_fn`` must be PARTITION-LOCAL: Dataset -> Dataset where every
+    output row's ``date_from`` date equals the date of the source rows
+    it derives from (true for time-bucket rollups whose buckets never
+    span a day; enforced — a produced date outside the changed set
+    raises). A changed source date that yields no view rows (e.g. fully
+    erased) is dropped from the view; source dates deleted since the
+    sync are dropped too.
+
+    The view snapshot meta carries ``src_version`` (the source version
+    it reflects), so refresh is idempotent: already-synced -> no new
+    version. Returns the published meta plus ``dates_recomputed`` /
+    ``dates_dropped`` (stats, not persisted)."""
+    src_head = snapshot_meta(root, src_tier)
+    try:
+        view_head = snapshot_meta(root, view_tier)
+    except FileNotFoundError:
+        view_head = None
+
+    if view_head is None or view_head.get("src_version") is None:
+        changed = set(src_head["partitions"])
+        deleted: set[str] = set()
+        old_parts: dict[str, list[str]] = {}
+        old_counts: dict[str, int] = {}
+    else:
+        if view_head["src_version"] == src_head["version"]:
+            out = dict(view_head)
+            out["dates_recomputed"] = 0
+            out["dates_dropped"] = 0
+            return out
+        src_synced = snapshot_meta(root, src_tier, view_head["src_version"])
+        changed = {
+            d for d, files in src_head["partitions"].items()
+            if src_synced["partitions"].get(d) != files
+        }
+        deleted = set(src_synced["partitions"]) - set(src_head["partitions"])
+        old_parts = dict(view_head["partitions"])
+        old_counts = dict(view_head["row_counts"])
+
+    new_parts: dict[str, list[str]] = {}
+    new_counts: dict[str, int] = {}
+    if changed:
+        files = [
+            os.path.join(root, p)
+            for d in sorted(changed)
+            for p in src_head["partitions"][d]
+        ]
+        out_ds = view_fn(_read_physical(files))
+        new_parts, new_counts = _write_run(
+            _add_date(out_ds, date_from), root, view_tier
+        )
+        stray = set(new_parts) - changed
+        if stray:
+            raise RuntimeError(
+                f"view_fn is not partition-local: produced dates {sorted(stray)} "
+                f"outside the changed set {sorted(changed)}"
+            )
+
+    partitions = {
+        d: ps for d, ps in old_parts.items()
+        if d not in changed and d not in deleted
+    }
+    counts = {d: old_counts[d] for d in partitions}
+    partitions.update(new_parts)
+    counts.update(new_counts)
+    meta = {
+        "version": (view_head["version"] + 1) if view_head else 1,
+        "parent": view_head["version"] if view_head else None,
+        "op": "refresh",
+        "src_version": src_head["version"],
+        "partitions": partitions,
+        "row_counts": counts,
+    }
+    _publish(root, view_tier, meta)
+    out = dict(meta)
+    out["dates_recomputed"] = len(changed)
+    out["dates_dropped"] = len(
+        (deleted | (changed - set(new_parts))) & set(old_parts)
+    )
+    return out

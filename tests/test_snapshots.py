@@ -223,3 +223,100 @@ def test_compact_snapshot_versioned(ray_session, tmp_path):
     vacuum_snapshots(root, "1h", keep_last=1)
     v2b = read_snapshot(root, "1h").to_pandas()
     pd.testing.assert_frame_equal(_sorted(v2b), _sorted(base))
+
+
+def _make_daily_view():
+    # closure so cloudpickle ships it by value (module not importable
+    # inside Ray workers)
+    def view_fn(ds):
+        def agg(g):
+            import numpy as _np
+            import pandas as _pd
+
+            g = g.copy()
+            g["bucket_ts"] = _pd.to_datetime(g["bucket_ts"]).dt.floor("D")
+            out = g.groupby(["conv_id", "bucket_ts"], as_index=False)[
+                ["n", "total"]].sum()
+            out["n"] = out["n"].astype(_np.int64)
+            out["total"] = out["total"].astype(_np.int64)
+            return out
+
+        return ds.groupby("conv_id").map_groups(agg, batch_format="pandas")
+
+    return view_fn
+
+
+def test_refresh_view_incremental(ray_session, tmp_path):
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import refresh_view
+
+    root = str(tmp_path / "store")
+    base = _frame(days=3, rows_per_day=4)
+    commit_snapshot(ray.data.from_pandas(base), root, "1m")
+    view_fn = _make_daily_view()
+
+    def expected(df):
+        df = df.copy()
+        df["bucket_ts"] = pd.to_datetime(df["bucket_ts"]).dt.floor("D")
+        out = df.groupby(["conv_id", "bucket_ts"], as_index=False)[
+            ["n", "total"]].sum()
+        out["n"] = out["n"].astype(np.int64)
+        out["total"] = out["total"].astype(np.int64)
+        return out.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+
+    m1 = refresh_view(root, "1m", "1d_view", view_fn)
+    assert m1["version"] == 1 and m1["dates_recomputed"] == 3
+    got = read_snapshot(root, "1d_view").to_pandas()
+    got["bucket_ts"] = pd.to_datetime(got["bucket_ts"]).astype("datetime64[us]")
+    exp = expected(base)
+    exp["bucket_ts"] = exp["bucket_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        got.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True), exp)
+
+    # idempotent: already synced -> no new version
+    m1b = refresh_view(root, "1m", "1d_view", view_fn)
+    assert m1b["dates_recomputed"] == 0
+    assert list_snapshots(root, "1d_view") == [1]
+
+    # late rows touch ONLY day 2 -> exactly 1 date recomputed
+    late = _frame(days=2, rows_per_day=2, value0=1000).query(
+        "bucket_ts.dt.day == 2")
+    upsert_snapshot(ray.data.from_pandas(late), root, "1m", _merge)
+    m2 = refresh_view(root, "1m", "1d_view", view_fn)
+    assert m2["version"] == 2 and m2["dates_recomputed"] == 1
+    # untouched view dates keep byte-identical file references
+    v1p = snapshot_meta(root, "1d_view", 1)["partitions"]
+    v2p = snapshot_meta(root, "1d_view", 2)["partitions"]
+    assert v1p["2024-02-01"] == v2p["2024-02-01"]
+    assert v1p["2024-02-03"] == v2p["2024-02-03"]
+    assert v1p["2024-02-02"] != v2p["2024-02-02"]
+    # view HEAD == from-scratch aggregate of src HEAD
+    src = read_snapshot(root, "1m").to_pandas()
+    got2 = read_snapshot(root, "1d_view").to_pandas()
+    got2["bucket_ts"] = pd.to_datetime(got2["bucket_ts"]).astype("datetime64[us]")
+    exp2 = expected(src)
+    exp2["bucket_ts"] = exp2["bucket_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        got2.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True), exp2)
+
+
+def test_refresh_view_rejects_non_partition_local(ray_session, tmp_path):
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import refresh_view
+
+    root = str(tmp_path / "store")
+    commit_snapshot(ray.data.from_pandas(_frame(days=2, rows_per_day=3)),
+                    root, "1m")
+
+    def bad_view(ds):
+        def shift(batch):
+            batch = batch.copy()
+            batch["bucket_ts"] = pd.to_datetime(batch["bucket_ts"]) + pd.Timedelta(days=30)
+            return batch
+
+        return ds.map_batches(shift, batch_format="pandas")
+
+    with pytest.raises(RuntimeError, match="partition-local"):
+        refresh_view(root, "1m", "bad_view", bad_view)

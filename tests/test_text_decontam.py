@@ -134,3 +134,40 @@ def test_duplicate_span_coverage_planted():
     assert out.loc[3, "covered_tokens"] == 0
     assert out.loc[1, "n_tokens"] == 16 and out.loc[2, "n_tokens"] == 14
     assert out.loc[1, "dup_ratio"] == pytest.approx(10 / 16)
+
+
+def test_gopher_rules_hand_computed(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.text import gopher_quality
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # 6 words, 'the'+'a' stopwords, one dup ('cat')
+                "The cat and a cat sat",
+                # 4 words, no stopwords, all unique
+                "zebra yak xylo wombat",
+                # modal word 'go' 3/5
+                "go go go stop now",
+            ],
+        }
+    )
+    out = (
+        gopher_quality(ray.data.from_pandas(docs), concurrency=1)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_words"] == 6
+    assert out.loc[1, "mean_word_len"] == pytest.approx((3 + 3 + 3 + 1 + 3 + 3) / 6)
+    assert out.loc[1, "n_stop"] == 3  # the, and, a
+    assert out.loc[1, "frac_dup_words"] == pytest.approx(1 - 5 / 6)
+    assert out.loc[1, "top_word_frac"] == pytest.approx(2 / 6)
+    assert out.loc[2, "n_stop"] == 0
+    assert out.loc[2, "frac_dup_words"] == 0.0
+    assert out.loc[3, "top_word_frac"] == pytest.approx(3 / 5)
+    assert (out["frac_alpha"] == 1.0).all()
+    # short docs: every row fails the >=30-words gate
+    assert not out["pass"].any()
