@@ -2454,22 +2454,22 @@ def _tr_tier_upsert(sf_dir: str):
         )
 
     def agg(ds):
-        from ray.data.aggregate import Sum
+        # int-keyed single exchange (join.hash_groupby_sum) — a global
+        # Ray groupby on the (string, timestamp) key is the measured
+        # ~10x sort trap at 1e5+ groups
+        from spectral_time_series_ray.stages.join import hash_groupby_sum
 
         def partial(batch: pa.Table) -> pa.Table:
-            return batch.group_by(["conv_id", "bucket_ts"]).aggregate(
+            t = batch.group_by(["conv_id", "bucket_ts"]).aggregate(
                 [("n_turns", "sum"), ("sum_text_len", "sum")]
             )
+            return t.select(
+                ["conv_id", "bucket_ts", "n_turns_sum", "sum_text_len_sum"]
+            ).rename_columns(["conv_id", "bucket_ts", "n_turns", "sum_text_len"])
 
-        out = (
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .groupby(["conv_id", "bucket_ts"])
-            .aggregate(
-                Sum("n_turns_sum", alias_name="n_turns"),
-                Sum("sum_text_len_sum", alias_name="sum_text_len"),
-            )
-        )
-        return out
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        return hash_groupby_sum(
+            parts, ("conv_id", "bucket_ts"), ("n_turns", "sum_text_len"))
 
     LATE_CUTOFF = np.datetime64("2024-01-18", "us")
 
@@ -2595,21 +2595,24 @@ def _tr_time_travel(sf_dir: str):
         )
 
     def agg(ds):
-        from ray.data.aggregate import Sum
+        # int-keyed single exchange (join.hash_groupby_sum) — a global
+        # Ray groupby on the (string, timestamp) key is the measured
+        # ~10x sort trap at 1e5+ groups
+        from spectral_time_series_ray.stages.join import hash_groupby_sum
 
         def partial(batch: pa.Table) -> pa.Table:
-            return batch.group_by(["conv_id", "bucket_ts"]).aggregate(
+            t = batch.group_by(["conv_id", "bucket_ts"]).aggregate(
                 [("n_turns", "sum"), ("sum_text_len", "sum")]
             )
+            # select by NAME before renaming: pyarrow puts agg columns
+            # before the group keys
+            return t.select(
+                ["conv_id", "bucket_ts", "n_turns_sum", "sum_text_len_sum"]
+            ).rename_columns(["conv_id", "bucket_ts", "n_turns", "sum_text_len"])
 
-        return (
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .groupby(["conv_id", "bucket_ts"])
-            .aggregate(
-                Sum("n_turns_sum", alias_name="n_turns"),
-                Sum("sum_text_len_sum", alias_name="sum_text_len"),
-            )
-        )
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        return hash_groupby_sum(
+            parts, ("conv_id", "bucket_ts"), ("n_turns", "sum_text_len"))
 
     LATE_CUTOFF = np.datetime64("2024-01-18", "us")
 
@@ -2747,21 +2750,24 @@ def _tr_versioned_erasure(sf_dir: str):
         )
 
     def agg(ds):
-        from ray.data.aggregate import Sum
+        # int-keyed single exchange (join.hash_groupby_sum) — a global
+        # Ray groupby on the (string, timestamp) key is the measured
+        # ~10x sort trap at 1e5+ groups
+        from spectral_time_series_ray.stages.join import hash_groupby_sum
 
         def partial(batch: pa.Table) -> pa.Table:
-            return batch.group_by(["conv_id", "bucket_ts"]).aggregate(
+            t = batch.group_by(["conv_id", "bucket_ts"]).aggregate(
                 [("n_turns", "sum"), ("sum_text_len", "sum")]
             )
+            # select by NAME before renaming: pyarrow puts agg columns
+            # before the group keys
+            return t.select(
+                ["conv_id", "bucket_ts", "n_turns_sum", "sum_text_len_sum"]
+            ).rename_columns(["conv_id", "bucket_ts", "n_turns", "sum_text_len"])
 
-        return (
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .groupby(["conv_id", "bucket_ts"])
-            .aggregate(
-                Sum("n_turns_sum", alias_name="n_turns"),
-                Sum("sum_text_len_sum", alias_name="sum_text_len"),
-            )
-        )
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        return hash_groupby_sum(
+            parts, ("conv_id", "bucket_ts"), ("n_turns", "sum_text_len"))
 
     def fingerprint(ds) -> tuple[int, int]:
         def bh(batch: pa.Table) -> pa.Table:
@@ -2897,21 +2903,20 @@ def _tr_view_refresh(sf_dir: str):
         )
 
     def agg_1m(ds):
-        from ray.data.aggregate import Sum
+        # int-keyed single exchange — see tr_time_travel's agg note
+        from spectral_time_series_ray.stages.join import hash_groupby_sum
 
         def partial(batch: pa.Table) -> pa.Table:
-            return batch.group_by(["conv_id", "bucket_ts"]).aggregate(
+            t = batch.group_by(["conv_id", "bucket_ts"]).aggregate(
                 [("n_turns", "sum"), ("sum_text_len", "sum")]
             )
+            return t.select(
+                ["conv_id", "bucket_ts", "n_turns_sum", "sum_text_len_sum"]
+            ).rename_columns(["conv_id", "bucket_ts", "n_turns", "sum_text_len"])
 
-        return (
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .groupby(["conv_id", "bucket_ts"])
-            .aggregate(
-                Sum("n_turns_sum", alias_name="n_turns"),
-                Sum("sum_text_len_sum", alias_name="sum_text_len"),
-            )
-        )
+        parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        return hash_groupby_sum(
+            parts, ("conv_id", "bucket_ts"), ("n_turns", "sum_text_len"))
 
     def to_hour(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc_

@@ -764,10 +764,11 @@ def hash_groupby_sum(
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[cols].groupby(keys, as_index=False).sum()
+        # hash_pandas_object on a FRAME combines columns per row —
+        # never .apply(tuple, axis=1), which boxes every row
         out["_part"] = (
             pd.util.hash_pandas_object(
-                out[keys[0]] if len(keys) == 1 else out[keys].apply(tuple, axis=1),
-                index=False,
+                out[keys[0]] if len(keys) == 1 else out[keys], index=False
             ).to_numpy()
             % P
         ).astype(np.int32)
