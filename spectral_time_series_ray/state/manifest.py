@@ -160,6 +160,47 @@ def read_manifests(out_root: str, tier: str) -> list[dict]:
     return out
 
 
+def _compact_files(paths: list[str], staging: str, needed: int) -> tuple[int, int]:
+    """Stream the row groups of ``paths`` through rotating byte-budgeted
+    parquet writers under ``staging`` — at most ``needed`` output files,
+    memory bounded by one row group. Returns (n_rows, n_out_files).
+    Runs as a Ray task (one per date partition) from the compaction
+    entry points."""
+    import pyarrow.parquet as _pq
+
+    total = sum(os.path.getsize(p) for p in paths)
+    budget = total / needed
+    os.makedirs(staging, exist_ok=True)
+    schema = _pq.read_schema(paths[0]).remove_metadata()
+    n_rows = 0
+    consumed = 0.0
+    k = 0
+    writer = None
+    try:
+        for p in paths:
+            pf = _pq.ParquetFile(p)
+            per_rg = os.path.getsize(p) / max(1, pf.num_row_groups)
+            for rg in range(pf.num_row_groups):
+                if (writer is not None and k + 1 < needed
+                        and consumed >= (k + 1) * budget):
+                    writer.close()
+                    k += 1
+                    writer = None
+                if writer is None:
+                    writer = _pq.ParquetWriter(
+                        os.path.join(staging, f"part-{k:05d}.parquet"), schema)
+                t = pf.read_row_group(rg).replace_schema_metadata(None)
+                if t.schema != schema:
+                    t = t.cast(schema)
+                writer.write_table(t)
+                n_rows += t.num_rows
+                consumed += per_rg
+    finally:
+        if writer is not None:
+            writer.close()
+    return n_rows, k + 1
+
+
 def compact_partitions(
     out_root: str,
     tier: str,
@@ -168,9 +209,10 @@ def compact_partitions(
 ):
     """Small-file compaction over a tier directory: every date
     partition holding more parquet files than ``ceil(bytes/target)``
-    is rewritten into that many files (streaming writes fan out one
-    file per block, so long-running tiers accumulate small files that
-    degrade scan throughput — the classic LSM/Iceberg maintenance op).
+    is rewritten into at most that many files (streaming writes fan
+    out one file per block, so long-running tiers accumulate small
+    files that degrade scan throughput — the classic LSM/Iceberg
+    maintenance op).
 
     Safety contract: the MANIFEST stays the completion record. New
     files land in a ``.compact-*`` staging dir first and the row count
@@ -180,12 +222,16 @@ def compact_partitions(
     write path). Partitions already at or below the target file count
     are skipped. Returns ``{date: (files_before, files_after)}``.
 
-    Each partition rewrite is an independent distributed read ->
-    repartition -> write; partitions are processed sequentially from
-    the driver (they are independent — parallelize across dates by
-    sharding the date list over multiple compaction jobs at scale).
+    All over-fragmented dates rewrite CONCURRENTLY, one Ray task per
+    date (driver-sequential per-date Dataset launches pay ~1.3 s fixed
+    pipeline cost each — 31 dates measured 45 s for 100 MB of data);
+    inside a task the input row groups STREAM through rotating
+    byte-budgeted writers, so task memory is one row group, not the
+    partition, and output file count is <= needed by construction.
     """
-    import ray.data
+    import shutil
+
+    import ray
 
     rid = run_id or uuid.uuid4().hex[:8]
     tier_dir = os.path.join(out_root, f"tier={tier}")
@@ -194,6 +240,8 @@ def compact_partitions(
     if not os.path.isdir(tier_dir):
         return results
     manifests = {m["date"]: m for m in read_manifests(out_root, tier)}
+
+    todo: list[tuple[str, str, list[str], int]] = []
     for name in sorted(os.listdir(tier_dir)):
         if not name.startswith("date="):
             continue
@@ -203,50 +251,50 @@ def compact_partitions(
         for stale in os.listdir(tier_dir):
             if stale.startswith(name + ".compact-") and not os.path.isdir(pdir):
                 os.rename(os.path.join(tier_dir, stale), pdir)
-        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
         if not files:
             continue
-        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        paths = [os.path.join(pdir, f) for f in files]
+        nbytes = sum(os.path.getsize(p) for p in paths)
         needed = max(1, -(-nbytes // target_bytes))
         if len(files) <= needed:
             continue
-        ds = ray.data.read_parquet([os.path.join(pdir, f) for f in files])
-        # path-inferred hive columns (tier=, date=) are not stored in
-        # the files — drop them so the rewrite preserves the physical
-        # schema exactly
-        import pyarrow.parquet as _pq
+        todo.append((date, pdir, paths, int(needed)))
+    if not todo:
+        return results
 
-        physical = set(_pq.read_schema(os.path.join(pdir, files[0])).names)
-        inferred = [c for c in ds.schema().names if c not in physical]
-        if inferred:
-            ds = ds.drop_columns(inferred)
-        ds = ds.repartition(int(needed))
-        n_rows = ds.count()
+    rewrite = ray.remote(num_cpus=1)(_compact_files)
+
+    pending = []
+    for date, pdir, paths, needed in todo:
+        staging = os.path.join(tier_dir, f"date={date}.compact-{rid}")
+        pending.append(
+            (date, pdir, paths, staging, rewrite.remote(paths, staging, needed))
+        )
+
+    for date, pdir, paths, staging, ref in pending:
+        n_rows, n_after = ray.get(ref)
         m = manifests.get(date)
         if m is not None and int(m["row_count"]) != int(n_rows):
+            shutil.rmtree(staging, ignore_errors=True)
             raise RuntimeError(
                 f"compaction row-count mismatch for {tier}/{date}: "
                 f"manifest {m['row_count']} vs files {n_rows}"
             )
-        staging = os.path.join(tier_dir, f"{name}.compact-{rid}")
-        ds.write_parquet(staging)
-        import shutil
-
         shutil.rmtree(pdir)
         os.rename(staging, pdir)
-        n_after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
         if m is not None:
             m = dict(m)
             m["compaction"] = {
                 "run_id": rid,
-                "files_before": len(files),
+                "files_before": len(paths),
                 "files_after": n_after,
             }
             tmp = os.path.join(mdir, f".{date}.json.tmp-{rid}")
             with open(tmp, "w") as f:
                 json.dump(m, f)
             os.replace(tmp, os.path.join(mdir, f"{date}.json"))
-        results[date] = (len(files), n_after)
+        results[date] = (len(paths), n_after)
     return results
 
 

@@ -367,37 +367,43 @@ def compact_snapshot(root: str, tier: str, target_bytes: int = 128 << 20) -> dic
     {date: (files_before, files_after)}; empty if nothing to compact.
     """
     head = snapshot_meta(root, tier)
-    todo: dict[str, list[str]] = {}
+    todo: dict[str, tuple[list[str], int]] = {}
     for date, rels in head["partitions"].items():
         files = [os.path.join(root, p) for p in rels]
         nbytes = sum(os.path.getsize(p) for p in files)
         needed = max(1, -(-nbytes // target_bytes))
         if len(files) > needed:
-            todo[date] = files
+            todo[date] = (files, int(needed))
     if not todo:
         return {}
 
-    import ray.data
+    import ray
 
+    from .manifest import _compact_files
+
+    # one Ray task per over-fragmented date, all concurrent; each task
+    # streams row groups through byte-budgeted writers (see
+    # manifest._compact_files) — no driver-sequential Dataset launches
+    rewrite = ray.remote(num_cpus=1)(_compact_files)
     run_id = uuid.uuid4().hex[:8]
     run_dir = os.path.join(root, f"tier={tier}", "_data", run_id)
+    refs = {
+        date: rewrite.remote(files, os.path.join(run_dir, f"date={date}"), needed)
+        for date, (files, needed) in sorted(todo.items())
+    }
     results: dict[str, tuple[int, int]] = {}
     partitions = dict(head["partitions"])
-    for date, files in sorted(todo.items()):
-        nbytes = sum(os.path.getsize(p) for p in files)
-        needed = max(1, -(-nbytes // target_bytes))
-        ds = _read_physical(files).repartition(int(needed))
-        n_rows = int(ds.count())
+    for date, ref in refs.items():
+        n_rows, _ = ray.get(ref)
         if int(head["row_counts"][date]) != n_rows:
             raise RuntimeError(
                 f"compaction row-count mismatch for {tier}/{date}: "
                 f"snapshot {head['row_counts'][date]} vs files {n_rows}"
             )
         ddir = os.path.join(run_dir, f"date={date}")
-        ds.write_parquet(ddir)
         new = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
         partitions[date] = [os.path.relpath(p, root) for p in new]
-        results[date] = (len(files), len(new))
+        results[date] = (len(todo[date][0]), len(new))
     meta = {
         "version": head["version"] + 1,
         "parent": head["version"],
