@@ -2651,14 +2651,18 @@ def _tr_time_travel(sf_dir: str):
         return g
 
     raw = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
-    turns = raw.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+    # materialize the bucketized turns once: ontime/late/full each
+    # derive from object-store blocks instead of re-reading parquet
+    turns = raw.map_batches(
+        bucketize, batch_format="pyarrow", batch_size=None).materialize()
     ontime = turns.map_batches(lambda b: split(b, False), batch_format="pyarrow", batch_size=None)
     late = turns.map_batches(lambda b: split(b, True), batch_format="pyarrow", batch_size=None)
 
     root = tempfile.mkdtemp(prefix="snapstore_", dir="/tmp")
     try:
-        h_v1_exp, n_v1_exp = fingerprint(agg(ontime))
-        m1 = commit_snapshot(agg(ontime), root, "1m")
+        ontime_agg = agg(ontime).materialize()
+        h_v1_exp, n_v1_exp = fingerprint(ontime_agg)
+        m1 = commit_snapshot(ontime_agg, root, "1m")
         m2 = upsert_snapshot(agg(late), root, "1m", merge)
         touched = [d for d in m2["partitions"]
                    if m2["partitions"][d] != m1["partitions"].get(d)]

@@ -104,13 +104,30 @@ def _add_date(ds, date_from: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def _date_counts(ds) -> dict[str, int]:
+    """{date: rows} via per-block pyarrow partials + a tiny driver sum —
+    dates are few; a global groupby would pay a sort exchange per
+    commit for a result that fits in one dict."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["date"]).group_by("date").aggregate(
+            [("date", "count")])
+
+    p = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(p):
+        return {}
+    g = p.groupby("date")["date_count"].sum()
+    return {str(d): int(n) for d, n in g.items()}
+
+
 def _write_run(ds_with_date, root: str, tier: str) -> tuple[dict, dict]:
     """One distributed partitioned write into a fresh immutable run dir.
     Returns ({date: [relpaths]}, {date: rows})."""
     run_id = uuid.uuid4().hex[:8]
     run_dir = os.path.join(root, f"tier={tier}", "_data", run_id)
     mat = ds_with_date.materialize()
-    counts = {r["date"]: int(r["count()"]) for r in mat.groupby("date").count().take_all()}
+    counts = _date_counts(mat)
     if counts:
         mat.write_parquet(run_dir, partition_cols=["date"])
     partitions: dict[str, list[str]] = {}
@@ -178,7 +195,7 @@ def upsert_snapshot(late_ds, root: str, tier: str, merge_fn,
     (time travel) and HEAD readers never see a half-merged state."""
     parent = snapshot_meta(root, tier)
     late = _add_date(late_ds, date_from).materialize()
-    dates = sorted(r["date"] for r in late.groupby("date").count().take_all())
+    dates = sorted(_date_counts(late))
     if not dates:
         return parent
     old_files = [
