@@ -5082,6 +5082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_spectral": _tr_spectral,
         "ev_quantile_tdigest": Q.ev_quantile_tdigest,
         "ev_distinct_hll": Q.ev_distinct_hll,
+        "ev_kmv_overlap": Q.ev_kmv_overlap,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
         "tr_rollup_1m": _tr_rollup_1m,

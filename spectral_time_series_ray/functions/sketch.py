@@ -99,3 +99,97 @@ class HyperLogLog:
         h = cls(p=data[0])
         h.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
         return h
+
+
+class KMVSketch:
+    """K-minimum-values / theta sketch (Bar-Yossef et al. RANDOM'02;
+    Beyer et al. SIGMOD'07 "On synopses for distinct-value estimation";
+    the Apache DataSketches theta-sketch model): keep the ``k`` smallest
+    DISTINCT 64-bit hashes of the stream. Unlike HLL it supports set
+    INTERSECTION estimates, not just union: with
+    ``theta = min(theta_a, theta_b)``, both sketches restricted to
+    hashes below theta are uniform samples of their sets at the same
+    rate, so ``|A & B| ~= |sample_a & sample_b| / theta``.
+
+    Mergeable: union sketch = k smallest of the concatenation (exactly
+    the sketch of the union stream). Estimate: exact count while the
+    sketch is not yet full; otherwise the unbiased ``(k-1)/U_(k)`` with
+    ``U_(k)`` the k-th smallest hash normalized to (0, 1]."""
+
+    FULL_RANGE = float(2**64)
+
+    def __init__(self, k: int = 1024, values: np.ndarray | None = None):
+        assert k >= 16
+        self.k = k
+        self.values = (np.empty(0, np.uint64) if values is None
+                       else np.asarray(values, np.uint64))
+
+    def add_hashes(self, hashes: np.ndarray) -> "KMVSketch":
+        """``hashes`` must already be well-mixed uint64 (order statistics
+        are distribution-sensitive — raw FNV over short similar strings
+        measures ~15% non-uniform). Prefer :meth:`add_strings`, which
+        finalizes with the murmur3 fmix64 bijection."""
+        merged = np.concatenate([self.values, np.asarray(hashes, np.uint64)])
+        self.values = np.unique(merged)[: self.k]
+        return self
+
+    def add_strings(self, values) -> "KMVSketch":
+        return self.add_hashes(
+            HyperLogLog._fmix64(fnv1a_u64([str(v) for v in values])))
+
+    def merge(self, other: "KMVSketch") -> "KMVSketch":
+        assert self.k == other.k
+        return self.add_hashes(other.values)
+
+    @property
+    def theta(self) -> float:
+        """Sampling rate: hashes below ``theta * 2^64`` are retained."""
+        if len(self.values) < self.k:
+            return 1.0
+        # exclusive bound: the k-th value itself marks the cutoff
+        return float(self.values[self.k - 1]) / self.FULL_RANGE
+
+    def estimate(self) -> float:
+        if len(self.values) < self.k:
+            return float(len(self.values))  # exact below capacity
+        u_k = float(self.values[self.k - 1]) / self.FULL_RANGE
+        return (self.k - 1) / u_k
+
+    @staticmethod
+    def _restricted(a: "KMVSketch", b: "KMVSketch"):
+        """Both value sets restricted below min(theta_a, theta_b), as
+        raw uint64 cutoffs (no float round-trip — 2^64-1 is not
+        representable as float64). Returns (va, vb, theta)."""
+        cuts = []
+        if len(a.values) >= a.k:
+            cuts.append(a.values[a.k - 1])
+        if len(b.values) >= b.k:
+            cuts.append(b.values[b.k - 1])
+        if not cuts:
+            return a.values, b.values, 1.0
+        cut = min(cuts)
+        theta = float(cut) / KMVSketch.FULL_RANGE
+        return a.values[a.values < cut], b.values[b.values < cut], theta
+
+    @staticmethod
+    def intersection(a: "KMVSketch", b: "KMVSketch") -> float:
+        """Estimated ``|A & B|`` via the theta-sketch set operation."""
+        va, vb, theta = KMVSketch._restricted(a, b)
+        n_common = len(np.intersect1d(va, vb, assume_unique=True))
+        return n_common / theta
+
+    @staticmethod
+    def jaccard(a: "KMVSketch", b: "KMVSketch") -> float:
+        va, vb, theta = KMVSketch._restricted(a, b)
+        union = len(np.union1d(va, vb))
+        if union == 0:
+            return 0.0
+        return len(np.intersect1d(va, vb, assume_unique=True)) / union
+
+    def to_bytes(self) -> bytes:
+        return np.int64(self.k).tobytes() + self.values.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KMVSketch":
+        k = int(np.frombuffer(data[:8], np.int64)[0])
+        return cls(k=k, values=np.frombuffer(data[8:], np.uint64).copy())

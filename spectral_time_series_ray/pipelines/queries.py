@@ -4087,3 +4087,58 @@ def doc_gopher_rules(sf_dir: str):
     out = _rename_ds(out, {"pass": "passes"})
     return _round_ds(out, {"mean_word_len": 6, "frac_alpha": 6,
                            "frac_dup_words": 6, "top_word_frac": 6})
+
+
+def ev_kmv_overlap(sf_dir: str):
+    """Pairwise user-set overlap between event types via KMV / theta
+    sketches (`distinct.kmv_set_overlap`, Beyer et al. SIGMOD'07):
+    per-block mergeable bottom-k partials — the only sketch family
+    here that estimates set INTERSECTION, not just union cardinality.
+    SELF-VERIFYING at test scale: exact per-pair intersections from the
+    distinct (type, user) pairs (a types x users table — small at test
+    scale; the sketch path is the 100 TB path) must sit within the
+    4/sqrt(k) KMV error band; sketches below capacity must be exact."""
+    from ..stages.distinct import kmv_set_overlap
+
+    k = 256
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    approx = kmv_set_overlap(ds, "event_type", "user_id", k=k)
+
+    def dedup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["event_type", "user_id"])
+
+    pairs = (
+        _read(sf_dir, "events", columns=["event_type", "user_id"])
+        .map_batches(dedup, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .drop_duplicates(["event_type", "user_id"])
+    )
+    sets = {t: set(g["user_id"]) for t, g in pairs.groupby("event_type")}
+
+    bound = 4.0 / np.sqrt(k)
+    rows = []
+    for _, r in approx.iterrows():
+        ea, eb = sets[r["key_a"]], sets[r["key_b"]]
+        n_common = len(ea & eb)
+        union = len(ea | eb)
+        jac = n_common / union if union else 0.0
+        err_a = abs(r["n_a_approx"] - len(ea)) / max(1, len(ea))
+        err_b = abs(r["n_b_approx"] - len(eb)) / max(1, len(eb))
+        # intersection rel-error scales like 1/sqrt(k * J): widen by
+        # the measured jaccard, floor at the union bound
+        i_bound = bound / max(np.sqrt(jac), 0.25) if n_common else 0.0
+        err_i = (abs(r["n_common_approx"] - n_common) / max(1, n_common)
+                 if n_common else abs(r["n_common_approx"]))
+        ok = (err_a <= bound and err_b <= bound
+              and err_i <= max(i_bound, bound)
+              and abs(r["jaccard_approx"] - jac) <= 0.15)
+        rows.append({
+            "key_a": r["key_a"], "key_b": r["key_b"],
+            "n_common_exact": np.int64(n_common),
+            "n_common_approx": round(float(r["n_common_approx"]), 2),
+            "jaccard_exact": round(jac, 6),
+            "jaccard_approx": round(float(r["jaccard_approx"]), 6),
+            "rel_err_common": round(float(err_i), 4),
+            "ok": bool(ok),
+        })
+    return pd.DataFrame(rows).sort_values(["key_a", "key_b"]).reset_index(drop=True)

@@ -162,3 +162,51 @@ def cms_point_estimates(cms, keys) -> np.ndarray:
     else:
         h = fnv1a_u64([str(v) for v in arr])
     return cms.query_hashes(h)
+
+
+def kmv_set_overlap(ds, key_col: str, value_col: str, k: int = 2048):
+    """Pairwise set-overlap estimation between the value sets of every
+    key: per-batch KMV partials (one blob per key per block — bytes
+    moved is O(keys x k), independent of rows), merged per key, then
+    all key-pair intersection/Jaccard estimates from the merged
+    sketches (theta-sketch set ops — the thing HLL cannot do). The
+    final pairwise step is driver-side over #keys sketches; keys are a
+    small dimension (event types, languages), NOT the value domain.
+
+    Returns a pandas frame (key_a, key_b, n_a_approx, n_b_approx,
+    n_common_approx, jaccard_approx) for a < b lexicographically.
+    """
+    from itertools import combinations
+
+    from ..functions.sketch import KMVSketch
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in batch.groupby(key_col, sort=False):
+            sk = KMVSketch(k=k)
+            sk.add_strings(g[value_col])
+            rows.append({key_col: key, "sketch": sk.to_bytes()})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    merged: dict[str, "KMVSketch"] = {}
+    for key, blob in zip(partials[key_col], partials["sketch"]):
+        sk = KMVSketch.from_bytes(blob)
+        if key in merged:
+            merged[key].merge(sk)
+        else:
+            merged[key] = sk
+    rows = []
+    for a, b in combinations(sorted(merged), 2):
+        sa, sb = merged[a], merged[b]
+        rows.append({
+            "key_a": a,
+            "key_b": b,
+            "n_a_approx": sa.estimate(),
+            "n_b_approx": sb.estimate(),
+            "n_common_approx": KMVSketch.intersection(sa, sb),
+            "jaccard_approx": KMVSketch.jaccard(sa, sb),
+        })
+    return pd.DataFrame(rows)

@@ -242,3 +242,54 @@ def test_heavy_hitters_stage(ray_session):
     truth = pd.Series(vals).value_counts()
     for _, r in out.iterrows():
         assert truth[r["item"]] - r["approx_count"] <= n / 32
+
+
+class TestKMV:
+    def test_exact_below_capacity(self):
+        from spectral_time_series_ray.functions.sketch import KMVSketch
+
+        sk = KMVSketch(k=64).add_strings([f"v{i}" for i in range(40)])
+        assert sk.estimate() == 40.0 and sk.theta == 1.0
+        sk.add_strings([f"v{i}" for i in range(40)])  # duplicates ignored
+        assert sk.estimate() == 40.0
+
+    def test_estimate_accuracy_and_merge(self):
+        from spectral_time_series_ray.functions.sketch import KMVSketch
+
+        n, k = 20000, 512
+        items = [f"item-{i}" for i in range(n)]
+        whole = KMVSketch(k=k).add_strings(items)
+        est = whole.estimate()
+        assert abs(est - n) / n < 4 / np.sqrt(k)  # 4-sigma KMV bound
+
+        # merge of shard sketches == sketch of the union stream
+        parts = [KMVSketch(k=k).add_strings(items[i::7]) for i in range(7)]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc.merge(p)
+        assert np.array_equal(acc.values, whole.values)
+
+    def test_intersection_and_jaccard(self):
+        from spectral_time_series_ray.functions.sketch import KMVSketch
+
+        k = 512
+        a_items = [f"x{i}" for i in range(12000)]
+        b_items = [f"x{i}" for i in range(8000, 20000)]  # overlap 4000
+        sa = KMVSketch(k=k).add_strings(a_items)
+        sb = KMVSketch(k=k).add_strings(b_items)
+        inter = KMVSketch.intersection(sa, sb)
+        true_i, true_j = 4000, 4000 / 20000
+        assert abs(inter - true_i) / true_i < 0.3
+        assert abs(KMVSketch.jaccard(sa, sb) - true_j) < 0.1
+        # one sketch below capacity: still consistent
+        small = KMVSketch(k=k).add_strings(a_items[:100])
+        est = KMVSketch.intersection(small, sa)
+        assert abs(est - 100) / 100 < 0.5
+
+    def test_serialization_roundtrip(self):
+        from spectral_time_series_ray.functions.sketch import KMVSketch
+
+        sk = KMVSketch(k=128).add_strings([f"q{i}" for i in range(500)])
+        back = KMVSketch.from_bytes(sk.to_bytes())
+        assert back.k == sk.k and np.array_equal(back.values, sk.values)
+        assert back.estimate() == sk.estimate()
