@@ -430,6 +430,20 @@ def erase_users(
         kept = ds.map_batches(drop_targets, batch_format="pandas",
                               batch_size=None).materialize()
         after = int(kept.count())
+        if after == 0:
+            # every row of this partition belonged to the target keys:
+            # write_partitioned would be a zero-row no-op and leave the
+            # stale files in place — the partition (and its manifest)
+            # must be REMOVED outright
+            import shutil
+
+            shutil.rmtree(os.path.join(tier_dir, f"date={date}"),
+                          ignore_errors=True)
+            mpath = os.path.join(out_root, MANIFEST_DIR, tier, f"{date}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
+            out[date] = (before, 0)
+            continue
         counts = write_partitioned(
             kept, out_root, tier, fingerprint=fingerprint, resume=False,
         )

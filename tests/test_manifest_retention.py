@@ -184,3 +184,34 @@ def test_compaction_detects_row_count_corruption(rolled, tmp_path):
     os.remove(os.path.join(tier_dir, victim_dir, victim_files[0]))
     with pytest.raises(RuntimeError, match="row-count mismatch"):
         compact_partitions(out, "1h", target_bytes=1 << 30)
+
+
+def test_erase_users_empties_whole_partition(ray_session, tmp_path):
+    """A key that owns EVERY row of a date partition must remove the
+    partition and its manifest outright (regression: zero-row
+    write_partitioned was a no-op that left the stale files readable)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.state.manifest import erase_users
+
+    ts1 = np.datetime64("2024-03-01T10:00:00", "us")
+    ts2 = np.datetime64("2024-03-02T10:00:00", "us")
+    df = pd.DataFrame({
+        "conv_id": ["victim"] * 4 + ["other"] * 3,
+        "bucket_ts": [ts1] * 4 + [ts2] * 3,
+        "n_turns": np.int64(1),
+    })
+    root = str(tmp_path / "store")
+    write_partitioned(ray.data.from_pandas(df), root, "1m", fingerprint="x")
+    assert len(read_manifests(root, "1m")) == 2
+
+    res = erase_users(root, "1m", {"victim"}, key="conv_id", fingerprint="e")
+    assert res == {"2024-03-01": (4, 0)}
+    # partition dir and manifest are gone; the other date is untouched
+    assert not os.path.isdir(os.path.join(root, "tier=1m", "date=2024-03-01"))
+    mans = read_manifests(root, "1m")
+    assert [m["date"] for m in mans] == ["2024-03-02"]
+    left = _read_all(os.path.join(root, "tier=1m"))
+    assert set(left["conv_id"]) == {"other"} and len(left) == 3
