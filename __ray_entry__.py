@@ -3039,32 +3039,42 @@ def _ev_sorted_export(sf_dir: str):
         files = sorted(_glob.glob(f"{out_dir}/*.parquet"))
         checks = ray.data.read_parquet(files)
 
-        def block_stats(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            ts = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
-            eid = df["event_id"].to_numpy()
-            key = list(zip(ts, eid))
-            return pa.table(
-                {
-                    "n": [len(df)],
-                    "lo_ts": [int(ts.min()) if len(ts) else 0],
-                    "hi_ts": [int(ts.max()) if len(ts) else 0],
-                    "sorted_ok": [key == sorted(key)],
-                }
-            )
+        # one stats row per FILE, ALL files in one distributed pass
+        # (a read_parquet pipeline per file paid ~1s fixed launch cost
+        # each, serially — the whole check is one from_items map now)
+        def file_stats(batch: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as _pq
 
-        # one stats row per FILE: read each file as its own block
-        per_file = []
-        for f in files:
-            st = (
-                ray.data.read_parquet(f)
-                .map_batches(block_stats, batch_format="pyarrow", batch_size=None)
-                .to_pandas()
-            )
-            per_file.append(
-                (int(st["n"].sum()), int(st["lo_ts"].min()), int(st["hi_ts"].max()),
-                 bool(st["sorted_ok"].all()))
-            )
+            rows = []
+            for path in batch["path"]:
+                t = _pq.read_table(path, columns=["ts", "event_id"])
+                ts = (t["ts"].to_pandas().astype("datetime64[us]")
+                      .astype(np.int64).to_numpy())
+                eid = t["event_id"].to_numpy(zero_copy_only=False)
+                if len(ts) < 2:
+                    s_ok = True
+                else:
+                    gt = ts[1:] > ts[:-1]
+                    eq = (ts[1:] == ts[:-1]) & (eid[1:] >= eid[:-1])
+                    s_ok = bool(np.all(gt | eq))
+                rows.append({
+                    "path": path, "n": len(ts),
+                    "lo_ts": int(ts.min()) if len(ts) else 0,
+                    "hi_ts": int(ts.max()) if len(ts) else 0,
+                    "sorted_ok": s_ok,
+                })
+            return pd.DataFrame(rows)
+
+        st = (
+            ray.data.from_items([{"path": f} for f in files])
+            .map_batches(file_stats, batch_format="pandas", batch_size=1)
+            .to_pandas()
+            .sort_values("path")  # file order == sorted-block order
+        )
+        per_file = [
+            (int(r["n"]), int(r["lo_ts"]), int(r["hi_ts"]), bool(r["sorted_ok"]))
+            for _, r in st.iterrows()
+        ]
         n_total = sum(r[0] for r in per_file)
         internal_ok = all(r[3] for r in per_file)
         nonempty = [r for r in per_file if r[0] > 0]
