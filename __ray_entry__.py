@@ -2947,7 +2947,10 @@ def _tr_view_refresh(sf_dir: str):
         return int(p["h"].to_numpy().sum(dtype=np.int64)), int(p["n"].sum())
 
     raw = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
-    turns = raw.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+    # materialized once: the split streams, the late-day probe, the
+    # commit and the expected-side aggregate all reuse the same blocks
+    turns = raw.map_batches(
+        bucketize, batch_format="pyarrow", batch_size=None).materialize()
 
     # late slice: every turn on the LAST calendar date of the corpus
     last_day = pd.Timestamp(turns.max("bucket_ts")).floor("D")
