@@ -1040,7 +1040,7 @@ def conversation_minhash_neardup(
     P = num_partitions or partitions_for_input(None)
     mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed)
 
-    class TurnPartial:
+    def turn_partial(batch: pd.DataFrame) -> pd.DataFrame:
         """Fully vectorized per-batch path: tokens hash in ONE pandas
         C-SipHash call, word-n-gram shingle hashes come from a global
         windowed polynomial combine masked at turn boundaries, the
@@ -1050,94 +1050,81 @@ def conversation_minhash_neardup(
         the batch (min-of-mins is associative; turns are contiguous by
         conversation in the source layout) so the exchange carries a
         handful of [num_perm] rows per batch. No per-row Python except
-        the rare turns shorter than the shingle width."""
+        the rare turns shorter than the shingle width. A plain TASK map
+        (not an actor pool): the only state is the closure-captured
+        MinHasher params — a fixed pool paid ~10s of actor spin-up at
+        small scale and reserved slots the read needed."""
+        mh_ = mh
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        n = shingle_n
+        toks = batch[text_col].astype(str).str.split(" ")
+        L = toks.str.len().fillna(0).to_numpy(np.int64)
+        total = int(L.sum())
+        codes, uniques = pd.factorize(batch[key], sort=False)
+        merged = np.full((len(uniques), mh_.num_perm),
+                         np.iinfo(np.uint64).max, dtype=np.uint64)
+        sh_vals = []
+        sh_conv = []
+        if total:
+            flat = np.concatenate(
+                [t for t in toks.to_numpy() if isinstance(t, list) and t]
+            )
+            th = pd.util.hash_pandas_object(
+                pd.Series(flat, dtype=object), index=False,
+                hash_key="3141592653589793",
+            ).to_numpy().view(np.uint64)
+            row_id = np.repeat(np.arange(len(L)), L)
+            if total >= n:
+                acc = th[: total - n + 1].copy()
+                for k_ in range(1, n):
+                    acc = acc * mult + th[k_: total - n + 1 + k_]
+                ok = row_id[: total - n + 1] == row_id[n - 1:]
+                sh_vals.append(acc[ok])
+                sh_conv.append(codes[row_id[: total - n + 1][ok]])
+            short = np.flatnonzero((L > 0) & (L < n))
+            if len(short):
+                tok_starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+                vals = np.empty(len(short), np.uint64)
+                for j, i in enumerate(short):
+                    t = th[tok_starts[i]: tok_starts[i] + L[i]]
+                    a = t[0]
+                    for k_ in range(1, len(t)):
+                        a = a * mult + t[k_]
+                    vals[j] = a
+                sh_vals.append(vals)
+                sh_conv.append(codes[short])
+        if sh_vals:
+            x = np.concatenate(sh_vals)
+            cv = np.concatenate(sh_conv)
+            order = np.argsort(cv, kind="stable")
+            x, cv = x[order], cv[order]
+            # permutations are wraparound multiply-add over 2^64
+            # (a_i odd): 2 uint64 ops per (perm, shingle) instead
+            # of the 12-op exact Mersenne-61 affine — the standard
+            # production tradeoff (not min-wise independent in
+            # theory, indistinguishable in practice), worth ~6x on
+            # the pipeline's dominant term. Tiled to stay cache-
+            # resident (a monolithic broadcast is ~14x slower).
+            a_odd = (mh_.a << np.uint64(1)) | np.uint64(1)
+            H = np.empty((mh_.num_perm, len(x)), np.uint64)
+            CH = 8192
+            for lo in range(0, len(x), CH):
+                seg = x[lo:lo + CH]
+                H[:, lo:lo + CH] = a_odd[:, None] * seg[None, :] + mh_.b[:, None]
+            seg_new = np.empty(len(cv), dtype=bool)
+            seg_new[0] = True
+            seg_new[1:] = cv[1:] != cv[:-1]
+            starts = np.flatnonzero(seg_new)
+            merged[cv[starts]] = np.minimum.reduceat(H, starts, axis=1).T
+        out = pd.DataFrame({key: uniques})
+        out["sig"] = [r.view(np.int64) for r in merged]
+        out["_part"] = (
+            pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
 
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, bands=bands, seed=seed)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            from ..functions.hashing import _MERSENNE61, mulmod_p61
-
-            mh_ = self.mh
-            mult = np.uint64(0x9E3779B97F4A7C15)
-            n = shingle_n
-            toks = batch[text_col].astype(str).str.split(" ")
-            L = toks.str.len().fillna(0).to_numpy(np.int64)
-            total = int(L.sum())
-            codes, uniques = pd.factorize(batch[key], sort=False)
-            merged = np.full((len(uniques), mh_.num_perm),
-                             np.iinfo(np.uint64).max, dtype=np.uint64)
-            sh_vals = []
-            sh_conv = []
-            if total:
-                flat = np.concatenate(
-                    [t for t in toks.to_numpy() if isinstance(t, list) and t]
-                )
-                th = pd.util.hash_pandas_object(
-                    pd.Series(flat, dtype=object), index=False,
-                    hash_key="3141592653589793",
-                ).to_numpy().view(np.uint64)
-                row_id = np.repeat(np.arange(len(L)), L)
-                if total >= n:
-                    acc = th[: total - n + 1].copy()
-                    for k_ in range(1, n):
-                        acc = acc * mult + th[k_: total - n + 1 + k_]
-                    ok = row_id[: total - n + 1] == row_id[n - 1:]
-                    sh_vals.append(acc[ok])
-                    sh_conv.append(codes[row_id[: total - n + 1][ok]])
-                short = np.flatnonzero((L > 0) & (L < n))
-                if len(short):
-                    tok_starts = np.concatenate([[0], np.cumsum(L)[:-1]])
-                    vals = np.empty(len(short), np.uint64)
-                    for j, i in enumerate(short):
-                        t = th[tok_starts[i]: tok_starts[i] + L[i]]
-                        a = t[0]
-                        for k_ in range(1, len(t)):
-                            a = a * mult + t[k_]
-                        vals[j] = a
-                    sh_vals.append(vals)
-                    sh_conv.append(codes[short])
-            if sh_vals:
-                x = np.concatenate(sh_vals)
-                cv = np.concatenate(sh_conv)
-                order = np.argsort(cv, kind="stable")
-                x, cv = x[order], cv[order]
-                # permutations are wraparound multiply-add over 2^64
-                # (a_i odd): 2 uint64 ops per (perm, shingle) instead
-                # of the 12-op exact Mersenne-61 affine — the standard
-                # production tradeoff (not min-wise independent in
-                # theory, indistinguishable in practice), worth ~6x on
-                # the pipeline's dominant term. Tiled to stay cache-
-                # resident (a monolithic broadcast is ~14x slower).
-                a_odd = (mh_.a << np.uint64(1)) | np.uint64(1)
-                H = np.empty((mh_.num_perm, len(x)), np.uint64)
-                CH = 8192
-                for lo in range(0, len(x), CH):
-                    seg = x[lo:lo + CH]
-                    H[:, lo:lo + CH] = a_odd[:, None] * seg[None, :] + mh_.b[:, None]
-                seg_new = np.empty(len(cv), dtype=bool)
-                seg_new[0] = True
-                seg_new[1:] = cv[1:] != cv[:-1]
-                starts = np.flatnonzero(seg_new)
-                merged[cv[starts]] = np.minimum.reduceat(H, starts, axis=1).T
-            out = pd.DataFrame({key: uniques})
-            out["sig"] = [r.view(np.int64) for r in merged]
-            out["_part"] = (
-                pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
-            ).astype(np.int32)
-            return out
-
-    # size the actor pool to the CLUSTER: a fixed pool larger than the
-    # CPU count reserves every slot and starves the upstream read
-    # (observed: the stage crawls at ~1 core on an 8-CPU session)
-    try:
-        import ray as _ray
-
-        _pool = max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) - 2))
-    except Exception:
-        _pool = 4
     partials = ds.select_columns([key, text_col]).map_batches(
-        TurnPartial, batch_format="pandas", batch_size=2048, concurrency=_pool
+        turn_partial, batch_format="pandas", batch_size=2048
     )
 
     def min_merge(df: pd.DataFrame) -> pd.DataFrame:
