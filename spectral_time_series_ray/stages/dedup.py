@@ -132,13 +132,12 @@ class _MinHashStage:
 
 
 def minhash_signatures(ds, num_perm=128, bands=16, shingle_n=3, seed=42, concurrency=4):
-    return ds.map_batches(
-        _MinHashStage,
-        fn_constructor_args=(num_perm, bands, shingle_n, seed),
-        batch_format="pandas",
-        batch_size=1024,
-        concurrency=concurrency,
-    )
+    # TASK map, not an actor pool: rebuilding the MinHasher per task is
+    # ~100us (two [num_perm] uint64 draws), while a fixed pool caps the
+    # stage at `concurrency` cores and pays actor spin-up every call
+    # (`concurrency` kept for API compatibility, unused)
+    stage = _MinHashStage(num_perm, bands, shingle_n, seed)
+    return ds.map_batches(stage.__call__, batch_format="pandas", batch_size=1024)
 
 
 def _sig_matrix(col, num_perm: int) -> np.ndarray:
@@ -192,6 +191,62 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _EMPTY_PAIRS
     a, b = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"a": ids[a].astype(np.int64), "b": ids[b].astype(np.int64)})
+
+
+def _banded_bucket_pairs(exploded, num_partitions: int):
+    """Candidate pairs from exploded (doc_id, band_id, band_key) rows:
+    ONE bounded exchange (bucket hash % P) + segmented in-partition
+    triu expansion with partition-local (a, b) dedup. NOT one Ray group
+    per bucket — map_groups pays per-group task overhead at
+    ~#docs x bands buckets (measured ~10x at 1e5 buckets). Oversized
+    buckets (>200 docs) are skipped WITH a warning, as in
+    :func:`_bucket_pairs` (kept for direct single-bucket use)."""
+    P = num_partitions
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            (batch["band_key"].to_numpy().view(np.uint64)
+             ^ (batch["band_id"].to_numpy(np.int32).astype(np.uint64)
+                << np.uint64(56)))
+            % np.uint64(P)
+        ).astype(np.int32)
+        return batch
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bid = g["band_id"].to_numpy(np.int64)
+        bkey = g["band_key"].to_numpy(np.int64)
+        doc = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((doc, bkey, bid))
+        bid, bkey, doc = bid[order], bkey[order], doc[order]
+        new_seg = np.r_[True, (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])]
+        seg = np.flatnonzero(new_seg)
+        seg_end = np.r_[seg[1:], len(doc)]
+        chunks = []
+        for st, en in zip(seg, seg_end):
+            ids = np.unique(doc[st:en])
+            m = len(ids)
+            if m < 2:
+                continue
+            if m > 200:  # degenerate hot bucket: skip, but SAY so
+                log.warning(
+                    "banded-lsh: skipping oversized bucket (band_id=%s, "
+                    "%d docs) — recall may drop; raise the guard or add "
+                    "more bands for this corpus", bid[st], m,
+                )
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            chunks.append(np.stack([ids[ia], ids[ib]], axis=1))
+        if not chunks:
+            return _EMPTY_PAIRS
+        ab = np.unique(np.concatenate(chunks), axis=0)
+        return pd.DataFrame({"a": ab[:, 0], "b": ab[:, 1]})
+
+    return (
+        exploded.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
 
 
 def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -251,15 +306,9 @@ def minhash_verified_pairs(
     exploded = sigs.map_batches(
         _explode_bands(bands, num_perm // bands), batch_format="pandas"
     )
-    pairs_ds = exploded.groupby(["band_id", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # within-batch dedup trims the multi-band duplication cheaply; the
-    # exact global dedup happens on the sparse verified list
-    pairs_ds = pairs_ds.map_batches(
-        lambda df: df.drop_duplicates(["a", "b"]),
-        batch_format="pandas", batch_size=None,
-    ).materialize()  # sparse candidate pairs, not the corpus
+
+    pairs_ds = _banded_bucket_pairs(exploded, join_partitions).materialize()
+    # sparse candidate pairs, not the corpus
     if pairs_ds.count() == 0:
         # joining a zero-block left side loses its schema in the hash
         # shuffle; short-circuit to a typed empty result instead
@@ -280,14 +329,22 @@ def minhash_verified_pairs(
 
         return f
 
-    withs_a = pairs_ds.join(
-        sigs, join_type="inner", num_partitions=join_partitions,
-        on=("a",), right_on=("doc_id",), right_suffix="_a",
-    ).map_batches(_rename({"signature": "sig_a"}), batch_format="pandas", batch_size=None)
-    withs_b = withs_a.join(
-        sigs, join_type="inner", num_partitions=join_partitions,
-        on=("b",), right_on=("doc_id",), right_suffix="_b",
-    ).map_batches(_rename({"signature": "sig_b"}), batch_format="pandas", batch_size=None)
+    # candidate pairs are SPARSE after banding: the partition-merge
+    # join (int-keyed exchange + in-partition merge) beats Dataset.join,
+    # whose hash-shuffle setup dominates on a few-thousand-row probe
+    # side (measured 6.4s -> ~1s for the two attaches)
+    from .join import partition_merge_join
+
+    sig_a = sigs.map_batches(
+        _rename({"doc_id": "a", "signature": "sig_a"}),
+        batch_format="pandas", batch_size=None)
+    sig_b = sigs.map_batches(
+        _rename({"doc_id": "b", "signature": "sig_b"}),
+        batch_format="pandas", batch_size=None)
+    withs_a = partition_merge_join(
+        pairs_ds, sig_a, on="a", how="inner", num_partitions=join_partitions)
+    withs_b = partition_merge_join(
+        withs_a, sig_b, on="b", how="inner", num_partitions=join_partitions)
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -605,13 +662,7 @@ def ngram_jaccard_dedup(
     exploded = feat.drop_columns(["shingles"]).map_batches(
         _explode_bands(bands, num_perm // bands), batch_format="pandas"
     )
-    pairs_ds = exploded.groupby(["band_id", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    pairs_ds = pairs_ds.map_batches(
-        lambda df: df.drop_duplicates(["a", "b"]),
-        batch_format="pandas", batch_size=None,
-    ).materialize()
+    pairs_ds = _banded_bucket_pairs(exploded, join_partitions).materialize()
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
          "cluster_id": pd.Series([], dtype="int64"),
@@ -627,14 +678,20 @@ def ngram_jaccard_dedup(
 
         return f
 
-    with_a = pairs_ds.join(
-        shing, join_type="inner", num_partitions=join_partitions,
-        on=("a",), right_on=("doc_id",), right_suffix="_a",
-    ).map_batches(_rename({"shingles": "sh_a"}), batch_format="pandas", batch_size=None)
-    with_b = with_a.join(
-        shing, join_type="inner", num_partitions=join_partitions,
-        on=("b",), right_on=("doc_id",), right_suffix="_b",
-    ).map_batches(_rename({"shingles": "sh_b"}), batch_format="pandas", batch_size=None)
+    # sparse candidate probe side: partition-merge join, as in
+    # minhash_verified_pairs (Dataset.join's shuffle setup dominates)
+    from .join import partition_merge_join
+
+    sh_a2 = shing.map_batches(
+        _rename({"doc_id": "a", "shingles": "sh_a"}),
+        batch_format="pandas", batch_size=None)
+    sh_b2 = shing.map_batches(
+        _rename({"doc_id": "b", "shingles": "sh_b"}),
+        batch_format="pandas", batch_size=None)
+    with_a = partition_merge_join(
+        pairs_ds, sh_a2, on="a", how="inner", num_partitions=join_partitions)
+    with_b = partition_merge_join(
+        with_a, sh_b2, on="b", how="inner", num_partitions=join_partitions)
 
     def exact_verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
