@@ -418,9 +418,35 @@ def embedding_near_dup(
             {"a": ids[ai][mask], "b": ids[bi][mask], "cosine": sims[ai, bi][mask]}
         )
 
+    # ONE bounded exchange (key hash % P), not one Ray group per
+    # lsh_key — map_groups pays per-group task overhead once the key
+    # space reaches 1e5+; inside a partition the buckets are plain
+    # pandas groups
+    try:
+        import ray as _ray
+
+        P = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        P = 4
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            batch["lsh_key"].to_numpy(np.int64).view(np.uint64) % np.uint64(P)
+        ).astype(np.int32)
+        return batch
+
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _, g in df.groupby("lsh_key", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
+
     pairs = (
-        keyed.groupby("lsh_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        keyed.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
     )
     return pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
