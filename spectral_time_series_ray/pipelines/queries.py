@@ -1362,7 +1362,7 @@ def ev_new_users_cum(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     out = first_seen_cumulative(ds, key="user_id", ts_col="ts", freq="D")
-    return _rename_ds(out, {"first_bucket": "first_day", "cum_keys": "cum_users"})
+    return out.rename(columns={"first_bucket": "first_day", "cum_keys": "cum_users"})
 
 
 def doc_above_p90(sf_dir: str):

@@ -124,28 +124,44 @@ def first_seen_cumulative(ds, key: str, ts_col: str, freq: str = "D"):
     (days over the corpus time range), so the final single-block
     sweep is driver-safe at any corpus size.
     """
-    from ray.data.aggregate import Count, Min
+    from .rollup import partitions_for_input
+
+    P = partitions_for_input(None)
 
     def to_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[ts_col].dt.floor(freq)
         out = pd.DataFrame({key: batch[key], "first_bucket": b})
-        # per-batch partial min: shrink before the shuffle
-        return out.groupby(key, as_index=False).min()
+        # per-batch partial min: shrink before the exchange
+        out = out.groupby(key, as_index=False).min()
+        out["_part"] = (
+            pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
 
-    firsts = ds.map_batches(to_bucket, batch_format="pandas").groupby(key).aggregate(
-        Min("first_bucket", alias_name="first_bucket")
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # exact per-key min inside the partition, collapsed straight to
+        # per-bucket new-key counts — only (bucket, count) rows leave
+        f = g.groupby(key, as_index=False)["first_bucket"].min()
+        c = f.groupby("first_bucket").size().reset_index(name="n_new")
+        return c
+
+    # ONE int-keyed exchange (two chained Ray sort-groupbys measured
+    # ~8s of fixed cost at sf0.1); the bucket domain is calendar-
+    # bounded, so the P x #buckets partials finish on the driver
+    partials = (
+        ds.map_batches(to_bucket, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
     )
-    per_bucket = firsts.groupby("first_bucket").aggregate(Count(alias_name="n_new"))
-
-    def cumsum(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("first_bucket").reset_index(drop=True)
-        df["n_new"] = df["n_new"].astype(np.int64)
-        df["cum_keys"] = df["n_new"].cumsum().astype(np.int64)
-        return df
-
-    return per_bucket.repartition(1).map_batches(
-        cumsum, batch_format="pandas", batch_size=None
+    agg = (
+        partials.groupby("first_bucket", as_index=False)["n_new"].sum()
+        .sort_values("first_bucket")
+        .reset_index(drop=True)
     )
+    agg["n_new"] = agg["n_new"].astype(np.int64)
+    agg["cum_keys"] = agg["n_new"].cumsum().astype(np.int64)
+    return agg
 
 
 # --------------------------------------- histogram-based exact quantile
