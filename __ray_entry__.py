@@ -5096,6 +5096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_quantile_tdigest": Q.ev_quantile_tdigest,
         "ev_distinct_hll": Q.ev_distinct_hll,
         "ev_kmv_overlap": Q.ev_kmv_overlap,
+        "ev_auto_join": Q.ev_auto_join,
+        "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
         "tr_rollup_1m": _tr_rollup_1m,
@@ -5735,6 +5737,14 @@ def oracle_sql() -> dict[str, str]:
                     and frac_dup_words <= 0.6
                     and top_word_frac <= 0.2) as passes
             from agg
+        """,
+        "ev_auto_join": """
+            select c_mktsegment,
+                   cast(count(*) as bigint) as n_orders,
+                   round(sum(round(o_totalprice * 100)) / 100.0, 6)
+                     as total_price
+            from orders join customer on o_custkey = c_custkey
+            group by 1
         """,
         "ev_dow_profile": """
             select event_type, cast(isodow(ts) as bigint) as dow,

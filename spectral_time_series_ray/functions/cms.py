@@ -76,6 +76,18 @@ class CountMinSketch:
         """Additive overcount bound (e/w)*N holding w.p. 1-e^-depth."""
         return float(np.e / self.width * self.n_total)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size estimate: ``sum_k f_A(k) * f_B(k)`` as the min over
+        depth rows of the row dot products (Cormode & Muthukrishnan
+        2005 §4.2 — the classic sketch equi-join cardinality
+        estimator). Always an OVERestimate in expectation; additive
+        error <= (e/width) * N_A * N_B w.p. 1 - e^-depth. Requires both
+        sketches built with the same width/depth (hashing is
+        deterministic, so separately-built sketches are compatible)."""
+        assert (self.width, self.depth) == (other.width, other.depth)
+        dots = np.einsum("dw,dw->d", self.table, other.table)
+        return int(dots.min())
+
     def to_bytes(self) -> bytes:
         head = np.array([self.width, self.depth, self.n_total], dtype=np.int64)
         return head.tobytes() + self.table.tobytes()

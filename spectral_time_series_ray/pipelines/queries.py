@@ -4142,3 +4142,107 @@ def ev_kmv_overlap(sf_dir: str):
             "ok": bool(ok),
         })
     return pd.DataFrame(rows).sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+def ev_auto_join(sf_dir: str):
+    """Orders x customer revenue per market segment through the
+    ADAPTIVE join planner (`join.auto_join`): one-pass sketch stats on
+    both sides (KMV distinct, Misra-Gries skew, CMS frequencies),
+    CMS-inner-product output-size estimate, then strategy selection —
+    the customer dimension fits the broadcast limit, so the orders
+    stream never shuffles. Oracle checks the full join + aggregate."""
+    from ..stages.join import auto_join, hash_groupby_sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"c_custkey": "o_custkey"})
+
+    cust = cust.map_batches(rename, batch_format="pandas", batch_size=None)
+    joined, decision = auto_join(orders, cust, on="o_custkey")
+    assert decision["strategy"] == "broadcast", decision
+
+    def scale(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"],
+            "n_orders": np.int64(1),
+            "cents": np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        })
+
+    out = hash_groupby_sum(
+        joined.map_batches(scale, batch_format="pandas", batch_size=None),
+        "c_mktsegment", ("n_orders", "cents"),
+    ).to_pandas()
+    out["total_price"] = round_half_away(out["cents"].to_numpy() / 100.0, 6)
+    out = out.drop(columns=["cents"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def tr_join_planner(sf_dir: str):
+    """The adaptive planner's DECISIONS, self-verified across three
+    engineered shapes on the events/customer tables: (a) small dim ->
+    broadcast; (b) hot-keyed fact vs unique dim, broadcast disabled ->
+    skew; (c) two flat sides, broadcast disabled -> shuffle. Every
+    strategy's output row count must equal the pandas ground truth and
+    the CMS inner-product estimate must bracket it from above within
+    the additive bound."""
+    import ray.data
+
+    from ..stages.join import auto_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def ukey(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": batch["user_id"].to_numpy(np.int64),
+                             "value": batch["value"]})
+
+    fact = ev.map_batches(ukey, batch_format="pandas", batch_size=None).materialize()
+    keys = fact.to_pandas()["k"]
+    n_users = int(keys.max()) + 1
+    dim = pd.DataFrame({"k": np.arange(n_users, dtype=np.int64),
+                        "grp": np.arange(n_users, dtype=np.int64) % 7})
+    dim_ds = ray.data.from_pandas(dim)
+    exact_rows = int(keys.isin(set(dim["k"])).sum())
+
+    rows = []
+    out_a, dec_a = auto_join(fact, dim_ds, on="k")
+    got_a = int(out_a.count())
+    rows.append(("small_dim", dec_a, got_a, exact_rows))
+
+    # hot key: half of all events re-keyed to user 0 -> hot ratio
+    # ~0.5 * n_users regardless of scale
+    def heat(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        k = batch["k"].to_numpy().copy()
+        k[:: 2] = 0
+        batch["k"] = k
+        return batch
+
+    hot = fact.map_batches(heat, batch_format="pandas", batch_size=None).materialize()
+    exact_hot = int(hot.count())  # dim covers every key
+    out_b, dec_b = auto_join(hot, dim_ds, on="k", broadcast_limit=10,
+                             skew_ratio=4.0)
+    rows.append(("hot_fact", dec_b, int(out_b.count()), exact_hot))
+
+    out_c, dec_c = auto_join(fact, dim_ds, on="k", broadcast_limit=10,
+                             skew_ratio=1e9)
+    rows.append(("flat_forced_shuffle", dec_c, int(out_c.count()), exact_rows))
+
+    expected = {"small_dim": "broadcast", "hot_fact": "skew",
+                "flat_forced_shuffle": "shuffle"}
+    recs = []
+    for name, dec, got, exact in rows:
+        bound = np.e / 4096 * dec["left_rows"] * dec["right_rows"]
+        est_ok = exact <= dec["est_join_rows"] <= exact + 4 * bound + 1
+        recs.append({
+            "case": name,
+            "strategy": dec["strategy"],
+            "rows": got,
+            "exact_rows": exact,
+            "est_join_rows": dec["est_join_rows"],
+            "ok": bool(dec["strategy"] == expected[name]
+                       and got == exact and est_ok),
+        })
+    return pd.DataFrame(recs)

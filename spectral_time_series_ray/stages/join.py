@@ -780,3 +780,150 @@ def hash_groupby_sum(
         return g[cols].groupby(keys, as_index=False).sum()
 
     return tagged.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------- adaptive join planning
+
+
+def join_stats(ds, key: str, kmv_k: int = 1024, mg_k: int = 64,
+               cms_width: int = 4096, cms_depth: int = 4) -> dict:
+    """ONE streaming pass of per-block mergeable key statistics for
+    physical join planning — the optimizer-statistics story, built from
+    this repo's own sketch family:
+
+    - ``n_rows``          exact row count,
+    - ``kmv``             KMV/theta sketch of the key set (distinct
+                          estimate + set intersection vs the other side),
+    - ``mg``              Misra-Gries heavy-hitter summary (skew),
+    - ``cms``             Count-Min sketch of key frequencies (the CMS
+                          inner product estimates |A JOIN B| exactly as
+                          sum_k f_A(k) * f_B(k)).
+
+    Each block ships one row of serialized sketches; the driver merges
+    O(blocks) of them — never key values. Hashing follows the
+    schema-resolved scheme (`key_hash_scheme`), so both join sides of
+    an int key hash identically regardless of per-batch null promotion.
+    """
+    import pickle
+
+    import numpy as np
+
+    from ..functions.cms import CountMinSketch
+    from ..functions.heavy import mg_merge, mg_summarize
+    from ..functions.sketch import HyperLogLog, KMVSketch
+
+    scheme = key_hash_scheme(ds, key)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_key_column(batch[key], scheme, key)
+        # fmix64-finalize for the order-statistic sketch (raw FNV/
+        # splitmix low bits are fine for CMS buckets, not for KMV)
+        mixed = HyperLogLog._fmix64(np.asarray(h, np.uint64))
+        kmv = KMVSketch(k=kmv_k).add_hashes(mixed)
+        cms = CountMinSketch(width=cms_width, depth=cms_depth).add_hashes(h)
+        mg = mg_summarize(batch[key].to_numpy(), mg_k)
+        return pd.DataFrame({
+            "n": np.array([len(batch)], np.int64),
+            "kmv": [kmv.to_bytes()],
+            "cms": [cms.to_bytes()],
+            "mg": [pickle.dumps(mg)],
+        })
+
+    rows = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    kmv = KMVSketch(k=kmv_k)
+    cms = CountMinSketch(width=cms_width, depth=cms_depth)
+    mgs = []
+    for blob in rows["kmv"]:
+        kmv.merge(KMVSketch.from_bytes(blob))
+    for blob in rows["cms"]:
+        cms.merge(CountMinSketch.from_bytes(blob))
+    for blob in rows["mg"]:
+        import pickle as _p
+
+        mgs.append(_p.loads(blob))
+    return {
+        "key": key,
+        "n_rows": int(rows["n"].sum()),
+        "n_distinct": float(kmv.estimate()),
+        "kmv": kmv,
+        "cms": cms,
+        "mg": mg_merge(mgs, mg_k),
+    }
+
+
+def auto_join(
+    left_ds,
+    right_ds,
+    on: str,
+    broadcast_limit: int = 200_000,
+    skew_ratio: float = 8.0,
+    num_partitions: int | None = None,
+):
+    """Adaptive physical join selection from sketch statistics (the
+    cost-based-optimizer move, fully distributed statistics):
+
+    1. ``join_stats`` on both sides (one streaming pass each);
+    2. estimated output size = CMS inner product (Cormode &
+       Muthukrishnan 2005) — returned for memory planning;
+    3. strategy:
+       - ``broadcast``  smaller side fits ``broadcast_limit`` rows ->
+         fetch it once, ship via ``ray.put``, zero shuffle of the big
+         side (`broadcast_join`);
+       - ``skew``       the probe side has a Misra-Gries heavy hitter
+         >= ``skew_ratio`` x the mean key frequency AND the other side
+         is unique on the key (a dimension) -> hot keys replicate via
+         `skew_join`, cold keys hash-exchange;
+       - ``shuffle``    otherwise -> `partition_merge_join`.
+
+    Returns ``(joined_dataset, decision)`` where ``decision`` records
+    the strategy, both sides' stats and the estimated join rows —
+    surfaced so pipelines can log WHY a plan was chosen.
+    """
+    import numpy as np
+
+    ls = join_stats(left_ds, on)
+    rs = join_stats(right_ds, on)
+    est_rows = ls["cms"].inner_product(rs["cms"])
+
+    def hottest_ratio(st):
+        if not st["mg"] or st["n_distinct"] <= 0:
+            return 0.0
+        mean_freq = st["n_rows"] / max(st["n_distinct"], 1.0)
+        return max(st["mg"].values()) / max(mean_freq, 1e-9)
+
+    def is_dim(st):
+        # unique-on-key within KMV error (4/sqrt(k) relative band)
+        return abs(st["n_distinct"] - st["n_rows"]) <= max(
+            4.0 / np.sqrt(st["kmv"].k) * st["n_rows"], 1.0)
+
+    decision = {
+        "strategy": None,
+        "est_join_rows": int(est_rows),
+        "left_rows": ls["n_rows"], "right_rows": rs["n_rows"],
+        "left_distinct": round(ls["n_distinct"], 1),
+        "right_distinct": round(rs["n_distinct"], 1),
+        "left_hot_ratio": round(hottest_ratio(ls), 2),
+        "right_hot_ratio": round(hottest_ratio(rs), 2),
+    }
+
+    small, big = (ls, rs) if ls["n_rows"] <= rs["n_rows"] else (rs, ls)
+    if small["n_rows"] <= broadcast_limit:
+        small_ds = left_ds if small is ls else right_ds
+        big_ds = right_ds if small is ls else left_ds
+        decision["strategy"] = "broadcast"
+        out = broadcast_join(big_ds, small_ds.to_pandas(), on=on, how="inner")
+        return out, decision
+    if hottest_ratio(ls) >= skew_ratio and is_dim(rs):
+        decision["strategy"] = "skew"
+        out = skew_join(left_ds, right_ds, fact_key=on, dim_key=on,
+                        num_partitions=num_partitions)
+        return out, decision
+    if hottest_ratio(rs) >= skew_ratio and is_dim(ls):
+        decision["strategy"] = "skew"
+        out = skew_join(right_ds, left_ds, fact_key=on, dim_key=on,
+                        num_partitions=num_partitions)
+        return out, decision
+    decision["strategy"] = "shuffle"
+    out = partition_merge_join(left_ds, right_ds, on=on, how="inner",
+                               num_partitions=num_partitions)
+    return out, decision

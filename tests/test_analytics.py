@@ -101,7 +101,7 @@ def test_first_seen_cumulative_matches_direct(ray_session, events_df):
     from spectral_time_series_ray.stages.analytics import first_seen_cumulative
 
     ds = ray.data.from_pandas(events_df)
-    got = first_seen_cumulative(ds, key="user_id", ts_col="ts").to_pandas()
+    got = first_seen_cumulative(ds, key="user_id", ts_col="ts")  # pandas out
 
     first = events_df.assign(day=events_df["ts"].dt.floor("D")).groupby("user_id")[
         "day"
