@@ -924,6 +924,22 @@ def auto_join(
                         num_partitions=num_partitions)
         return out, decision
     decision["strategy"] = "shuffle"
-    out = partition_merge_join(left_ds, right_ds, on=on, how="inner",
+    # sketch-driven Bloom pushdown: when the KMV key-set overlap says
+    # most probe keys cannot match, filter them out BEFORE the exchange
+    # (false positives pass harmlessly; the join stays exact)
+    from ..functions.sketch import KMVSketch
+
+    inter = KMVSketch.intersection(ls["kmv"], rs["kmv"])
+    sel_l = inter / max(ls["n_distinct"], 1.0)
+    sel_r = inter / max(rs["n_distinct"], 1.0)
+    decision["key_overlap_est"] = round(float(inter), 1)
+    probe_l, probe_r = left_ds, right_ds
+    if sel_l < 0.5:
+        probe_l = bloom_semi_filter(left_ds, on, build_bloom(right_ds, on))
+        decision["bloom_prefilter"] = "left"
+    elif sel_r < 0.5:
+        probe_r = bloom_semi_filter(right_ds, on, build_bloom(left_ds, on))
+        decision["bloom_prefilter"] = "right"
+    out = partition_merge_join(probe_l, probe_r, on=on, how="inner",
                                num_partitions=num_partitions)
     return out, decision

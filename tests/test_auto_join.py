@@ -91,3 +91,29 @@ def test_auto_join_strategies_agree(ray_session):
     # the CMS estimate brackets the real output size
     assert dec["est_join_rows"] >= len(exp)
     assert dec["est_join_rows"] <= int(len(exp) * 1.2) + 100
+
+
+def test_auto_join_bloom_pushdown(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import auto_join
+
+    rng = np.random.default_rng(23)
+    # left keys 0..9999, right covers only 0..999 -> ~10% overlap
+    left = pd.DataFrame({"k": rng.integers(0, 10000, size=5000).astype(np.int64)})
+    left["x"] = np.arange(len(left))
+    right = pd.DataFrame({"k": rng.integers(0, 1000, size=4000).astype(np.int64)})
+    right["y"] = np.arange(len(right))
+    exp = left.merge(right, on="k", how="inner")
+
+    out, dec = auto_join(ray.data.from_pandas(left).repartition(4),
+                         ray.data.from_pandas(right).repartition(4),
+                         on="k", broadcast_limit=10, skew_ratio=1e9)
+    assert dec["strategy"] == "shuffle"
+    assert dec.get("bloom_prefilter") == "left"
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(out.to_pandas()), canon(exp))
