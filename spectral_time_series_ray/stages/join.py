@@ -855,6 +855,7 @@ def auto_join(
     left_ds,
     right_ds,
     on: str,
+    how: str = "inner",
     broadcast_limit: int = 200_000,
     skew_ratio: float = 8.0,
     num_partitions: int | None = None,
@@ -906,27 +907,40 @@ def auto_join(
         "right_hot_ratio": round(hottest_ratio(rs), 2),
     }
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"auto_join supports how='inner'|'left', got {how!r}")
+
     small, big = (ls, rs) if ls["n_rows"] <= rs["n_rows"] else (rs, ls)
-    if small["n_rows"] <= broadcast_limit:
+    # a LEFT join may only broadcast the RIGHT side: broadcasting the
+    # left would lose its unmatched rows
+    can_broadcast = (
+        small["n_rows"] <= broadcast_limit
+        and (how == "inner" or small is rs)
+    )
+    if can_broadcast:
         small_ds = left_ds if small is ls else right_ds
         big_ds = right_ds if small is ls else left_ds
         decision["strategy"] = "broadcast"
-        out = broadcast_join(big_ds, small_ds.to_pandas(), on=on, how="inner")
+        out = broadcast_join(big_ds, small_ds.to_pandas(), on=on,
+                             how="inner" if how == "inner" else "left")
         return out, decision
-    if hottest_ratio(ls) >= skew_ratio and is_dim(rs):
-        decision["strategy"] = "skew"
-        out = skew_join(left_ds, right_ds, fact_key=on, dim_key=on,
-                        num_partitions=num_partitions)
-        return out, decision
-    if hottest_ratio(rs) >= skew_ratio and is_dim(ls):
-        decision["strategy"] = "skew"
-        out = skew_join(right_ds, left_ds, fact_key=on, dim_key=on,
-                        num_partitions=num_partitions)
-        return out, decision
+    if how == "inner":  # skew_join is inner-only
+        if hottest_ratio(ls) >= skew_ratio and is_dim(rs):
+            decision["strategy"] = "skew"
+            out = skew_join(left_ds, right_ds, fact_key=on, dim_key=on,
+                            num_partitions=num_partitions)
+            return out, decision
+        if hottest_ratio(rs) >= skew_ratio and is_dim(ls):
+            decision["strategy"] = "skew"
+            out = skew_join(right_ds, left_ds, fact_key=on, dim_key=on,
+                            num_partitions=num_partitions)
+            return out, decision
     decision["strategy"] = "shuffle"
     # sketch-driven Bloom pushdown: when the KMV key-set overlap says
     # most probe keys cannot match, filter them out BEFORE the exchange
-    # (false positives pass harmlessly; the join stays exact)
+    # (false positives pass harmlessly; the join stays exact). A LEFT
+    # join must keep its unmatched left rows, so only the right side
+    # may be prefiltered there.
     from ..functions.sketch import KMVSketch
 
     inter = KMVSketch.intersection(ls["kmv"], rs["kmv"])
@@ -934,12 +948,14 @@ def auto_join(
     sel_r = inter / max(rs["n_distinct"], 1.0)
     decision["key_overlap_est"] = round(float(inter), 1)
     probe_l, probe_r = left_ds, right_ds
-    if sel_l < 0.5:
+    if sel_l < 0.5 and how == "inner":
         probe_l = bloom_semi_filter(left_ds, on, build_bloom(right_ds, on))
         decision["bloom_prefilter"] = "left"
     elif sel_r < 0.5:
         probe_r = bloom_semi_filter(right_ds, on, build_bloom(left_ds, on))
         decision["bloom_prefilter"] = "right"
-    out = partition_merge_join(probe_l, probe_r, on=on, how="inner",
-                               num_partitions=num_partitions)
+    out = partition_merge_join(
+        probe_l, probe_r, on=on,
+        how="inner" if how == "inner" else "left_outer",
+        num_partitions=num_partitions)
     return out, decision

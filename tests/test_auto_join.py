@@ -117,3 +117,35 @@ def test_auto_join_bloom_pushdown(ray_session):
         return df[cols].sort_values(cols).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(out.to_pandas()), canon(exp))
+
+
+def test_auto_join_left_outer(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import auto_join
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({"k": rng.integers(0, 2000, size=3000).astype(np.int64)})
+    left["x"] = np.arange(len(left))
+    right = pd.DataFrame({"k": np.arange(300, dtype=np.int64),
+                          "y": np.arange(300)})
+    exp = left.merge(right, on="k", how="left")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    l_ds = ray.data.from_pandas(left).repartition(4)
+    r_ds = ray.data.from_pandas(right).repartition(2)
+
+    # small right side -> broadcast-left
+    out, dec = auto_join(l_ds, r_ds, on="k", how="left")
+    assert dec["strategy"] == "broadcast"
+    pd.testing.assert_frame_equal(canon(out.to_pandas()), canon(exp))
+
+    # forced shuffle: unmatched left rows must survive; only the RIGHT
+    # side may be Bloom-prefiltered in a left join
+    out2, dec2 = auto_join(l_ds, r_ds, on="k", how="left", broadcast_limit=10)
+    assert dec2["strategy"] == "shuffle"
+    assert dec2.get("bloom_prefilter") != "left"
+    pd.testing.assert_frame_equal(canon(out2.to_pandas()), canon(exp))
