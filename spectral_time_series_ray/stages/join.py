@@ -843,6 +843,7 @@ def join_stats(ds, key: str, kmv_k: int = 1024, mg_k: int = 64,
         mgs.append(_p.loads(blob))
     return {
         "key": key,
+        "scheme": scheme,
         "n_rows": int(rows["n"].sum()),
         "n_distinct": float(kmv.estimate()),
         "kmv": kmv,
@@ -909,6 +910,14 @@ def auto_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"auto_join supports how='inner'|'left', got {how!r}")
+    if ls["scheme"] != rs["scheme"]:
+        # an int64 side and a string side hash under different schemes:
+        # every sketch comparison (CMS inner product, KMV overlap) and
+        # the exchange itself would silently mismatch — refuse
+        raise TypeError(
+            f"join key {on!r} resolves to scheme {ls['scheme']!r} on the left "
+            f"but {rs['scheme']!r} on the right; cast one side first"
+        )
 
     small, big = (ls, rs) if ls["n_rows"] <= rs["n_rows"] else (rs, ls)
     # a LEFT join may only broadcast the RIGHT side: broadcasting the
