@@ -5097,6 +5097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_distinct_hll": Q.ev_distinct_hll,
         "ev_kmv_overlap": Q.ev_kmv_overlap,
         "ev_auto_join": Q.ev_auto_join,
+        "ev_seasonal_decompose": Q.ev_seasonal_decompose,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
@@ -5737,6 +5738,36 @@ def oracle_sql() -> dict[str, str]:
                     and frac_dup_words <= 0.6
                     and top_word_frac <= 0.2) as passes
             from agg
+        """,
+        "ev_seasonal_decompose": """
+            with r as (
+              select user_id, date_trunc('hour', ts) as m,
+                     cast(count(*) as bigint) as n
+              from events group by 1, 2),
+            b as (select user_id, min(m) as lo, max(m) as hi
+                  from r group by 1),
+            grid as (
+              select user_id,
+                     unnest(generate_series(lo, hi, interval 1 hour)) as hs
+              from b),
+            dense as (
+              select g.user_id, g.hs, coalesce(r.n, 0) as x
+              from grid g
+              left join r on r.user_id = g.user_id and r.m = g.hs),
+            t as (
+              select *, avg(x) over (
+                partition by user_id order by hs
+                rows between 12 preceding and 12 following) as trend
+              from dense),
+            s as (
+              select *, avg(x - trend) over (
+                partition by user_id, extract(hour from hs)) as seasonal
+              from t)
+            select user_id, hs, cast(x as bigint) as x,
+                   round(trend, 6) as trend,
+                   round(seasonal, 6) as seasonal,
+                   round(x - trend - seasonal, 6) as resid
+            from s
         """,
         "ev_auto_join": """
             select c_mktsegment,

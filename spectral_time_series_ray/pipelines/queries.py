@@ -4246,3 +4246,63 @@ def tr_join_planner(sf_dir: str):
                        and got == exact and est_ok),
         })
     return pd.DataFrame(recs)
+
+
+def ev_seasonal_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition per user over the
+    DENSE hourly event-count series (the moving-average decomposition
+    behind STL, Cleveland et al. 1990 §2, with a +/-12h centered
+    shrinking-edge trend window and hour-of-day seasonal means):
+    ``x = trend + seasonal + resid``. Counts are integers, so the
+    trend's window sums are exact on both engine and oracle; the
+    per-(user, hour-of-day) seasonal mean and residual round at 1e-6.
+    Distributed shape: one int-keyed (user, hour) count exchange, then
+    per-user vectorized densify+decompose (users are a bounded
+    dimension; the dense grid is calendar-bounded per user)."""
+    from ..stages.join import hash_groupby_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def hour_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "hs": batch["ts"].dt.floor("h"),
+            "x": np.int64(1),
+        })
+
+    counts = hash_groupby_sum(
+        ds.map_batches(hour_counts, batch_format="pandas", batch_size=None),
+        ("user_id", "hs"), ("x",),
+    )
+
+    def decomp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hs")
+        lo, hi = g["hs"].iloc[0], g["hs"].iloc[-1]
+        grid = pd.date_range(lo, hi, freq="h")
+        x = np.zeros(len(grid), dtype=np.int64)
+        pos = ((g["hs"].to_numpy() - lo.to_datetime64())
+               // np.timedelta64(1, "h")).astype(np.int64)
+        x[pos] = g["x"].to_numpy(np.int64)
+        n = len(grid)
+        cs = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+        i = np.arange(n)
+        lo_i = np.maximum(0, i - 12)
+        hi_i = np.minimum(n - 1, i + 12)
+        wsum = cs[hi_i + 1] - cs[lo_i]
+        cnt = hi_i - lo_i + 1
+        trend = wsum / cnt  # exact: integer sums / integer counts
+        det = x - trend
+        hod = grid.hour.to_numpy()
+        seasonal = (np.bincount(hod, weights=det, minlength=24)
+                    / np.maximum(np.bincount(hod, minlength=24), 1))[hod]
+        resid = x - trend - seasonal
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "hs": grid,
+            "x": x,
+            "trend": round_half_away(trend, 6),
+            "seasonal": round_half_away(seasonal, 6),
+            "resid": round_half_away(resid, 6),
+        })
+
+    return counts.groupby("user_id").map_groups(decomp, batch_format="pandas")
