@@ -5098,6 +5098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_kmv_overlap": Q.ev_kmv_overlap,
         "ev_auto_join": Q.ev_auto_join,
         "ev_seasonal_decompose": Q.ev_seasonal_decompose,
+        "ev_psi_drift": Q.ev_psi_drift,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
@@ -5738,6 +5739,33 @@ def oracle_sql() -> dict[str, str]:
                     and frac_dup_words <= 0.6
                     and top_word_frac <= 0.2) as passes
             from agg
+        """,
+        "ev_psi_drift": """
+            with binned as (
+              select case when ts >= timestamp '2024-01-15' then 1 else 0
+                     end as half,
+                     cast(floor(value / 50.0) as bigint) as bin
+              from events),
+            c as (select half, bin, cast(count(*) as bigint) as n
+                  from binned group by 1, 2),
+            tot as (select half, sum(n) as tn from c group by 1),
+            piv as (
+              select bin,
+                     sum(case when half = 0 then n else 0 end) as n0,
+                     sum(case when half = 1 then n else 0 end) as n1
+              from c group by 1),
+            shares as (
+              select p.bin,
+                     p.n0 * 1.0 / (select tn from tot where half = 0) as p,
+                     p.n1 * 1.0 / (select tn from tot where half = 1) as q
+              from piv p where p.n0 > 0 and p.n1 > 0)
+            select round(sum((p - q) * ln(p / q)), 6) as psi,
+                   cast(count(*) as bigint) as n_bins_used,
+                   (select cast(tn as bigint) from tot where half = 0)
+                     as n_first,
+                   (select cast(tn as bigint) from tot where half = 1)
+                     as n_second
+            from shares
         """,
         "ev_seasonal_decompose": """
             with r as (

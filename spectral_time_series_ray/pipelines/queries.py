@@ -4306,3 +4306,43 @@ def ev_seasonal_decompose(sf_dir: str):
         })
 
     return counts.groupby("user_id").map_groups(decomp, batch_format="pandas")
+
+
+def ev_psi_drift(sf_dir: str):
+    """Population-stability-index drift of the event value distribution
+    between the two halves of the month (the standard ML-ops feature-
+    drift score): fixed-width value bins, per-half shares p/q, PSI =
+    sum (p - q) * ln(p / q) over bins populated in BOTH halves.
+    Distributed shape: per-block pyarrow bin-count partials (one
+    (half, bin) row per block, no value shuffle), tiny driver finish.
+    The oracle replicates the whole expression in SQL; ln agrees to
+    the 1e-6 rounding on both sides."""
+    split = np.datetime64("2024-01-15", "us")
+    bin_w = 50.0
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        half = (batch["ts"].to_numpy() >= split).astype(np.int64)
+        b = np.floor(batch["value"].to_numpy(np.float64) / bin_w).astype(np.int64)
+        df = pd.DataFrame({"half": half, "bin": b})
+        out = df.value_counts(["half", "bin"]).reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    agg = parts.groupby(["half", "bin"], as_index=False)["n"].sum()
+    piv = agg.pivot(index="bin", columns="half", values="n").fillna(0)
+    n0 = float(piv[0].sum()) if 0 in piv.columns else 0.0
+    n1 = float(piv[1].sum()) if 1 in piv.columns else 0.0
+    both = piv[(piv.get(0, 0) > 0) & (piv.get(1, 0) > 0)]
+    p = both[0].to_numpy(np.float64) / n0
+    q = both[1].to_numpy(np.float64) / n1
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    return pd.DataFrame({
+        "psi": [round_half_away(np.array([psi]), 6)[0]],
+        "n_bins_used": np.array([len(both)], np.int64),
+        "n_first": np.array([int(n0)], np.int64),
+        "n_second": np.array([int(n1)], np.int64),
+    })
