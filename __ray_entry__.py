@@ -5099,6 +5099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_auto_join": Q.ev_auto_join,
         "ev_seasonal_decompose": Q.ev_seasonal_decompose,
         "ev_psi_drift": Q.ev_psi_drift,
+        "ev_ols_trend": Q.ev_ols_trend,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
@@ -5739,6 +5740,32 @@ def oracle_sql() -> dict[str, str]:
                     and frac_dup_words <= 0.6
                     and top_word_frac <= 0.2) as passes
             from agg
+        """,
+        "ev_ols_trend": """
+            with r as (
+              select user_id, date_trunc('hour', ts) as h,
+                     cast(count(*) as bigint) as y
+              from events group by 1, 2),
+            b as (select user_id, min(h) as lo from r group by 1),
+            d as (
+              select r.user_id,
+                     cast(date_diff('hour', b.lo, r.h) as bigint) as t, y
+              from r join b using (user_id)),
+            s as (
+              select user_id, cast(count(*) as bigint) as n,
+                     sum(t) as st, sum(y) as sy, sum(t*t) as stt,
+                     sum(t*y) as sty, sum(y*y) as syy
+              from d group by 1)
+            select user_id, n as n_hours,
+                   round((n*sty - st*sy) * 1.0
+                         / (n*stt - st*st), 6) as slope,
+                   round((sy - ((n*sty - st*sy) * 1.0
+                                / (n*stt - st*st)) * st) / n, 6)
+                     as intercept,
+                   round(((n*sty - st*sy) * (n*sty - st*sy)) * 1.0
+                         / ((n*stt - st*st) * (n*syy - sy*sy)), 6) as r2
+            from s
+            where n >= 2 and (n*stt - st*st) > 0 and (n*syy - sy*sy) > 0
         """,
         "ev_psi_drift": """
             with binned as (

@@ -4346,3 +4346,58 @@ def ev_psi_drift(sf_dir: str):
         "n_first": np.array([int(n0)], np.int64),
         "n_second": np.array([int(n1)], np.int64),
     })
+
+
+def ev_ols_trend(sf_dir: str):
+    """Per-user OLS trend of hourly event counts, EXACT against SQL:
+    slope/intercept/R^2 are computed from integer sufficient statistics
+    (n, St, Sy, Stt, Sty, Syy with t = hours since the user's first
+    active hour, y = hourly count) — every sum is integer-valued and
+    < 2^53, so engine and DuckDB produce bit-identical doubles from
+    the closed-form expressions. Users with fewer than 2 active hours
+    or zero count variance are excluded on both sides. Complements the
+    robust Theil-Sen entry with the classical estimator."""
+    from ..stages.join import hash_groupby_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def hour_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "h": batch["ts"].dt.floor("h"),
+            "y": np.int64(1),
+        })
+
+    counts = hash_groupby_sum(
+        ds.map_batches(hour_counts, batch_format="pandas", batch_size=None),
+        ("user_id", "h"), ("y",),
+    )
+
+    def ols(g: pd.DataFrame) -> pd.DataFrame:
+        h = pd.to_datetime(g["h"])
+        t = ((h - h.min()) // pd.Timedelta(hours=1)).to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        n = len(g)
+        st, sy = int(t.sum()), int(y.sum())
+        stt, sty, syy = int((t * t).sum()), int((t * y).sum()), int((y * y).sum())
+        dx = n * stt - st * st
+        dy = n * syy - sy * sy
+        if n < 2 or dx == 0 or dy == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=object),
+                                 "n_hours": pd.Series([], dtype=np.int64),
+                                 "slope": pd.Series([], dtype=np.float64),
+                                 "intercept": pd.Series([], dtype=np.float64),
+                                 "r2": pd.Series([], dtype=np.float64)})
+        cov = n * sty - st * sy
+        slope = cov / dx
+        intercept = (sy - slope * st) / n
+        r2 = (cov * cov) / (dx * dy)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_hours": np.array([n], np.int64),
+            "slope": round_half_away(np.array([slope]), 6),
+            "intercept": round_half_away(np.array([intercept]), 6),
+            "r2": round_half_away(np.array([r2]), 6),
+        })
+
+    return counts.groupby("user_id").map_groups(ols, batch_format="pandas")
