@@ -5100,6 +5100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_seasonal_decompose": Q.ev_seasonal_decompose,
         "ev_psi_drift": Q.ev_psi_drift,
         "ev_ols_trend": Q.ev_ols_trend,
+        "ev_conformal_interval": Q.ev_conformal_interval,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
@@ -5740,6 +5741,55 @@ def oracle_sql() -> dict[str, str]:
                     and frac_dup_words <= 0.6
                     and top_word_frac <= 0.2) as passes
             from agg
+        """,
+        "ev_conformal_interval": """
+            with bounds as (
+              select date_trunc('hour', min(ts)) as lo,
+                     date_trunc('hour', max(ts)) as hi
+              from events),
+            grid as (
+              select unnest(generate_series(lo, hi, interval 1 hour)) as hs
+              from bounds),
+            nh as (select cast(count(*) as bigint) as n_hours from grid),
+            users as (select distinct user_id from events),
+            r as (
+              select user_id, date_trunc('hour', ts) as h,
+                     cast(count(*) as bigint) as n
+              from events group by 1, 2),
+            dense as (
+              select u.user_id, g.hs, coalesce(r.n, 0) as x
+              from users u cross join grid g
+              left join r on r.user_id = u.user_id and r.h = g.hs),
+            lagd as (
+              select user_id, hs, x,
+                     lag(x, 24) over (partition by user_id
+                                      order by hs) as f,
+                     row_number() over (partition by user_id
+                                        order by hs) - 1 as t
+              from dense),
+            err as (
+              select user_id, t, abs(x - f) as ae
+              from lagd where f is not null),
+            cal as (
+              select user_id, quantile_cont(ae, 0.9) as width,
+                     cast(count(*) as bigint) as n_cal
+              from err cross join nh
+              where t < cast(floor(n_hours * 0.75) as bigint)
+              group by 1),
+            test as (
+              select e.user_id,
+                     avg(case when e.ae <= c.width then 1.0
+                         else 0.0 end) as cov,
+                     cast(count(*) as bigint) as n_test
+              from err e
+              join cal c using (user_id)
+              cross join nh
+              where e.t >= cast(floor(n_hours * 0.75) as bigint)
+              group by 1)
+            select t.user_id, c.n_cal, t.n_test,
+                   round(c.width, 6) as width,
+                   round(t.cov, 6) as coverage
+            from test t join cal c using (user_id)
         """,
         "ev_ols_trend": """
             with r as (
