@@ -5101,6 +5101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_psi_drift": Q.ev_psi_drift,
         "ev_ols_trend": Q.ev_ols_trend,
         "ev_conformal_interval": Q.ev_conformal_interval,
+        "ev_mann_kendall": Q.ev_mann_kendall,
+        "ev_gini_concentration": Q.ev_gini_concentration,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
@@ -5741,6 +5743,56 @@ def oracle_sql() -> dict[str, str]:
                     and frac_dup_words <= 0.6
                     and top_word_frac <= 0.2) as passes
             from agg
+        """,
+        "ev_mann_kendall": """
+            with d as (
+              select user_id, date_trunc('day', ts) as t,
+                     cast(count(*) as bigint) as x
+              from events group by 1, 2),
+            nn as (select user_id, cast(count(*) as bigint) as nd
+                   from d group by 1),
+            s as (
+              select a.user_id,
+                     cast(sum(case when b.x > a.x then 1
+                              when b.x < a.x then -1 else 0 end)
+                          as bigint) as s
+              from d a join d b
+                on a.user_id = b.user_id and a.t < b.t
+              group by 1),
+            ties as (
+              select user_id, sum(c * (c - 1) * (2 * c + 5)) as tie
+              from (select user_id, x, cast(count(*) as bigint) as c
+                    from d group by 1, 2)
+              group by 1),
+            j as (
+              select nn.user_id, nn.nd, coalesce(s.s, 0) as s,
+                     coalesce(ties.tie, 0) as tie
+              from nn
+              left join s using (user_id)
+              left join ties using (user_id)
+              where nn.nd >= 3)
+            select user_id, nd as n_days, s as s_stat,
+                   round((nd*(nd-1)*(2*nd+5) - tie) / 18.0, 6) as var_s,
+                   round(case
+                     when s > 0 then (s - 1)
+                       / sqrt((nd*(nd-1)*(2*nd+5) - tie) / 18.0)
+                     when s < 0 then (s + 1)
+                       / sqrt((nd*(nd-1)*(2*nd+5) - tie) / 18.0)
+                     else 0.0 end, 6) as z
+            from j
+        """,
+        "ev_gini_concentration": """
+            with t as (
+              select user_id, cast(count(*) as bigint) as n
+              from events group by 1),
+            r as (
+              select n, row_number() over (order by n, user_id) as i
+              from t)
+            select cast(count(*) as bigint) as n_users,
+                   cast(sum(n) as bigint) as total_events,
+                   round(2.0 * sum(i * n) / (count(*) * sum(n))
+                         - (count(*) + 1) * 1.0 / count(*), 6) as gini
+            from r
         """,
         "ev_conformal_interval": """
             with bounds as (

@@ -4468,3 +4468,90 @@ def ev_conformal_interval(sf_dir: str):
         })
 
     return counts.groupby("user_id").map_groups(conformal, batch_format="pandas")
+
+
+def ev_mann_kendall(sf_dir: str):
+    """Mann-Kendall non-parametric trend test per user over DAILY event
+    counts (Mann 1945; Kendall 1975, with the tie-corrected variance):
+    S = sum of sign(x_j - x_i) over ordered day pairs, Var(S) from the
+    tie-group formula, z with the +/-1 continuity correction — every
+    intermediate is an integer, so engine and SQL agree bit-for-bit up
+    to the final sqrt/division (rounded 1e-6). The O(days^2) pair scan
+    is per user on a calendar-bounded series (31 days here), vectorized
+    via sign-matrix sum."""
+    from ..stages.join import hash_groupby_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "d": batch["ts"].dt.floor("D"),
+            "n": np.int64(1),
+        })
+
+    counts = hash_groupby_sum(
+        ds.map_batches(day_counts, batch_format="pandas", batch_size=None),
+        ("user_id", "d"), ("n",),
+    )
+
+    def mk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("d")
+        x = g["n"].to_numpy(np.int64)
+        n = len(x)
+        if n < 3:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=object),
+                                 "n_days": pd.Series([], dtype=np.int64),
+                                 "s_stat": pd.Series([], dtype=np.int64),
+                                 "var_s": pd.Series([], dtype=np.float64),
+                                 "z": pd.Series([], dtype=np.float64)})
+        diff = np.sign(x[None, :] - x[:, None])
+        s = int(np.triu(diff, k=1).sum())
+        _, tie_counts = np.unique(x, return_counts=True)
+        ties = int(np.sum(tie_counts * (tie_counts - 1) * (2 * tie_counts + 5)))
+        var_s = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+        if s > 0:
+            z = (s - 1) / np.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / np.sqrt(var_s)
+        else:
+            z = 0.0
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_days": np.array([n], np.int64),
+            "s_stat": np.array([s], np.int64),
+            "var_s": round_half_away(np.array([var_s]), 6),
+            "z": round_half_away(np.array([float(z)]), 6),
+        })
+
+    return counts.groupby("user_id").map_groups(mk, batch_format="pandas")
+
+
+def ev_gini_concentration(sf_dir: str):
+    """Gini coefficient of per-user event-count concentration (the
+    sorted-rank closed form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending counts): integer rank/count sums make the ratio exact on
+    both sides. Per-user totals via one int-keyed exchange; the final
+    n-user sorted sweep is a bounded-dimension driver step."""
+    from ..stages.join import hash_groupby_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def ones(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": batch["user_id"].to_numpy(),
+                             "n": np.int64(1)})
+
+    totals = hash_groupby_sum(
+        ds.map_batches(ones, batch_format="pandas", batch_size=None),
+        "user_id", ("n",),
+    ).to_pandas()
+    x = np.sort(totals["n"].to_numpy(np.int64))
+    n = len(x)
+    tot = int(x.sum())
+    weighted = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    gini = 2.0 * weighted / (n * tot) - (n + 1) / n
+    return pd.DataFrame({
+        "n_users": np.array([n], np.int64),
+        "total_events": np.array([tot], np.int64),
+        "gini": round_half_away(np.array([gini]), 6),
+    })
