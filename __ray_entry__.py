@@ -4960,11 +4960,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_interval_coverage": Q.ev_interval_coverage,
         "ev_asof_purchase": Q.ev_asof_purchase,
         "ev_window_funcs": Q.ev_window_funcs,
-        "ev_rank_funcs": Q.ev_rank_funcs,
+        "ev_auto_join": Q.ev_auto_join,
         "ev_range_join": Q.ev_range_join,
         "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_m4_downsample": Q.ev_m4_downsample,
-        "ev_naive_forecast": Q.ev_naive_forecast,
+        "ev_seasonal_decompose": Q.ev_seasonal_decompose,
         "ev_seasonal_mase": Q.ev_seasonal_mase,
         "ev_user_scaler": Q.ev_user_scaler,
         "ev_multivariate_precond": Q.ev_multivariate_precond,
@@ -5096,8 +5096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_quantile_tdigest": Q.ev_quantile_tdigest,
         "ev_distinct_hll": Q.ev_distinct_hll,
         "ev_kmv_overlap": Q.ev_kmv_overlap,
-        "ev_auto_join": Q.ev_auto_join,
-        "ev_seasonal_decompose": Q.ev_seasonal_decompose,
+        "ev_rank_funcs": Q.ev_rank_funcs,
+        "ev_naive_forecast": Q.ev_naive_forecast,
         "ev_psi_drift": Q.ev_psi_drift,
         "ev_ols_trend": Q.ev_ols_trend,
         "ev_conformal_interval": Q.ev_conformal_interval,
