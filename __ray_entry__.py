@@ -5102,6 +5102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ols_trend": Q.ev_ols_trend,
         "ev_conformal_interval": Q.ev_conformal_interval,
         "ev_mann_kendall": Q.ev_mann_kendall,
+        "ev_ntile": Q.ev_ntile,
         "ev_gini_concentration": Q.ev_gini_concentration,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
@@ -5743,6 +5744,13 @@ def oracle_sql() -> dict[str, str]:
                     and frac_dup_words <= 0.6
                     and top_word_frac <= 0.2) as passes
             from agg
+        """,
+        "ev_ntile": """
+            select event_id, user_id,
+                   cast(ntile(4) over (partition by user_id
+                                       order by ts, event_id) as bigint)
+                     as bucket
+            from events
         """,
         "ev_mann_kendall": """
             with d as (

@@ -4555,3 +4555,16 @@ def ev_gini_concentration(sf_dir: str):
         "total_events": np.array([tot], np.int64),
         "gini": round_half_away(np.array([gini]), 6),
     })
+
+
+def ev_ntile(sf_dir: str):
+    """``ntile(4) over (partition by user_id order by ts, event_id)``
+    with the exact ANSI uneven-bucket rule (`features.analytic_ntile`,
+    one int-keyed shuffle + segmented numpy pass) — completes the
+    analytic window family (row_number/lag/lead/rank/dense_rank/
+    running/trailing sums/ntile)."""
+    from ..stages.features import analytic_ntile
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = analytic_ntile(ds, key="user_id", order_cols=("ts", "event_id"), k=4)
+    return out.select_columns(["event_id", "user_id", "bucket"])

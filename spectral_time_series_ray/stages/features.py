@@ -758,3 +758,71 @@ def analytic_edge_funcs(
     return (
         ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
     )
+
+
+def analytic_ntile(
+    ds,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    k: int = 4,
+    id_cols: tuple[str, ...] = ("event_id",),
+    num_partitions: int | None = None,
+):
+    """SQL ``ntile(k) over (partition by key order by order_cols)`` —
+    the exact ANSI bucket rule: with n rows and r = n mod k, the first
+    r buckets get ``n // k + 1`` rows, the rest ``n // k``. Same scale
+    shape as :func:`analytic_window_funcs`: one int-keyed hash shuffle,
+    one lexsort + segmented pass per partition."""
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, *order_cols, *id_cols)))
+    tagged = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+
+    def partition_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=object) for c in keep}
+            cols["bucket"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        codes, _ = pd.factorize(df[key], sort=False)
+        sort_keys = [df[c].to_numpy() for c in reversed(order_cols)]
+        order = np.lexsort((*sort_keys, codes))
+        codes_s = codes[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        rn0 = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+        seg_n = np.repeat(seg_len, seg_len)
+        bs = seg_n // k
+        r = seg_n % k
+        big_span = r * (bs + 1)
+        in_big = rn0 < big_span
+        bucket = np.where(
+            in_big,
+            rn0 // np.maximum(bs + 1, 1) + 1,
+            r + np.where(bs > 0, (rn0 - big_span) // np.maximum(bs, 1), 0) + 1,
+        ).astype(np.int64)
+        out = df.iloc[order][keep].reset_index(drop=True)
+        out["bucket"] = bucket
+        return out
+
+    return tagged.groupby("_part").map_groups(partition_fn, batch_format="pandas")
