@@ -104,3 +104,56 @@ def test_kalman_smoother_equals_gp_posterior(seed, n):
     _, ms, ps = kalman_local_level(y, q, r, mu0=mu0, p0=p0)
     assert np.abs(ms - post).max() < 1e-6
     assert (ps >= -1e-12).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    k=st.integers(16, 256),
+    shards=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_kmv_merge_equals_whole_stream(n, k, shards, seed):
+    from spectral_time_series_ray.functions.sketch import KMVSketch
+
+    rng = np.random.default_rng(seed)
+    items = [f"it-{i}" for i in rng.integers(0, n * 2, size=n)]
+    whole = KMVSketch(k=k).add_strings(items)
+    acc = KMVSketch(k=k)
+    for s in range(shards):
+        acc.merge(KMVSketch(k=k).add_strings(items[s::shards]))
+    assert np.array_equal(acc.values, whole.values)
+    n_distinct = len(set(items))
+    if n_distinct < k:
+        assert whole.estimate() == float(n_distinct)  # exact below capacity
+    # intersection is symmetric and self-intersection ~= cardinality
+    other = KMVSketch(k=k).add_strings(items[: max(1, n // 2)])
+    a = KMVSketch.intersection(whole, other)
+    b = KMVSketch.intersection(other, whole)
+    assert a == b
+    self_est = KMVSketch.intersection(whole, whole)
+    assert self_est > 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_words=st.integers(1, 300),
+    vocab=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+)
+def test_gopher_rules_invariants(n_words, vocab, seed):
+    import pandas as pd
+
+    from spectral_time_series_ray.stages.text import GopherRules
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{int(i)}" for i in rng.integers(0, vocab, size=n_words)]
+    batch = pd.DataFrame({"doc_id": [1], "text": [" ".join(words)]})
+    out = GopherRules()(batch).iloc[0]
+    assert out["n_words"] == n_words
+    assert 0.0 <= out["frac_dup_words"] < 1.0
+    assert out["top_word_frac"] >= 1.0 / n_words - 1e-12
+    assert out["top_word_frac"] <= 1.0
+    assert out["frac_dup_words"] == 1.0 - len(set(words)) / n_words
+    assert out["mean_word_len"] == np.mean([len(w) for w in words])
+    assert 0 <= out["n_stop"] <= 10
