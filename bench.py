@@ -184,7 +184,12 @@ def run_bench() -> dict:
                      # round-3 part 14: rank fusion, SFT pair
                      # extraction, decay scoring, lossy PLA
                      "doc_hybrid_rrf", "tr_sft_pairs",
-                     "ev_decay_score", "tr_pla"):
+                     "ev_decay_score", "tr_pla",
+                     # round-3 late: exact set-similarity join,
+                     # adaptive join planner, STL decomposition,
+                     # MinHash dedup after the exchange rework
+                     "doc_ssjoin", "ev_auto_join",
+                     "ev_seasonal_decompose", "doc_minhash_dedup"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):
