@@ -520,3 +520,24 @@ def refresh_view(root: str, src_tier: str, view_tier: str, view_fn,
         (deleted | (changed - set(new_parts))) & set(old_parts)
     )
     return out
+
+
+def maintain(root: str, tier: str, target_bytes: int = 128 << 20,
+             keep_last: int = 2) -> dict:
+    """One-call maintenance policy for a snapshot tier — the scheduled
+    OPTIMIZE+VACUUM job every lakehouse runs: compact over-fragmented
+    HEAD partitions (new immutable files + one snapshot publish, pinned
+    readers unaffected), then expire history beyond ``keep_last`` and
+    delete unreferenced files (including any orphan run dirs from
+    crashed writers). Returns a combined report; a no-op when the tier
+    is already compact and within retention."""
+    compacted = compact_snapshot(root, tier, target_bytes=target_bytes)
+    vac = vacuum_snapshots(root, tier, keep_last=keep_last)
+    return {
+        "partitions_compacted": len(compacted),
+        "files_merged": sum(b for b, _ in compacted.values()),
+        "files_after": sum(a for _, a in compacted.values()),
+        "snapshots_expired": vac["snapshots_expired"],
+        "files_deleted": vac["files_deleted"],
+        "head_version": snapshot_meta(root, tier)["version"],
+    }

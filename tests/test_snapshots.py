@@ -320,3 +320,23 @@ def test_refresh_view_rejects_non_partition_local(ray_session, tmp_path):
 
     with pytest.raises(RuntimeError, match="partition-local"):
         refresh_view(root, "1m", "bad_view", bad_view)
+
+
+def test_maintain_policy(ray_session, tmp_path):
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import maintain
+
+    root = str(tmp_path / "store")
+    base = _merge(_frame(days=2, rows_per_day=4))
+    commit_snapshot(ray.data.from_pandas(base).repartition(6), root, "1h")
+    rep = maintain(root, "1h", target_bytes=1 << 30, keep_last=1)
+    assert rep["partitions_compacted"] >= 1
+    assert rep["files_after"] < rep["files_merged"]
+    assert rep["snapshots_expired"] == 1  # pre-compaction version expired
+    assert rep["files_deleted"] >= 1
+    out = read_snapshot(root, "1h").to_pandas()
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(base))
+    # idempotent second run: nothing left to do
+    rep2 = maintain(root, "1h", target_bytes=1 << 30, keep_last=1)
+    assert rep2["partitions_compacted"] == 0 and rep2["files_deleted"] == 0
