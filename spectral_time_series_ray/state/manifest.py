@@ -241,16 +241,29 @@ def compact_partitions(
         return results
     manifests = {m["date"]: m for m in read_manifests(out_root, tier)}
 
+    # crash recovery FIRST, as its own pass: a crash between
+    # rmtree(live) and rename(staging) leaves ONLY the staging dir, so
+    # a scan keyed on live `date=` dirs can never see the victim (the
+    # old per-partition recovery check was dead code — caught by the
+    # interrupted-swap test). A staging dir alongside a LIVE partition
+    # means the crash came before the rmtree: the live data is
+    # complete, discard the staging copy and re-compact normally.
+    for stale in sorted(os.listdir(tier_dir)):
+        if ".compact-" not in stale:
+            continue
+        base = os.path.join(tier_dir, stale.split(".compact-")[0])
+        spath = os.path.join(tier_dir, stale)
+        if os.path.isdir(base):
+            shutil.rmtree(spath)
+        else:
+            os.rename(spath, base)
+
     todo: list[tuple[str, str, list[str], int]] = []
     for name in sorted(os.listdir(tier_dir)):
-        if not name.startswith("date="):
+        if not name.startswith("date=") or ".compact-" in name:
             continue
         date = name.split("=", 1)[1]
         pdir = os.path.join(tier_dir, name)
-        # finish an interrupted swap from a crashed prior run
-        for stale in os.listdir(tier_dir):
-            if stale.startswith(name + ".compact-") and not os.path.isdir(pdir):
-                os.rename(os.path.join(tier_dir, stale), pdir)
         files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
         if not files:
             continue

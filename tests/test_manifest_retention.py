@@ -215,3 +215,57 @@ def test_erase_users_empties_whole_partition(ray_session, tmp_path):
     assert [m["date"] for m in mans] == ["2024-03-02"]
     left = _read_all(os.path.join(root, "tier=1m"))
     assert set(left["conv_id"]) == {"other"} and len(left) == 3
+
+
+def test_compaction_finishes_interrupted_swap(rolled, tmp_path):
+    """Crash between ``rmtree(pdir)`` and ``rename(staging)`` leaves a
+    completed staging dir and no live partition; the next run must
+    finish the rename before compacting, and the data must be intact."""
+    import shutil
+
+    import pandas as pd
+
+    from spectral_time_series_ray.state.manifest import compact_partitions
+
+    out = str(tmp_path / "crash")
+    write_partitioned(rolled.repartition(6), out, "1h", fingerprint="f")
+    tier_dir = os.path.join(out, "tier=1h")
+    before = _read_all(tier_dir)
+
+    # simulate the crash on one date: staging = fully-written copy of
+    # the partition, live dir gone
+    dates = sorted(d for d in os.listdir(tier_dir) if d.startswith("date="))
+    victim = os.path.join(tier_dir, dates[0])
+    staging = victim + ".compact-deadbeef"
+    shutil.copytree(victim, staging)
+    shutil.rmtree(victim)
+    assert not os.path.isdir(victim)
+
+    res = compact_partitions(out, "1h", target_bytes=1 << 30)
+    # the victim partition is back and the whole tier reads identically
+    assert os.path.isdir(victim)
+    assert not os.path.isdir(staging)
+    after = _read_all(tier_dir)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True)[sorted(before.columns)],
+        after.reset_index(drop=True)[sorted(after.columns)],
+        check_like=True,
+    )
+    # and normal compaction still happened where needed
+    for date, (nb, na) in res.items():
+        assert na <= nb
+
+    # crash BEFORE rmtree: staging alongside a LIVE partition — the
+    # live data is complete, so the stale staging must be discarded
+    victim2 = victim  # restored above; now crash the other way
+    staging2 = victim2 + ".compact-cafebabe"
+    before2 = _read_all(tier_dir)  # baseline BEFORE the stray staging copy
+    shutil.copytree(victim2, staging2)
+    compact_partitions(out, "1h", target_bytes=1 << 30)
+    assert not os.path.isdir(staging2) and os.path.isdir(victim2)
+    after2 = _read_all(tier_dir)
+    pd.testing.assert_frame_equal(
+        before2.reset_index(drop=True)[sorted(before2.columns)],
+        after2.reset_index(drop=True)[sorted(after2.columns)],
+        check_like=True,
+    )
