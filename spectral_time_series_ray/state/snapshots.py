@@ -295,11 +295,25 @@ def erase_and_expire(root: str, tier: str, user_ids, key: str = "conv_id") -> di
     targets = set(user_ids)
     t_ref = ray.put(targets)
 
+    head_files = {p for ps in head["partitions"].values() for p in ps}
     probe_rows = [
-        {"date": d, "path": os.path.join(root, p)}
+        {"date": d, "path": os.path.join(root, p), "in_head": True}
         for d, ps in head["partitions"].items()
         for p in ps
     ]
+    # ALSO probe files referenced only by RETAINED HISTORY: a crash of a
+    # prior erase between publish and vacuum leaves HEAD clean but the
+    # expired-pending versions still resolving the keys — a re-run must
+    # detect and expire them, or the no-hit early return would leave the
+    # erased data readable via time travel forever
+    for v in list_snapshots(root, tier)[:-1]:
+        hist = snapshot_meta(root, tier, v)
+        for d, ps in hist["partitions"].items():
+            for p in ps:
+                if p not in head_files:
+                    probe_rows.append(
+                        {"date": d, "path": os.path.join(root, p),
+                         "in_head": False})
     if not probe_rows:
         return {"rows_removed": 0, "partitions_rewritten": 0,
                 "files_deleted": 0, "snapshots_expired": 0,
@@ -311,15 +325,25 @@ def erase_and_expire(root: str, tier: str, user_ids, key: str = "conv_id") -> di
         for path in batch["path"]:
             col = pq.read_table(path, columns=[key])[key].to_pylist()
             hits.append(bool(tg.intersection(col)))
-        return pd.DataFrame({"date": batch["date"], "hit": hits})
+        return pd.DataFrame({"date": batch["date"], "hit": hits,
+                             "in_head": batch["in_head"]})
 
     hits = (
         ray.data.from_items(probe_rows)
         .map_batches(probe, batch_format="pandas", batch_size=8)
         .to_pandas()  # one boolean per file
     )
-    affected = sorted(set(hits.loc[hits["hit"], "date"]))
+    affected = sorted(set(hits.loc[hits["hit"] & hits["in_head"], "date"]))
+    history_hit = bool((hits["hit"] & ~hits["in_head"]).any())
     if not affected:
+        if history_hit:
+            # HEAD is already clean (a prior erase published, then
+            # crashed before vacuum): finish the job — expire history
+            vac = vacuum_snapshots(root, tier, keep_last=1)
+            return {"rows_removed": 0, "partitions_rewritten": 0,
+                    "files_deleted": vac["files_deleted"],
+                    "snapshots_expired": vac["snapshots_expired"],
+                    "head_version": head["version"]}
         return {"rows_removed": 0, "partitions_rewritten": 0,
                 "files_deleted": 0, "snapshots_expired": 0,
                 "head_version": head["version"]}

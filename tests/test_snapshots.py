@@ -340,3 +340,41 @@ def test_maintain_policy(ray_session, tmp_path):
     # idempotent second run: nothing left to do
     rep2 = maintain(root, "1h", target_bytes=1 << 30, keep_last=1)
     assert rep2["partitions_compacted"] == 0 and rep2["files_deleted"] == 0
+
+
+def test_erase_resumes_after_crash_before_vacuum(ray_session, tmp_path):
+    """A prior erase that published the clean HEAD but crashed before
+    vacuum leaves history still resolving the keys; re-running the
+    erase must detect the historical hits and expire them (GDPR
+    completeness), while an innocent no-match call keeps history."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import erase_and_expire
+
+    root = str(tmp_path / "store")
+    base = _merge(_frame(days=2, rows_per_day=4))
+    commit_snapshot(ray.data.from_pandas(base), root, "1h")
+    # simulated crash state: v2 = HEAD without conv 'c0', v1 retained
+    clean = base[base["conv_id"] != "c0"]
+    commit_snapshot(ray.data.from_pandas(clean), root, "1h", op="erase:conv_id")
+    assert list_snapshots(root, "1h") == [1, 2]
+
+    res = erase_and_expire(root, "1h", {"c0"})
+    assert res["rows_removed"] == 0 and res["partitions_rewritten"] == 0
+    assert res["snapshots_expired"] >= 1 and res["files_deleted"] >= 1
+    assert list_snapshots(root, "1h") == [2]
+    # physically unreadable: no c0 row in any remaining file
+    left = 0
+    for p in _glob.glob(os.path.join(root, "tier=1h", "_data", "*",
+                                     "date=*", "*.parquet")):
+        left += sum(c == "c0" for c in
+                    _pq.read_table(p, columns=["conv_id"])["conv_id"].to_pylist())
+    assert left == 0
+    # innocent no-match call afterwards: true noop, history intact
+    m = snapshot_meta(root, "1h")
+    res2 = erase_and_expire(root, "1h", {"zz-none"})
+    assert res2["snapshots_expired"] == 0 and res2["files_deleted"] == 0
+    assert snapshot_meta(root, "1h") == m
