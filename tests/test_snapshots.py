@@ -378,3 +378,46 @@ def test_erase_resumes_after_crash_before_vacuum(ray_session, tmp_path):
     res2 = erase_and_expire(root, "1h", {"zz-none"})
     assert res2["snapshots_expired"] == 0 and res2["files_deleted"] == 0
     assert snapshot_meta(root, "1h") == m
+
+
+def test_vacuum_and_upsert_crash_invariants(ray_session, tmp_path):
+    """(a) vacuum crash after manifest removal, before file deletion:
+    re-vacuum collects the orphans and HEAD is untouched. (b) upsert
+    crash after the run-dir write, before publish: readers still see
+    the old HEAD and vacuum collects the orphan run dir."""
+    import glob as _glob
+
+    import ray.data
+
+    root = str(tmp_path / "store")
+    base = _merge(_frame(days=2, rows_per_day=4))
+    commit_snapshot(ray.data.from_pandas(base), root, "1h")
+    upsert_snapshot(ray.data.from_pandas(
+        _frame(days=1, rows_per_day=2, value0=500)), root, "1h", _merge)
+    assert list_snapshots(root, "1h") == [1, 2]
+
+    # (a) crashed vacuum: v1's manifest gone, its files still on disk
+    os.remove(os.path.join(root, "_snapshots", "1h", "v000001.json"))
+    n_files_before = len(_glob.glob(
+        os.path.join(root, "tier=1h", "_data", "*", "date=*", "*.parquet")))
+    vac = vacuum_snapshots(root, "1h", keep_last=1)
+    assert vac["files_deleted"] >= 1  # orphans collected on re-vacuum
+    head = read_snapshot(root, "1h").to_pandas()
+    assert len(head) == len(_merge(pd.concat([
+        base, _frame(days=1, rows_per_day=2, value0=500)])))
+
+    # (b) crashed upsert: a run dir with data but no published snapshot
+    m = snapshot_meta(root, "1h")
+    orphan = os.path.join(root, "tier=1h", "_data", "deadbeef", "date=2024-02-01")
+    os.makedirs(orphan)
+    import shutil
+
+    src = _glob.glob(os.path.join(root, "tier=1h", "_data", "*",
+                                  "date=*", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(orphan, "orphan.parquet"))
+    assert snapshot_meta(root, "1h") == m  # readers unaffected
+    vac2 = vacuum_snapshots(root, "1h", keep_last=1)
+    assert vac2["files_deleted"] == 1  # exactly the orphan
+    assert not os.path.isdir(os.path.join(root, "tier=1h", "_data", "deadbeef"))
+    head2 = read_snapshot(root, "1h").to_pandas()
+    pd.testing.assert_frame_equal(_sorted(head2), _sorted(head))
