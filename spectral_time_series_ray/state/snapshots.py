@@ -494,14 +494,24 @@ def refresh_view(root: str, src_tier: str, view_tier: str, view_fn,
             out["dates_recomputed"] = 0
             out["dates_dropped"] = 0
             return out
-        src_synced = snapshot_meta(root, src_tier, view_head["src_version"])
-        changed = {
-            d for d, files in src_head["partitions"].items()
-            if src_synced["partitions"].get(d) != files
-        }
-        deleted = set(src_synced["partitions"]) - set(src_head["partitions"])
+        try:
+            src_synced = snapshot_meta(root, src_tier, view_head["src_version"])
+        except FileNotFoundError:
+            # the synced source version was expired (vacuum / erasure):
+            # no diff base — fall back to a FULL recompute; view dates
+            # absent from the source HEAD drop out
+            src_synced = None
         old_parts = dict(view_head["partitions"])
         old_counts = dict(view_head["row_counts"])
+        if src_synced is None:
+            changed = set(src_head["partitions"])
+            deleted = set(old_parts) - set(src_head["partitions"])
+        else:
+            changed = {
+                d for d, files in src_head["partitions"].items()
+                if src_synced["partitions"].get(d) != files
+            }
+            deleted = set(src_synced["partitions"]) - set(src_head["partitions"])
 
     new_parts: dict[str, list[str]] = {}
     new_counts: dict[str, int] = {}

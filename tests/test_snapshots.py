@@ -421,3 +421,36 @@ def test_vacuum_and_upsert_crash_invariants(ray_session, tmp_path):
     assert not os.path.isdir(os.path.join(root, "tier=1h", "_data", "deadbeef"))
     head2 = read_snapshot(root, "1h").to_pandas()
     pd.testing.assert_frame_equal(_sorted(head2), _sorted(head))
+
+
+def test_refresh_view_drops_deleted_source_dates(ray_session, tmp_path):
+    """An erasure that removes a whole source date must propagate: the
+    next refresh drops that date from the view."""
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import (
+        erase_and_expire,
+        refresh_view,
+    )
+
+    root = str(tmp_path / "store")
+    df = _frame(days=3, rows_per_day=3)
+    # day 2 belongs to ONE conversation only -> erasing it empties the date
+    day2 = df["bucket_ts"].astype("datetime64[us]").astype(str).str.startswith("2024-02-02")
+    df.loc[day2, "conv_id"] = "victim"
+    df.loc[~day2, "conv_id"] = "keep"
+    commit_snapshot(ray.data.from_pandas(_merge(df)), root, "1m")
+    view_fn = _make_daily_view()
+    m1 = refresh_view(root, "1m", "1d", view_fn)
+    assert "2024-02-02" in m1["partitions"]
+
+    erase_and_expire(root, "1m", {"victim"})
+    assert "2024-02-02" not in snapshot_meta(root, "1m")["partitions"]
+
+    m2 = refresh_view(root, "1m", "1d", view_fn)
+    assert "2024-02-02" not in m2["partitions"]
+    assert m2["dates_dropped"] >= 1
+    got = read_snapshot(root, "1d").to_pandas()
+    assert set(pd.to_datetime(got["bucket_ts"]).dt.strftime("%Y-%m-%d")) == {
+        "2024-02-01", "2024-02-03"}
+    assert set(got["conv_id"]) == {"keep"}
