@@ -4531,8 +4531,10 @@ def ev_gini_concentration(sf_dir: str):
     """Gini coefficient of per-user event-count concentration (the
     sorted-rank closed form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
     ascending counts): integer rank/count sums make the ratio exact on
-    both sides. Per-user totals via one int-keyed exchange; the final
-    n-user sorted sweep is a bounded-dimension driver step."""
+    both sides. Per-user totals via one int-keyed exchange; only the
+    HISTOGRAM of totals reaches the driver (bounded count domain, not
+    the unbounded key domain) — the rank sum collapses per distinct
+    value, identical to sorting the keys."""
     from ..stages.join import hash_groupby_sum
 
     ds = _read(sf_dir, "events", columns=["user_id"])
@@ -4544,11 +4546,30 @@ def ev_gini_concentration(sf_dir: str):
     totals = hash_groupby_sum(
         ds.map_batches(ones, batch_format="pandas", batch_size=None),
         "user_id", ("n",),
-    ).to_pandas()
-    x = np.sort(totals["n"].to_numpy(np.int64))
-    n = len(x)
-    tot = int(x.sum())
-    weighted = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+    )
+
+    # scale path: only a HISTOGRAM of per-key totals reaches the driver
+    # (count domain is bounded; the key domain is not). The sorted-rank
+    # sum collapses per distinct value v with count c and preceding
+    # cumulative S: sum(i * x_i) = sum_v v*(c*S + c*(c+1)/2) — exact
+    # integers, identical to sorting the keys.
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["n"].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    h = (
+        totals.map_batches(hist, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby("v", as_index=False)["c"].sum()
+        .sort_values("v")
+    )
+    v = h["v"].to_numpy(np.int64)
+    c = h["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    tot = int((v * c).sum())
+    s_prev = np.concatenate([[0], np.cumsum(c)[:-1]])
+    weighted = int((v * (c * s_prev + c * (c + 1) // 2)).sum())
     gini = 2.0 * weighted / (n * tot) - (n + 1) / n
     return pd.DataFrame({
         "n_users": np.array([n], np.int64),
