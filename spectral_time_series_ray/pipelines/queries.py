@@ -4199,12 +4199,13 @@ def tr_join_planner(sf_dir: str):
                              "value": batch["value"]})
 
     fact = ev.map_batches(ukey, batch_format="pandas", batch_size=None).materialize()
-    keys = fact.to_pandas()["k"]
-    n_users = int(keys.max()) + 1
+    n_users = int(fact.max("k")) + 1
     dim = pd.DataFrame({"k": np.arange(n_users, dtype=np.int64),
                         "grp": np.arange(n_users, dtype=np.int64) % 7})
     dim_ds = ray.data.from_pandas(dim)
-    exact_rows = int(keys.isin(set(dim["k"])).sum())
+    # the dim covers every key in [0, max], so the exact inner-join
+    # cardinality is the fact row count — no driver key pull
+    exact_rows = int(fact.count())
 
     rows = []
     out_a, dec_a = auto_join(fact, dim_ds, on="k")
