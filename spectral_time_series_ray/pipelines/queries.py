@@ -4094,36 +4094,75 @@ def ev_kmv_overlap(sf_dir: str):
     sketches (`distinct.kmv_set_overlap`, Beyer et al. SIGMOD'07):
     per-block mergeable bottom-k partials — the only sketch family
     here that estimates set INTERSECTION, not just union cardinality.
-    SELF-VERIFYING at test scale: exact per-pair intersections from the
-    distinct (type, user) pairs (a types x users table — small at test
-    scale; the sketch path is the 100 TB path) must sit within the
+    SELF-VERIFYING, fully distributed: exact per-pair intersections
+    come from a per-user TYPE-BITMASK reduction (one int-keyed user
+    exchange; only the <= 2^|types| bitmask histogram reaches the
+    driver — the user domain never does) and must sit within the
     4/sqrt(k) KMV error band; sketches below capacity must be exact."""
     from ..stages.distinct import kmv_set_overlap
+    from ..stages.join import hash_groupby_sum
 
     k = 256
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     approx = kmv_set_overlap(ds, "event_type", "user_id", k=k)
 
-    def dedup(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates(["event_type", "user_id"])
+    # exact side: per-user OR of type bits -> bitmask histogram
+    types = sorted(approx["key_a"].tolist() + approx["key_b"].tolist())
+    types = sorted(set(types))
+    bit = {t: 1 << i for i, t in enumerate(types)}
 
-    pairs = (
-        _read(sf_dir, "events", columns=["event_type", "user_id"])
-        .map_batches(dedup, batch_format="pandas", batch_size=None)
+    def user_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["event_type"].map(bit).to_numpy(np.int64)
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "b": m})
+        return df.groupby("user_id", as_index=False)["b"].agg(np.bitwise_or.reduce)
+
+    def or_merge(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", as_index=False)["b"].agg(np.bitwise_or.reduce)
+        vc = f["b"].value_counts()
+        return pd.DataFrame({"mask": vc.index.to_numpy(np.int64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    P = _join_partitions()
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = (
+            pd.util.hash_pandas_object(batch["user_id"], index=False).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch
+
+    hist = (
+        ds.map_batches(user_bits, batch_format="pandas", batch_size=None)
+        .map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(or_merge, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates(["event_type", "user_id"])
+        .groupby("mask", as_index=False)["cnt"].sum()
     )
-    sets = {t: set(g["user_id"]) for t, g in pairs.groupby("event_type")}
+    masks = hist["mask"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+
+    def exact_n(t):
+        return int(cnts[(masks & bit[t]) > 0].sum())
+
+    def exact_common(a, b):
+        both = bit[a] | bit[b]
+        return int(cnts[(masks & both) == both].sum())
+
+    def exact_union(a, b):
+        either = bit[a] | bit[b]
+        return int(cnts[(masks & either) > 0].sum())
 
     bound = 4.0 / np.sqrt(k)
     rows = []
     for _, r in approx.iterrows():
-        ea, eb = sets[r["key_a"]], sets[r["key_b"]]
-        n_common = len(ea & eb)
-        union = len(ea | eb)
+        na, nb = exact_n(r["key_a"]), exact_n(r["key_b"])
+        n_common = exact_common(r["key_a"], r["key_b"])
+        union = exact_union(r["key_a"], r["key_b"])
         jac = n_common / union if union else 0.0
-        err_a = abs(r["n_a_approx"] - len(ea)) / max(1, len(ea))
-        err_b = abs(r["n_b_approx"] - len(eb)) / max(1, len(eb))
+        err_a = abs(r["n_a_approx"] - na) / max(1, na)
+        err_b = abs(r["n_b_approx"] - nb) / max(1, nb)
         # intersection rel-error scales like 1/sqrt(k * J): widen by
         # the measured jaccard, floor at the union bound
         i_bound = bound / max(np.sqrt(jac), 0.25) if n_common else 0.0
