@@ -149,3 +149,32 @@ def test_auto_join_left_outer(ray_session):
     assert dec2["strategy"] == "shuffle"
     assert dec2.get("bloom_prefilter") != "left"
     pd.testing.assert_frame_equal(canon(out2.to_pandas()), canon(exp))
+
+
+def test_auto_join_skew_correct_with_near_unique_dim(ray_session):
+    """The KMV uniqueness band can admit a dimension with a few
+    duplicate keys into the skew path; both skew sub-paths (broadcast
+    hot slice, shuffled cold join) carry the multiplicity, so results
+    must still equal the pandas merge."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import auto_join
+
+    rng = np.random.default_rng(41)
+    dim = pd.DataFrame({"k": np.r_[np.arange(300), np.arange(12)].astype(np.int64)})
+    dim["name"] = [f"d{i}" for i in range(len(dim))]  # 4% dup keys
+    keys = np.concatenate([rng.integers(0, 300, size=2500),
+                           np.full(2500, 7)]).astype(np.int64)
+    fact = pd.DataFrame({"k": keys, "x": np.arange(len(keys))})
+    exp = fact.merge(dim, on="k", how="inner")
+
+    out, dec = auto_join(ray.data.from_pandas(fact).repartition(4),
+                         ray.data.from_pandas(dim).repartition(2),
+                         on="k", broadcast_limit=10, skew_ratio=4.0)
+    assert dec["strategy"] == "skew"  # dup fraction inside the KMV band
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(out.to_pandas()), canon(exp))
