@@ -613,9 +613,11 @@ def skew_join(
     operator IS the plain join: no extra fact passes, no dual-path
     overhead (measured 18.8s -> 12.3s on uniform keys at sf0.1).
 
-    The dimension must be unique per key (the usual dim contract —
-    duplicate dim keys would need the multiplicity carried through the
-    broadcast side).
+    Duplicate dim keys are CORRECT (both sub-paths — the broadcast
+    pandas merge and the shuffled Dataset.join — carry the
+    multiplicity; tested), but a unique dim is the intended contract:
+    with heavy dim-side duplication the hot slice pulled to the driver
+    is bounded by hot_k * max-multiplicity, not hot_k.
     """
     from .distinct import heavy_hitters
 
