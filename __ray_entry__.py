@@ -4995,11 +4995,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": Q.doc_stats_by_lang,
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_decontaminate": Q.doc_decontaminate,
-        "doc_dup_spans": Q.doc_dup_spans,
+        "fuzzy_customer_names": Q.fuzzy_customer_names,
         "doc_phrase_match": _doc_phrase_match,
         "doc_ssjoin": Q.doc_ssjoin,
         "emb_ann_topk": Q.emb_ann_topk,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
+        "doc_dup_spans": Q.doc_dup_spans,
         "doc_hamming_pairs": Q.doc_hamming_pairs,
         "emb_ann_filtered": Q.emb_ann_filtered,
         "emb_label_stats": Q.emb_label_stats,
@@ -6983,6 +6984,27 @@ def oracle_sql() -> dict[str, str]:
             from embeddings a
             where a.label = 3
             order by score desc, a.vec_id asc limit 10
+        """,
+        "fuzzy_customer_names": """
+            -- half-agreement blocking is exact here: all c_name share
+            -- one length, so ED<=1 means one substitution, which
+            -- leaves digit half d1 or d2 intact
+            with c as (
+              select c_name as w,
+                     substr(c_name, 10, 6) as d1,
+                     substr(c_name, 16, 3) as d2
+              from customer
+            ),
+            cand as (
+              select a.w as a, b.w as b
+              from c a join c b on a.d1 = b.d1 and a.w < b.w
+              union
+              select a.w, b.w
+              from c a join c b on a.d2 = b.d2 and a.w < b.w
+            )
+            select a, b from cand
+            where levenshtein(a, b) <= 1
+            order by a, b
         """,
         "doc_dup_spans": """
             with toks as (

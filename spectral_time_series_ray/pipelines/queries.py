@@ -4629,3 +4629,19 @@ def ev_ntile(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     out = analytic_ntile(ds, key="user_id", order_cols=("ts", "event_id"), k=4)
     return out.select_columns(["event_id", "user_id", "bucket"])
+
+
+def fuzzy_customer_names(sf_dir: str):
+    """Typo-variant entity resolution: every unordered pair of distinct
+    customer names at Levenshtein distance <= 1
+    (`stages/fuzzy.fuzzy_ed1_self_join`: FastSS deletion-neighborhood
+    blocking + vectorized banded ED<=1 verify, two bounded int-keyed
+    exchanges, no driver state). The oracle recomputes the pairs with
+    DuckDB `levenshtein()` under a half-agreement blocking that is
+    exact for this fixed-width name column (one substitution leaves
+    one digit half intact)."""
+    from ..stages.fuzzy import fuzzy_ed1_self_join
+
+    ds = _read(sf_dir, "customer", columns=["c_name"])
+    out = fuzzy_ed1_self_join(ds, "c_name").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
