@@ -189,7 +189,9 @@ def run_bench() -> dict:
                      # adaptive join planner, STL decomposition,
                      # MinHash dedup after the exchange rework
                      "doc_ssjoin", "ev_auto_join",
-                     "ev_seasonal_decompose", "doc_minhash_dedup"):
+                     "ev_seasonal_decompose", "doc_minhash_dedup",
+                     # round-3 final: fuzzy ED<=1 name join
+                     "fuzzy_customer_names"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):
