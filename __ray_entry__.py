@@ -5033,9 +5033,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_incremental_rollup": Q.ev_incremental_rollup,
         "q10_returned_items": Q.q10_returned_items,
         "q16_supplier_cnt": Q.q16_supplier_cnt,
-        "ev_cohort_retention": Q.ev_cohort_retention,
-        "doc_bm25_search": Q.doc_bm25_search,
-        "ev_ks_test": Q.ev_ks_test,
         "ev_global_quantiles": Q.ev_global_quantiles,
         "ev_grouping_sets": Q.ev_grouping_sets,
         "ev_hopping_windows": Q.ev_hopping_windows,
@@ -5048,15 +5045,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dist_funcs": Q.ev_dist_funcs,
         "ev_type_correlation": Q.ev_type_correlation,
         "ev_ccf_leadlag": Q.ev_ccf_leadlag,
-        "ev_value_histogram": Q.ev_value_histogram,
-        "ev_chi2_independence": Q.ev_chi2_independence,
-        "ev_dq_checks": Q.ev_dq_checks,
-        "ev_k_anonymity": Q.ev_k_anonymity,
-        "ev_attribution": Q.ev_attribution,
-        "ev_funnel_windowed": Q.ev_funnel_windowed,
-        "ev_cohort_retention": Q.ev_cohort_retention,
-        "doc_bm25_search": Q.doc_bm25_search,
-        "ev_ks_test": Q.ev_ks_test,
         "ev_edge_funcs": Q.ev_edge_funcs,
         "ev_counter_rate": Q.ev_counter_rate,
         "ev_funnel": Q.ev_funnel,
