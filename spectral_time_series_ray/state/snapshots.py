@@ -150,6 +150,7 @@ def commit_snapshot(ds, root: str, tier: str, op: str = "append",
         "version": (versions[-1] + 1) if versions else 1,
         "parent": versions[-1] if versions else None,
         "op": op,
+        "date_from": date_from,
         "partitions": partitions,
         "row_counts": counts,
     }
@@ -222,6 +223,7 @@ def upsert_snapshot(late_ds, root: str, tier: str, merge_fn,
         "version": parent["version"] + 1,
         "parent": parent["version"],
         "op": "upsert",
+        "date_from": date_from,
         "partitions": partitions,
         "row_counts": counts,
     }
@@ -359,8 +361,11 @@ def erase_and_expire(root: str, tier: str, user_ids, key: str = "conv_id") -> di
         return batch[~batch[key].isin(tg)]
 
     kept = old.map_batches(drop_targets, batch_format="pandas", batch_size=None)
-    # date re-derives from the bucket column inside _write_run via the
-    # same _add_date the original commit used
+    # date re-derives from the SAME column the tier was committed with
+    # (persisted in the snapshot meta since the commit/upsert paths
+    # started recording it; the fallback covers pre-existing stores) —
+    # deriving from a different column would scatter rewritten rows
+    # into dates outside `affected`, which the publish below drops
     date_from = head.get("date_from", "bucket_ts")
     new_parts, new_counts = _write_run(_add_date(kept, date_from), root, tier)
     partitions = dict(head["partitions"])
@@ -376,6 +381,7 @@ def erase_and_expire(root: str, tier: str, user_ids, key: str = "conv_id") -> di
         "version": head["version"] + 1,
         "parent": head["version"],
         "op": f"erase:{key}",
+        "date_from": date_from,
         "partitions": partitions,
         "row_counts": counts,
     }
@@ -449,6 +455,7 @@ def compact_snapshot(root: str, tier: str, target_bytes: int = 128 << 20) -> dic
         "version": head["version"] + 1,
         "parent": head["version"],
         "op": "compact",
+        "date_from": head.get("date_from", "bucket_ts"),
         "partitions": partitions,
         "row_counts": dict(head["row_counts"]),
     }
@@ -544,6 +551,7 @@ def refresh_view(root: str, src_tier: str, view_tier: str, view_fn,
         "parent": view_head["version"] if view_head else None,
         "op": "refresh",
         "src_version": src_head["version"],
+        "date_from": date_from,
         "partitions": partitions,
         "row_counts": counts,
     }

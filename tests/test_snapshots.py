@@ -454,3 +454,36 @@ def test_refresh_view_drops_deleted_source_dates(ray_session, tmp_path):
     assert set(pd.to_datetime(got["bucket_ts"]).dt.strftime("%Y-%m-%d")) == {
         "2024-02-01", "2024-02-03"}
     assert set(got["conv_id"]) == {"keep"}
+
+
+def test_erase_uses_committed_date_from_column(ray_session, tmp_path):
+    """Regression: a tier committed with a NON-default timestamp column
+    must erase along that same column. Before date_from was persisted
+    in the snapshot meta, erase re-derived dates from the hardcoded
+    bucket_ts fallback; with a differently-named column that raised (or
+    with both columns present, scattered rewritten rows into dates
+    outside the affected set, which the publish silently dropped)."""
+    import ray.data
+
+    from spectral_time_series_ray.state.snapshots import erase_and_expire
+
+    root = str(tmp_path / "store")
+    df = _frame(days=3, rows_per_day=4).rename(columns={"bucket_ts": "ts"})
+    meta = commit_snapshot(ray.data.from_pandas(df), root, "1h", date_from="ts")
+    assert meta["date_from"] == "ts"
+
+    res = erase_and_expire(root, "1h", {"c1"}, key="conv_id")
+    assert res["rows_removed"] == int((df["conv_id"] == "c1").sum())
+    assert res["partitions_rewritten"] == 3
+
+    head = snapshot_meta(root, "1h")
+    assert head["date_from"] == "ts"
+    got = read_snapshot(root, "1h").to_pandas()
+    exp = df[df["conv_id"] != "c1"]
+    assert len(got) == len(exp)
+    assert set(got["conv_id"]) == {"c0", "c2"}
+    assert sorted(got["total"]) == sorted(exp["total"])
+    # every surviving date partition kept its rows (nothing scattered):
+    # 4 rows/day, conv ids cycle c0,c1,c2,c0 -> exactly 1 c1 row erased
+    assert head["row_counts"] == {d: 3 for d in head["row_counts"]}
+    assert len(head["row_counts"]) == 3
