@@ -5001,6 +5001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": Q.emb_ann_topk,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
         "doc_dup_spans": Q.doc_dup_spans,
+        "orders_pareto": Q.orders_pareto,
         "doc_hamming_pairs": Q.doc_hamming_pairs,
         "emb_ann_filtered": Q.emb_ann_filtered,
         "emb_label_stats": Q.emb_label_stats,
@@ -6972,6 +6973,34 @@ def oracle_sql() -> dict[str, str]:
             from embeddings a
             where a.label = 3
             order by score desc, a.vec_id asc limit 10
+        """,
+        "orders_pareto": """
+            -- skyline via running-max windows; validated equal to the
+            -- quadratic NOT EXISTS dominance formulation:
+            --   not exists (select 1 from orders b where same priority
+            --     and b.price >= a.price and b.date >= a.date
+            --     and (b.price > a.price or b.date > a.date))
+            with t as (
+              select o_orderpriority p, o_orderkey k,
+                     o_totalprice v, o_orderdate d
+              from orders
+            ),
+            g as (
+              select p, v, max(d) as dmax from t group by p, v
+            ),
+            r as (
+              select p, v, dmax,
+                     max(dmax) over (partition by p order by v desc
+                                     rows between unbounded preceding
+                                     and 1 preceding) as prev_dmax
+              from g
+            )
+            select t.p as o_orderpriority, t.k as o_orderkey,
+                   t.v as o_totalprice, t.d as o_orderdate
+            from t join r on t.p = r.p and t.v = r.v
+            where (r.prev_dmax is null or t.d > r.prev_dmax)
+              and t.d = r.dmax
+            order by o_orderpriority, o_orderkey
         """,
         "fuzzy_customer_names": """
             -- half-agreement blocking is exact here: all c_name share

@@ -4645,3 +4645,26 @@ def fuzzy_customer_names(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_name"])
     out = fuzzy_ed1_self_join(ds, "c_name").to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def orders_pareto(sf_dir: str):
+    """Skyline / Pareto-front preference query (`stages/skyline`,
+    Börzsönyi ICDE'01): per order priority, the orders not dominated on
+    (o_totalprice, o_orderdate) — "no other order of this priority is
+    both at least as expensive and at least as recent, strictly better
+    in one". Mergeable front-of-fronts: per-batch vectorized fronts,
+    one group-hash exchange of front rows only, identical merge kernel.
+    Oracle: the running-max window formulation (validated equal to the
+    quadratic NOT EXISTS dominance SQL)."""
+    from ..stages.skyline import pareto_front
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_totalprice",
+                        "o_orderdate"])
+    out = pareto_front(
+        ds, group_col="o_orderpriority", x_col="o_totalprice",
+        y_col="o_orderdate",
+    ).to_pandas()
+    return out.sort_values(["o_orderpriority", "o_orderkey"]).reset_index(
+        drop=True
+    )[["o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"]]
