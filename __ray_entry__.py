@@ -4986,7 +4986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "ev_ks_test": Q.ev_ks_test,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
-        "orders_by_segment": Q.orders_by_segment,
+        "orders_pareto": Q.orders_pareto,
         "bucketed_join_priority": _bucketed_join_priority,
         "ev_full_outer_days": Q.ev_full_outer_days,
         "ri_orphans": Q.ri_orphans,
@@ -5001,7 +5001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": Q.emb_ann_topk,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
         "doc_dup_spans": Q.doc_dup_spans,
-        "orders_pareto": Q.orders_pareto,
+        "orders_by_segment": Q.orders_by_segment,
         "doc_hamming_pairs": Q.doc_hamming_pairs,
         "emb_ann_filtered": Q.emb_ann_filtered,
         "emb_label_stats": Q.emb_label_stats,
