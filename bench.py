@@ -190,8 +190,8 @@ def run_bench() -> dict:
                      # MinHash dedup after the exchange rework
                      "doc_ssjoin", "ev_auto_join",
                      "ev_seasonal_decompose", "doc_minhash_dedup",
-                     # round-3 final: fuzzy ED<=1 name join
-                     "fuzzy_customer_names"):
+                     # round-3 final: fuzzy ED<=1 name join, skyline
+                     "fuzzy_customer_names", "orders_pareto"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):
