@@ -2588,6 +2588,24 @@ def q7_nation_volume(sf_dir: str):
     cust = cust[cust["cust_nation"].isin([NA, NB])][["c_custkey", "cust_nation"]]
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
 
+    def _empty_result() -> pd.DataFrame:
+        # tiny scales can drain a dimension side entirely; downstream
+        # empty pandas blocks lose their schema and Ray's hash-shuffle
+        # join crashes on column-less partitions — short-circuit with
+        # the exact typed output frame (matches the 0-row oracle)
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype=np.int64),
+                "n_lines": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64),
+            }
+        )
+
+    if supp.empty or cust.empty:
+        return _empty_result()
+
     li = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -2610,6 +2628,8 @@ def q7_nation_volume(sf_dir: str):
         return out
 
     li_f = li.map_batches(li_prep, batch_format="pandas", batch_size=None).materialize()
+    if li_f.schema() is None:  # all lines filtered out: empty, schema-less
+        return _empty_result()
     bloom = build_bloom(li_f, "l_orderkey")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     orders = bloom_semi_filter(orders, "o_orderkey", bloom)

@@ -78,11 +78,20 @@ def key_hash_scheme(ds, column: str) -> str:
     int64 key column to float64 there, and a per-batch dtype sniff
     would then hash the two batches differently — Bloom false
     negatives, i.e. wrong join results. Float key columns are rejected
-    outright (hash-joining on floats is a correctness smell)."""
+    outright (hash-joining on floats is a correctness smell).
+
+    An EMPTY dataset (selective filters at tiny scale can drain a side
+    entirely, at which point Ray reports no schema at all) resolves to
+    the sentinel scheme ``"empty"``: an empty build side means a Bloom
+    that rejects everything, an empty probe side means there is nothing
+    to filter — both are well-defined, neither should crash."""
     import numpy as np
     import pyarrow as pa
 
     sch = ds.schema()
+    if sch is None:
+        # Ray only returns None after fetching found zero blocks/rows
+        return "empty"
     try:
         t = dict(zip(sch.names, sch.types))[column]
     except KeyError:
@@ -130,6 +139,12 @@ def build_bloom(ds, column: str, n_bits: int = 1 << 20, k: int = 5):
     from ..functions.bloom import BloomFilter
 
     scheme = key_hash_scheme(ds, column)
+    if scheme == "empty":
+        # empty build side: a zeroed filter (rejects every probe key)
+        # with no pinned scheme, so any probe side is compatible
+        acc = BloomFilter(n_bits=n_bits, k=k)
+        acc.scheme = None
+        return acc
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         bf = BloomFilter(n_bits=n_bits, k=k)
@@ -158,6 +173,8 @@ def bloom_semi_filter(ds, column: str, bloom, invert: bool = False):
     from ..functions.bloom import BloomFilter
 
     scheme = key_hash_scheme(ds, column)
+    if scheme == "empty":
+        return ds  # probe side has no rows: filtering is a no-op
     built = getattr(bloom, "scheme", None)
     if built is not None and built != scheme:
         raise TypeError(

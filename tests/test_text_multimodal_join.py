@@ -115,3 +115,49 @@ def test_pil_backend_gated():
 def test_bad_blob_rejected():
     with pytest.raises(ValueError):
         parse_header(b"NOTMAGIC" + b"\x00" * 10)
+
+
+def test_bloom_empty_sides(ray_session):
+    """An empty (schema-less) dataset on either side of the Bloom
+    pushdown is a well-defined no-op, not a crash: an empty build side
+    yields a filter that rejects everything; an empty probe side passes
+    through untouched.  Regression for the sf0.001 q7 crash where a
+    drained dimension side left ``ds.schema()`` as None."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.join import (
+        bloom_semi_filter,
+        build_bloom,
+        key_hash_scheme,
+    )
+
+    full = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    # empty via an empty broadcast-join side + a rebuild map that mixes
+    # positional numpy arrays with an index-bearing empty Series: this
+    # is the exact shape (q7's supplier prefilter at sf0.001) that
+    # loses its schema in Ray 2.49
+    side = pd.DataFrame(
+        {"k": pd.Series([], dtype=np.int64), "tag": pd.Series([], dtype=object)}
+    )
+
+    def rebuild(b):
+        return pd.DataFrame({"k": b["k"].to_numpy(), "tag": b["tag"]})
+
+    empty = (
+        broadcast_join(full, side, on="k")
+        .map_batches(rebuild, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+    if empty.schema() is not None:
+        pytest.skip("Ray version keeps empty-block schemas; race not reproducible")
+
+    assert key_hash_scheme(empty, "k") == "empty"
+    bloom = build_bloom(empty, "k")
+    assert bloom.scheme is None
+    out = bloom_semi_filter(full, "k", bloom).to_pandas()
+    assert len(out) == 0  # empty build side matches nothing
+    kept = bloom_semi_filter(full, "k", bloom, invert=True).to_pandas()
+    assert sorted(kept["k"]) == [1, 2, 3]  # anti half keeps everything
+    # empty probe side: no-op, no crash
+    probe = bloom_semi_filter(empty, "k", build_bloom(full, "k"))
+    assert probe.count() == 0

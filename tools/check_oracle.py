@@ -68,9 +68,36 @@ def compare(name, got, exp) -> str:
     return "OK"
 
 
+def _chunked_sweep(sf_dir: str, chunk: int = 24) -> int:
+    """Full sweep as fresh subprocesses of ``chunk`` queries each.
+
+    One process for the whole suite degrades: Ray's _StatsActor
+    bookkeeping grows with every Dataset created and after ~150
+    queries the driver crawls with the StatsActor pegged. Respawning
+    this script per chunk keeps each Ray session small."""
+    import importlib.util
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "e", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = list(mod.queries())
+    rc = 0
+    for i in range(0, len(names), chunk):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir,
+             *names[i:i + chunk]])
+        rc |= r.returncode
+    return rc
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if not only:
+        sys.exit(_chunked_sweep(sf_dir))
 
     import ray
 
