@@ -178,6 +178,57 @@ def _tr_pla(sf_dir: str):
     })
 
 
+def _tr_wavelet(sf_dir: str):
+    """Haar wavelet top-k compression over the flagship chunk rows —
+    the multiresolution sibling of tr_gorilla (bit-exact) and tr_pla
+    (per-sample bound). SELF-VERIFYING distributed: every chunk checks
+    the Parseval IDENTITY (L2 reconstruction error over the padded
+    signal == dropped-coefficient energy, exactly — the orthonormal
+    transform's contract) and the real-prefix budget; a planted
+    block-constant chunk (constant on dyadic 16-sample blocks) must
+    compress LOSSLESSLY at 16/256 coefficients, the signal class Haar
+    nails."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
+    from spectral_time_series_ray.stages.compress import wavelet_verify_chunks
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+
+    # planted: 16 dyadic blocks of 16 samples each -> nonzero Haar
+    # coefficients live ONLY in the 16 coarse slots; top-16 is exact
+    rng_levels = (np.arange(16) * 7.25 - 40.0)  # deterministic "random"
+    k = np.arange(256)
+    planted = pd.DataFrame({
+        "conv_id": ["__planted_wavelet__"],
+        "chunk_idx": np.array([0], np.int64),
+        "ts": [np.int64(1_700_000_000_000_000) + k * 60_000_000],
+        "values": [np.repeat(rng_levels, 16)],
+    })
+    chunks = chunks.union(ray.data.from_pandas(planted))
+
+    ver = wavelet_verify_chunks(chunks, keep_frac=16 / 256).to_pandas()
+    pl = ver[ver["conv_id"] == "__planted_wavelet__"]
+    planted_ok = (
+        len(pl) == 1
+        and float(pl["l2_budget"].iloc[0]) <= 1e-9
+        and float(pl["l2_err"].iloc[0]) <= 1e-9
+    )
+    n_pts = int(ver["n_points"].sum())
+    return pd.DataFrame({
+        "n_chunks": [len(ver)],
+        "n_points": [n_pts],
+        "n_kept": [int(ver["n_kept"].sum())],
+        "mean_coef_frac": [float(ver["coef_frac"].mean())],
+        "max_l2_budget": [float(ver["l2_budget"].max())],
+        "ok": [bool(ver["parseval_ok"].all()) and planted_ok],
+    })
+
+
 def _tr_spectral(sf_dir: str):
     """Welch spectral summaries over the gap-filled 1m latency series,
     SELF-VERIFYING via a planted tone: a synthetic conversation with a
@@ -5073,6 +5124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_conjunctive_search": Q.doc_conjunctive_search,
         "tr_gorilla": _tr_gorilla,
         "tr_pla": _tr_pla,
+        "tr_wavelet": _tr_wavelet,
         "tr_patch_precond": _tr_patch_precond,
         "doc_minhash_dedup": _doc_minhash_dedup,
         "emb_ann_ivf": _emb_ann_ivf,

@@ -177,3 +177,57 @@ def pla_verify_chunks(chunk_ds, eps: float = 0.1, concurrency: int = 4):
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+def wavelet_verify_chunks(chunk_ds, keep_frac: float = 0.1):
+    """Distributed Haar top-k compression with the Parseval contract
+    checked EXACTLY per chunk (`functions/wavelet`): compress, zero
+    the dropped coefficients, reconstruct, and assert that the L2
+    reconstruction error over the padded signal EQUALS the dropped
+    coefficient energy (orthonormal transform — the identity, not a
+    bound) and that the real-prefix error is within the budget. Emits
+    (n_points, n_kept, coef_frac, l2_budget, l2_err, parseval_ok).
+
+    Stateless task map, not an actor pool: the per-chunk state is one
+    float parameter, and a warm-worker task map avoids actor-pool
+    spin-up for cheap-state stages.
+    """
+    from ..functions.wavelet import (
+        haar_dwt,
+        haar_idwt,
+        pad_pow2,
+        wavelet_compress,
+        wavelet_reconstruct,
+    )
+
+    kf = float(keep_frac)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            vals = np.asarray(r["values"], dtype=np.float64)
+            vals = np.nan_to_num(vals, nan=0.0)  # gaps carry no energy
+            comp = wavelet_compress(vals, keep_frac=kf)
+            recon = wavelet_reconstruct(comp)
+            err_real = float(np.sqrt(np.sum((vals - recon) ** 2)))
+            # padded-signal identity: ||x_pad - x̂_pad||_2 == dropped_l2
+            pad = pad_pow2(vals)
+            c = haar_dwt(pad)
+            kept = np.zeros(len(c))
+            kept[comp["idx"]] = comp["coef"]
+            err_pad = float(np.sqrt(np.sum((pad - haar_idwt(kept)) ** 2)))
+            scale = max(1.0, comp["dropped_l2"])
+            rows.append({
+                "conv_id": r["conv_id"], "chunk_idx": int(r["chunk_idx"]),
+                "n_points": int(len(vals)), "n_kept": int(len(comp["idx"])),
+                "coef_frac": float(len(comp["idx"]) / max(1, comp["n_pad"])),
+                "l2_budget": comp["dropped_l2"],
+                "l2_err": err_real,
+                "parseval_ok": bool(
+                    abs(err_pad - comp["dropped_l2"]) <= 1e-6 * scale
+                    and err_real <= comp["dropped_l2"] + 1e-6 * scale
+                ),
+            })
+        return pd.DataFrame(rows)
+
+    return chunk_ds.map_batches(verify, batch_format="pandas", batch_size=256)
