@@ -4183,6 +4183,76 @@ def _tr_context_windows(sf_dir: str):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _tr_asap(sf_dir: str):
+    """ASAP kurtosis-preserving automatic smoothing of each packed
+    chunk (`stages/analytics.asap_downsample`, Rong & Bailis VLDB'17)
+    — the dashboard smoothing tier next to LTTB's point thinning.
+    SELF-VERIFYING, checks DISTRIBUTED per chunk: (a) the chosen
+    window never increases roughness; (b) whenever a window > 1 is
+    chosen the paper's kurtosis constraint held (spikes preserved) and
+    roughness strictly dropped; (c) a planted period-16 seasonal chunk
+    carrying one large spike must pick a window that is a MULTIPLE of
+    the period (ACF-peak candidates), cut roughness by >= 5x, and keep
+    kurtosis >= raw (the spike survives)."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import asap_downsample
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
+
+    k = np.arange(512)
+    rng = np.random.default_rng(23)
+    seasonal = 10.0 * np.sin(2 * np.pi * k / 16) + rng.normal(0, 1.0, 512)
+    seasonal[300] += 80.0  # the spike ASAP must not smooth away
+    planted = pd.DataFrame({
+        "conv_id": ["__planted_asap__"],
+        "chunk_idx": np.array([0], np.int64),
+        "ts": [np.int64(1_700_000_000_000_000) + k * 60_000_000],
+        "values": [seasonal],
+    })
+    chunks = chunks.union(ray.data.from_pandas(planted))
+
+    out = asap_downsample(chunks, concurrency=4)
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        res = batch[["conv_id", "chunk_idx", "n_points", "window",
+                     "roughness_raw", "roughness_smoothed",
+                     "kurtosis_raw", "kurtosis_smoothed"]].copy()
+        w = batch["window"].to_numpy(np.int64)
+        rr = batch["roughness_raw"].to_numpy(np.float64)
+        rs = batch["roughness_smoothed"].to_numpy(np.float64)
+        kr = batch["kurtosis_raw"].to_numpy(np.float64)
+        ks = batch["kurtosis_smoothed"].to_numpy(np.float64)
+        res["invariants_ok"] = (
+            (rs <= rr + 1e-9)
+            & ((w == 1) | ((ks >= kr - 1e-9) & (rs < rr)))
+        )
+        return res
+
+    checked = out.map_batches(
+        check, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    pl = checked[checked["conv_id"] == "__planted_asap__"]
+    planted_ok = bool(
+        len(pl) == 1
+        and int(pl["window"].iloc[0]) % 16 == 0
+        and float(pl["roughness_smoothed"].iloc[0])
+        <= 0.2 * float(pl["roughness_raw"].iloc[0])
+        and float(pl["kurtosis_smoothed"].iloc[0])
+        >= float(pl["kurtosis_raw"].iloc[0])
+    )
+    checked["ok"] = bool(checked["invariants_ok"].all() and planted_ok)
+    return checked.sort_values(["conv_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _tr_sft_pairs(sf_dir: str):
     """SFT (prompt, response) pair extraction from chat transcripts
     (`stages/packing.sft_pairs`): every assistant turn pairs with the
@@ -5185,6 +5255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_exp_smooth": _tr_exp_smooth,
         "tr_holt_winters": _tr_holt_winters,
         "tr_lttb": _tr_lttb,
+        "tr_asap": _tr_asap,
         "ev_anomaly_hours": _ev_anomaly_hours,
         "doc_bpe_train": _doc_bpe_train,
         "tr_text_fidelity": _tr_text_fidelity,

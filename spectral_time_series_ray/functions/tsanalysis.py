@@ -692,3 +692,99 @@ def pelt_mean_changepoints(
             cps.append(int(prev[t]))
         t = int(prev[t])
     return sorted(cps)
+
+
+def _excess_kurtosis(x: np.ndarray) -> float:
+    """Pearson excess kurtosis; 0.0 for degenerate (constant) input."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < 4:
+        return 0.0
+    d = x - x.mean()
+    v = float(np.mean(d * d))
+    if v <= 1e-300:
+        return 0.0
+    return float(np.mean(d ** 4) / (v * v) - 3.0)
+
+
+def roughness(x: np.ndarray) -> float:
+    """Std of first differences — ASAP's smoothness objective."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < 3:
+        return 0.0
+    return float(np.std(np.diff(x)))
+
+
+def sma_valid(x: np.ndarray, w: int) -> np.ndarray:
+    """Simple moving average, valid mode (length ``len(x) - w + 1``),
+    via the cumsum trick — O(n) regardless of ``w``."""
+    x = np.asarray(x, dtype=np.float64)
+    w = int(w)
+    if w <= 1:
+        return x.copy()
+    c = np.concatenate(([0.0], np.cumsum(x)))
+    return (c[w:] - c[:-w]) / w
+
+
+def asap_window(
+    x: np.ndarray,
+    max_window: int | None = None,
+    acf_peak_corr: float = 0.2,
+    n_grid: int = 24,
+) -> int:
+    """ASAP automatic smoothing-window selection (Rong & Bailis,
+    VLDB 2017 "ASAP: Prioritizing Attention via Time Series
+    Smoothing" — the public algorithm, reimplemented from the paper):
+    pick the moving-average window that MINIMIZES the roughness
+    (std of first differences) of the smoothed series SUBJECT TO
+    preserving kurtosis (kurt(smoothed) >= kurt(raw)), so spikes and
+    anomalies survive the smoothing that kills noise.
+
+    Candidate windows follow the paper's pruning: lags of significant
+    ACF PEAKS (local maxima with corr >= ``acf_peak_corr``) — the
+    natural periods, whose multiples give artifact-free seasonal
+    averaging — plus a deterministic log-spaced grid so aperiodic
+    series still search the full range. Returns 1 (no smoothing) when
+    no candidate satisfies the kurtosis constraint.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 8:
+        return 1
+    if max_window is None:
+        max_window = n // 4
+    max_window = int(min(max(2, max_window), n // 2))
+    ac = acf_fft(x, max_lag=max_window)
+    # interior local maxima of the ACF above the significance bar
+    interior = np.arange(2, len(ac) - 1)
+    is_peak = (
+        (ac[interior] >= ac[interior - 1])
+        & (ac[interior] >= ac[interior + 1])
+        & (ac[interior] >= acf_peak_corr)
+    )
+    cands = set(int(k) for k in interior[is_peak])
+    grid = np.unique(
+        np.geomspace(2, max_window, num=n_grid).astype(np.int64)
+    )
+    cands.update(int(g) for g in grid if 2 <= g <= max_window)
+    k0 = _excess_kurtosis(x)
+    best_w, best_r = 1, roughness(x)
+    for w in sorted(cands):
+        if w > n - 4:
+            continue
+        sm = sma_valid(x, w)
+        if _excess_kurtosis(sm) < k0:
+            continue
+        r = roughness(sm)
+        if r < best_r:
+            best_w, best_r = w, r
+    return best_w
+
+
+def asap_smooth(
+    x: np.ndarray, max_window: int | None = None
+) -> tuple[np.ndarray, int]:
+    """Smooth ``x`` with the ASAP-chosen window; returns the smoothed
+    (valid-mode) series and the chosen window. Window 1 returns the
+    input unchanged (already maximally informative)."""
+    w = asap_window(x, max_window=max_window)
+    return sma_valid(x, w), w

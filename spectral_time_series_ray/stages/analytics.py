@@ -1259,3 +1259,60 @@ def pelt_changepoints(chunk_ds, beta: float | None = None, min_size: int = 2,
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+class ASAPSmoother:
+    """ASAP automatic dashboard smoothing per packed chunk row
+    (`functions/tsanalysis.asap_window`, Rong & Bailis VLDB'17): each
+    chunk's value series gets the moving-average window that minimizes
+    roughness while PRESERVING kurtosis (spikes survive). The chosen
+    window, smoothed series, and before/after roughness + kurtosis
+    diagnostics are emitted so downstream render tiers (and the
+    self-verifying query) can check the paper's two invariants without
+    re-touching the raw series. Actor pool: the candidate-grid params
+    are fixed per actor; work is O(n log n) ACF + O(n) per candidate."""
+
+    def __init__(self, max_window: int | None = None):
+        from ..functions.tsanalysis import (
+            _excess_kurtosis,
+            asap_smooth,
+            roughness,
+        )
+
+        self.max_window = max_window
+        self._smooth = asap_smooth
+        self._rough = roughness
+        self._kurt = _excess_kurtosis
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        wins, sm_vals, r_raw, r_sm, k_raw, k_sm = [], [], [], [], [], []
+        for v in batch["values"]:
+            v = np.asarray(v, dtype=np.float64)
+            v = np.nan_to_num(v, nan=0.0)
+            sm, w = self._smooth(v, max_window=self.max_window)
+            wins.append(w)
+            sm_vals.append(sm)
+            r_raw.append(self._rough(v))
+            r_sm.append(self._rough(sm))
+            k_raw.append(self._kurt(v))
+            k_sm.append(self._kurt(sm))
+        out = batch[["conv_id", "chunk_idx", "n_points"]].copy()
+        out["window"] = np.asarray(wins, dtype=np.int64)
+        out["smoothed"] = sm_vals
+        out["roughness_raw"] = np.asarray(r_raw, dtype=np.float64)
+        out["roughness_smoothed"] = np.asarray(r_sm, dtype=np.float64)
+        out["kurtosis_raw"] = np.asarray(k_raw, dtype=np.float64)
+        out["kurtosis_smoothed"] = np.asarray(k_sm, dtype=np.float64)
+        return out
+
+
+def asap_downsample(chunk_ds, max_window: int | None = None,
+                    concurrency: int = 4):
+    """ASAP kurtosis-preserving smoothing per packed chunk row."""
+    return chunk_ds.map_batches(
+        ASAPSmoother,
+        fn_constructor_kwargs={"max_window": max_window},
+        batch_format="pandas",
+        batch_size=128,
+        concurrency=concurrency,
+    )
