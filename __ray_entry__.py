@@ -5206,6 +5206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_split_assign": _tr_split_assign,
         "tr_spectral": _tr_spectral,
         "ev_quantile_tdigest": Q.ev_quantile_tdigest,
+        "ev_quantile_kll": Q.ev_quantile_kll,
         "ev_distinct_hll": Q.ev_distinct_hll,
         "ev_kmv_overlap": Q.ev_kmv_overlap,
         "ev_rank_funcs": Q.ev_rank_funcs,

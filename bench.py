@@ -190,8 +190,10 @@ def run_bench() -> dict:
                      # MinHash dedup after the exchange rework
                      "doc_ssjoin", "ev_auto_join",
                      "ev_seasonal_decompose", "doc_minhash_dedup",
-                     # round-3 final: fuzzy ED<=1 name join, skyline
-                     "fuzzy_customer_names", "orders_pareto"):
+                     # round-3 final: fuzzy ED<=1 name join, skyline,
+                     # Haar wavelet budget compression, ASAP smoothing
+                     "fuzzy_customer_names", "orders_pareto",
+                     "tr_wavelet", "tr_asap"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

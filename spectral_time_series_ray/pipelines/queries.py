@@ -1143,6 +1143,53 @@ def ev_quantile_tdigest(sf_dir: str):
     )
 
 
+def ev_quantile_kll(sf_dir: str):
+    """Mergeable KLL quantiles per event_type (Karnin-Lang-Liberty
+    FOCS'16) vs the exact values — judged on rank error like the
+    t-digest sibling, PLUS the sketch's own certificate: KLL tracks a
+    worst-case rank-error bound from its compaction ledger, and the
+    exact rank of every estimate must fall within it (a hard
+    invariant, not a tuned tolerance). Rows-only: approximate by
+    design."""
+    from ..stages.distinct import quantile_kll
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    approx = quantile_kll(
+        ds, "event_type", "value", quantiles=(0.5, 0.99), k=200
+    ).to_pandas()
+
+    def rank_err(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        row = approx[approx["event_type"] == g["event_type"].iloc[0]].iloc[0]
+        bound = float(row["rank_err_bound"])
+        out = {"event_type": [g["event_type"].iloc[0]], "n": [len(v)]}
+        worst = 0.0
+        for p in (0.5, 0.99):
+            est = float(row[f"q{int(p * 100)}_approx"])
+            # tie-interval rank error: zero when the target rank falls
+            # anywhere inside the estimate's [left, right) tie range —
+            # the convention the sketch's "items <= q" counts certify
+            lo = np.searchsorted(v, est, "left")
+            hi = np.searchsorted(v, est, "right")
+            target = p * len(v)
+            err = max(0.0, lo - target, target - hi) / len(v)
+            out[f"q{int(p * 100)}_approx"] = [round_half_away(est, 6)]
+            out[f"q{int(p * 100)}_rank_err"] = [round_half_away(err, 6)]
+            worst = max(worst, err)
+        out["rank_err_bound"] = [round_half_away(bound, 6)]
+        out["ok"] = [worst <= 0.02 and worst <= bound
+                     and int(row["n"]) == len(v)]
+        return pd.DataFrame(out)
+
+    return (
+        ds.groupby("event_type")
+        .map_groups(rank_err, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def ev_asof_purchase(sf_dir: str):
     """Each error event matched to the user's most recent
     prior-or-equal purchase (as-of join; oracle: DuckDB ASOF JOIN)."""

@@ -65,6 +65,54 @@ def quantile_tdigest(
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
 
 
+def quantile_kll(
+    ds,
+    key_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+    k: int = 200,
+):
+    """Approximate per-key quantiles via mergeable KLL partials
+    (`functions/kll`, Karnin-Lang-Liberty FOCS'16) — same shuffle
+    shape as :func:`quantile_tdigest` (one O(k) blob per key per
+    batch), but with a SELF-CERTIFYING worst-case rank-error bound:
+    the returned ``rank_err_bound`` column caps
+    ``|est_rank - true_rank| / n`` for EVERY query point, determined
+    by the sketch's own compaction ledger — no tuned tolerance.
+    Returns (key, q<p>_approx ..., n, rank_err_bound)."""
+    from ..functions.kll import KLL
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in batch.groupby(key_col, sort=False):
+            s = KLL(k=k, seed=int(fnv1a_u64([str(key)])[0]) & 0x7FFFFFFF)
+            s.add(g[value_col].to_numpy(dtype=np.float64))
+            rows.append({key_col: key, "sketch": s.to_bytes()})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = KLL.from_bytes(g["sketch"].iloc[0])
+        for blob in g["sketch"].iloc[1:]:
+            acc.merge(KLL.from_bytes(blob))
+        out = {key_col: [g[key_col].iloc[0]]}
+        for p in quantiles:
+            out[f"q{int(p * 100)}_approx"] = [acc.quantile(p)]
+        out["n"] = [int(acc.n)]
+        # end-to-end guarantee for the RETURNED quantiles: compaction
+        # certificate + one top-level item weight of pick granularity
+        # (quantile() selects the first stored item at/after the
+        # target rank, which can overshoot by up to its own weight)
+        top_w = 1 << (len(acc.levels) - 1)
+        out["rank_err_bound"] = [
+            float(acc.err_bound + top_w) / max(1, acc.n)
+        ]
+        return pd.DataFrame(out)
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
 def heavy_hitters(ds, column: str, k: int = 64):
     """Approximate frequent items via mergeable Misra-Gries summaries:
     one size-k summary per block (O(k) counters shuffle, independent
