@@ -36,6 +36,21 @@ log = logging.getLogger(__name__)
 
 from ..functions.hashing import MinHasher, fnv1a_u64, hamming64, shingle_hashes, simhash64
 
+# process-level scratch for the MinHash permutation tile: Ray reuses
+# worker processes across tasks, so one warm [num_perm, CH] buffer
+# (16 MB) serves every batch — re-allocating it per batch paid ~25x
+# the fill cost in first-touch page faults (mmap'd and returned to
+# the OS on every free at this size)
+_PERM_TILE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _perm_tile_buffer(num_perm: int, ch: int) -> np.ndarray:
+    buf = _PERM_TILE.get((num_perm, ch))
+    if buf is None:
+        buf = np.empty((num_perm, ch), np.uint64)
+        _PERM_TILE[(num_perm, ch)] = buf
+    return buf
+
 
 def _text_hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
     batch = batch.copy()
@@ -1140,14 +1155,21 @@ def conversation_minhash_neardup(
                 sh_conv.append(codes[row_id[: total - n + 1][ok]])
             short = np.flatnonzero((L > 0) & (L < n))
             if len(short):
+                # vectorized rolling combine by position: short turns
+                # (< n tokens — "ok"/"yes" turns are COMMON in chat
+                # data, not rare) do the same multiply-add recurrence
+                # masked by each turn's length; array uint64 ops wrap
+                # silently where the old per-row scalar loop both
+                # warned per token and paid Python per row
                 tok_starts = np.concatenate([[0], np.cumsum(L)[:-1]])
-                vals = np.empty(len(short), np.uint64)
-                for j, i in enumerate(short):
-                    t = th[tok_starts[i]: tok_starts[i] + L[i]]
-                    a = t[0]
-                    for k_ in range(1, len(t)):
-                        a = a * mult + t[k_]
-                    vals[j] = a
+                starts_s = tok_starts[short]
+                Ls = L[short]
+                vals = th[starts_s].copy()
+                for k_ in range(1, n):
+                    m = Ls > k_
+                    if not m.any():
+                        break
+                    vals[m] = vals[m] * mult + th[starts_s[m] + k_]
                 sh_vals.append(vals)
                 sh_conv.append(codes[short])
         if sh_vals:
@@ -1160,19 +1182,37 @@ def conversation_minhash_neardup(
             # of the 12-op exact Mersenne-61 affine — the standard
             # production tradeoff (not min-wise independent in
             # theory, indistinguishable in practice), worth ~6x on
-            # the pipeline's dominant term. Tiled to stay cache-
-            # resident (a monolithic broadcast is ~14x slower).
+            # the pipeline's dominant term. The min-reduce is FUSED
+            # into the tile pass over ONE process-cached buffer: a
+            # fresh [num_perm, S] matrix per batch (~75 MB at 2048
+            # turns) spent ~25x its compute in first-touch page
+            # faults, measured 2.4 s alloc+fill vs 0.04 s fill into
+            # a warm buffer.
             a_odd = (mh_.a << np.uint64(1)) | np.uint64(1)
-            H = np.empty((mh_.num_perm, len(x)), np.uint64)
-            CH = 8192
-            for lo in range(0, len(x), CH):
-                seg = x[lo:lo + CH]
-                H[:, lo:lo + CH] = a_odd[:, None] * seg[None, :] + mh_.b[:, None]
             seg_new = np.empty(len(cv), dtype=bool)
             seg_new[0] = True
             seg_new[1:] = cv[1:] != cv[:-1]
             starts = np.flatnonzero(seg_new)
-            merged[cv[starts]] = np.minimum.reduceat(H, starts, axis=1).T
+            CH = 16384
+            Ht = _perm_tile_buffer(mh_.num_perm, CH)
+            for lo in range(0, len(x), CH):
+                hi = min(lo + CH, len(x))
+                Hv = Ht[:, : hi - lo]
+                np.multiply(a_odd[:, None], x[None, lo:hi], out=Hv)
+                Hv += mh_.b[:, None]
+                s_in = starts[
+                    np.searchsorted(starts, lo, "left"):
+                    np.searchsorted(starts, hi, "left")
+                ]
+                # the tile's first segment may continue the previous
+                # tile's conversation: prepend the tile start, and
+                # min-merge (not assign) into the per-conv rows
+                if not len(s_in) or s_in[0] != lo:
+                    s_in = np.concatenate([[lo], s_in])
+                mins = np.minimum.reduceat(Hv, s_in - lo, axis=1).T
+                rows = cv[s_in]  # distinct within one tile
+                np.minimum(merged[rows], mins, out=mins)
+                merged[rows] = mins
         out = pd.DataFrame({key: uniques})
         out["sig"] = [r.view(np.int64) for r in merged]
         out["_part"] = (
