@@ -91,9 +91,11 @@ class GorillaRoundtripVerifier:
         scale = None if self.qd is None else 10.0 ** self.qd
         tol = 0.0 if scale is None else 0.5 / scale + 1e-12
         rows = []
-        for _, r in batch.iterrows():
-            ts = np.asarray(r["ts"], dtype=np.int64)
-            vals = np.asarray(r["values"], dtype=np.float64)
+        for conv_id, chunk_idx, ts_arr, values in zip(
+            batch["conv_id"], batch["chunk_idx"], batch["ts"], batch["values"]
+        ):
+            ts = np.asarray(ts_arr, dtype=np.int64)
+            vals = np.asarray(values, dtype=np.float64)
             enc_vals = np.round(vals * scale) if scale is not None else vals
             tb, vb, bpp = encode_chunk(ts, enc_vals)
             ts2, vals2 = decode_chunk(tb, vb)
@@ -105,7 +107,7 @@ class GorillaRoundtripVerifier:
                 np.isfinite(vals) == np.isfinite(vals2)
             ).all()
             rows.append(
-                {"conv_id": r["conv_id"], "chunk_idx": int(r["chunk_idx"]),
+                {"conv_id": conv_id, "chunk_idx": int(chunk_idx),
                  "n_points": len(vals), "bytes_per_point": bpp,
                  "max_err": err, "roundtrip_ok": ok}
             )
@@ -148,9 +150,11 @@ class PLAChunkVerifier:
         from ..functions.pla import pla_compress, pla_max_error
 
         rows = []
-        for _, r in batch.iterrows():
-            ts = np.asarray(r["ts"], dtype=np.int64).astype(np.float64)
-            vals = np.asarray(r["values"], dtype=np.float64)
+        for conv_id, chunk_idx, ts_arr, values in zip(
+            batch["conv_id"], batch["chunk_idx"], batch["ts"], batch["values"]
+        ):
+            ts = np.asarray(ts_arr, dtype=np.int64).astype(np.float64)
+            vals = np.asarray(values, dtype=np.float64)
             m = np.isfinite(vals)
             t, v = ts[m], vals[m]
             if len(t):
@@ -160,7 +164,7 @@ class PLAChunkVerifier:
             else:
                 err, nseg = 0.0, 0
             rows.append({
-                "conv_id": r["conv_id"], "chunk_idx": int(r["chunk_idx"]),
+                "conv_id": conv_id, "chunk_idx": int(chunk_idx),
                 "n_points": int(len(t)), "n_segments": nseg,
                 "max_err": err,
                 "bound_ok": bool(err <= self.eps + 1e-9),
@@ -204,8 +208,10 @@ def wavelet_verify_chunks(chunk_ds, keep_frac: float = 0.1):
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in batch.iterrows():
-            vals = np.asarray(r["values"], dtype=np.float64)
+        for conv_id, chunk_idx, values in zip(
+            batch["conv_id"], batch["chunk_idx"], batch["values"]
+        ):
+            vals = np.asarray(values, dtype=np.float64)
             vals = np.nan_to_num(vals, nan=0.0)  # gaps carry no energy
             comp = wavelet_compress(vals, keep_frac=kf)
             recon = wavelet_reconstruct(comp)
@@ -218,7 +224,7 @@ def wavelet_verify_chunks(chunk_ds, keep_frac: float = 0.1):
             err_pad = float(np.sqrt(np.sum((pad - haar_idwt(kept)) ** 2)))
             scale = max(1.0, comp["dropped_l2"])
             rows.append({
-                "conv_id": r["conv_id"], "chunk_idx": int(r["chunk_idx"]),
+                "conv_id": conv_id, "chunk_idx": int(chunk_idx),
                 "n_points": int(len(vals)), "n_kept": int(len(comp["idx"])),
                 "coef_frac": float(len(comp["idx"]) / max(1, comp["n_pad"])),
                 "l2_budget": comp["dropped_l2"],

@@ -120,9 +120,11 @@ class SeriesResampler:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         fn = self._fns[self.mode]
         rows = []
-        for _, r in batch.iterrows():
-            ts = np.asarray(r["ts"], dtype=np.int64)
-            vals = fn(np.asarray(r["values"], dtype=np.float64), self.factor)
+        for conv_id, chunk_idx, ts_arr, values in zip(
+            batch["conv_id"], batch["chunk_idx"], batch["ts"], batch["values"]
+        ):
+            ts = np.asarray(ts_arr, dtype=np.int64)
+            vals = fn(np.asarray(values, dtype=np.float64), self.factor)
             if self.mode == "upsample":
                 x_out = np.arange(len(vals), dtype=np.float64) / self.factor
                 new_ts = np.interp(
@@ -132,8 +134,8 @@ class SeriesResampler:
                 new_ts = ts[:: self.factor][: len(vals)]
             rows.append(
                 {
-                    "conv_id": r["conv_id"],
-                    "chunk_idx": int(r["chunk_idx"]),
+                    "conv_id": conv_id,
+                    "chunk_idx": int(chunk_idx),
                     "n_points": len(vals),
                     "ts": new_ts,
                     "values": vals,

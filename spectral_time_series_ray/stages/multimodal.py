@@ -107,18 +107,18 @@ class FrameSampler:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in batch.iterrows():
-            meta = parse_header(r["blob"])
+        for media_id, blob in zip(batch["media_id"], batch["blob"]):
+            meta = parse_header(blob)
             if meta["mode"] != "video":
                 continue
-            payload = np.frombuffer(r["blob"], dtype=np.uint8, offset=10)
+            payload = np.frombuffer(blob, dtype=np.uint8, offset=10)
             frame_size = meta["width"] * meta["channels"]
             n_frames = max(1, len(payload) // max(1, frame_size))
             for fi in range(0, n_frames, self.every_k):
                 frame = payload[fi * frame_size : (fi + 1) * frame_size]
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "frame_idx": fi,
                         "frame_bytes": frame.tobytes(),
                     }

@@ -164,12 +164,14 @@ class TrainCropStage:
         from ..functions.hashing import fnv1a_u64
 
         rows = []
-        for _, r in batch.iterrows():
-            vals = np.asarray(r["values"], dtype=np.float64)
-            ts = np.asarray(r["ts"], dtype=np.int64)
+        for conv_id, chunk_idx, values, ts_arr in zip(
+            batch["conv_id"], batch["chunk_idx"], batch["values"], batch["ts"]
+        ):
+            vals = np.asarray(values, dtype=np.float64)
+            ts = np.asarray(ts_arr, dtype=np.int64)
             rng = np.random.default_rng(
-                [self.seed, int(fnv1a_u64([str(r["conv_id"])])[0]) & 0x7FFFFFFF,
-                 int(r["chunk_idx"])]
+                [self.seed, int(fnv1a_u64([str(conv_id)])[0]) & 0x7FFFFFFF,
+                 int(chunk_idx)]
             )
             try:
                 psize = self._get_patch_size(
@@ -184,8 +186,8 @@ class TrainCropStage:
                 continue  # series too short for any candidate: skip
             rows.append(
                 {
-                    "conv_id": r["conv_id"],
-                    "chunk_idx": int(r["chunk_idx"]),
+                    "conv_id": conv_id,
+                    "chunk_idx": int(chunk_idx),
                     "patch_size": psize,
                     "crop_start": a,
                     "crop_stop": b,
@@ -250,12 +252,14 @@ class MaskedPredictionStage:
         from ..functions.hashing import fnv1a_u64
 
         rows = []
-        for _, r in batch.iterrows():
-            vals = np.asarray(r["values"], dtype=np.float64)
-            ts = np.asarray(r["ts"], dtype=np.int64)
+        for conv_id, chunk_idx, values, ts_arr in zip(
+            batch["conv_id"], batch["chunk_idx"], batch["values"], batch["ts"]
+        ):
+            vals = np.asarray(values, dtype=np.float64)
+            ts = np.asarray(ts_arr, dtype=np.int64)
             rng = np.random.default_rng(
-                [self.seed, int(fnv1a_u64([str(r["conv_id"])])[0]) & 0x7FFFFFFF,
-                 int(r["chunk_idx"])]
+                [self.seed, int(fnv1a_u64([str(conv_id)])[0]) & 0x7FFFFFFF,
+                 int(chunk_idx)]
             )
             mask, trunc = self._masked(
                 vals, self.lo, self.hi, truncate={"ts": ts[None, :]}, rng=rng
@@ -263,8 +267,8 @@ class MaskedPredictionStage:
             mask_len = int(mask[0].sum())
             rows.append(
                 {
-                    "conv_id": r["conv_id"],
-                    "chunk_idx": int(r["chunk_idx"]),
+                    "conv_id": conv_id,
+                    "chunk_idx": int(chunk_idx),
                     "n_points": len(vals),
                     "mask_length": mask_len,
                     "values": vals,

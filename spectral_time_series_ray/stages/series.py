@@ -338,8 +338,10 @@ def patched_precondition_stats(
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in df.iterrows():
-            vals = np.asarray(r["values"], dtype=np.float64)
+        for key_val, chunk_idx, values in zip(
+            df[key], df["chunk_idx"], df["values"]
+        ):
+            vals = np.asarray(values, dtype=np.float64)
             pat = patchify(vals, patch_size, pad_value=0.0)  # [T, P]
             fwd = forward_precondition_patched(pat, coeffs)
             ref = forward_precondition(pat.T.copy(), coeffs).T  # per-channel 1-D
@@ -355,8 +357,8 @@ def patched_precondition_stats(
                 ctx = 0.0
             rows.append(
                 {
-                    key: r[key],
-                    "chunk_idx": int(r["chunk_idx"]),
+                    key: key_val,
+                    "chunk_idx": int(chunk_idx),
                     "n_time_patches": int(pat.shape[0]),
                     "patch_size": patch_size,
                     "xcheck_err": xcheck,
