@@ -206,6 +206,7 @@ def _tr_wavelet(sf_dir: str):
     planted = pd.DataFrame({
         "conv_id": ["__planted_wavelet__"],
         "chunk_idx": np.array([0], np.int64),
+        "n_points": np.array([256], np.int64),
         "ts": [np.int64(1_700_000_000_000_000) + k * 60_000_000],
         "values": [np.repeat(rng_levels, 16)],
     })
@@ -4215,6 +4216,7 @@ def _tr_asap(sf_dir: str):
     planted = pd.DataFrame({
         "conv_id": ["__planted_asap__"],
         "chunk_idx": np.array([0], np.int64),
+        "n_points": np.array([512], np.int64),
         "ts": [np.int64(1_700_000_000_000_000) + k * 60_000_000],
         "values": [seasonal],
     })

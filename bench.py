@@ -119,13 +119,16 @@ def run_bench() -> dict:
         with timed("cascade_1h_1d"):
             h1 = cascade(m1, "1h").materialize()
             cascade(h1, "1d").materialize()
-        with timed("gapfill_precond_pack"):
+        # gapfill -> pack -> encode runs as ONE streaming execution: no
+        # materialize barrier between pack and encode, so encoding
+        # overlaps the gap-fill shuffle's tail AND the pipeline pays one
+        # executor spin-up instead of two (~0.6 s fixed per execution —
+        # the dominant term of the 16-CPU scaling leg's serial fraction)
+        with timed("gapfill_gorilla_fused"):
             chunks = gap_fill_pack_series(
                 m1, "1m", value_col="mean_latency", method="locf",
                 polynomial="chebyshev", degree=4,
-            ).materialize()
-            chunks = chunks.select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
-        with timed("gorilla_spectral"):
+            ).select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
             enc = process_chunks(
                 chunks, quantize_digits=3, method="welch", use_actors=False,
             ).materialize()
@@ -147,8 +150,7 @@ def run_bench() -> dict:
         chunks = gap_fill_pack_series(
             m1, "1m", value_col="mean_latency", method="locf",
             polynomial="chebyshev", degree=4,
-        ).materialize()
-        chunks = chunks.select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
+        ).select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
         enc = process_chunks(
             chunks, quantize_digits=3, method="welch", use_actors=False,
         ).materialize()
