@@ -5077,6 +5077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
+        "ev_gapfill_seasonal": Q.ev_gapfill_seasonal,
         "ev_sessions": Q.ev_sessions,
         "ev_scd2_intervals": Q.ev_scd2_intervals,
         "ev_time_weighted_avg": Q.ev_time_weighted_avg,
@@ -5517,6 +5518,29 @@ def oracle_sql() -> dict[str, str]:
                      rows between unbounded preceding and current row) as value_filled,
                    r.v is not null as observed
             from grid g left join r on r.user_id = g.user_id and r.m = g.bucket_ts
+        """,
+        "ev_gapfill_seasonal": """
+            with r as (
+              select user_id, date_trunc('hour', ts) as m, round(avg(value), 6) as v
+              from events group by 1, 2),
+            b as (select user_id, min(m) as lo, max(m) as hi from r group by 1),
+            grid as (
+              select user_id, unnest(generate_series(lo, hi, interval 1 hour)) as bucket_ts
+              from b),
+            j as (
+              select g.user_id, g.bucket_ts, r.v
+              from grid g left join r on r.user_id = g.user_id and r.m = g.bucket_ts),
+            w as (
+              select user_id, bucket_ts, v,
+                     lag(v, 24) over (partition by user_id order by bucket_ts) as v_season,
+                     last_value(v ignore nulls) over (
+                       partition by user_id order by bucket_ts
+                       rows between unbounded preceding and current row) as v_locf
+              from j)
+            select user_id, bucket_ts,
+                   coalesce(v, v_season, v_locf) as value_filled,
+                   v is not null as observed
+            from w
         """,
         "ev_type_hour_count": """
             select event_type, date_trunc('hour', ts) as bucket_ts, count(*) as n_events

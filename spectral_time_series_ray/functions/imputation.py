@@ -70,11 +70,40 @@ def linear_impute(x: np.ndarray, value: float = 0.0) -> np.ndarray:
     return out
 
 
+def seasonal_impute(x: np.ndarray, period: int, value: float = 0.0) -> np.ndarray:
+    """NaN -> the RAW value one ``period`` earlier when that slot was
+    observed; remaining gaps -> LOCF over the raw series. Fills never
+    feed fills (the seasonal candidate and the LOCF fallback both read
+    only observed values), so the result is order-independent and
+    exactly mirrors the SQL ``coalesce(v, lag(v, period), locf(v))``
+    over a dense grid — extends the reference's pluggable
+    ImputationMethod strategy surface (imputation.py:26-29) with the
+    seasonal-naive fill."""
+    x = np.asarray(x, dtype=float)
+    out = locf_impute(x, value=value)
+    n = len(x)
+    p = int(period)
+    if 0 < p < n:
+        cand = np.full(n, np.nan)
+        cand[p:] = x[:-p]
+        m = np.isnan(x) & ~np.isnan(cand)
+        out[m] = cand[m]
+    return out
+
+
+def make_seasonal_imputer(period: int):
+    """IMPUTERS-compatible ``fn(x, value=0.0)`` bound to a period."""
+    def fn(x: np.ndarray, value: float = 0.0) -> np.ndarray:
+        return seasonal_impute(x, period, value=value)
+    return fn
+
+
 IMPUTERS = {
     "dummy": dummy_impute,
     "locf": locf_impute,
     "causal_mean": causal_mean_impute,
     "linear": linear_impute,
+    "seasonal24": make_seasonal_imputer(24),
 }
 
 

@@ -412,6 +412,22 @@ def ev_gapfill_1h(sf_dir: str):
     return _rename_ds(filled, {"mean_value": "value_filled"})
 
 
+def ev_gapfill_seasonal(sf_dir: str):
+    """Dense hourly grid per user, SEASONAL-NAIVE gap-fill: a missing
+    hour takes the RAW value 24 hours earlier when that slot was
+    observed, else raw-LOCF (`functions/imputation.seasonal_impute`;
+    fills never feed fills, so the result matches the oracle's
+    ``coalesce(v, lag(v, 24), locf(v))`` exactly)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    rolled = rollup_mergeable(ds, "1h", value_cols=("value",), key="user_id")
+    rolled = _round_ds(rolled, {"mean_value": 6})
+    filled = gap_fill_series(
+        rolled, "1h", value_col="mean_value", method="seasonal24",
+        key="user_id",
+    )
+    return _rename_ds(filled, {"mean_value": "value_filled"})
+
+
 def ev_type_hour_count(sf_dir: str):
     """Pre-aggregated count per (event_type, hour): per-batch Arrow
     partials, then a tiny merge — the mergeable-rollup shuffle shape."""

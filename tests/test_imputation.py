@@ -77,3 +77,29 @@ def test_idempotence():
     x = np.array([NAN, 1.0, NAN, 4.0])
     once = impute(x, "locf")
     np.testing.assert_array_equal(impute(once, "locf"), once)
+
+
+def test_seasonal_impute_semantics():
+    import numpy as np
+
+    from spectral_time_series_ray.functions.imputation import (
+        IMPUTERS,
+        locf_impute,
+        seasonal_impute,
+    )
+
+    x = np.full(60, np.nan)
+    x[0], x[5], x[30] = 10.0, 5.0, 7.0
+    out = seasonal_impute(x, 24)
+    assert out[24] == 10.0 and out[29] == 5.0  # raw value one period back
+    assert out[3] == 10.0  # no seasonal candidate -> raw LOCF
+    assert out[31] == 7.0  # candidate slot unobserved -> raw LOCF
+    assert out[30] == 7.0 and out[5] == 5.0  # observed slots unchanged
+    # fills never feed fills: out[53] candidate is x[29] (unobserved RAW)
+    # even though out[29] was filled, so LOCF wins
+    assert out[53] == 7.0
+    y = np.arange(10.0)
+    assert np.array_equal(seasonal_impute(y, 3), y)
+    z = np.array([1.0, np.nan, np.nan])
+    assert np.array_equal(seasonal_impute(z, 5), locf_impute(z))
+    assert np.array_equal(IMPUTERS["seasonal24"](x), seasonal_impute(x, 24))
