@@ -4296,80 +4296,87 @@ def _tr_sft_pairs(sf_dir: str):
     pairs = sft_pairs(both).materialize()
     n_pairs = int(pairs.count())
 
+    # ---- fused source scan for checks (a) + (b) --------------------
+    # The text corpus is re-read exactly ONCE for all self-checks: one
+    # pass computes the per-turn metadata (check a) AND the pre-exchange
+    # per-turn text hashes (check b), materialized as fixed-width
+    # columns + the conv id — metadata-scale, never the text itself.
+    # (Measured: each extra streaming execution over the corpus costs
+    # ~1.3 s fixed + the text IO; fusing the two scans halves that.)
+    PA = 32
+    _ROLE_CODE = {"user": 1, "assistant": 2}
+
+    def _tkey(conv, turn) -> np.ndarray:
+        return fnv1a_u64(
+            [f"{c}|{t}" for c, t in zip(conv, turn)]
+        ).view(np.int64)
+
+    def narrow_and_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        turn = batch["turn_idx"].to_numpy(np.int64)
+        role = batch["role"]
+        out = pd.DataFrame({
+            "conv_id": batch["conv_id"],
+            "turn_idx": turn,
+            "role_code": role.map(_ROLE_CODE).fillna(0).to_numpy(np.int8),
+            "tkey": _tkey(batch["conv_id"], turn),
+            "src_hash": fnv1a_u64(list(batch["text"])).view(np.int64),
+        })
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["conv_id"], index=False).to_numpy() % PA
+        ).astype(np.int32)
+        return out
+
+    srcm = both.map_batches(
+        narrow_and_hash, batch_format="pandas", batch_size=None
+    ).materialize()
+
     # ---- (a) independent metadata-only count ----------------------
     # ONE int-keyed conv-hash exchange: every row of a conversation
     # lands in one partition, where per-conv min-user-turn and the
     # count of assistant turns after it compute locally (string-keyed
     # Ray groupbys measured ~10x slower at this key count)
-    PA = 32
-
-    def narrow(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "conv_id": batch["conv_id"],
-            "turn_idx": batch["turn_idx"].to_numpy(np.int64),
-            "is_user": (batch["role"] == "user").to_numpy(),
-            "is_asst": (batch["role"] == "assistant").to_numpy(),
-        })
-        out["_part"] = (
-            pd.util.hash_pandas_object(out["conv_id"], index=False).to_numpy() % PA
-        ).astype(np.int32)
-        return out[out["is_user"] | out["is_asst"]]
-
-    meta = both.select_columns(["conv_id", "turn_idx", "role"]).map_batches(
-        narrow, batch_format="pandas", batch_size=None
-    )
-
     def part_expected(g: pd.DataFrame) -> pd.DataFrame:
-        um = g[g["is_user"]].groupby("conv_id")["turn_idx"].min()
-        a = g[g["is_asst"]]
+        is_user = g["role_code"].to_numpy() == 1
+        um = g[is_user].groupby("conv_id")["turn_idx"].min()
+        a = g[g["role_code"].to_numpy() == 2]
         mins = a["conv_id"].map(um)
         n = int((a["turn_idx"].to_numpy(np.float64)
                  > mins.to_numpy(np.float64)).sum())  # NaN (no user) never >
         return pd.DataFrame({"n": [n]})
 
     n_expected = int(
-        meta.groupby("_part").map_groups(part_expected, batch_format="pandas").sum("n")
+        srcm.groupby("_part").map_groups(part_expected, batch_format="pandas").sum("n")
     )
     count_ok = n_pairs == n_expected
 
     # ---- (b) end-to-end text equality via pre-exchange hashes -----
     # int64 turn keys (FNV of conv | turn), BOTH pair sides unioned into
-    # one probe -> a single int-keyed merge join against one hash scan
-    def _tkey(conv, turn) -> np.ndarray:
-        return fnv1a_u64(
-            [f"{c}|{t}" for c, t in zip(conv, turn)]
-        ).view(np.int64)
-
-    def src_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "tkey": _tkey(batch["conv_id"], batch["turn_idx"].to_numpy(np.int64)),
-            "src_role": batch["role"],
-            "src_hash": fnv1a_u64(list(batch["text"])).view(np.int64),
-        })
-
-    src = both.map_batches(src_hash, batch_format="pandas", batch_size=None)
-
+    # one probe -> a single int-keyed merge join against the hash scan
     def probe_both(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
-        for col_idx, col_hash, role in (
-            ("prompt_turn_idx", "prompt_hash", "user"),
-            ("response_turn_idx", "response_hash", "assistant"),
+        for col_idx, col_hash, role_code in (
+            ("prompt_turn_idx", "prompt_hash", 1),
+            ("response_turn_idx", "response_hash", 2),
         ):
             frames.append(pd.DataFrame({
                 "tkey": _tkey(batch["conv_id"], batch[col_idx].to_numpy(np.int64)),
                 "pair_hash": batch[col_hash].to_numpy(np.int64),
-                "exp_role": role,
+                "exp_role": np.full(len(batch), role_code, dtype=np.int8),
             }))
         return pd.concat(frames, ignore_index=True)
 
     pr = pairs.map_batches(probe_both, batch_format="pandas", batch_size=None)
-    j = partition_merge_join(pr, src, on="tkey", how="inner")
+    j = partition_merge_join(
+        pr, srcm.select_columns(["tkey", "role_code", "src_hash"]),
+        on="tkey", how="inner",
+    )
 
     def match_stats(batch: pd.DataFrame) -> pd.DataFrame:
         ok = ((batch["src_hash"].to_numpy(np.int64)
                == batch["pair_hash"].to_numpy(np.int64))
-              & (batch["src_role"] == batch["exp_role"]).to_numpy())
-        is_p = (batch["exp_role"] == "user").to_numpy()
+              & (batch["role_code"].to_numpy(np.int8)
+                 == batch["exp_role"].to_numpy(np.int8)))
+        is_p = batch["exp_role"].to_numpy(np.int8) == 1
         return pd.DataFrame({
             "n_p": [int(is_p.sum())], "ok_p": [int((ok & is_p).sum())],
             "n_r": [int((~is_p).sum())], "ok_r": [int((ok & ~is_p).sum())],

@@ -16,16 +16,63 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def fnv1a_u64(tokens: list[str]) -> np.ndarray:
-    """FNV-1a 64-bit hash of each string (deterministic across runs)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
+def _fnv1a_python(tokens, out: np.ndarray, idx: np.ndarray) -> None:
+    """Reference per-string FNV-1a loop (fallback for the long tail)."""
     prime = int(_FNV_PRIME)
     mask = (1 << 64) - 1
-    for i, tok in enumerate(tokens):
+    for i in idx:
         h = int(_FNV_OFFSET)
-        for b in tok.encode("utf-8", "surrogatepass"):
+        for b in tokens[i]:
             h = ((h ^ b) * prime) & mask
         out[i] = h
+
+
+def fnv1a_u64(tokens: list[str]) -> np.ndarray:
+    """FNV-1a 64-bit hash of each string (deterministic across runs).
+
+    Vectorized lockstep scan: strings are length-sorted descending so
+    that at byte position j only a PREFIX of the array is still active;
+    each position is one numpy gather + xor + wrapping multiply over
+    that prefix (total work = one vectorized pass over all bytes).
+    Bit-exact vs the per-byte reference loop (property-tested); the few
+    strings much longer than the bulk fall back to the Python loop so a
+    single 100 KB outlier doesn't force 100k tiny vector ops.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    enc = [t.encode("utf-8", "surrogatepass") for t in tokens]
+    lens = np.fromiter((len(b) for b in enc), count=n, dtype=np.int64)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n < 32:
+        _fnv1a_python(enc, out, np.arange(n))
+        return out
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    # strings strictly longer than the 32nd-longest go to the Python
+    # loop so a lone huge outlier doesn't serialize the vector scan
+    cut = int(np.searchsorted(-lens_s, -int(lens_s[31]), side="left"))
+    if cut:
+        _fnv1a_python(enc, out, order[:cut])
+    active = order[cut:]
+    if not len(active):
+        return out
+    buf = np.frombuffer(b"".join(enc[i] for i in active), dtype=np.uint8)
+    alens = lens[active]
+    starts = np.zeros(len(active), dtype=np.int64)
+    np.cumsum(alens[:-1], out=starts[1:])
+    h = np.full(len(active), _FNV_OFFSET, dtype=np.uint64)
+    # active prefix shrinks as positions pass each string's length
+    # (lengths are descending within `active`): counts[j] = #{len >= j+1}
+    maxlen = int(alens[0])
+    counts = np.searchsorted(-alens, -np.arange(1, maxlen + 1), side="right")
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            k = int(counts[j])
+            hk = h[:k]
+            hk ^= buf[starts[:k] + j].astype(np.uint64)
+            hk *= _FNV_PRIME
+    out[active] = h
     return out
 
 

@@ -255,3 +255,48 @@ def test_lm_separates_gibberish(ray_session):
     thr = 0.5 * (s.loc[60:].min() + s.loc[:59].max())
     kept = lm_quality_filter(ds, logp, max_nll=thr, concurrency=2).to_pandas()
     assert set(kept["doc_id"]) == set(range(60))
+
+
+def test_fnv_vectorized_matches_reference_loop():
+    """The lockstep vector scan must be bit-exact vs the per-byte
+    FNV-1a reference recurrence on every length/content mix, including
+    empties, unicode, lone surrogates, and huge outliers that take the
+    Python fallback path."""
+    import random
+
+    from spectral_time_series_ray.functions.hashing import (
+        _FNV_OFFSET,
+        _FNV_PRIME,
+    )
+
+    def ref(tokens):
+        out = np.empty(len(tokens), dtype=np.uint64)
+        prime = int(_FNV_PRIME)
+        mask = (1 << 64) - 1
+        for i, tok in enumerate(tokens):
+            h = int(_FNV_OFFSET)
+            for b in tok.encode("utf-8", "surrogatepass"):
+                h = ((h ^ b) * prime) & mask
+            out[i] = h
+        return out
+
+    # known vector: FNV-1a 64 of "a" (public test vector)
+    assert fnv1a_u64(["a"])[0] == np.uint64(0xAF63DC4C8601EC8C)
+    assert fnv1a_u64([""])[0] == _FNV_OFFSET
+
+    rng = random.Random(11)
+    cases = [
+        [],
+        ["", "a", "ab", "abc" * 50],
+        ["同じ", "ünïcode", "\ud800s", "x" * 4000, ""] + [f"t{i}" for i in range(64)],
+        ["y" * 9000] * 2 + [f"short{i}" for i in range(200)],
+    ]
+    for _ in range(3):
+        n = rng.randint(1, 300)
+        cases.append([
+            "".join(chr(rng.randint(32, 0x2FFF))
+                    for _ in range(rng.randint(0, rng.choice([3, 40, 400]))))
+            for _ in range(n)
+        ])
+    for c in cases:
+        np.testing.assert_array_equal(fnv1a_u64(c), ref(c))
