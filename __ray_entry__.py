@@ -5086,6 +5086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "ev_gapfill_seasonal": Q.ev_gapfill_seasonal,
         "ev_sessions": Q.ev_sessions,
+        "ev_concurrency": Q.ev_concurrency,
         "ev_scd2_intervals": Q.ev_scd2_intervals,
         "ev_time_weighted_avg": Q.ev_time_weighted_avg,
         "ev_interval_coverage": Q.ev_interval_coverage,
@@ -5359,6 +5360,46 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_ev) * 1.0 / count(*), 6) as mean_session_events,
                    round((sum(dur_us) / count(*)) / 1e6, 6) as mean_session_duration_s
             from per_session group by 1
+        """,
+        "ev_concurrency": """
+            with g as (
+              select user_id, ts,
+                     epoch_us(ts - lag(ts) over (partition by user_id order by ts)) as gap_us
+              from events),
+            f as (
+              select user_id, ts,
+                     case when gap_us is null or gap_us > 1800000000 then 1 else 0 end as flag
+              from g),
+            s as (
+              select user_id, ts,
+                     sum(flag) over (partition by user_id order by ts
+                                     rows between unbounded preceding and current row) as sid
+              from f),
+            sess as (select user_id, sid, min(ts) as st, max(ts) as en from s group by 1, 2),
+            spans as (
+              select st, en,
+                     unnest(generate_series(date_trunc('hour', st),
+                                            date_trunc('hour', en),
+                                            interval 1 hour)) as h
+              from sess),
+            agg as (
+              select h,
+                     count(*) filter (where h > date_trunc('hour', st)) as c0,
+                     sum(epoch_us(least(en, h + interval 1 hour) - greatest(st, h))) as busy_us
+              from spans group by 1),
+            b as (
+              select date_trunc('hour', st) as h, st as ts, 1 as d from sess
+              union all
+              select date_trunc('hour', en) as h, en as ts, -1 as d from sess),
+            lv as (
+              select h, sum(d) over (partition by h order by ts asc, d desc
+                                     rows between unbounded preceding and current row) as rel
+              from b),
+            pk as (select h, max(rel) as max_rel from lv group by 1)
+            select a.h as bucket_ts,
+                   cast(a.c0 + greatest(coalesce(pk.max_rel, 0), 0) as bigint) as peak_concurrency,
+                   round(a.busy_us / 1e6, 6) as busy_s
+            from agg a left join pk on pk.h = a.h
         """,
         "ev_window_funcs": """
             select event_id, user_id,

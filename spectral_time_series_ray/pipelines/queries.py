@@ -167,6 +167,32 @@ def ev_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(_sessions_group(1800.0), batch_format="pandas")
 
 
+def ev_concurrency(sf_dir: str):
+    """System-wide utilization sweep: sessionize per user (gap > 1800 s,
+    same rule as ev_sessions), then per HOUR the PEAK number of
+    concurrently open sessions and the total busy (occupancy) seconds
+    — closed intervals, +1-before--1 at equal timestamps. Two
+    exchanges total (`analytics.session_intervals` user-hash, then
+    `analytics.interval_concurrency` bucket-hash); no global sort, no
+    driver state; interval expansion is bounded by duration/1h like
+    the gap-fill stage."""
+    from ..stages.analytics import interval_concurrency, session_intervals
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    iv = session_intervals(ds, key="user_id", ts_col="ts", gap_s=1800.0)
+    occ = interval_concurrency(iv, freq_s=3600)
+
+    def present(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket_ts": batch["bucket_us"].to_numpy(np.int64).astype("datetime64[us]"),
+            "peak_concurrency": batch["peak_concurrency"].to_numpy(np.int64),
+            "busy_s": round_half_away(
+                batch["busy_us"].to_numpy(np.int64) / 1e6, 6),
+        })
+
+    return occ.map_batches(present, batch_format="pandas", batch_size=None)
+
+
 def ev_window_funcs(sf_dir: str):
     """SQL analytic window functions per user — row_number(),
     lag(value), running sum(value) over (partition by user_id order by

@@ -1316,3 +1316,180 @@ def asap_downsample(chunk_ds, max_window: int | None = None,
         batch_size=128,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------- interval concurrency sweep
+
+
+def session_intervals(ds, key: str, ts_col: str, gap_s: float,
+                      num_partitions: int | None = None):
+    """Sessionize event rows into closed intervals [start, end]: a gap
+    > ``gap_s`` seconds between consecutive events of the same ``key``
+    starts a new session (same rule as the per-user session rollup /
+    its DuckDB oracle; single-event sessions are zero-length).
+
+    Scale path: ONE key-hash exchange, then each partition runs a
+    single numpy lexsort + segmented sweep over every key it owns —
+    no per-key ``map_groups`` tasks (measured ~10x slower at 1e5+
+    keys). Output is one fixed-width row per session:
+    (key, start_us, end_us, n_events).
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    gap_us = np.int64(round(gap_s * 1e6))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            key: batch[key],
+            "_ts": batch[ts_col].astype("datetime64[us]").astype(np.int64),
+        })
+        out["_part"] = (
+            pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    empty = pd.DataFrame({
+        key: pd.Series([], dtype=np.int64),
+        "start_us": pd.Series([], dtype=np.int64),
+        "end_us": pd.Series([], dtype=np.int64),
+        "n_events": pd.Series([], dtype=np.int64),
+    })
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.copy()
+        codes, uniques = pd.factorize(g[key], sort=False)
+        ts = g["_ts"].to_numpy(np.int64)
+        order = np.lexsort((ts, codes))
+        codes_s, ts_s = codes[order], ts[order]
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts_s[1:] - ts_s[:-1]) > gap_us
+        new_sess = new_key | gap_break
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        return pd.DataFrame({
+            key: np.asarray(uniques)[codes_s[starts]],
+            "start_us": ts_s[starts],
+            "end_us": ts_s[ends],
+            "n_events": (ends - starts + 1).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
+def interval_concurrency(intervals, freq_s: int = 3600,
+                         start_col: str = "start_us",
+                         end_col: str = "end_us",
+                         num_partitions: int | None = None):
+    """Per time-bucket PEAK concurrency and busy time over CLOSED
+    intervals [start, end] — the classic utilization sweep (peak
+    concurrent sessions per hour, occupancy seconds per hour), fully
+    distributed with no global sort and no driver state.
+
+    Each interval expands to its spanned buckets (bounded by
+    duration / freq — the same bounded densification contract as the
+    gap-fill stage): a carry indicator for every bucket STRICTLY after
+    the start bucket (the interval is already open at that bucket's
+    first instant), the per-bucket overlap in µs, and two boundary
+    rows (+1 at start, -1 at end). ONE bucket-hash exchange then
+    finishes each bucket locally: start level = carry count; within-
+    bucket sweep orders boundaries by (ts, +1 before -1) — closed-
+    interval semantics, an interval ending exactly when another starts
+    briefly counts both — and peak = carry + max(0, running deltas).
+    Buckets touched by no interval are not emitted.
+
+    Returns (bucket_us, peak_concurrency, busy_us) — ints only;
+    callers convert/round.
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    F = np.int64(freq_s) * np.int64(1_000_000)
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[start_col].to_numpy(np.int64)
+        e = batch[end_col].to_numpy(np.int64)
+        h0 = s // F
+        h1 = e // F
+        counts = (h1 - h0 + 1).astype(np.int64)
+        total = int(counts.sum())
+        row = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        seg0 = np.zeros(len(s), dtype=np.int64)
+        np.cumsum(counts[:-1], out=seg0[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg0, counts)
+        h = (h0[row] + within) * F
+        overlap = np.minimum(e[row], h + F) - np.maximum(s[row], h)
+        span = pd.DataFrame({
+            "h": h,
+            "carry": (within > 0).astype(np.int8),
+            "busy_us": overlap,
+            "ts": np.zeros(total, dtype=np.int64),
+            "d": np.zeros(total, dtype=np.int8),
+        })
+        bounds = pd.DataFrame({
+            "h": np.concatenate([h0 * F, h1 * F]),
+            "carry": np.zeros(2 * len(s), dtype=np.int8),
+            "busy_us": np.zeros(2 * len(s), dtype=np.int64),
+            "ts": np.concatenate([s, e]),
+            "d": np.concatenate([
+                np.ones(len(s), dtype=np.int8),
+                np.full(len(s), -1, dtype=np.int8),
+            ]),
+        })
+        out = pd.concat([span, bounds], ignore_index=True)
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["h"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    empty = pd.DataFrame({
+        "bucket_us": pd.Series([], dtype=np.int64),
+        "peak_concurrency": pd.Series([], dtype=np.int64),
+        "busy_us": pd.Series([], dtype=np.int64),
+    })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.copy()
+        h = g["h"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int8)
+        ts = g["ts"].to_numpy(np.int64)
+        # sort by (h, ts, -d): within a bucket's boundary stream, +1
+        # sorts before -1 at equal ts (closed-interval tie rule); carry
+        # rows (d=0, ts=0) sort first within their bucket and carry no
+        # delta, so they never perturb the running level
+        order = np.lexsort((-d, ts, h))
+        h_s, d_s = h[order], d[order].astype(np.int64)
+        n = len(g)
+        new_h = np.empty(n, dtype=bool)
+        new_h[0] = True
+        new_h[1:] = h_s[1:] != h_s[:-1]
+        starts = np.flatnonzero(new_h)
+        # segmented running sum of deltas, reset per bucket
+        cs = np.cumsum(d_s)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        rel = cs - np.repeat(base, np.diff(np.append(starts, n)))
+        max_rel = np.maximum.reduceat(rel, starts)
+        carry = np.add.reduceat(g["carry"].to_numpy(np.int64)[order], starts)
+        busy = np.add.reduceat(g["busy_us"].to_numpy(np.int64)[order], starts)
+        return pd.DataFrame({
+            "bucket_us": h_s[starts],
+            "peak_concurrency": carry + np.maximum(max_rel, 0),
+            "busy_us": busy,
+        })
+
+    return (
+        intervals.map_batches(expand, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -324,3 +324,95 @@ def test_analytic_edge_funcs_matches_pandas(ray_session):
     ).sort_values("event_id").reset_index(drop=True)
     for c in ("first_v", "last_v", "nth_v"):
         np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+
+
+def test_session_intervals_and_concurrency_planted():
+    """Planted interval layout with hand-computed per-hour peaks:
+    covers the closed-interval tie rule (+1 before -1 at the same
+    instant), zero-length sessions, carry across an hour with no
+    boundaries, and multi-hour spans."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import (
+        interval_concurrency,
+        session_intervals,
+    )
+
+    H = 3_600_000_000  # one hour in us
+    base = 1_700_000_000_000_000  # not hour-aligned
+    b0 = (base // H) * H  # hour bucket containing base
+
+    # user 1: two events 10s apart (one session), then a >30min gap
+    # starting a second single-event session exactly when user 2's
+    # session ends (tie rule)
+    rows = [
+        (1, base), (1, base + 10_000_000),
+        (1, base + 2_000_000_000),           # gap 1990s > 1800 -> new zero-length session
+        (2, base + 500_000_000),
+        (2, base + 2_000_000_000),           # gap 1500s -> same session; ends exactly at user1's 3rd event
+        (3, b0 + H + 100), (3, b0 + 3 * H + 200),  # gap 2h -> two zero-length sessions
+    ]
+    df = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+    })
+    ds = ray.data.from_pandas(df)
+    iv = session_intervals(ds, key="user_id", ts_col="ts", gap_s=1800.0
+                           ).to_pandas().sort_values(["user_id", "start_us"])
+    got = list(zip(iv["user_id"], iv["start_us"], iv["end_us"], iv["n_events"]))
+    assert got == [
+        (1, base, base + 10_000_000, 2),           # 2-event session
+        (1, base + 2_000_000_000, base + 2_000_000_000, 1),  # zero-length
+        (2, base + 500_000_000, base + 2_000_000_000, 2),
+        (3, b0 + H + 100, b0 + H + 100, 1),        # gap 2h -> two singles
+        (3, b0 + 3 * H + 200, b0 + 3 * H + 200, 1),
+    ]
+
+    occ = interval_concurrency(
+        ray.data.from_pandas(iv.reset_index(drop=True)), freq_s=3600
+    ).to_pandas().sort_values("bucket_us").reset_index(drop=True)
+
+    # hand-computed: all of base..base+2000s lies inside hour b0
+    # (base is 888.888s into b0? regardless: base % H + 2000s < H must
+    # hold for this layout; assert it so the fixture stays valid)
+    assert base % H + 2_000_000_000 < H
+    # hour b0: u1-s1 [base, +10s], u2 [base+500s, +2000s],
+    #          u1-s2 zero-length at +2000s (tie with u2's end -> both open)
+    # peaks: level 1 (u1 start), 0, 1 (u2 start), then at +2000s the
+    # +1 of u1-s2 processes BEFORE u2's -1 -> peak 2
+    r0 = occ[occ["bucket_us"] == b0].iloc[0]
+    assert r0["peak_concurrency"] == 2
+    assert r0["busy_us"] == 10_000_000 + 1_500_000_000  # u1-s1 + u2
+    # hour b0+H and b0+3H: one zero-length session each (peak 1, busy 0)
+    r1 = occ[occ["bucket_us"] == b0 + H].iloc[0]
+    r3 = occ[occ["bucket_us"] == b0 + 3 * H].iloc[0]
+    assert r1["peak_concurrency"] == 1 and r1["busy_us"] == 0
+    assert r3["peak_concurrency"] == 1 and r3["busy_us"] == 0
+    # no row for the empty hour b0+2H (no interval touches it)
+    assert (occ["bucket_us"] == b0 + 2 * H).sum() == 0
+    assert len(occ) == 3
+
+
+def test_interval_concurrency_carry_spanning_hours():
+    """A single long interval spanning 3+ hours: mid hours have no
+    boundaries and must inherit peak=1 from the carry; busy equals the
+    clipped per-hour overlap."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import interval_concurrency
+
+    H = 3_600_000_000
+    s = 7 * H + 1_800_000_000        # 30 min into hour 7
+    e = 10 * H + 900_000_000         # 15 min into hour 10
+    iv = pd.DataFrame({"user_id": [9], "start_us": [s], "end_us": [e],
+                       "n_events": [2]})
+    occ = interval_concurrency(ray.data.from_pandas(iv), freq_s=3600
+                               ).to_pandas().sort_values("bucket_us").reset_index(drop=True)
+    assert list(occ["bucket_us"]) == [7 * H, 8 * H, 9 * H, 10 * H]
+    assert list(occ["peak_concurrency"]) == [1, 1, 1, 1]
+    assert list(occ["busy_us"]) == [
+        1_800_000_000, H, H, 900_000_000]
