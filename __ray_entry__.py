@@ -5087,6 +5087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_gapfill_seasonal": Q.ev_gapfill_seasonal,
         "ev_sessions": Q.ev_sessions,
         "ev_concurrency": Q.ev_concurrency,
+        "ev_acf": Q.ev_acf,
         "ev_scd2_intervals": Q.ev_scd2_intervals,
         "ev_time_weighted_avg": Q.ev_time_weighted_avg,
         "ev_interval_coverage": Q.ev_interval_coverage,
@@ -5360,6 +5361,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(n_ev) * 1.0 / count(*), 6) as mean_session_events,
                    round((sum(dur_us) / count(*)) / 1e6, 6) as mean_session_duration_s
             from per_session group by 1
+        """,
+        "ev_acf": """
+            with r as (
+              select user_id, date_trunc('hour', ts) as b,
+                     round(avg(value), 6) as v
+              from events group by 1, 2),
+            l as (
+              select user_id, v,
+                     lag(v, 1) over w as v1,
+                     lag(v, 2) over w as v2,
+                     lag(v, 3) over w as v3
+              from r
+              window w as (partition by user_id order by b))
+            select user_id,
+                   round(corr(v, v1), 6) as acf1,
+                   round(corr(v, v2), 6) as acf2,
+                   round(corr(v, v3), 6) as acf3,
+                   count(*) as n_buckets
+            from l group by 1
+            having count(*) >= 5
         """,
         "ev_concurrency": """
             with g as (

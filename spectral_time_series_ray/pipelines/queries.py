@@ -193,6 +193,26 @@ def ev_concurrency(sf_dir: str):
     return occ.map_batches(present, batch_format="pandas", batch_size=None)
 
 
+def ev_acf(sf_dir: str):
+    """Per-user autocorrelation of the hourly mean-value series at lags
+    1-3 (`analytics.acf_by_key`) — the Box-Jenkins persistence
+    diagnostic, restricted to users with >= 5 hourly buckets so every
+    reported lag has a defined sample correlation. Inputs are rounded
+    to 6 decimals on BOTH sides so engine and oracle correlate
+    identical series."""
+    from ..stages.analytics import acf_by_key
+    from ..stages.rollup import rollup_mergeable
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    rolled = rollup_mergeable(ds, "1h", value_cols=("value",), key="user_id")
+    rolled = _round_ds(rolled, {"mean_value": 6})
+    out = acf_by_key(rolled, key="user_id", order_col="bucket_ts",
+                     value_col="mean_value", lags=(1, 2, 3))
+    out = out.map_batches(lambda b: b[b["n_buckets"] >= 5],
+                          batch_format="pandas", batch_size=None)
+    return _round_ds(out, {"acf1": 6, "acf2": 6, "acf3": 6})
+
+
 def ev_window_funcs(sf_dir: str):
     """SQL analytic window functions per user — row_number(),
     lag(value), running sum(value) over (partition by user_id order by

@@ -1493,3 +1493,85 @@ def interval_concurrency(intervals, freq_s: int = 3600,
         .groupby("_part")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+# ----------------------------------------------------- autocorrelation
+
+
+def acf_by_key(ds, key: str, order_col: str, value_col: str,
+               lags: tuple[int, ...] = (1, 2, 3),
+               num_partitions: int | None = None):
+    """Per-key sample autocorrelation of ``value_col`` at row-order
+    ``lags`` (series ordered by ``order_col``) — the classic
+    seasonality/persistence diagnostic (Box-Jenkins ACF; identical to
+    SQL ``corr(v, lag(v, k) over (partition by key order by ...))``,
+    where the normalization makes sample vs population equivalent).
+
+    Scale path: ONE key-hash exchange, then a single lexsort +
+    ``np.add.reduceat`` moment pass per partition for every lag — no
+    per-key tasks, no Python loop over rows. Output: one row per key
+    with ``acf<k>`` columns (NaN when fewer than k+2 points or zero
+    variance) and ``n_buckets``.
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[key, order_col, value_col]].copy()
+        out["_part"] = (
+            pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    acf_cols = [f"acf{k}" for k in lags]
+    empty = pd.DataFrame({
+        key: pd.Series([], dtype=np.int64),
+        **{c: pd.Series([], dtype=np.float64) for c in acf_cols},
+        "n_buckets": pd.Series([], dtype=np.int64),
+    })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.copy()
+        codes, uniques = pd.factorize(g[key], sort=False)
+        order = np.lexsort((g[order_col].to_numpy(), codes))
+        codes_s = codes[order]
+        v = g[value_col].to_numpy(np.float64)[order]
+        n = len(g)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        seg_of = np.cumsum(new_key) - 1
+        pos_in_seg = np.arange(n) - starts[seg_of]
+        out = {key: np.asarray(uniques)[codes_s[starts]],
+               "n_buckets": seg_len.astype(np.int64)}
+        for k in lags:
+            x = v.copy()
+            y = np.empty(n)
+            y[k:] = v[:-k]
+            y[:k] = 0.0
+            valid = pos_in_seg >= k
+            x = np.where(valid, x, 0.0)
+            y = np.where(valid, y, 0.0)
+            cnt = np.maximum(seg_len - k, 0).astype(np.float64)
+            sx = np.add.reduceat(x, starts)
+            sy = np.add.reduceat(y, starts)
+            sxx = np.add.reduceat(x * x, starts)
+            syy = np.add.reduceat(y * y, starts)
+            sxy = np.add.reduceat(x * y, starts)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                num = cnt * sxy - sx * sy
+                den = np.sqrt(cnt * sxx - sx * sx) * np.sqrt(cnt * syy - sy * sy)
+                r = num / den
+            r[cnt < 2] = np.nan
+            out[f"acf{k}"] = r
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -416,3 +416,42 @@ def test_interval_concurrency_carry_spanning_hours():
     assert list(occ["peak_concurrency"]) == [1, 1, 1, 1]
     assert list(occ["busy_us"]) == [
         1_800_000_000, H, H, 900_000_000]
+
+
+def test_acf_by_key_matches_pandas_autocorr():
+    """acf_by_key must equal pandas Series.autocorr (sample Pearson of
+    v[k:] vs v[:-k]) per key and per lag, with NaN for too-short or
+    zero-variance segments, and no cross-key leakage at segment
+    boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from spectral_time_series_ray.stages.analytics import acf_by_key
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for uid, n in [(1, 40), (2, 7), (3, 3), (4, 12)]:
+        v = np.cumsum(rng.normal(size=n)) + uid * 100
+        if uid == 4:
+            v[:] = 2.5  # zero variance -> NaN acf
+        frames.append(pd.DataFrame({"user_id": uid, "t": np.arange(n),
+                                    "v": v}))
+    df = pd.concat(frames, ignore_index=True)
+    # shuffle rows so ordering comes from the kernel, not the input
+    df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
+
+    out = acf_by_key(ray.data.from_pandas(df), key="user_id",
+                     order_col="t", value_col="v", lags=(1, 2, 3)
+                     ).to_pandas().set_index("user_id").sort_index()
+
+    for uid, g in pd.concat(frames).groupby("user_id"):
+        s = pd.Series(g.sort_values("t")["v"].to_numpy())
+        for k in (1, 2, 3):
+            exp = s.autocorr(lag=k) if len(s) >= k + 2 else np.nan
+            gotv = out.loc[uid, f"acf{k}"]
+            if np.isnan(exp) or (uid == 4):
+                assert np.isnan(gotv), (uid, k, gotv)
+            else:
+                np.testing.assert_allclose(gotv, exp, atol=1e-12)
+        assert out.loc[uid, "n_buckets"] == len(s)
