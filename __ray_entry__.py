@@ -5083,7 +5083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rollup_1m": Q.ev_rollup_1m,
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
         "ev_cohort_retention": Q.ev_cohort_retention,
-        "ev_gapfill_1h": Q.ev_gapfill_1h,
+        "emb_ann_topk": Q.emb_ann_topk,
         "ev_gapfill_seasonal": Q.ev_gapfill_seasonal,
         "ev_sessions": Q.ev_sessions,
         "ev_concurrency": Q.ev_concurrency,
@@ -5110,7 +5110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_dq_checks": Q.ev_dq_checks,
         "ev_trend": Q.ev_trend,
         "q1_pricing": Q.q1_pricing,
-        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "doc_ssjoin": Q.doc_ssjoin,
         "q12_priority_lines": Q.q12_priority_lines,
         "doc_bm25_search": Q.doc_bm25_search,
         "q8_market_share": Q.q8_market_share,
@@ -5130,8 +5130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": Q.doc_decontaminate,
         "fuzzy_customer_names": Q.fuzzy_customer_names,
         "doc_phrase_match": _doc_phrase_match,
-        "doc_ssjoin": Q.doc_ssjoin,
-        "emb_ann_topk": Q.emb_ann_topk,
+        "ev_gapfill_1h": Q.ev_gapfill_1h,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
         "doc_dup_spans": Q.doc_dup_spans,
         "orders_by_segment": Q.orders_by_segment,
