@@ -5204,6 +5204,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_zonemap_range": _ev_zonemap_range,
         "bucketed_point_lookup": _bucketed_point_lookup,
         "doc_conjunctive_search": Q.doc_conjunctive_search,
+        "ev_ohlc_bars": Q.ev_ohlc_bars,
+        "ev_longest_streak": Q.ev_longest_streak,
+        "ev_daily_corr": Q.ev_daily_corr,
+        "ev_benford": Q.ev_benford,
         "tr_gorilla": _tr_gorilla,
         "tr_pla": _tr_pla,
         "tr_wavelet": _tr_wavelet,
@@ -6778,6 +6782,114 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from toks
             where w in ('hash', 'join', 'sort')
             group by doc_id having count(distinct w) = 3
+        """,
+        "ev_ohlc_bars": """
+            with b as (
+              select event_type, date_trunc('hour', ts) as bucket_ts,
+                     ts, event_id, value,
+                     cast(round(value * 100) as bigint) as cents
+              from events),
+            w as (
+              select *,
+                row_number() over (partition by event_type, bucket_ts
+                                   order by ts, event_id) as rn_a,
+                row_number() over (partition by event_type, bucket_ts
+                                   order by ts desc, event_id desc) as rn_d
+              from b)
+            select event_type, bucket_ts,
+                   max(case when rn_a = 1 then value end) as open_v,
+                   max(value) as high_v,
+                   min(value) as low_v,
+                   max(case when rn_d = 1 then value end) as close_v,
+                   count(*) as n,
+                   cast(sum(cents) as double) / 100.0 as sum_v
+            from w group by 1, 2
+        """,
+        "ev_longest_streak": """
+            with o as (
+              select user_id, event_type, ts, event_id,
+                row_number() over (partition by user_id
+                                   order by ts, event_id) as rn,
+                row_number() over (partition by user_id, event_type
+                                   order by ts, event_id) as rnt
+              from events),
+            runs as (
+              select user_id, event_type,
+                     cast(count(*) as bigint) as streak_len,
+                     min(ts) as start_ts,
+                     min(event_id) as min_event_id
+              from o group by user_id, event_type, rn - rnt),
+            sel as (
+              select *, row_number() over (partition by user_id
+                order by streak_len desc, start_ts asc, min_event_id asc
+              ) as pick from runs)
+            select user_id, streak_len, event_type as streak_type,
+                   start_ts, min_event_id
+            from sel where pick = 1
+        """,
+        "ev_daily_corr": """
+            -- integer moment sums + the identical float closed form as
+            -- the Ray side, so the one multiply/sqrt/divide chain is
+            -- bit-identical (no engine-native corr())
+            with h as (
+              select date_trunc('hour', ts) as hour_ts,
+                     cast(sum(case when event_type = 'click'
+                              then 1 else 0 end) as bigint) as na,
+                     cast(sum(case when event_type = 'purchase'
+                              then 1 else 0 end) as bigint) as nb
+              from events group by 1),
+            m as (
+              select date_trunc('day', hour_ts) as day_ts,
+                     cast(count(*) as bigint) as n_hours,
+                     cast(sum(na) as bigint) as sx,
+                     cast(sum(nb) as bigint) as sy,
+                     cast(sum(na * na) as bigint) as sxx,
+                     cast(sum(nb * nb) as bigint) as syy,
+                     cast(sum(na * nb) as bigint) as sxy
+              from h group by 1)
+            select day_ts, n_hours, sx as n_click, sy as n_purchase,
+                   case when (n_hours * sxx - sx * sx) = 0
+                          or (n_hours * syy - sy * sy) = 0 then null
+                        else round(
+                          cast(n_hours * sxy - sx * sy as double)
+                          / sqrt(cast(n_hours * sxx - sx * sx as double)
+                                 * cast(n_hours * syy - sy * sy as double)),
+                          9) end as corr_cp
+            from m
+        """,
+        "ev_benford": """
+            -- expected_p literals are the same shortest-roundtrip
+            -- doubles hardcoded in pipelines/queries.py BENFORD_P
+            with c as (
+              select cast(round(abs(value) * 100) as bigint) as cents
+              from events),
+            d as (
+              select cast(substr(cast(cents as varchar), 1, 1) as bigint)
+                       as digit,
+                     cast(count(*) as bigint) as n
+              from c where cents > 0 group by 1),
+            t as (select cast(sum(n) as bigint) as total from d),
+            p as (
+              select * from (values
+                (cast(1 as bigint), 0.3010299956639812),
+                (cast(2 as bigint), 0.17609125905568124),
+                (cast(3 as bigint), 0.12493873660829992),
+                (cast(4 as bigint), 0.09691001300805642),
+                (cast(5 as bigint), 0.07918124604762482),
+                (cast(6 as bigint), 0.06694678963061323),
+                (cast(7 as bigint), 0.05799194697768673),
+                (cast(8 as bigint), 0.05115252244738129),
+                (cast(9 as bigint), 0.04575749056067514)
+              ) as v(digit, expected_p))
+            select p.digit, coalesce(d.n, 0) as n, p.expected_p,
+                   round(
+                     (cast(coalesce(d.n, 0) as double)
+                      - cast(t.total as double) * p.expected_p)
+                     * (cast(coalesce(d.n, 0) as double)
+                        - cast(t.total as double) * p.expected_p)
+                     / (cast(t.total as double) * p.expected_p),
+                   9) as chi2_term
+            from p left join d on d.digit = p.digit cross join t
         """,
         "bucketed_join_priority": """
             with l as (

@@ -4797,3 +4797,166 @@ def orders_pareto(sf_dir: str):
     return out.sort_values(["o_orderpriority", "o_orderkey"]).reset_index(
         drop=True
     )[["o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"]]
+
+
+def ev_ohlc_bars(sf_dir: str):
+    """Financial OHLC bars per (event_type, 1h bucket): open/close are
+    the first/last value under the (ts, event_id) total order, high/low
+    the extrema, count and an exact cents-integer sum (`olap.ohlc_bars`
+    — the latest-state monoid kept at BOTH frame edges). One bounded
+    partial-collapse exchange; no driver state."""
+    from ..stages.olap import ohlc_bars
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id", "value"])
+    out = ohlc_bars(ds, group_col="event_type", interval="1h").to_pandas()
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "bucket_ts": out["bucket_ts"].to_numpy().astype("datetime64[us]"),
+            "open_v": out["open_v"].astype(np.float64),
+            "high_v": out["high_v"].astype(np.float64),
+            "low_v": out["low_v"].astype(np.float64),
+            "close_v": out["close_v"].astype(np.float64),
+            "n": out["n"].astype(np.int64),
+            "sum_v": out["sum_c"].to_numpy(dtype=np.int64) / 100.0,
+        }
+    )
+    return res.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+def ev_longest_streak(sf_dir: str):
+    """Gaps-and-islands: each user's longest run of consecutive equal
+    event types in (ts, event_id) order, tie-broken (len DESC, start
+    ASC, min id ASC) — `temporal.longest_streak`, the distributed
+    row_number()-difference islands idiom. One narrow int-keyed
+    shuffle, one segmented numpy pass per partition."""
+    from ..stages.temporal import longest_streak
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    out = longest_streak(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def ev_daily_corr(sf_dir: str):
+    """Per-day Pearson correlation between hourly click and purchase
+    counts (hours with at least one event of any type form the grid).
+    Per-batch Arrow partials -> one tiny (hour) groupby of int64
+    counts; the per-day closed form runs over exact integer moment
+    sums, so the only float ops are one multiply/sqrt/divide chain —
+    written IDENTICALLY in the oracle SQL (calendar-bounded driver
+    finish: rows = #hours, independent of corpus size)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        t = pa.table(
+            {
+                "hour_ts": pc.floor_temporal(batch["ts"], unit="hour"),
+                "na": pc.cast(pc.equal(et, pa.scalar("click")), pa.int64()),
+                "nb": pc.cast(pc.equal(et, pa.scalar("purchase")), pa.int64()),
+            }
+        )
+        return t.group_by(["hour_ts"]).aggregate([("na", "sum"), ("nb", "sum")])
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("hour_ts")
+        .aggregate(Sum("na_sum", alias_name="na"), Sum("nb_sum", alias_name="nb"))
+        .to_pandas()  # one row per hour: calendar-bounded
+    )
+    hour_us = hourly["hour_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    day_us = hour_us // 86_400_000_000 * 86_400_000_000
+    na = hourly["na"].to_numpy(dtype=np.int64)
+    nb = hourly["nb"].to_numpy(dtype=np.int64)
+    g = pd.DataFrame(
+        {
+            "day_us": day_us,
+            "n_hours": 1,
+            "sx": na,
+            "sy": nb,
+            "sxx": na * na,
+            "syy": nb * nb,
+            "sxy": na * nb,
+        }
+    ).groupby("day_us", as_index=False).sum()
+    n = g["n_hours"].to_numpy(dtype=np.int64)
+    sx, sy = g["sx"].to_numpy(np.int64), g["sy"].to_numpy(np.int64)
+    vx = n * g["sxx"].to_numpy(np.int64) - sx * sx
+    vy = n * g["syy"].to_numpy(np.int64) - sy * sy
+    num = (n * g["sxy"].to_numpy(np.int64) - sx * sy).astype(np.float64)
+    den = np.sqrt(vx.astype(np.float64) * vy.astype(np.float64))
+    corr = np.where((vx == 0) | (vy == 0), np.nan, num / np.where(den == 0, 1.0, den))
+    return pd.DataFrame(
+        {
+            "day_ts": g["day_us"].to_numpy().astype("datetime64[us]"),
+            "n_hours": n,
+            "n_click": sx,
+            "n_purchase": sy,
+            "corr_cp": round_half_away(corr, 9),
+        }
+    ).sort_values("day_ts").reset_index(drop=True)
+
+
+# Benford expected first-digit probabilities: log10(1 + 1/d). The same
+# decimal literals are embedded in the oracle SQL, so both engines
+# parse the identical doubles and the chi-square arithmetic is
+# bit-identical.
+BENFORD_P = [
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061323,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+]
+
+
+def ev_benford(sf_dir: str):
+    """Benford's-law audit of the value column: first significant
+    digit of the exact cents integer, observed count vs the Benford
+    expectation, per-digit chi-square contribution. Digit extraction
+    is pure int64 (searchsorted on the power-of-ten ladder — no float
+    log); per-batch bincount partials merge with one 9-row sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    pow10 = 10 ** np.arange(1, 19, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.rint(np.abs(v) * 100).astype(np.int64)
+        cents = cents[cents > 0]
+        nd = np.searchsorted(pow10, cents, side="right")  # digits - 1
+        digit = cents // pow10[nd - 1]
+        digit[nd == 0] = cents[nd == 0]  # single-digit cents
+        counts = np.bincount(digit, minlength=10)[1:10]
+        return pa.table(
+            {"digit": np.arange(1, 10, dtype=np.int64), "n": counts.astype(np.int64)}
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # exactly 9 rows
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    n = g["n"].to_numpy(dtype=np.int64)
+    total = np.int64(n.sum())
+    p = np.array(BENFORD_P, dtype=np.float64)
+    exp = total.astype(np.float64) * p
+    dev = n.astype(np.float64) - exp
+    return pd.DataFrame(
+        {
+            "digit": g["digit"].astype(np.int64),
+            "n": n,
+            "expected_p": p,
+            "chi2_term": round_half_away(dev * dev / exp, 9),
+        }
+    )

@@ -311,6 +311,112 @@ def latest_state(
     return partials.groupby("_part").map_groups(merge, batch_format="pandas")
 
 
+# ------------------------------------------------- OHLC candlestick bars
+
+
+def _ohlc_reduce(df: pd.DataFrame, group_cols: Sequence[str]) -> pd.DataFrame:
+    """One OHLC monoid reduction: collapse partial rows to one row per
+    group key. Open is the row minimizing ``(o_ts, o_id)``, close the
+    row maximizing ``(c_ts, c_id)``; extrema/count/sum fold with
+    min/max/add ``reduceat``. Raw rows in partial form reduce with the
+    SAME kernel as block partials, so batch pass and partition merge
+    share this code path (associative + commutative)."""
+    if not len(df):
+        return df
+    codes = [pd.factorize(df[c], sort=True)[0] for c in group_cols]
+    o_ts = df["o_ts"].to_numpy()
+    o_id = df["o_id"].to_numpy()
+    c_ts = df["c_ts"].to_numpy()
+    c_id = df["c_id"].to_numpy()
+    # ascending (group, o_ts, o_id): segment FIRST row is the open
+    order_a = np.lexsort((o_id, o_ts, *codes[::-1]))
+    gc_a = [c[order_a] for c in codes]
+    brk = np.zeros(len(df), dtype=bool)
+    brk[0] = True
+    for c in gc_a:
+        brk[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], len(df)) - 1
+    # ascending (group, c_ts, c_id): segment LAST row is the close
+    order_d = np.lexsort((c_id, c_ts, *codes[::-1]))
+    out = {c: df[c].to_numpy()[order_a][starts] for c in group_cols}
+    out["o_ts"] = o_ts[order_a][starts]
+    out["o_id"] = o_id[order_a][starts]
+    out["open_v"] = df["open_v"].to_numpy()[order_a][starts]
+    out["c_ts"] = c_ts[order_d][ends]
+    out["c_id"] = c_id[order_d][ends]
+    out["close_v"] = df["close_v"].to_numpy()[order_d][ends]
+    out["high_v"] = np.maximum.reduceat(df["high_v"].to_numpy()[order_a], starts)
+    out["low_v"] = np.minimum.reduceat(df["low_v"].to_numpy()[order_a], starts)
+    out["n"] = np.add.reduceat(df["n"].to_numpy()[order_a], starts)
+    out["sum_c"] = np.add.reduceat(df["sum_c"].to_numpy()[order_a], starts)
+    return pd.DataFrame(out)
+
+
+def ohlc_bars(
+    ds,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    interval: str = "1h",
+    cents_scale: int = 100,
+):
+    """OHLC candlestick bars per (group, tumbling time bucket): open
+    and close are the first/last value under the deterministic
+    ``(ts, id)`` total order, high/low are the extrema, plus count and
+    an exact scaled-integer sum (``sum_c``, in ``1/cents_scale``
+    units — immune to float summation order).
+
+    Same exchange shape as :func:`latest_state` but keeping BOTH frame
+    edges: per-batch partials collapse each block to <=1 row per
+    (group, bucket), so the shuffle moves O(groups x blocks) bounded
+    rows; the per-partition merge applies the identical monoid
+    reduction (:func:`_ohlc_reduce`). Equivalent SQL: ``row_number()
+    over (partition by g, bucket order by ts, id)`` edges + min/max/
+    count/sum — the classic financial bar downsample the reference's
+    eval crops approximate with first/last patch points
+    (`uni2ts/src/uni2ts/transform/crop.py`).
+
+    Output (partial form): group_col, bucket_ts(int64 us), o_ts, o_id,
+    open_v, c_ts, c_id, close_v, high_v, low_v, n, sum_c.
+    """
+    unit_us = _interval_us(interval)
+    n_parts = partitions_for_input(None)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame()
+        ts_us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        p = pd.DataFrame(
+            {
+                group_col: df[group_col].to_numpy(),
+                "bucket_ts": ts_us // unit_us * unit_us,
+                "o_ts": ts_us,
+                "o_id": df[id_col].to_numpy(),
+                "open_v": v,
+                "c_ts": ts_us,
+                "c_id": df[id_col].to_numpy(),
+                "close_v": v,
+                "high_v": v,
+                "low_v": v,
+                "n": np.ones(len(df), dtype=np.int64),
+                "sum_c": np.rint(v * cents_scale).astype(np.int64),
+            }
+        )
+        out = _ohlc_reduce(p, [group_col, "bucket_ts"])
+        out["_part"] = _part_of(out, [group_col, "bucket_ts"], n_parts)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return _ohlc_reduce(g.drop(columns=["_part"]), [group_col, "bucket_ts"])
+
+    return partials.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
 # ------------------------------------------------- tier stitching
 
 

@@ -354,3 +354,85 @@ def local_day_rollup(
         )
 
     return parts.groupby("local_date").map_groups(merge, batch_format="pandas")
+
+
+def longest_streak(
+    ds,
+    key: str = "user_id",
+    label_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Per-key longest run of consecutive equal labels (gaps-and-
+    islands streak): order each key's rows by ``order_cols``, find the
+    maximal runs of identical ``label_col``, and keep the best run per
+    key under (length DESC, start_ts ASC, min_id ASC) — the SQL
+    ``row_number() - row_number() over (partition by key, label)``
+    islands idiom, computed as one segmented numpy pass.
+
+    Scale path: one int-keyed narrow-column hash shuffle (same
+    contract as :func:`time_weighted_avg`), one vectorized lexsort +
+    run-length pass per partition; per-key output is one row.
+
+    Output: (key, streak_len:int64, streak_type, start_ts:datetime64,
+    min_event_id:int64) where min_event_id is the smallest id inside
+    the winning run (a deterministic tie-break observable in SQL).
+    """
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    keep = list(dict.fromkeys((key, label_col, *order_cols)))
+    ds = _with_part(ds, key, keep, P)
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            key: pd.Series([], dtype=df[key].dtype if len(df) else np.int64),
+            "streak_len": pd.Series([], dtype=np.int64),
+            "streak_type": pd.Series([], dtype=object),
+            "start_ts": pd.Series([], dtype="datetime64[us]"),
+            "min_event_id": pd.Series([], dtype=np.int64),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(empty)
+        codes, uniques = pd.factorize(df[key], sort=False)
+        sort_keys = [
+            _ts_us(df[c]) if c == ts_col else df[c].to_numpy()
+            for c in reversed(order_cols)
+        ]
+        order = np.lexsort((*sort_keys, codes))
+        codes_s = codes[order]
+        lab_codes = pd.factorize(df[label_col], sort=False)[0][order]
+        ts = _ts_us(df[ts_col])[order]
+        eid = df[id_col].to_numpy()[order]
+        n = len(ts)
+        # run break: key changes OR label changes
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (codes_s[1:] != codes_s[:-1]) | (lab_codes[1:] != lab_codes[:-1])
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n))
+        run_key = codes_s[starts]
+        run_lab = lab_codes[starts]
+        run_start_ts = ts[starts]  # first row of the run in order
+        run_min_id = np.minimum.reduceat(eid, starts)
+        # best run per key: (len desc, start_ts asc, min_id asc)
+        pick = np.lexsort((run_min_id, run_start_ts, -lens, run_key))
+        first = np.empty(len(pick), dtype=bool)
+        rk = run_key[pick]
+        first[0] = True
+        first[1:] = rk[1:] != rk[:-1]
+        w = pick[first]
+        labels = pd.factorize(df[label_col], sort=False)[1]
+        return pd.DataFrame(
+            {
+                key: np.asarray(uniques)[run_key[w]],
+                "streak_len": lens[w].astype(np.int64),
+                "streak_type": np.asarray(labels)[run_lab[w]],
+                "start_ts": run_start_ts[w].astype("datetime64[us]"),
+                "min_event_id": run_min_id[w].astype(np.int64),
+            }
+        )
+
+    return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
