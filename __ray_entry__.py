@@ -1293,6 +1293,70 @@ def _tr_series_analysis(sf_dir: str):
     ]
 
 
+def _tr_hurst(sf_dir: str):
+    """Rescaled-range Hurst exponent per packed chunk
+    (`stages/analytics.hurst_stats`, Hurst 1951 / Mandelbrot-Wallis
+    R/S), the long-memory audit a series-selection pipeline runs
+    before choosing context lengths. SELF-VERIFYING via three planted
+    conversations riding the real rollup -> gap-fill -> pack path:
+    white noise must land in the no-memory band (0.40, 0.72), a random
+    walk in the persistent band (> 0.85), and a sign-alternating
+    mean-reverting series below 0.40."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import hurst_stats
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    rng = np.random.default_rng(17)
+    k = np.arange(512)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    wn = rng.normal(0.0, 1.0, 512)
+    alt = np.where(k % 2 == 0, 1.0, -1.0) + 0.1 * rng.normal(size=512)
+    planted = pd.concat(
+        [
+            pd.DataFrame(
+                {"conv_id": "__planted_noise__", "bucket_ts": pd.Series(grid),
+                 "mean_latency": 5.0 + wn}
+            ),
+            pd.DataFrame(
+                {"conv_id": "__planted_walk__", "bucket_ts": pd.Series(grid),
+                 "mean_latency": 5.0 + np.cumsum(wn)}
+            ),
+            pd.DataFrame(
+                {"conv_id": "__planted_meanrev__", "bucket_ts": pd.Series(grid),
+                 "mean_latency": 5.0 + alt}
+            ),
+        ]
+    )
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = hurst_stats(chunks).to_pandas()
+
+    def h_of(name: str) -> float:
+        g = out[out["conv_id"] == name]
+        return float(g["hurst"].iloc[0]) if len(g) else float("nan")
+
+    checks = {
+        "__planted_noise__": bool(0.40 < h_of("__planted_noise__") < 0.72),
+        "__planted_walk__": bool(h_of("__planted_walk__") > 0.85),
+        "__planted_meanrev__": bool(h_of("__planted_meanrev__") < 0.40),
+    }
+    assert all(
+        (out["conv_id"] == n).any() for n in checks
+    ), "planted series missing"
+    out["ok"] = np.array([checks.get(c, True) for c in out["conv_id"]], dtype=bool)
+    return out[["conv_id", "chunk_idx", "n_points", "hurst", "n_sizes", "ok"]]
+
+
 def _tr_exp_smooth(sf_dir: str):
     """EWMA + Holt linear smoothing/forecast per packed chunk
     (`stages/analytics.exp_smooth` — batched time-major scans).
@@ -5253,6 +5317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_masked_prediction": _tr_masked_prediction,
         "tr_resample": _tr_resample,
         "tr_series_analysis": _tr_series_analysis,
+        "tr_hurst": _tr_hurst,
         "tr_matrix_profile": _tr_matrix_profile,
         "tr_kalman": _tr_kalman,
         "tr_sax": _tr_sax,

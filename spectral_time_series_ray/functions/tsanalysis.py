@@ -788,3 +788,54 @@ def asap_smooth(
     input unchanged (already maximally informative)."""
     w = asap_window(x, max_window=max_window)
     return sma_valid(x, w), w
+
+
+def hurst_rs(x: np.ndarray, min_chunk: int = 8) -> tuple[float, int]:
+    """Rescaled-range (R/S) Hurst exponent estimate (Hurst 1951;
+    Mandelbrot & Wallis 1969): for window sizes n on a dyadic ladder,
+    average R/S over the disjoint windows of each size and fit
+    ``log(R/S) ~ H * log(n)`` by least squares.
+
+    R/S of a window: range of the mean-adjusted cumulative sum divided
+    by the window standard deviation (ddof=0; zero-variance windows are
+    skipped). Interpretation on the INCREMENT series: H ~ 0.5 for white
+    noise, H -> 1 for strongly persistent series (e.g. the increments
+    of a smooth trend), H < 0.5 for mean-reverting series.
+
+    Vectorized: each ladder size reshapes the series into
+    ``[n_windows, n]`` and computes all windows in one pass — no
+    Python loop over windows. Returns ``(H, n_sizes_used)``;
+    ``(nan, 0)`` when fewer than 2 ladder sizes are usable.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x = x[np.isfinite(x)]
+    n_total = len(x)
+    if n_total < 2 * min_chunk:
+        return float("nan"), 0
+    sizes = []
+    n = min_chunk
+    while n <= n_total // 2:
+        sizes.append(n)
+        n *= 2
+    log_n, log_rs = [], []
+    for n in sizes:
+        k = n_total // n
+        w = x[: k * n].reshape(k, n)
+        mean = w.mean(axis=1, keepdims=True)
+        dev = np.cumsum(w - mean, axis=1)
+        r = dev.max(axis=1) - dev.min(axis=1)
+        s = w.std(axis=1)
+        ok = s > 0
+        if not ok.any():
+            continue
+        rs = (r[ok] / s[ok]).mean()
+        if rs <= 0:
+            continue
+        log_n.append(np.log(n))
+        log_rs.append(np.log(rs))
+    if len(log_n) < 2:
+        return float("nan"), len(log_n)
+    ln = np.asarray(log_n)
+    lr = np.asarray(log_rs)
+    h = float(((ln - ln.mean()) * (lr - lr.mean())).sum() / ((ln - ln.mean()) ** 2).sum())
+    return h, len(sizes)

@@ -1575,3 +1575,30 @@ def acf_by_key(ds, key: str, order_col: str, value_col: str,
         .groupby("_part")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def hurst_stats(chunk_ds):
+    """Rescaled-range Hurst exponent per packed chunk row
+    (`functions/tsanalysis.hurst_rs` — dyadic window ladder, one
+    vectorized reshape pass per size). Long-memory audit for series
+    selection: H ~ 0.5 = no memory, H -> 1 = persistent/trending,
+    H < 0.5 = mean-reverting. Cheap closure state, so a plain task
+    map (no actor pool spin-up)."""
+    from ..functions.tsanalysis import hurst_rs
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.empty(len(batch), dtype=np.float64)
+        ks = np.empty(len(batch), dtype=np.int64)
+        ns = np.empty(len(batch), dtype=np.int64)
+        for i, vals in enumerate(batch["values"]):
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[np.isfinite(v)]
+            hs[i], ks[i] = hurst_rs(v)
+            ns[i] = len(v)
+        out = batch[["conv_id", "chunk_idx"]].copy()
+        out["n_points"] = ns
+        out["hurst"] = hs
+        out["n_sizes"] = ks
+        return out
+
+    return chunk_ds.map_batches(f, batch_format="pandas", batch_size=128)

@@ -157,3 +157,46 @@ def test_gopher_rules_invariants(n_words, vocab, seed):
     assert out["frac_dup_words"] == 1.0 - len(set(words)) / n_words
     assert out["mean_word_len"] == np.mean([len(w) for w in words])
     assert 0 <= out["n_stop"] <= 10
+
+
+# ------------------------------------------------------ hurst R/S
+
+
+def test_hurst_rs_separates_memory_classes():
+    from spectral_time_series_ray.functions.tsanalysis import hurst_rs
+
+    rng = np.random.default_rng(5)
+    wn = rng.normal(0, 1, 4096)
+    h_wn, k_wn = hurst_rs(wn)
+    h_rw, _ = hurst_rs(np.cumsum(wn))
+    alt = np.where(np.arange(4096) % 2 == 0, 1.0, -1.0) + 0.1 * rng.normal(size=4096)
+    h_alt, _ = hurst_rs(alt)
+    assert 0.40 < h_wn < 0.72  # Anis-Lloyd small-sample bias keeps it > 0.5
+    assert h_rw > 0.9
+    assert h_alt < 0.35
+    assert k_wn >= 5  # dyadic ladder actually used several sizes
+
+
+def test_hurst_rs_degenerate_inputs():
+    import math
+
+    from spectral_time_series_ray.functions.tsanalysis import hurst_rs
+
+    h, k = hurst_rs(np.ones(4))  # too short
+    assert math.isnan(h) and k == 0
+    h, k = hurst_rs(np.ones(1024))  # zero variance everywhere
+    assert math.isnan(h)
+    # NaNs are dropped, not propagated
+    x = np.random.default_rng(1).normal(0, 1, 2048)
+    x[::7] = np.nan
+    h, _ = hurst_rs(x)
+    assert 0.3 < h < 0.8
+
+
+def test_hurst_rs_affine_invariance():
+    from spectral_time_series_ray.functions.tsanalysis import hurst_rs
+
+    x = np.random.default_rng(9).normal(0, 1, 2048)
+    h1, _ = hurst_rs(x)
+    h2, _ = hurst_rs(5.0 + 3.0 * x)  # R/S is scale- and shift-free
+    assert abs(h1 - h2) < 1e-12
