@@ -5194,6 +5194,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": Q.doc_decontaminate,
         "fuzzy_customer_names": Q.fuzzy_customer_names,
         "doc_phrase_match": _doc_phrase_match,
+        "ev_mannwhitney": Q.ev_mannwhitney,
+        "ev_chi2_independence": Q.ev_chi2_independence,
+        "ev_entropy": Q.ev_entropy,
+        "ev_xcorr_lag": Q.ev_xcorr_lag,
+        "ev_histogram": Q.ev_histogram,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
@@ -6628,6 +6633,124 @@ def oracle_sql() -> dict[str, str]:
                        order by round(raw * 1e6) / 1e6 desc, doc_id asc) as rk
               from scored)
             select doc_id, score from r where rk <= 10
+        """,
+        "ev_mannwhitney": """
+            with h as (
+              select cast(round(value * 100) as bigint) as cents,
+                     sum(case when event_type = 'click' then 1 else 0 end) as n1,
+                     count(*) as t
+              from events
+              where event_type in ('click', 'purchase')
+              group by 1),
+            c as (
+              select cents, n1, t,
+                     coalesce(sum(t) over (order by cents
+                       rows between unbounded preceding and 1 preceding), 0) as cprev
+              from h),
+            s as (
+              select sum(n1 * (2 * cprev + t + 1)) as r1x2,
+                     sum(t * t * t - t) as tie,
+                     sum(n1) as n1t, sum(t) as nt
+              from c)
+            select (r1x2 - n1t * (n1t + 1)) / 2.0 as u1,
+                   round(((r1x2 - n1t * (n1t + 1)) / 2.0
+                          - n1t * (nt - n1t) / 2.0)
+                         / sqrt(n1t * (nt - n1t) / 12.0
+                                * ((nt + 1) - tie / (nt * (nt - 1.0)))), 9) as z,
+                   cast(n1t as bigint) as n_click,
+                   cast(nt - n1t as bigint) as n_purchase
+            from s
+        """,
+        "ev_chi2_independence": """
+            with g as (
+              select event_type, extract(hour from ts) as hod, count(*) as n
+              from events group by 1, 2),
+            m as (
+              select n,
+                     sum(n) over (partition by event_type) as r,
+                     sum(n) over (partition by hod) as c
+              from g),
+            tot as (
+              select sum(n) as nn,
+                     count(distinct event_type) as nr,
+                     count(distinct hod) as nc
+              from g),
+            s as (
+              select sum(cast(n as double) * n / (cast(r as double) * c)) as so
+              from m)
+            select round(nn * (so - 1.0), 6) as chi2,
+                   cast((nr - 1) * (nc - 1) as bigint) as dof,
+                   cast(nn as bigint) as n,
+                   round(sqrt((nn * (so - 1.0)) / (nn * least(nr - 1, nc - 1))), 9)
+                     as cramers_v
+            from tot cross join s
+        """,
+        "ev_entropy": """
+            with g as (
+              select user_id, event_type, count(*) as c
+              from events group by 1, 2),
+            u as (
+              select user_id, sum(c) as n_events, count(*) as n_types,
+                     sum(c * ln(c)) as clnc
+              from g group by 1)
+            select user_id,
+                   cast(n_events as bigint) as n_events,
+                   cast(n_types as bigint) as n_types,
+                   round(ln(n_events) - clnc / n_events, 9) as entropy,
+                   round(case when n_types > 1
+                         then (ln(n_events) - clnc / n_events) / ln(n_types)
+                         else 0.0 end, 9) as entropy_norm
+            from u
+        """,
+        "ev_xcorr_lag": """
+            with e as (
+              select date_diff('hour', timestamp '1970-01-01 00:00:00', ts)
+                       as hidx,
+                     event_type
+              from events where event_type in ('click', 'purchase')),
+            h as (
+              select hidx,
+                     sum(case when event_type = 'click' then 1 else 0 end) as c,
+                     sum(case when event_type = 'purchase' then 1 else 0 end) as p
+              from e group by 1),
+            b as (select min(hidx) as lo, max(hidx) as hi from h),
+            grid as (
+              select unnest(generate_series(lo, hi)) as hidx from b),
+            d as (
+              select g.hidx, coalesce(h.c, 0) as c, coalesce(h.p, 0) as p
+              from grid g left join h using (hidx)),
+            lags as (select * from (values (0), (1), (2), (3)) as l(lag_hours))
+            select cast(l.lag_hours as bigint) as lag_hours,
+                   count(*) as n_buckets,
+                   round(corr(a.c, b.p), 9) as xcorr
+            from lags l
+            join d a on true
+            join d b on b.hidx = a.hidx + l.lag_hours
+            group by 1 order by 1
+        """,
+        "ev_histogram": """
+            with c as (
+              select event_type, cast(round(value * 100) as bigint) as cents
+              from events),
+            mm as (select min(cents) as cmin, max(cents) as cmax from c),
+            g as (
+              select event_type,
+                     cast((cents - cmin) * 20 // (cmax - cmin + 1) as bigint)
+                       as bin,
+                     count(*) as n
+              from c cross join mm group by 1, 2),
+            bins as (select cast(x as bigint) as bin
+                     from generate_series(0, 19) as t(x)),
+            fullgrid as (
+              select t.event_type, b.bin
+              from (select distinct event_type from c) t cross join bins b)
+            select f.event_type, f.bin,
+                   round((mm.cmin + f.bin * (mm.cmax - mm.cmin + 1) / 20.0)
+                         / 100.0, 6) as lo,
+                   cast(coalesce(g.n, 0) as bigint) as n
+            from fullgrid f cross join mm
+            left join g on g.event_type = f.event_type and g.bin = f.bin
+            order by 1, 2
         """,
         "ev_ks_test": """
             with h as (

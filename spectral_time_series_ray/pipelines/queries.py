@@ -4960,3 +4960,266 @@ def ev_benford(sf_dir: str):
             "chi2_term": round_half_away(dev * dev / exp, 9),
         }
     )
+
+
+# ------------------------------------------- two-sample / independence tests
+
+
+def ev_mannwhitney(sf_dir: str):
+    """EXACT tie-corrected Mann-Whitney U between the 'click' and
+    'purchase' value distributions, distributed via the same
+    bounded-domain cent-histogram trick as :func:`ev_ks_test`: the
+    rank sum collapses per distinct cent value v with pair counts
+    (n1, t) and preceding cumulative c_prev — average rank is
+    c_prev + (t+1)/2, so 2*R1 = sum(n1 * (2*c_prev + t + 1)) stays an
+    exact int64 all the way to the driver (domain-sized table, never
+    corpus-sized). z uses the standard tie-corrected variance
+    n1*n2/12 * ((N+1) - sum(t^3-t)/(N*(N-1))); the float expression
+    mirrors the oracle SQL term-for-term."""
+    ds = _read(
+        sf_dir, "events", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    from ..stages.rollup import partitions_for_input
+
+    P = partitions_for_input(None)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        is_a = (batch["event_type"] == "click").to_numpy()
+        g = pd.DataFrame({"cents": cents,
+                          "n1": is_a.astype(np.int64),
+                          "t": np.int64(1)})
+        g = g.groupby("cents", as_index=False).sum()
+        g["_part"] = (g["cents"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cents", as_index=False)[["n1", "t"]].sum()
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(merge_part, batch_format="pandas")
+        .to_pandas()  # bounded by the value DOMAIN, not the corpus
+        .sort_values("cents")
+    )
+    n1v = h["n1"].to_numpy(np.int64)
+    tv = h["t"].to_numpy(np.int64)
+    c_prev = np.concatenate([[0], np.cumsum(tv)[:-1]]).astype(np.int64)
+    r1x2 = int((n1v * (2 * c_prev + tv + 1)).sum())
+    tie = int((tv**3 - tv).sum())
+    n1 = int(n1v.sum())
+    nn = int(tv.sum())
+    n2 = nn - n1
+    u1 = (r1x2 - n1 * (n1 + 1)) / 2.0
+    sigma = np.sqrt(n1 * n2 / 12.0 * ((nn + 1) - tie / (nn * (nn - 1.0))))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    return pd.DataFrame({
+        "u1": np.array([u1], np.float64),  # exact half-integer
+        "z": round_half_away(np.array([z]), 9),
+        "n_click": np.array([n1], np.int64),
+        "n_purchase": np.array([n2], np.int64),
+    })
+
+
+def ev_chi2_independence(sf_dir: str):
+    """Chi-square test of independence between event_type and
+    hour-of-day: the contingency table is a per-batch Arrow
+    (type, hour) count partial merged in one tiny groupby (bounded by
+    |types| x 24, never the corpus), margins and the statistic finish
+    on the driver from exact int64 counts. Also reports Cramer's V.
+    The float expression ((o*N - r*c)^2 / (N*r*c)) mirrors the oracle
+    SQL term-for-term over the identical integer cells."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hod": pc.hour(batch["ts"]),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        return t.group_by(["event_type", "hod"]).aggregate([("n", "sum")])
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .to_pandas()  # |types| x 24 rows
+    )
+    n = g["n"].to_numpy(np.int64)
+    nn = int(n.sum())
+    row_tot = g.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    col_tot = g.groupby("hod")["n"].transform("sum").to_numpy(np.int64)
+    # cells absent from g are structural zeros: o=0 contributes r*c/N
+    # to chi2; add them via the closed form chi2 = N*(sum(o^2/(r*c)) - 1)
+    # which needs only the OBSERVED cells — exact same value.
+    chi2 = nn * (float((n.astype(np.float64) ** 2
+                        / (row_tot.astype(np.float64) * col_tot.astype(np.float64))).sum()) - 1.0)
+    r = int(g["event_type"].nunique())
+    c = int(g["hod"].nunique())
+    dof = (r - 1) * (c - 1)
+    cramers_v = np.sqrt(chi2 / (nn * min(r - 1, c - 1)))
+    return pd.DataFrame({
+        "chi2": round_half_away(np.array([chi2]), 6),
+        "dof": np.array([dof], np.int64),
+        "n": np.array([nn], np.int64),
+        "cramers_v": round_half_away(np.array([cramers_v]), 9),
+    })
+
+
+def ev_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type mix (nats), computed
+    as H = ln(n) - sum(c*ln(c))/n from exact per-(user, type) int64
+    counts — one int-keyed exchange; the per-user finish is a
+    segmented numpy pass (no driver state). Normalized entropy divides
+    by ln(n_types) (1-type users -> 0 by convention)."""
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        return t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # merge per-batch partials first: the same (user, type) pair
+        # arrives from every source batch that saw it
+        df = df.groupby(["user_id", "event_type"], as_index=False)["n_sum"].sum()
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("n_sum", "sum"), n_types=("n_sum", "size"))
+        c = df["n_sum"].to_numpy(np.float64)
+        df = df.assign(_clnc=c * np.log(c))
+        s = df.groupby("user_id", as_index=False)["_clnc"].sum()
+        out = g.merge(s, on="user_id")
+        n = out["n_events"].to_numpy(np.float64)
+        h = np.log(n) - out["_clnc"].to_numpy(np.float64) / n
+        k = out["n_types"].to_numpy(np.float64)
+        hn = np.where(k > 1, h / np.log(k), 0.0)
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype(np.int64),
+            "n_events": out["n_events"].astype(np.int64),
+            "n_types": out["n_types"].astype(np.int64),
+            "entropy": round_half_away(h, 9),
+            "entropy_norm": round_half_away(hn, 9),
+        })
+
+    from ..stages.rollup import partitions_for_input
+
+    P = partitions_for_input(None)
+
+    def part_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_part"] = (batch["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return batch
+
+    return (
+        pairs.map_batches(part_key, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: finish(df.drop(columns=["_part"])),
+                    batch_format="pandas")
+    )
+
+
+def ev_xcorr_lag(sf_dir: str):
+    """Lead-lag cross-correlation between hourly 'click' and
+    'purchase' counts: corr(click[t], purchase[t+lag]) for lag 0..3
+    over the dense hour grid spanning [min, max] observed hour (absent
+    hours count 0 — a genuine zero of the counting process). Hourly
+    partials merge in one bounded groupby (calendar-domain-sized);
+    the lag alignment and Pearson finish run on the dense grid at the
+    driver. Extends `ev_type_correlation` (lag 0, all pairs) with the
+    temporal-precedence axis."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "events", columns=["event_type", "ts"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "hour_start": pc.floor_temporal(batch["ts"], unit="hour"),
+            "is_click": pc.equal(batch["event_type"], "click"),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        g = t.group_by(["hour_start", "is_click"]).aggregate([("n", "sum")])
+        return g
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["hour_start", "is_click"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .to_pandas()  # bounded by the calendar hour domain
+    )
+    hours = pd.to_datetime(g["hour_start"])
+    lo, hi = hours.min(), hours.max()
+    grid = pd.date_range(lo, hi, freq="h")
+    idx = ((hours - lo).dt.total_seconds() // 3600).astype(np.int64).to_numpy()
+    click = np.zeros(len(grid), dtype=np.int64)
+    purch = np.zeros(len(grid), dtype=np.int64)
+    is_c = g["is_click"].to_numpy(bool)
+    nv = g["n"].to_numpy(np.int64)
+    np.add.at(click, idx[is_c], nv[is_c])
+    np.add.at(purch, idx[~is_c], nv[~is_c])
+    rows = []
+    for lag in range(4):
+        a = click[: len(click) - lag].astype(np.float64)
+        b = purch[lag:].astype(np.float64)
+        am, bm = a.mean(), b.mean()
+        cov = ((a - am) * (b - bm)).sum()
+        den = np.sqrt(((a - am) ** 2).sum() * ((b - bm) ** 2).sum())
+        rows.append({
+            "lag_hours": np.int64(lag),
+            "n_buckets": np.int64(len(a)),
+            "xcorr": round_half_away(np.float64(cov / den), 9),
+        })
+    return pd.DataFrame(rows)
+
+
+def ev_histogram(sf_dir: str):
+    """Equi-width 20-bin histogram of `value` per event_type over the
+    GLOBAL [min, max] range, exact on the cent grid: pass 1 is a tiny
+    min/max aggregate, pass 2 emits per-batch (type, bin) partials
+    with bin = floor((cents - cmin) * 20 / (cmax - cmin + 1)) — pure
+    int64 arithmetic, identical on both sides, merged in one bounded
+    groupby (|types| x 20). Empty (type, bin) cells are emitted with
+    n=0 so the output shape is the full grid."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    mm = ds.aggregate(Min("value"), Max("value"))
+    cmin = int(np.round(mm["min(value)"] * 100))
+    cmax = int(np.round(mm["max(value)"] * 100))
+    span = cmax - cmin + 1
+    k = 20
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        b = (cents - cmin) * k // span
+        g = pd.DataFrame({"event_type": batch["event_type"].to_numpy(),
+                          "bin": b, "n": np.int64(1)})
+        return g.groupby(["event_type", "bin"], as_index=False).sum()
+
+    g = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types| x 20 rows
+    )
+    types = sorted(g["event_type"].unique())
+    full = pd.MultiIndex.from_product([types, range(k)],
+                                      names=["event_type", "bin"]).to_frame(index=False)
+    out = full.merge(g, on=["event_type", "bin"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out["bin"] = out["bin"].astype(np.int64)
+    out["lo"] = round_half_away((cmin + out["bin"].to_numpy(np.int64) * span / k) / 100.0, 6)
+    return out[["event_type", "bin", "lo", "n"]]

@@ -200,3 +200,73 @@ def test_hurst_rs_affine_invariance():
     h1, _ = hurst_rs(x)
     h2, _ = hurst_rs(5.0 + 3.0 * x)  # R/S is scale- and shift-free
     assert abs(h1 - h2) < 1e-12
+
+
+# ------------------------------------------- two-sample test kernels
+
+
+def test_mannwhitney_histogram_rank_sum_matches_bruteforce():
+    """The collapsed cent-histogram rank sum (2*R1 = sum n1*(2*cprev+t+1))
+    must equal the classical average-rank R1 computed per observation."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, 300)  # heavy ties
+    b = rng.integers(10, 60, 400)
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv), dtype=np.float64)
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # average rank, 1-based
+        i = j
+    r1_brute = ranks[: len(a)].sum()
+
+    vals, idx = np.unique(allv, return_inverse=True)
+    n1 = np.bincount(idx[: len(a)], minlength=len(vals)).astype(np.int64)
+    t = np.bincount(idx, minlength=len(vals)).astype(np.int64)
+    cprev = np.concatenate([[0], np.cumsum(t)[:-1]])
+    r1x2 = int((n1 * (2 * cprev + t + 1)).sum())
+    assert r1x2 == int(round(2 * r1_brute))
+
+
+def test_chi2_closed_form_equals_textbook():
+    """N*(sum o^2/(r*c) - 1) over observed cells == sum (o-e)^2/e over
+    ALL cells including structural zeros."""
+    rng = np.random.default_rng(7)
+    obs = rng.integers(0, 30, (5, 8)).astype(np.float64)
+    obs[1, 3] = 0  # structural zero cell
+    n = obs.sum()
+    r = obs.sum(axis=1, keepdims=True)
+    c = obs.sum(axis=0, keepdims=True)
+    e = r * c / n
+    chi2_textbook = ((obs - e) ** 2 / e).sum()
+    mask = obs > 0
+    rr = np.broadcast_to(r, obs.shape)[mask]
+    cc = np.broadcast_to(c, obs.shape)[mask]
+    chi2_closed = n * ((obs[mask] ** 2 / (rr * cc)).sum() - 1.0)
+    assert abs(chi2_textbook - chi2_closed) < 1e-9
+
+
+def test_entropy_identity():
+    """H = ln(n) - sum(c ln c)/n equals -sum(p ln p)."""
+    c = np.array([5, 3, 9, 1], dtype=np.float64)
+    n = c.sum()
+    p = c / n
+    h_direct = -(p * np.log(p)).sum()
+    h_id = np.log(n) - (c * np.log(c)).sum() / n
+    assert abs(h_direct - h_id) < 1e-12
+
+
+def test_histogram_bin_rule_covers_range():
+    """bin = (cents-cmin)*k // span maps cmin -> 0, cmax -> k-1 and is
+    monotone with equal-width cells (within integer granularity)."""
+    cmin, cmax, k = -250, 9937, 20
+    cents = np.arange(cmin, cmax + 1)
+    b = (cents - cmin) * k // (cmax - cmin + 1)
+    assert b[0] == 0 and b[-1] == k - 1
+    assert np.all(np.diff(b) >= 0)
+    widths = np.bincount(b)
+    assert widths.max() - widths.min() <= 1
