@@ -3693,20 +3693,15 @@ def _bucketed_point_lookup(sf_dir: str):
     return out[["o_orderkey", "o_orderpriority", "o_totalprice"]]
 
 
-def _graph_triangles(sf_dir: str):
-    """Exact triangle count (`graph.triangle_count`: degree-ordered
-    orientation + wedge closure, Suri & Vassilvitskii WWW'11) over the
-    part co-purchase graph: edge (u, v) iff parts u < v appear in the
-    SAME order in ≥ 2 distinct orders. Edge building is two int-keyed
-    exchanges: per-order part pairs expand inside an orderkey-hash
-    partition (bounded by lines-per-order²), then pair-key partials
-    merge and the ≥2 threshold filters. ORACLE-CHECKED: DuckDB mirrors
-    the pair expansion with a self-join and counts triangles with the
-    canonical u<v<w three-way join."""
+def _copurchase_edges(sf_dir: str, P: int = 32):
+    """Shared edge builder for the graph query family: undirected edge
+    (u, v), u < v, iff parts u and v appear in the SAME order in >= 2
+    distinct orders. Two int-keyed exchanges: per-order part pairs
+    expand inside an orderkey-hash partition (bounded by
+    lines-per-order^2), then pair-key partials merge and the >=2
+    threshold filters. Returns a materialized Dataset (u, v)."""
     from spectral_time_series_ray.pipelines.queries import _read
-    from spectral_time_series_ray.stages.graph import triangle_count
 
-    P = 32
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -3740,7 +3735,7 @@ def _graph_triangles(sf_dir: str):
         pk = s["pk"].to_numpy(np.int64)
         return pd.DataFrame({"u": pk >> 32, "v": pk & ((1 << 32) - 1)})
 
-    edges = (
+    return (
         li.map_batches(tag, batch_format="pandas", batch_size=None)
         .groupby("_part")
         .map_groups(order_pairs, batch_format="pandas")
@@ -3748,6 +3743,49 @@ def _graph_triangles(sf_dir: str):
         .map_groups(threshold, batch_format="pandas")
         .materialize()
     )
+
+
+def _graph_components(sf_dir: str):
+    """Connected components of the part co-purchase graph
+    (`graph.connected_components_contract`: partition-local union-find
+    -> sparse contracted rep-graph -> driver finish + broadcast
+    relabel — 2 shuffles total, diameter-independent, unlike the
+    hash-min join loop whose round count is the component diameter).
+    Component id = the component's minimum node id. ORACLE-CHECKED:
+    DuckDB mirrors it with a WITH RECURSIVE reachability closure +
+    min(reachable) collapse over the identical >=2-co-occurrence edge
+    set."""
+    import pyarrow as pa
+
+    from spectral_time_series_ray.stages.graph import (
+        connected_components_contract,
+    )
+
+    edges = _copurchase_edges(sf_dir)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["u"], "b": b["v"]})
+
+    labels = connected_components_contract(
+        edges.map_batches(rename, batch_format="pyarrow", batch_size=None),
+        num_partitions=8,
+    )
+    out = labels.to_pandas()  # one row per node WITH an edge
+    out = out.rename(columns={"label": "comp"})
+    out["node"] = out["node"].astype(np.int64)
+    out["comp"] = out["comp"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)[["node", "comp"]]
+
+
+def _graph_triangles(sf_dir: str):
+    """Exact triangle count (`graph.triangle_count`: degree-ordered
+    orientation + wedge closure, Suri & Vassilvitskii WWW'11) over the
+    part co-purchase graph (shared `_copurchase_edges` builder).
+    ORACLE-CHECKED: DuckDB mirrors the pair expansion with a self-join
+    and counts triangles with the canonical u<v<w three-way join."""
+    from spectral_time_series_ray.stages.graph import triangle_count
+
+    edges = _copurchase_edges(sf_dir)
     n_edges = int(edges.count())
     tri = triangle_count(edges) if n_edges else 0
     return pd.DataFrame({"triangles": np.array([tri], np.int64),
@@ -5063,55 +5101,13 @@ def _tr_bursts(sf_dir: str):
 def _graph_bfs_hops(sf_dir: str):
     """Single-source shortest-hop BFS (`graph.bfs_hops`: Pregel-style
     iterative frontier, one semi-join + one anti-join exchange per
-    round) over the part co-purchase graph (same >=2-co-occurrence
-    edge set as graph_triangles), source = smallest part id with an
-    edge, depth capped at 5. ORACLE-CHECKED per hop level: DuckDB
-    mirrors it with a WITH RECURSIVE walk + min(hop) collapse."""
-    from spectral_time_series_ray.pipelines.queries import _read
+    round) over the part co-purchase graph (shared `_copurchase_edges`
+    builder), source = smallest part id with an edge, depth capped at
+    5. ORACLE-CHECKED per hop level: DuckDB mirrors it with a WITH
+    RECURSIVE walk + min(hop) collapse."""
     from spectral_time_series_ray.stages.graph import bfs_hops
 
-    P = 32
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
-                            "p": b["l_partkey"].to_numpy(np.int64)})
-        out = out.drop_duplicates()
-        out["_part"] = (
-            pd.util.hash_pandas_object(out["k"], index=False).to_numpy() % P
-        ).astype(np.int32)
-        return out
-
-    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["k", "p"])
-        m = g.merge(g, on="k", suffixes=("_a", "_b"))
-        m = m[m["p_a"] < m["p_b"]]
-        if not len(m):
-            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64),
-                                 "cnt": pd.Series([], dtype=np.int64),
-                                 "_p2": pd.Series([], dtype=np.int32)})
-        pk = m["p_a"].to_numpy(np.int64) * (1 << 32) + m["p_b"].to_numpy(np.int64)
-        out = pd.DataFrame({"pk": pk}).groupby("pk", as_index=False).size()
-        out.columns = ["pk", "cnt"]
-        out["_p2"] = (
-            pd.util.hash_pandas_object(out["pk"], index=False).to_numpy() % P
-        ).astype(np.int32)
-        return out
-
-    def threshold(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("pk", as_index=False)["cnt"].sum()
-        s = s[s["cnt"] >= 2]
-        pk = s["pk"].to_numpy(np.int64)
-        return pd.DataFrame({"u": pk >> 32, "v": pk & ((1 << 32) - 1)})
-
-    edges = (
-        li.map_batches(tag, batch_format="pandas", batch_size=None)
-        .groupby("_part")
-        .map_groups(order_pairs, batch_format="pandas")
-        .groupby("_p2")
-        .map_groups(threshold, batch_format="pandas")
-        .materialize()
-    )
+    edges = _copurchase_edges(sf_dir)
     if int(edges.count()) == 0:
         return pd.DataFrame({"hop": pd.Series([], dtype=np.int64),
                              "n_nodes": pd.Series([], dtype=np.int64)})
@@ -5199,6 +5195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_entropy": Q.ev_entropy,
         "ev_xcorr_lag": Q.ev_xcorr_lag,
         "ev_histogram": Q.ev_histogram,
+        "ev_transitions": Q.ev_transitions,
+        "graph_components": _graph_components,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
@@ -6633,6 +6631,37 @@ def oracle_sql() -> dict[str, str]:
                        order by round(raw * 1e6) / 1e6 desc, doc_id asc) as rk
               from scored)
             select doc_id, score from r where rk <= 10
+        """,
+        "ev_transitions": """
+            with s as (
+              select user_id, event_type,
+                     lead(event_type) over (
+                       partition by user_id order by ts, event_id) as nxt
+              from events),
+            t as (
+              select event_type as from_type, nxt as to_type, count(*) as n
+              from s where nxt is not null group by 1, 2),
+            r as (select from_type, sum(n) as tot from t group by 1)
+            select t.from_type, t.to_type, cast(t.n as bigint) as n,
+                   round(cast(t.n as double) / r.tot, 9) as p
+            from t join r using (from_type)
+            order by 1, 2
+        """,
+        "graph_components": """
+            with recursive d as (
+              select distinct l_orderkey as k, l_partkey as p from lineitem),
+            e2 as (
+              select a.p as u, b.p as v
+              from d a join d b on a.k = b.k and a.p < b.p
+              group by 1, 2 having count(*) >= 2),
+            ee as (select u, v from e2 union all select v as u, u as v from e2),
+            nodes as (select distinct u as n from ee),
+            reach(a, b) as (
+              select n, n from nodes
+              union
+              select r.a, ee.v from reach r join ee on ee.u = r.b)
+            select cast(a as bigint) as node, cast(min(b) as bigint) as comp
+            from reach group by a order by 1
         """,
         "ev_mannwhitney": """
             with h as (

@@ -5223,3 +5223,46 @@ def ev_histogram(sf_dir: str):
     out["bin"] = out["bin"].astype(np.int64)
     out["lo"] = round_half_away((cmin + out["bin"].to_numpy(np.int64) * span / k) / 100.0, 6)
     return out[["event_type", "bin", "lo", "n"]]
+
+
+def ev_transitions(sf_dir: str):
+    """First-order Markov transition counts of consecutive event types
+    per user (ordered by ts, event_id): one int-keyed exchange on
+    user hash, a segmented numpy shift inside each partition (pair
+    boundaries never cross users), per-partition (from, to) count
+    partials, then a tiny global merge bounded by |types|^2. p is the
+    row-conditional transition probability n / sum_over_to(n)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    P = partitions_for_input(None)
+
+    def part_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_part"] = (batch["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return batch
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        g = pd.DataFrame({"from_type": t[:-1][same], "to_type": t[1:][same],
+                          "n": np.int64(1)})
+        return g.groupby(["from_type", "to_type"], as_index=False).sum()
+
+    t = (
+        ds.map_batches(part_key, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: pairs(df.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types|^2 rows
+    )
+    tot = t.groupby("from_type")["n"].transform("sum").to_numpy(np.int64)
+    t["n"] = t["n"].astype(np.int64)
+    t["p"] = round_half_away(t["n"].to_numpy(np.float64) / tot, 9)
+    return (t.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+            [["from_type", "to_type", "n", "p"]])

@@ -604,3 +604,130 @@ def _bfs_hops_exchange(directed, frontier_nodes, visited_nodes, start_hop: int,
     for d in out[1:]:
         res = res.union(d)
     return res
+
+
+def _local_union_find(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Partition-local union-find (path-halving, min-id roots) over the
+    edge arrays; returns {node: rep} where rep is the component's
+    minimum node id WITHIN this partition."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {n: find(n) for n in parent}
+
+
+def connected_components_contract(edges, num_partitions: int | None = None):
+    """Exact connected components via two-level contraction — the
+    diameter-independent alternative to :func:`connected_components`
+    (hash-min needs O(diameter) join rounds; long sparse components
+    make that unbounded). Returns a Dataset ``(node, label)``, label =
+    component minimum node id, one row per node with an edge.
+
+    Plan: (1) hash-partition edges by one endpoint; each partition
+    runs a LOCAL union-find (memory bounded by its edge count) and
+    emits (node, rep) with rep = local component min. (2) one
+    node-keyed exchange merges each node's per-partition reps: it
+    emits the node's min rep once, plus the sparse contracted
+    rep-graph (rep_min, rep_j) pairs — a node seen by two partitions
+    proves its two reps connected. (3) the contracted graph (bounded
+    by boundary-node multiplicity, NOT corpus size) finishes in a
+    driver union-find; the rep->component map is broadcast and a
+    final map relabels. At extreme scale where the contracted graph
+    itself outgrows the driver, re-contract recursively (not needed
+    at any tested scale; hash-min also remains available)."""
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(P)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "_part": pa.array(part.astype(np.int32))})
+
+    def local_cc(df: pd.DataFrame) -> pd.DataFrame:
+        m = _local_union_find(df["a"].to_numpy(np.int64),
+                              df["b"].to_numpy(np.int64))
+        nodes = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+        reps = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+        out = pd.DataFrame({"node": nodes, "rep": reps})
+        p2 = ((out["node"].to_numpy(np.int64).astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(P)
+        out["_p2"] = p2.astype(np.int32)
+        return out
+
+    def merge_reps(df: pd.DataFrame) -> pd.DataFrame:
+        # per node: one (node, min rep) row (is_pair=False) + sparse
+        # contracted edges between its reps (is_pair=True)
+        df = df.sort_values(["node", "rep"], kind="mergesort")
+        node = df["node"].to_numpy(np.int64)
+        rep = df["rep"].to_numpy(np.int64)
+        first = np.concatenate([[True], node[1:] != node[:-1]])
+        starts = np.flatnonzero(first)
+        rep_min = rep[starts]
+        out_nodes = pd.DataFrame({"k1": node[starts], "k2": rep_min,
+                                  "is_pair": False})
+        extra = ~first
+        if extra.any():
+            # pair each extra rep with its node's min rep
+            grp = np.cumsum(first) - 1
+            pairs = pd.DataFrame({"k1": rep_min[grp[extra]],
+                                  "k2": rep[extra], "is_pair": True})
+            pairs = pairs[pairs["k1"] != pairs["k2"]].drop_duplicates()
+            out_nodes = pd.concat([out_nodes, pairs], ignore_index=True)
+        return out_nodes
+
+    merged = (
+        edges.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: local_cc(df.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .groupby("_p2")
+        .map_groups(lambda df: merge_reps(df.drop(columns=["_p2"])),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+    # sparse contracted rep-graph -> driver union-find
+    pair_df = merged.filter(expr="is_pair == True").to_pandas()
+    comp_map: dict[int, int] = {}
+    if len(pair_df):
+        m = _local_union_find(pair_df["k1"].to_numpy(np.int64),
+                              pair_df["k2"].to_numpy(np.int64))
+        comp_map = m
+
+    import ray
+
+    comp_ref = ray.put(comp_map)
+
+    def relabel(batch: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(comp_ref)
+        rep = batch["k2"].to_numpy(np.int64)
+        lab = np.fromiter((cm.get(int(r), int(r)) for r in rep),
+                          dtype=np.int64, count=len(rep))
+        return pd.DataFrame({"node": batch["k1"].to_numpy(np.int64),
+                             "label": lab})
+
+    return (
+        merged.filter(expr="is_pair == False")
+        .map_batches(relabel, batch_format="pandas", batch_size=None)
+    )

@@ -121,3 +121,55 @@ def test_triangle_count_matches_brute_force(ray_session):
     )
     got = triangle_count(edges, num_partitions=4)
     assert got == expected and expected > 0
+
+
+# ------------------------------------ contraction-based CC (2 shuffles)
+
+
+def test_cc_contract_matches_union_find(ray_session):
+    from spectral_time_series_ray.stages.graph import (
+        connected_components_contract,
+    )
+
+    rng = np.random.default_rng(77)
+    pairs = []
+    for base in (100, 200):  # cliques of 5
+        nodes = list(range(base, base + 5))
+        pairs += [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    pairs += [(300 + i, 300 + i + 1) for i in range(6)]  # chain
+    pairs += [(400, 400 + i) for i in range(1, 8)]  # star
+    pairs += [(int(a), int(b)) for a, b in rng.integers(500, 540, (30, 2)) if a != b]
+    labels = connected_components_contract(_edges_ds(pairs), num_partitions=4)
+    got = components_to_clusters(labels)
+
+    exp = union_find_clusters(pairs)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
+
+
+def test_cc_contract_long_path_diameter_independent(ray_session):
+    """A 400-node path would need 399 hash-min rounds; contraction
+    finishes in its fixed 2 shuffles regardless of diameter."""
+    from spectral_time_series_ray.stages.graph import (
+        connected_components_contract,
+    )
+
+    pairs = [(i, i + 1) for i in range(399)]
+    labels = connected_components_contract(_edges_ds(pairs), num_partitions=5)
+    got = components_to_clusters(labels)
+    assert (got["cluster_id"] == 0).all()
+    assert len(got) == 400
+
+
+def test_cc_contract_agrees_with_hashmin_random(ray_session):
+    from spectral_time_series_ray.stages.graph import (
+        connected_components_contract,
+    )
+
+    rng = np.random.default_rng(5)
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 120, (150, 2)) if a != b]
+    a = components_to_clusters(
+        connected_components(_edges_ds(pairs), num_partitions=4))
+    b = components_to_clusters(
+        connected_components_contract(_edges_ds(pairs), num_partitions=3))
+    assert dict(zip(a["doc_id"], a["cluster_id"])) == dict(
+        zip(b["doc_id"], b["cluster_id"]))
