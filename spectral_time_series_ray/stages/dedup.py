@@ -408,23 +408,30 @@ def minhash_lsh_dedup(
     - ``cc="driver"`` (default): pair list to the driver for
       union-find — right up to the point where the PAIR LIST itself
       outgrows driver memory.
-    - ``cc="distributed"``: hash-min label propagation over the pair
-      Dataset (:func:`..graph.connected_components`) — nothing
-      pair-shaped ever reaches the driver; the scale path for corpora
-      where near-dup pairs number in the billions. Same output
-      (identical cluster assignment: both label each component with
-      its min doc_id).
+    - ``cc="distributed"``: contraction-based components over the
+      pair Dataset (:func:`..graph.connected_components_contract`,
+      2 shuffles, diameter-independent — transitive near-dup CHAINS
+      A~B~C~... are exactly the long-path case where hash-min's
+      O(diameter) join rounds degrade) — only the sparse contracted
+      rep-graph reaches the driver; the scale path for corpora where
+      near-dup pairs number in the billions. Same output (identical
+      cluster assignment: both label each component with its min
+      doc_id).
     """
     verified_ds = minhash_verified_pairs(
         ds, threshold=threshold, num_perm=num_perm, bands=bands,
         shingle_n=shingle_n, seed=seed, concurrency=concurrency,
     )
     if cc == "distributed":
-        from .graph import components_to_clusters, connected_components
+        from .graph import (
+            components_to_clusters,
+            connected_components_contract,
+        )
 
         if verified_ds.count() == 0:
             return pd.DataFrame({"doc_id": [], "cluster_id": [], "is_keeper": []})
-        labels = connected_components(verified_ds.select_columns(["a", "b"]))
+        labels = connected_components_contract(
+            verified_ds.select_columns(["a", "b"]))
         return components_to_clusters(labels)
     verified = verified_ds.to_pandas()  # sparse: verified near-dup pairs only
     if len(verified) == 0:

@@ -249,6 +249,18 @@ def test_minhash_cc_distributed_matches_driver(docs_ds):
     assert dict(zip(got["doc_id"].astype(int), got["cluster_id"].astype(int))) == exp
     assert set(got.loc[got["is_keeper"], "doc_id"].astype(int)) == set(exp.values())
 
+    # the contraction path (what minhash_lsh_dedup cc='distributed'
+    # actually uses) must agree as well
+    from spectral_time_series_ray.stages.graph import (
+        connected_components_contract,
+    )
+
+    got2 = components_to_clusters(
+        connected_components_contract(
+            pairs_ds.select_columns(["a", "b"]), num_partitions=4)
+    )
+    assert dict(zip(got2["doc_id"].astype(int), got2["cluster_id"].astype(int))) == exp
+
 
 # ----------------------------------------------------- product quantization
 
