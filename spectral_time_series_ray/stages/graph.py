@@ -122,7 +122,12 @@ def components_to_clusters(labels) -> pd.DataFrame:
     """Materialize a (doc_id, cluster_id, is_keeper) frame from a CC
     label Dataset — same contract as `dedup.union_find_clusters`-based
     clustering (keeper = the component's min id)."""
-    df = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
+    df = labels.to_pandas()
+    if df.empty:  # Ray drops column metadata on empty datasets
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64),
+                             "is_keeper": pd.Series([], dtype=bool)})
+    df = df.rename(columns={"node": "doc_id", "label": "cluster_id"})
     df = df.sort_values("doc_id").reset_index(drop=True)
     df["is_keeper"] = df["doc_id"] == df["cluster_id"]
     return df
@@ -706,6 +711,14 @@ def connected_components_contract(edges, num_partitions: int | None = None):
                     batch_format="pandas")
         .materialize()
     )
+
+    if merged.count() == 0:  # free: merged is materialized
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype=np.int64),
+            "label": pd.Series([], dtype=np.int64),
+        }))
 
     # sparse contracted rep-graph -> driver union-find
     pair_df = merged.filter(expr="is_pair == True").to_pandas()

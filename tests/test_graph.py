@@ -173,3 +173,19 @@ def test_cc_contract_agrees_with_hashmin_random(ray_session):
         connected_components_contract(_edges_ds(pairs), num_partitions=3))
     assert dict(zip(a["doc_id"], a["cluster_id"])) == dict(
         zip(b["doc_id"], b["cluster_id"]))
+
+
+def test_cc_contract_empty_edges_typed(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.graph import (
+        connected_components_contract,
+    )
+
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "a": pd.Series([], dtype=np.int64),
+        "b": pd.Series([], dtype=np.int64)}))
+    got = components_to_clusters(
+        connected_components_contract(empty, num_partitions=3))
+    assert list(got.columns) == ["doc_id", "cluster_id", "is_keeper"]
+    assert len(got) == 0
