@@ -5196,6 +5196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_xcorr_lag": Q.ev_xcorr_lag,
         "ev_histogram": Q.ev_histogram,
         "ev_transitions": Q.ev_transitions,
+        "ev_rfm": Q.ev_rfm,
         "graph_components": _graph_components,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
@@ -6631,6 +6632,31 @@ def oracle_sql() -> dict[str, str]:
                        order by round(raw * 1e6) / 1e6 desc, doc_id asc) as rk
               from scored)
             select doc_id, score from r where rk <= 10
+        """,
+        "ev_rfm": """
+            with p as (
+              select user_id, count(*) as frequency,
+                     sum(cast(round(value * 100) as bigint)) as mon_cents,
+                     max(ts) as last_ts
+              from events where event_type = 'purchase' group by 1),
+            g as (select max(last_ts) as gmax from p),
+            s as (
+              select user_id,
+                     date_diff('day', last_ts, gmax) as recency_days,
+                     frequency, mon_cents,
+                     ntile(4) over (order by date_diff('day', last_ts, gmax)
+                                    desc, user_id) as r_score,
+                     ntile(4) over (order by frequency, user_id) as f_score,
+                     ntile(4) over (order by mon_cents, user_id) as m_score
+              from p cross join g)
+            select user_id, cast(recency_days as bigint) as recency_days,
+                   cast(frequency as bigint) as frequency,
+                   round(mon_cents / 100.0, 2) as monetary,
+                   cast(r_score as bigint) as r_score,
+                   cast(f_score as bigint) as f_score,
+                   cast(m_score as bigint) as m_score,
+                   cast(r_score * 100 + f_score * 10 + m_score as bigint) as rfm
+            from s order by user_id
         """,
         "ev_transitions": """
             with s as (

@@ -5266,3 +5266,68 @@ def ev_transitions(sf_dir: str):
     t["p"] = round_half_away(t["n"].to_numpy(np.float64) / tot, 9)
     return (t.sort_values(["from_type", "to_type"]).reset_index(drop=True)
             [["from_type", "to_type", "n", "p"]])
+
+
+def ev_rfm(sf_dir: str):
+    """RFM customer segmentation with EXACT global quartile scores:
+    per-user recency (days from last purchase to the global max
+    purchase ts), frequency (purchase count) and monetary (cent-exact
+    sum), each scored 1-4 by the ANSI ``ntile(4)`` rule under the
+    deterministic order ``(metric [recency desc], user_id)`` —
+    realized by `features.global_ntile` (sample-based range exchange,
+    exact per-partition counts, no single-partition sort, no driver
+    row pull). Higher score = better customer on every axis."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.features import global_ntile
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "value"],
+        filter=pc.field("event_type") == "purchase",
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        tus = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({"user_id": batch["user_id"].to_numpy(np.int64),
+                          "frequency": np.int64(1), "mon_cents": cents,
+                          "last_tus": tus})
+        return g.groupby("user_id", as_index=False).agg(
+            frequency=("frequency", "sum"), mon_cents=("mon_cents", "sum"),
+            last_tus=("last_tus", "max"))
+
+    users = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Sum("frequency", alias_name="frequency"),
+                   Sum("mon_cents", alias_name="mon_cents"),
+                   Max("last_tus", alias_name="last_tus"))
+        .materialize()
+    )
+    gmax = int(users.max("last_tus"))
+
+    def recency(batch: pd.DataFrame) -> pd.DataFrame:
+        # date_diff('day', last_ts, gmax): whole-day boundary count
+        us_per_day = 86_400_000_000
+        d = gmax // us_per_day - batch["last_tus"].to_numpy(np.int64) // us_per_day
+        batch = batch.copy()
+        batch["recency_days"] = d.astype(np.int64)
+        return batch
+
+    scored = users.map_batches(recency, batch_format="pandas", batch_size=None)
+    scored = global_ntile(scored, "recency_days", "user_id", 4,
+                          descending=True, out_col="r_score")
+    scored = global_ntile(scored, "frequency", "user_id", 4, out_col="f_score")
+    scored = global_ntile(scored, "mon_cents", "user_id", 4, out_col="m_score")
+
+    out = scored.to_pandas()  # driver hop is the QUERY RESULT itself
+    out["monetary"] = round_half_away(
+        out["mon_cents"].to_numpy(np.int64) / 100.0, 2)
+    out["rfm"] = (out["r_score"] * 100 + out["f_score"] * 10
+                  + out["m_score"]).astype(np.int64)
+    for c in ("user_id", "recency_days", "frequency",
+              "r_score", "f_score", "m_score"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values("user_id").reset_index(drop=True)
+            [["user_id", "recency_days", "frequency", "monetary",
+              "r_score", "f_score", "m_score", "rfm"]])

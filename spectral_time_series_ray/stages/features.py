@@ -826,3 +826,148 @@ def analytic_ntile(
         return out
 
     return tagged.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+
+
+# ----------------------------------------------- global total-order ranks
+
+
+def global_row_number(
+    ds,
+    primary: str,
+    tiebreak: str,
+    descending: bool = False,
+    num_partitions: int | None = None,
+    out_col: str = "rn",
+):
+    """Exact global 1-based row numbers under the total order
+    ``(primary [desc], tiebreak asc)`` — the primitive behind global
+    ntile / percent_rank / exact top-N without a driver pull.
+
+    Three passes, all bounded driver traffic:
+
+    1. deterministic per-batch samples of ``primary`` pick P-1 range
+       boundaries (sampling affects only partition BALANCE, never
+       correctness);
+    2. per-batch ``bincount`` partials of partition ids give the
+       driver EXACT per-partition row counts (P ints) -> prefix
+       offsets;
+    3. one range exchange; each partition lexsorts locally and emits
+       ``offset[p] + local position``.
+
+    Rows with equal ``primary`` always land in the same partition
+    (assignment depends on ``primary`` alone), so the local
+    ``(primary, tiebreak)`` lexsort realizes the global order exactly.
+    ``(primary, tiebreak)`` pairs must be distinct for a unique
+    numbering (pass a unique id as ``tiebreak``). Returns the input
+    rows plus ``out_col``; also returns the exact total row count.
+    """
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    sign = -1.0 if descending else 1.0
+
+    # three passes below (sample / counts / exchange) — pin the input
+    # blocks once instead of re-executing the upstream chain per pass
+    ds = ds.materialize()
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(batch[primary].to_numpy(np.float64))
+        if not len(v):
+            return pd.DataFrame({"s": pd.Series([], dtype=np.float64)})
+        take = np.linspace(0, len(v) - 1, num=min(16, len(v))).astype(np.int64)
+        return pd.DataFrame({"s": v[take]})
+
+    samp = np.sort(
+        ds.map_batches(sample, batch_format="pandas", batch_size=None)
+        .to_pandas()["s"].to_numpy(np.float64) * sign
+    )
+    if len(samp):
+        q = np.linspace(0, len(samp) - 1, num=P + 1)[1:-1].astype(np.int64)
+        bounds = np.unique(samp[q])
+    else:
+        bounds = np.array([], dtype=np.float64)
+
+    def part_of(batch: pd.DataFrame) -> np.ndarray:
+        v = batch[primary].to_numpy(np.float64) * sign
+        return np.searchsorted(bounds, v, side="right").astype(np.int64)
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(part_of(batch), minlength=len(bounds) + 1)
+        return pd.DataFrame({"p": np.arange(len(c), dtype=np.int64),
+                             "n": c.astype(np.int64)})
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # P ints per block
+        .groupby("p")["n"].sum()
+        .reindex(range(len(bounds) + 1), fill_value=0)
+        .to_numpy(np.int64)
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = part_of(batch).astype(np.int32)
+        return batch
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        p = int(df["_part"].iloc[0])
+        df = df.drop(columns=["_part"])
+        order = np.lexsort((df[tiebreak].to_numpy(),
+                            df[primary].to_numpy(np.float64) * sign))
+        out = df.iloc[order].reset_index(drop=True)
+        out[out_col] = offsets[p] + 1 + np.arange(len(out), dtype=np.int64)
+        return out
+
+    ranked = (
+        ds.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(rank_partition, batch_format="pandas")
+    )
+    return ranked, total
+
+
+def ntile_from_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """ANSI ntile bucket (1-based) from exact global 1-based row
+    numbers over ``n`` rows: the first ``n % k`` buckets hold
+    ``n // k + 1`` rows."""
+    base = n // k
+    rem = n % k
+    big_span = rem * (base + 1)
+    r0 = rank - 1
+    return np.where(
+        r0 < big_span,
+        r0 // max(base + 1, 1) + 1,
+        rem + (np.maximum(r0 - big_span, 0) // max(base, 1)) + 1,
+    ).astype(np.int64)
+
+
+def global_ntile(
+    ds,
+    primary: str,
+    tiebreak: str,
+    k: int,
+    descending: bool = False,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+):
+    """Exact global ``ntile(k) over (order by primary [desc],
+    tiebreak)`` via :func:`global_row_number` — no single-partition
+    sort, no driver materialization of the rows."""
+    import pandas as pd
+
+    ranked, total = global_row_number(
+        ds, primary, tiebreak, descending=descending,
+        num_partitions=num_partitions, out_col="_rn",
+    )
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out_col] = ntile_from_rank(
+            batch["_rn"].to_numpy(np.int64), total, k)
+        return batch.drop(columns=["_rn"])
+
+    return ranked.map_batches(bucketize, batch_format="pandas", batch_size=None)

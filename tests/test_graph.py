@@ -189,3 +189,35 @@ def test_cc_contract_empty_edges_typed(ray_session):
         connected_components_contract(empty, num_partitions=3))
     assert list(got.columns) == ["doc_id", "cluster_id", "is_keeper"]
     assert len(got) == 0
+
+
+# --------------------------------- global row numbers (range exchange)
+
+
+def test_global_row_number_exact_order(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import global_row_number
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "v": rng.integers(0, 50, 500),   # heavy ties
+        "id": np.arange(500, dtype=np.int64),
+    }).sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(7)
+    ranked, total = global_row_number(ds, "v", "id", num_partitions=5)
+    got = ranked.to_pandas().sort_values("rn").reset_index(drop=True)
+    assert total == 500
+    exp = df.sort_values(["v", "id"], kind="mergesort").reset_index(drop=True)
+    assert (got["rn"].to_numpy() == np.arange(1, 501)).all()
+    assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+    assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+
+    # descending order
+    ranked_d, _ = global_row_number(ds, "v", "id", descending=True,
+                                    num_partitions=4)
+    got_d = ranked_d.to_pandas().sort_values("rn").reset_index(drop=True)
+    exp_d = df.sort_values(["v", "id"], ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+    assert (got_d["v"].to_numpy() == exp_d["v"].to_numpy()).all()
+    assert (got_d["id"].to_numpy() == exp_d["id"].to_numpy()).all()

@@ -270,3 +270,25 @@ def test_histogram_bin_rule_covers_range():
     assert np.all(np.diff(b) >= 0)
     widths = np.bincount(b)
     assert widths.max() - widths.min() <= 1
+
+
+# --------------------------------------------- global ntile-from-rank
+
+
+def test_ntile_from_rank_matches_ansi_rule():
+    from spectral_time_series_ray.functions import __name__ as _  # noqa: F401
+    from spectral_time_series_ray.stages.features import ntile_from_rank
+
+    for n in (1, 2, 3, 7, 8, 9, 100, 101, 103):
+        for k in (1, 2, 3, 4, 7):
+            ranks = np.arange(1, n + 1, dtype=np.int64)
+            b = ntile_from_rank(ranks, n, k)
+            # buckets are 1..min(k, n), non-decreasing, sizes differ by <=1
+            assert b[0] == 1 and b[-1] == min(k, n)
+            assert np.all(np.diff(b) >= 0)
+            sizes = np.bincount(b)[1:]
+            assert sizes.max() - sizes.min() <= 1 if n >= k else True
+            # ANSI: first n%k buckets are the larger ones
+            if n >= k and n % k:
+                assert np.all(sizes[: n % k] == n // k + 1)
+                assert np.all(sizes[n % k:] == n // k)
