@@ -1293,6 +1293,67 @@ def _tr_series_analysis(sf_dir: str):
     ]
 
 
+def _tr_perm_entropy(sf_dir: str):
+    """Normalized permutation entropy per packed chunk
+    (`stages/analytics.perm_entropy_stats`, Bandt & Pompe PRL 2002
+    order-3 ordinal patterns): the complexity audit a series-selection
+    pipeline runs to separate structured from noise-like series.
+    SELF-VERIFYING via three planted conversations riding the real
+    rollup -> gap-fill -> pack path: a monotone ramp must score ~0,
+    iid noise > 0.95, and a slow sine strictly between."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import perm_entropy_stats
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    rng = np.random.default_rng(23)
+    k = np.arange(512)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    planted = pd.concat(
+        [
+            pd.DataFrame(
+                {"conv_id": "__planted_ramp__", "bucket_ts": pd.Series(grid),
+                 "mean_latency": 1.0 + 0.01 * k}
+            ),
+            pd.DataFrame(
+                {"conv_id": "__planted_noise__", "bucket_ts": pd.Series(grid),
+                 "mean_latency": 5.0 + rng.normal(0.0, 1.0, 512)}
+            ),
+            pd.DataFrame(
+                {"conv_id": "__planted_sine__", "bucket_ts": pd.Series(grid),
+                 "mean_latency": 5.0 + np.sin(0.1 * k)}
+            ),
+        ]
+    )
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    out = perm_entropy_stats(chunks).to_pandas()
+
+    def pe_of(name: str) -> float:
+        g = out[out["conv_id"] == name]
+        return float(g["perm_entropy"].iloc[0]) if len(g) else float("nan")
+
+    checks = {
+        "__planted_ramp__": bool(pe_of("__planted_ramp__") < 0.05),
+        "__planted_noise__": bool(pe_of("__planted_noise__") > 0.95),
+        "__planted_sine__": bool(0.1 < pe_of("__planted_sine__") < 0.7),
+    }
+    assert all(
+        (out["conv_id"] == n).any() for n in checks
+    ), "planted series missing"
+    out["ok"] = np.array([checks.get(c, True) for c in out["conv_id"]], dtype=bool)
+    return out[["conv_id", "chunk_idx", "n_windows", "perm_entropy", "ok"]]
+
+
 def _tr_hurst(sf_dir: str):
     """Rescaled-range Hurst exponent per packed chunk
     (`stages/analytics.hurst_stats`, Hurst 1951 / Mandelbrot-Wallis
@@ -5197,6 +5258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_histogram": Q.ev_histogram,
         "ev_transitions": Q.ev_transitions,
         "ev_rfm": Q.ev_rfm,
+        "ev_ab_test": Q.ev_ab_test,
         "graph_components": _graph_components,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
@@ -5322,6 +5384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_resample": _tr_resample,
         "tr_series_analysis": _tr_series_analysis,
         "tr_hurst": _tr_hurst,
+        "tr_perm_entropy": _tr_perm_entropy,
         "tr_matrix_profile": _tr_matrix_profile,
         "tr_kalman": _tr_kalman,
         "tr_sax": _tr_sax,
@@ -6632,6 +6695,31 @@ def oracle_sql() -> dict[str, str]:
                        order by round(raw * 1e6) / 1e6 desc, doc_id asc) as rk
               from scored)
             select doc_id, score from r where rk <= 10
+        """,
+        "ev_ab_test": """
+            with u as (
+              select user_id,
+                     max(case when event_type = 'purchase' then 1 else 0 end)
+                       as conv
+              from events group by 1),
+            t as (
+              select user_id % 2 as variant, count(*) as n, sum(conv) as c
+              from u group by 1),
+            w as (
+              select max(case when variant = 0 then n end) as n0,
+                     max(case when variant = 1 then n end) as n1,
+                     max(case when variant = 0 then c end) as c0,
+                     max(case when variant = 1 then c end) as c1
+              from t)
+            select cast(n0 as bigint) as n_a, cast(n1 as bigint) as n_b,
+                   cast(c0 as bigint) as conv_a, cast(c1 as bigint) as conv_b,
+                   round(c0 / cast(n0 as double), 9) as p_a,
+                   round(c1 / cast(n1 as double), 9) as p_b,
+                   round((c1 / cast(n1 as double) - c0 / cast(n0 as double))
+                         / sqrt((c0 + c1) / cast(n0 + n1 as double)
+                                * (1 - (c0 + c1) / cast(n0 + n1 as double))
+                                * (1.0 / n0 + 1.0 / n1)), 9) as z
+            from w
         """,
         "ev_rfm": """
             with p as (

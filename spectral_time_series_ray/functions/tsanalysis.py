@@ -839,3 +839,45 @@ def hurst_rs(x: np.ndarray, min_chunk: int = 8) -> tuple[float, int]:
     lr = np.asarray(log_rs)
     h = float(((ln - ln.mean()) * (lr - lr.mean())).sum() / ((ln - ln.mean()) ** 2).sum())
     return h, len(sizes)
+
+
+def permutation_entropy(x: np.ndarray, m: int = 3) -> tuple[float, int]:
+    """Normalized permutation entropy (Bandt & Pompe, PRL 2002) of
+    order ``m=3``: the Shannon entropy of the ordinal-pattern
+    distribution over sliding windows, divided by ln(m!) — 0 for
+    monotone/deterministic order structure, -> 1 for iid noise.
+
+    Vectorized: the 3! = 6 ordinal patterns are identified from three
+    pairwise comparisons (ties broken by position, matching argsort's
+    stable order), one boolean expression per window — no Python loop
+    and no per-window argsort. Returns ``(pe, n_windows)``;
+    ``(nan, 0)`` if fewer than 2 windows or any non-finite value
+    inside the evaluated span.
+    """
+    if m != 3:
+        raise NotImplementedError("order m=3 only (6-pattern vector path)")
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x) - 2
+    if n < 2:
+        return float("nan"), 0
+    a, b, c = x[:-2], x[1:-1], x[2:]
+    if not (np.isfinite(a).all() and np.isfinite(b).all() and np.isfinite(c).all()):
+        return float("nan"), 0
+    # stable (value, position) order: position breaks ties, so "<=" on
+    # the earlier element models argsort(kind='stable')
+    ab = a <= b   # a precedes b in the sorted order
+    bc = b <= c
+    ac = a <= c
+    # pattern code 0..5: enumeration of the 6 consistent outcomes
+    code = (
+        np.where(ab & bc, 0, 0)
+        + np.where(ab & ~bc & ac, 1, 0)
+        + np.where(ab & ~bc & ~ac, 2, 0)
+        + np.where(~ab & bc & ac, 3, 0)
+        + np.where(~ab & bc & ~ac, 4, 0)
+        + np.where(~ab & ~bc, 5, 0)
+    )
+    counts = np.bincount(code, minlength=6).astype(np.float64)
+    p = counts[counts > 0] / n
+    h = -(p * np.log(p)).sum()
+    return float(h / np.log(6.0)), int(n)

@@ -5331,3 +5331,56 @@ def ev_rfm(sf_dir: str):
     return (out.sort_values("user_id").reset_index(drop=True)
             [["user_id", "recency_days", "frequency", "monetary",
               "r_score", "f_score", "m_score", "rfm"]])
+
+
+def ev_ab_test(sf_dir: str):
+    """Two-proportion z-test for an A/B experiment: variant = user_id
+    parity, conversion = the user recorded >= 1 'purchase' event.
+    Per-user flags reduce through one int-keyed exchange; the final
+    z uses the pooled-variance normal approximation from exact int64
+    counts, mirroring the oracle SQL term-for-term."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "conv": (batch["event_type"] == "purchase").to_numpy().astype(np.int64),
+        })
+        return g.groupby("user_id", as_index=False).max()
+
+    users = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Max("conv", alias_name="conv"))
+    )
+
+    def variant_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        v = (batch["user_id"].to_numpy(np.int64) % 2).astype(np.int64)
+        c = batch["conv"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "variant": [0, 1],
+            "n": [int((v == 0).sum()), int((v == 1).sum())],
+            "c": [int(c[v == 0].sum()), int(c[v == 1].sum())],
+        })
+
+    t = (
+        users.map_batches(variant_counts, batch_format="pandas", batch_size=None)
+        .to_pandas()  # 2 rows per block
+        .groupby("variant", as_index=False)[["n", "c"]].sum()
+        .sort_values("variant")
+    )
+    n0, n1 = int(t["n"].iloc[0]), int(t["n"].iloc[1])
+    c0, c1 = int(t["c"].iloc[0]), int(t["c"].iloc[1])
+    p0 = c0 / n0
+    p1 = c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    z = (p1 - p0) / np.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    return pd.DataFrame({
+        "n_a": np.array([n0], np.int64), "n_b": np.array([n1], np.int64),
+        "conv_a": np.array([c0], np.int64), "conv_b": np.array([c1], np.int64),
+        "p_a": round_half_away(np.array([p0]), 9),
+        "p_b": round_half_away(np.array([p1]), 9),
+        "z": round_half_away(np.array([z]), 9),
+    })

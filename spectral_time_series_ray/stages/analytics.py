@@ -1602,3 +1602,26 @@ def hurst_stats(chunk_ds):
         return out
 
     return chunk_ds.map_batches(f, batch_format="pandas", batch_size=128)
+
+
+def perm_entropy_stats(chunk_ds, m: int = 3):
+    """Normalized permutation entropy per packed chunk row
+    (`functions/tsanalysis.permutation_entropy` — vectorized
+    6-pattern path). Complexity audit for series selection: ~0 =
+    deterministic order structure, -> 1 = iid noise. Cheap closure
+    state, so a plain task map."""
+    from ..functions.tsanalysis import permutation_entropy
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        pe = np.empty(len(batch), dtype=np.float64)
+        nw = np.empty(len(batch), dtype=np.int64)
+        for i, vals in enumerate(batch["values"]):
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[np.isfinite(v)]
+            pe[i], nw[i] = permutation_entropy(v, m=m)
+        out = batch[["conv_id", "chunk_idx"]].copy()
+        out["n_windows"] = nw
+        out["perm_entropy"] = pe
+        return out
+
+    return chunk_ds.map_batches(f, batch_format="pandas", batch_size=128)

@@ -292,3 +292,40 @@ def test_ntile_from_rank_matches_ansi_rule():
             if n >= k and n % k:
                 assert np.all(sizes[: n % k] == n // k + 1)
                 assert np.all(sizes[n % k:] == n // k)
+
+
+# ------------------------------------------ permutation entropy
+
+
+def test_perm_entropy_matches_bruteforce_argsort():
+    import math
+
+    from spectral_time_series_ray.functions.tsanalysis import permutation_entropy
+
+    rng = np.random.default_rng(13)
+    for x in (rng.normal(0, 1, 400),
+              rng.integers(0, 4, 400).astype(float),  # heavy ties
+              np.sin(np.arange(400) * 0.3)):
+        pats = {}
+        for i in range(len(x) - 2):
+            key = tuple(np.argsort(x[i:i + 3], kind="stable"))
+            pats[key] = pats.get(key, 0) + 1
+        n = len(x) - 2
+        exp = -sum((c / n) * math.log(c / n) for c in pats.values()) / math.log(6)
+        got, nw = permutation_entropy(x)
+        assert nw == n
+        assert abs(got - exp) < 1e-12
+
+
+def test_perm_entropy_classes_and_degenerates():
+    import math
+
+    from spectral_time_series_ray.functions.tsanalysis import permutation_entropy
+
+    assert permutation_entropy(np.arange(100.0))[0] == 0.0
+    rng = np.random.default_rng(2)
+    assert permutation_entropy(rng.normal(0, 1, 8192))[0] > 0.99
+    pe, n = permutation_entropy(np.array([1.0, 2.0]))
+    assert math.isnan(pe) and n == 0
+    pe, _ = permutation_entropy(np.array([1.0, np.nan, 2.0, 3.0, 4.0]))
+    assert math.isnan(pe)
