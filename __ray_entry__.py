@@ -5225,7 +5225,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_retained_users": Q.ev_retained_users,
         "ev_attribution": Q.ev_attribution,
         "ev_top_users": Q.ev_top_users,
-        "ev_distinct_exact": Q.ev_distinct_exact,
         "ev_outliers_mad": Q.ev_outliers_mad,
         "ev_decay_score": Q.ev_decay_score,
         "ev_dq_checks": Q.ev_dq_checks,
@@ -5237,13 +5236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": Q.q8_market_share,
         "q3_revenue_topk": Q.q3_revenue_topk,
         "q5_local_supplier": Q.q5_local_supplier,
-        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
-        "ev_ks_test": Q.ev_ks_test,
-        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "orders_pareto": Q.orders_pareto,
         "bucketed_join_priority": _bucketed_join_priority,
-        "ev_full_outer_days": Q.ev_full_outer_days,
-        "ri_orphans": Q.ri_orphans,
         "graph_triangles": _graph_triangles,
         "graph_bfs_hops": _graph_bfs_hops,
         "doc_stats_by_lang": Q.doc_stats_by_lang,
@@ -5252,14 +5246,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_names": Q.fuzzy_customer_names,
         "doc_phrase_match": _doc_phrase_match,
         "ev_mannwhitney": Q.ev_mannwhitney,
-        "ev_chi2_independence": Q.ev_chi2_independence,
+        "ev_transitions": Q.ev_transitions,
         "ev_entropy": Q.ev_entropy,
+        "ev_rfm": Q.ev_rfm,
+        "graph_components": _graph_components,
+        "ev_ab_test": Q.ev_ab_test,
+        "ev_chi2_independence": Q.ev_chi2_independence,
         "ev_xcorr_lag": Q.ev_xcorr_lag,
         "ev_histogram": Q.ev_histogram,
-        "ev_transitions": Q.ev_transitions,
-        "ev_rfm": Q.ev_rfm,
-        "ev_ab_test": Q.ev_ab_test,
-        "graph_components": _graph_components,
+        "ev_distinct_exact": Q.ev_distinct_exact,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "ev_ks_test": Q.ev_ks_test,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
+        "ev_full_outer_days": Q.ev_full_outer_days,
+        "ri_orphans": Q.ri_orphans,
         "ev_gapfill_1h": Q.ev_gapfill_1h,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "doc_hybrid_rrf": Q.doc_hybrid_rrf,
