@@ -3754,13 +3754,14 @@ def _bucketed_point_lookup(sf_dir: str):
     return out[["o_orderkey", "o_orderpriority", "o_totalprice"]]
 
 
-def _copurchase_edges(sf_dir: str, P: int = 32):
+def _copurchase_edges(sf_dir: str, P: int = 32, keep_counts: bool = False):
     """Shared edge builder for the graph query family: undirected edge
     (u, v), u < v, iff parts u and v appear in the SAME order in >= 2
     distinct orders. Two int-keyed exchanges: per-order part pairs
     expand inside an orderkey-hash partition (bounded by
     lines-per-order^2), then pair-key partials merge and the >=2
-    threshold filters. Returns a materialized Dataset (u, v)."""
+    threshold filters. Returns a materialized Dataset (u, v)
+    (+ co-occurrence count n_ab when ``keep_counts``)."""
     from spectral_time_series_ray.pipelines.queries import _read
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -3794,7 +3795,10 @@ def _copurchase_edges(sf_dir: str, P: int = 32):
         s = g.groupby("pk", as_index=False)["cnt"].sum()
         s = s[s["cnt"] >= 2]
         pk = s["pk"].to_numpy(np.int64)
-        return pd.DataFrame({"u": pk >> 32, "v": pk & ((1 << 32) - 1)})
+        out = pd.DataFrame({"u": pk >> 32, "v": pk & ((1 << 32) - 1)})
+        if keep_counts:
+            out["n_ab"] = s["cnt"].to_numpy(np.int64)
+        return out
 
     return (
         li.map_batches(tag, batch_format="pandas", batch_size=None)
@@ -3836,6 +3840,81 @@ def _graph_components(sf_dir: str):
     out["node"] = out["node"].astype(np.int64)
     out["comp"] = out["comp"].astype(np.int64)
     return out.sort_values("node").reset_index(drop=True)[["node", "comp"]]
+
+
+def _orders_itemsets(sf_dir: str):
+    """Association-rule mining over market baskets (Agrawal & Srikant
+    VLDB'94 family): every 2-itemset of parts co-purchased in >= 2
+    distinct orders, with support, confidence(a->b) and lift from
+    exact counts. Pair counts ride the shared `_copurchase_edges`
+    exchanges; per-part order frequencies come from one part-keyed
+    exchange (global distinct (order, part) inside each partition);
+    the parts margin table is a bounded DIMENSION broadcast via
+    ray.put and joined inside map_batches — the pair Dataset never
+    shuffles again. ORACLE-CHECKED against the full SQL self-join
+    replica."""
+    import ray
+
+    from spectral_time_series_ray.pipelines.queries import (
+        _read,
+        round_half_away,
+    )
+
+    P = 32
+    edges = _copurchase_edges(sf_dir, keep_counts=True)
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                            "p": b["l_partkey"].to_numpy(np.int64)})
+        out = out.drop_duplicates()
+        out["_pp"] = (
+            pd.util.hash_pandas_object(out["p"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    def part_margin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["k", "p"])
+        m = g.groupby("p", as_index=False)["k"].nunique()
+        m.columns = ["p", "np"]
+        return m
+
+    margins = (
+        li.map_batches(tag, batch_format="pandas", batch_size=None)
+        .groupby("_pp")
+        .map_groups(lambda df: part_margin(df.drop(columns=["_pp"])),
+                    batch_format="pandas")
+        .to_pandas()  # bounded by the part DIMENSION
+    )
+    n_orders = int(
+        li.map_batches(
+            lambda b: pd.DataFrame(
+                {"k": pd.unique(b["l_orderkey"].to_numpy(np.int64))}),
+            batch_format="pandas", batch_size=None)
+        .groupby("k").count()
+        .count()
+    )
+    m_ref = ray.put(dict(zip(margins["p"].astype(np.int64),
+                             margins["np"].astype(np.int64))))
+
+    def metrics(batch: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(m_ref)
+        a = batch["u"].to_numpy(np.int64)
+        b = batch["v"].to_numpy(np.int64)
+        nab = batch["n_ab"].to_numpy(np.int64)
+        na = np.fromiter((mm[int(x)] for x in a), dtype=np.int64, count=len(a))
+        nb = np.fromiter((mm[int(x)] for x in b), dtype=np.int64, count=len(b))
+        return pd.DataFrame({
+            "a": a, "b": b, "n_ab": nab, "n_a": na, "n_b": nb,
+            "support": round_half_away(nab / np.float64(n_orders), 9),
+            "confidence_ab": round_half_away(nab / na.astype(np.float64), 9),
+            "lift": round_half_away(
+                (nab * n_orders) / (na * nb).astype(np.float64), 9),
+        })
+
+    out = edges.map_batches(
+        metrics, batch_format="pandas", batch_size=None).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _graph_triangles(sf_dir: str):
@@ -5251,6 +5330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rfm": Q.ev_rfm,
         "graph_components": _graph_components,
         "ev_ab_test": Q.ev_ab_test,
+        "orders_itemsets": _orders_itemsets,
+        "ev_survival_km": Q.ev_survival_km,
         "ev_chi2_independence": Q.ev_chi2_independence,
         "ev_xcorr_lag": Q.ev_xcorr_lag,
         "ev_histogram": Q.ev_histogram,
@@ -6695,6 +6776,63 @@ def oracle_sql() -> dict[str, str]:
                        order by round(raw * 1e6) / 1e6 desc, doc_id asc) as rk
               from scored)
             select doc_id, score from r where rk <= 10
+        """,
+        "orders_itemsets": """
+            with d as (
+              select distinct l_orderkey as k, l_partkey as p from lineitem),
+            n as (select count(distinct k) as nn from d),
+            m as (select p, count(*) as np from d group by 1),
+            pairs as (
+              select a.p as u, b.p as v, count(*) as n_ab
+              from d a join d b on a.k = b.k and a.p < b.p
+              group by 1, 2 having count(*) >= 2)
+            select pairs.u as a, pairs.v as b,
+                   cast(n_ab as bigint) as n_ab,
+                   cast(ma.np as bigint) as n_a,
+                   cast(mb.np as bigint) as n_b,
+                   round(n_ab / cast(nn as double), 9) as support,
+                   round(n_ab / cast(ma.np as double), 9) as confidence_ab,
+                   round((n_ab * nn) / cast(ma.np * mb.np as double), 9) as lift
+            from pairs
+            join m ma on ma.p = pairs.u
+            join m mb on mb.p = pairs.v
+            cross join n
+            order by 1, 2
+        """,
+        "ev_survival_km": """
+            with u as (
+              select user_id, min(ts) as fe,
+                     min(case when event_type = 'purchase' then ts end) as fp
+              from events group by 1),
+            g as (select max(ts) as gm from events),
+            dur as (
+              select case when fp is not null then date_diff('day', fe, fp)
+                          else date_diff('day', fe, gm) end as t,
+                     case when fp is not null then 1 else 0 end as d
+              from u cross join g),
+            h as (
+              select t, sum(d) as d, count(*) - sum(d) as c
+              from dur group by 1),
+            tot as (select sum(d + c) as n from h),
+            k as (
+              select t, d,
+                     tot.n - coalesce(sum(d + c) over (order by t
+                       rows between unbounded preceding and 1 preceding), 0)
+                       as n_at_risk
+              from h cross join tot),
+            s as (
+              select t, d, n_at_risk,
+                     case when sum(case when d >= n_at_risk then 1 else 0 end)
+                               over (order by t) > 0
+                          then 0.0
+                          else exp(sum(ln(case when d >= n_at_risk then 1.0
+                                          else 1 - d / cast(n_at_risk as double)
+                                          end)) over (order by t)) end as surv
+              from k)
+            select cast(t as bigint) as t_days, cast(d as bigint) as d,
+                   cast(n_at_risk as bigint) as n_at_risk,
+                   round(surv, 6) as s
+            from s where d > 0 order by 1
         """,
         "ev_ab_test": """
             with u as (

@@ -5384,3 +5384,75 @@ def ev_ab_test(sf_dir: str):
         "p_b": round_half_away(np.array([p1]), 9),
         "z": round_half_away(np.array([z]), 9),
     })
+
+
+def ev_survival_km(sf_dir: str):
+    """Kaplan-Meier survival curve for time-to-first-purchase: per
+    user, duration = whole days from first event to first purchase
+    (event) or to the global max event day (right-censored). One
+    int-keyed exchange builds the per-user (duration, is_event) pairs;
+    only the bounded DAY-GRID histogram of (events, censorings) per
+    duration reaches the driver, where the product-limit estimator
+    S(t) = prod_{u<=t}(1 - d_u/n_u) finishes over event days. Ties
+    follow the standard convention: users censored on day t stay at
+    risk for day-t events."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tus = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_p = (batch["event_type"] == "purchase").to_numpy()
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "first_tus": tus,
+            "first_p_tus": np.where(is_p, tus, np.iinfo(np.int64).max),
+        })
+        return g.groupby("user_id", as_index=False).min()
+
+    users = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Min("first_tus", alias_name="first_tus"),
+                   Min("first_p_tus", alias_name="first_p_tus"))
+        .materialize()
+    )
+    # global max event day (one tiny aggregate over the events scan)
+    mm = ds.aggregate(Max("ts"))
+    gmax_day = int(np.datetime64(mm["max(ts)"], "us").astype(np.int64)
+                   // 86_400_000_000)
+
+    us_per_day = 86_400_000_000
+    sentinel = np.iinfo(np.int64).max
+
+    def durations(batch: pd.DataFrame) -> pd.DataFrame:
+        fe = batch["first_tus"].to_numpy(np.int64) // us_per_day
+        fp = batch["first_p_tus"].to_numpy(np.int64)
+        conv = fp != sentinel
+        dur = np.where(conv, fp // us_per_day - fe, gmax_day - fe).astype(np.int64)
+        g = pd.DataFrame({"t": dur,
+                          "d": conv.astype(np.int64),
+                          "c": (~conv).astype(np.int64)})
+        return g.groupby("t", as_index=False).sum()
+
+    h = (
+        users.map_batches(durations, batch_format="pandas", batch_size=None)
+        .to_pandas()  # bounded by the calendar DAY domain
+        .groupby("t", as_index=False)[["d", "c"]].sum()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    d = h["d"].to_numpy(np.int64)
+    c = h["c"].to_numpy(np.int64)
+    tot = int((d + c).sum())
+    removed_before = np.concatenate([[0], np.cumsum(d + c)[:-1]])
+    n_at_risk = tot - removed_before
+    factors = 1.0 - d / n_at_risk.astype(np.float64)
+    s = np.cumprod(factors)
+    ev = d > 0
+    return pd.DataFrame({
+        "t_days": h["t"].to_numpy(np.int64)[ev],
+        "d": d[ev],
+        "n_at_risk": n_at_risk[ev],
+        "s": round_half_away(s[ev], 6),
+    })
