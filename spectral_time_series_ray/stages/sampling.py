@@ -392,6 +392,99 @@ def bottom_k_sample(
     return partials.groupby(key).map_groups(cut, batch_format="pandas")
 
 
+def hamilton_allocation(n_by_stratum: dict, k: int) -> dict:
+    """Largest-remainder (Hamilton) apportionment of a total sample
+    size ``k`` across strata proportionally to population counts,
+    capped at each stratum's population: ``k_h = floor(k * n_h / n)``
+    plus one for the largest fractional remainders until the total is
+    k. Deterministic: remainder ties break by stratum key string.
+    Exact by construction: sum(k_h) == k and k_h <= n_h always."""
+    n = sum(n_by_stratum.values())
+    if k > n:
+        raise ValueError(f"sample size {k} exceeds population {n}")
+    quota = {s: k * c / n for s, c in n_by_stratum.items()}
+    alloc = {s: min(int(quota[s]), n_by_stratum[s]) for s in n_by_stratum}
+    rem = k - sum(alloc.values())
+    order = sorted(
+        n_by_stratum,
+        key=lambda s: (-(quota[s] - int(quota[s])), str(s)),
+    )
+    i = 0
+    while rem > 0:
+        s = order[i % len(order)]
+        if alloc[s] < n_by_stratum[s]:
+            alloc[s] += 1
+            rem -= 1
+        i += 1
+    return alloc
+
+
+def stratified_sample(
+    ds,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    keep_tag: bool = False,
+):
+    """Exact proportional stratified sample of TOTAL size k: strata
+    sized by Hamilton largest-remainder apportionment (never a row
+    more or less than the allocation), rows within a stratum chosen
+    by deterministic bottom-k order sampling on
+    ``tag = splitmix64(hash(id) ^ seed)`` — uniform without
+    replacement inside each stratum, mergeable across blocks, and
+    reproducible across reruns / partitionings / cluster sizes.
+
+    Scale shape: pass 1 is a per-stratum count (the only thing the
+    driver sees is the bounded stratum histogram); the allocation dict
+    is broadcast in the task closure; pass 2 cuts each block to at
+    most k_h rows per stratum before a per-stratum merge cut. No full
+    shuffle; driver never holds row data. With ``keep_tag`` the
+    ``_tag`` column survives so callers can PROVE bottom-k-ness: for
+    each stratum, the population count of tags <= max(selected tag)
+    must equal k_h exactly.
+
+    Returns ``(sample_ds, alloc)`` where alloc maps stratum ->
+    (n_population, k_allocated)."""
+    from ..functions.bloom import hash_u64
+    from ..functions.hashing import fnv1a_u64
+
+    counts = ds.groupby(stratum_col).count().to_pandas()
+    n_by = dict(zip(counts[stratum_col], counts["count()"].astype(int)))
+    alloc = hamilton_allocation(n_by, k)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        col = batch[id_col]
+        if col.dtype.kind in "iu":
+            h = hash_u64(col.to_numpy().astype(np.uint64))
+        else:
+            h = fnv1a_u64([str(v) for v in col])
+        batch = batch.copy()
+        batch["_tag"] = hash_u64(h ^ np.uint64(seed))
+        kmax = max(alloc.values(), default=0)
+        part = (
+            batch.sort_values(["_tag", id_col], kind="stable")
+            .groupby(stratum_col, sort=False)
+            .head(kmax)
+        )
+        # tighten: per-stratum partial cut to that stratum's own k_h
+        keep = (
+            part.groupby(stratum_col, sort=False).cumcount()
+            < part[stratum_col].map(alloc).fillna(0).astype(int)
+        )
+        return part[keep.to_numpy()]
+
+    partials = ds.map_batches(tag, batch_format="pandas", batch_size=None)
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        kh = alloc.get(g[stratum_col].iloc[0], 0)
+        out = g.sort_values(["_tag", id_col], kind="stable").head(kh)
+        return out if keep_tag else out.drop(columns=["_tag"])
+
+    sample = partials.groupby(stratum_col).map_groups(cut, batch_format="pandas")
+    return sample, {s: (n_by[s], alloc[s]) for s in n_by}
+
+
 def weighted_sample_aes(
     ds,
     id_col: str,

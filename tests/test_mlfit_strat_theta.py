@@ -1,0 +1,167 @@
+"""Tests for logistic IRLS, stratified sampling and the Theta forecaster."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spectral_time_series_ray.stages.analytics import ThetaForecaster
+from spectral_time_series_ray.stages.sampling import (
+    hamilton_allocation,
+    stratified_sample,
+)
+
+
+def _exact_logistic(X, y, ridge=1e-8, iters=200):
+    """Driver-side reference IRLS on the full design matrix."""
+    k = X.shape[1]
+    beta = np.zeros(k)
+    for _ in range(iters):
+        eta = X @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        H = (X * w[:, None]).T @ X + ridge * np.eye(k)
+        g = X.T @ (y - mu) - ridge * beta
+        delta = np.linalg.solve(H, g)
+        beta = beta + delta
+        if np.max(np.abs(delta)) < 1e-12:
+            break
+    return beta
+
+
+# --------------------------------------------------------------- logistic
+def test_logistic_irls_matches_exact_fit(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.mlfit import logistic_irls
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    eta = -0.5 + 1.2 * x1 - 0.8 * x2
+    y = (rng.random(n) < 1.0 / (1.0 + np.exp(-eta))).astype(np.float64)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+
+    fit = logistic_irls(
+        ray.data.from_pandas(df).repartition(7), ["x1", "x2"], "y")
+    X = np.column_stack([np.ones(n), x1, x2])
+    exact = _exact_logistic(X, y)
+
+    assert fit["converged"]
+    assert fit["grad_inf"] < 1e-8
+    assert np.max(np.abs(fit["beta"] - exact)) < 1e-7
+    assert fit["n"] == n
+    assert fit["deviance"] <= fit["null_deviance"]
+    # recovered coefficients near the generating ones (large-n sanity)
+    assert np.max(np.abs(fit["beta"] - [-0.5, 1.2, -0.8])) < 0.2
+
+
+def test_logistic_irls_partition_invariance(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.mlfit import logistic_irls
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "x": rng.normal(size=n),
+        "y": (rng.random(n) < 0.3).astype(np.float64),
+    })
+    f1 = logistic_irls(ray.data.from_pandas(df).repartition(1), ["x"], "y")
+    f2 = logistic_irls(ray.data.from_pandas(df).repartition(13), ["x"], "y")
+    # sums are float adds in different orders; identical to ~1e-12
+    assert np.max(np.abs(f1["beta"] - f2["beta"])) < 1e-9
+
+
+# --------------------------------------------------------------- hamilton
+def test_hamilton_allocation_exact_and_capped():
+    n_by = {"a": 10, "b": 30, "c": 60}
+    alloc = hamilton_allocation(n_by, 10)
+    assert sum(alloc.values()) == 10
+    assert alloc == {"a": 1, "b": 3, "c": 6}
+
+    # remainders decide: 7 * (1/3) each = 2.33.. -> 2,2,2 then one +1
+    alloc = hamilton_allocation({"a": 10, "b": 10, "c": 10}, 7)
+    assert sum(alloc.values()) == 7
+    assert sorted(alloc.values()) == [2, 2, 3]
+    assert alloc["a"] == 3  # tie on remainder breaks by key string
+
+    # cap: a stratum can never exceed its population
+    alloc = hamilton_allocation({"tiny": 1, "big": 99}, 99)
+    assert alloc["tiny"] <= 1 and sum(alloc.values()) == 99
+
+    with pytest.raises(ValueError):
+        hamilton_allocation({"a": 3}, 4)
+
+
+def test_stratified_sample_sizes_and_determinism(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "id": np.arange(3000, dtype=np.int64),
+        "s": rng.choice(["x", "y", "z"], size=3000, p=[0.6, 0.3, 0.1]),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    sample, alloc = stratified_sample(ds, "s", "id", 300, seed=9)
+    sm = sample.to_pandas()
+    assert len(sm) == 300
+    assert sm["id"].is_unique
+    got = sm.groupby("s")["id"].count().to_dict()
+    for s, (n_pop, kh) in alloc.items():
+        assert got.get(s, 0) == kh
+        assert kh <= n_pop
+    assert sum(kh for _, kh in alloc.values()) == 300
+
+    # deterministic across a different partitioning
+    sample2, _ = stratified_sample(
+        ray.data.from_pandas(df).repartition(2), "s", "id", 300, seed=9)
+    sm2 = sample2.to_pandas()
+    assert sorted(sm2["id"]) == sorted(sm["id"])
+
+
+# ------------------------------------------------------------------ theta
+def _chunk_batch(series_list):
+    return pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(series_list))],
+        "chunk_idx": np.zeros(len(series_list), dtype=np.int64),
+        "n_points": np.array([len(s) for s in series_list], dtype=np.int64),
+        "values": [np.asarray(s, dtype=np.float64) for s in series_list],
+    })
+
+
+def test_theta_constant_and_linear_exact():
+    f = ThetaForecaster(alpha=0.5, horizon=6)
+    out = f(_chunk_batch([np.full(64, 3.25), 1.0 + 0.5 * np.arange(64)]))
+    fc0 = np.asarray(out["theta_forecast"].iloc[0])
+    assert np.max(np.abs(fc0 - 3.25)) < 1e-9
+    # linear: slope recovered exactly, forecast steps by slope/2
+    assert abs(out["slope"].iloc[1] - 0.5) < 1e-9
+    fc1 = np.asarray(out["theta_forecast"].iloc[1])
+    assert np.max(np.abs(np.diff(fc1) - 0.25)) < 1e-9
+    assert (out["cross_err"] < 1e-9).all()
+
+
+def test_theta_cross_identity_on_noise_matches_naive_reference():
+    rng = np.random.default_rng(7)
+    series = [rng.normal(5.0, 2.0, size=L) for L in (17, 64, 230)]
+    out = ThetaForecaster(alpha=0.3, horizon=4)(_chunk_batch(series))
+    assert (out["cross_err"] < 1e-9).all()
+    # per-series naive reference: explicit theta-line decomposition
+    for i, x in enumerate(series):
+        t = np.arange(len(x), dtype=np.float64)
+        b, a0 = np.polyfit(t, x, 1)
+        z = 2.0 * x - (a0 + b * t)
+        level = z[0]
+        for v in z[1:]:
+            level = 0.3 * v + 0.7 * level
+        h = np.arange(1, 5, dtype=np.float64)
+        expect = 0.5 * ((a0 + b * (len(x) - 1 + h)) + level)
+        got = np.asarray(out["theta_forecast"].iloc[i])
+        assert np.max(np.abs(got - expect)) < 1e-8
+
+
+def test_theta_short_series_flagged_invalid():
+    out = ThetaForecaster()(_chunk_batch([[1.0, 2.0]]))
+    assert not out["theta_valid"].iloc[0]
+    assert np.isnan(out["slope"].iloc[0])
