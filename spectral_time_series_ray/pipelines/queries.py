@@ -5456,3 +5456,56 @@ def ev_survival_km(sf_dir: str):
         "n_at_risk": n_at_risk[ev],
         "s": round_half_away(s[ev], 6),
     })
+
+
+def ev_ols_multi(sf_dir: str):
+    """Global multi-feature OLS — value ~ hour-of-day + iso-day-of-week
+    — solved in CLOSED FORM from exact integer sufficient statistics:
+    one map_batches pass emits int64 partial sums (n, Sx1, Sx2, Sy,
+    Sx11, Sx12, Sx22, Sx1y, Sx2y, Syy with y = value*100 exact cents),
+    Dataset.sum reduces them losslessly, and the driver solves the
+    centered 2x2 normal equations by Cramer's rule. The oracle SQL
+    evaluates THE SAME expressions in the same operation order on the
+    same integers, so both engines produce bit-identical doubles —
+    the one moment-reduce shape that stays a single streaming pass at
+    10^12 rows (no shuffle at all)."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x1 = batch["ts"].dt.hour.to_numpy(np.int64)
+        x2 = (batch["ts"].dt.dayofweek.to_numpy(np.int64) + 1)  # isodow 1-7
+        y = np.rint(batch["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(batch))],
+            "s1": [x1.sum()], "s2": [x2.sum()], "sy": [y.sum()],
+            "s11": [(x1 * x1).sum()], "s12": [(x1 * x2).sum()],
+            "s22": [(x2 * x2).sum()],
+            "s1y": [(x1 * y).sum()], "s2y": [(x2 * y).sum()],
+            "syy": [(y * y).sum()],
+        })
+
+    cols = ["n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]
+    s = ds.map_batches(moments, batch_format="pandas", batch_size=None).sum(cols)
+    n = float(s["sum(n)"])
+    s1, s2, sy = float(s["sum(s1)"]), float(s["sum(s2)"]), float(s["sum(sy)"])
+    s11, s12, s22 = float(s["sum(s11)"]), float(s["sum(s12)"]), float(s["sum(s22)"])
+    s1y, s2y, syy = float(s["sum(s1y)"]), float(s["sum(s2y)"]), float(s["sum(syy)"])
+    # centered moments — expression order mirrored EXACTLY in the oracle
+    sxx1 = s11 - s1 * s1 / n
+    sxx2 = s22 - s2 * s2 / n
+    sx12 = s12 - s1 * s2 / n
+    sx1y = s1y - s1 * sy / n
+    sx2y = s2y - s2 * sy / n
+    syyc = syy - sy * sy / n
+    det = sxx1 * sxx2 - sx12 * sx12
+    b1s = (sx1y * sxx2 - sx2y * sx12) / det
+    b2s = (sx2y * sxx1 - sx1y * sx12) / det
+    b0s = (sy - b1s * s1 - b2s * s2) / n
+    r2 = (b1s * sx1y + b2s * sx2y) / syyc
+    return pd.DataFrame({
+        "n_events": np.array([n], np.int64),
+        "b_hour": round_half_away(np.array([b1s / 100.0]), 6),
+        "b_dow": round_half_away(np.array([b2s / 100.0]), 6),
+        "intercept": round_half_away(np.array([b0s / 100.0]), 6),
+        "r2": round_half_away(np.array([r2]), 9),
+    })

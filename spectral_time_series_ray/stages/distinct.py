@@ -27,6 +27,37 @@ def distinct_exact(ds, key_col: str, value_col: str):
     return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
 
 
+def distinct_count_global(ds, col: str, num_partitions: int = 32) -> int:
+    """Exact GLOBAL count-distinct of one (high-cardinality) column.
+
+    Avoids Ray's range-partition sort groupby on the value domain
+    (measured ~170s on 600k rows / 147k keys at sf0.1 vs ~2s here):
+    each batch collapses to its distinct values tagged with
+    ``hash(v) % P``, one int-keyed exchange co-locates equal values,
+    each of the P partitions emits ONE nunique partial, and the P
+    scalars sum on the driver. Bytes shuffled = distinct values once;
+    driver holds P ints."""
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(batch[col].to_numpy())
+        out = pd.DataFrame({col: u})
+        out["_dp"] = (
+            pd.util.hash_pandas_object(out[col], index=False).to_numpy()
+            % num_partitions
+        ).astype(np.int32)
+        return out
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(g[col].nunique())]})
+
+    parts = (
+        ds.map_batches(local_distinct, batch_format="pandas", batch_size=None)
+        .groupby("_dp")
+        .map_groups(count_part, batch_format="pandas")
+    )
+    return int(parts.sum("n"))
+
+
 def quantile_tdigest(
     ds,
     key_col: str,

@@ -1,21 +1,22 @@
 """Distributed generalized-linear model fitting.
 
-Logistic regression via IRLS / Newton-Raphson where each iteration is
-ONE streaming pass over the feature Dataset: every batch emits the
-k x k Hessian partial ``X^T W X``, the gradient partial ``X^T (y-mu)``
-and its log-likelihood contribution — a single row of k*k + k + 2
-floats — and ``Dataset.sum`` reduces them. The driver only ever holds
-k x k matrices, never rows, so the fit shape is identical at 10^12
-rows: per-iteration cost is one map over blocks plus a tiny
-all-reduce, with the current beta shipped in the task closure.
+GLM regression (logistic and Poisson, canonical links) via IRLS /
+Newton-Raphson where each iteration is ONE streaming pass over the
+feature Dataset: every batch emits the k x k Hessian partial
+``X^T W X``, the gradient partial ``X^T (y-mu)`` and its
+log-likelihood contribution — a single row of k*k + k + 2 floats —
+and ``Dataset.sum`` reduces them. The driver only ever holds k x k
+matrices, never rows, so the fit shape is identical at 10^12 rows:
+per-iteration cost is one map over blocks plus a tiny all-reduce,
+with the current beta shipped in the task closure.
 
-The fit is self-certifying: logistic log-likelihood (plus an optional
-ridge term) is concave, so a final gradient with
-``||g||_inf / n < tol`` together with a positive-definite Hessian is a
-PROOF of global optimality — no reference implementation needed.
-Analogue of the reference's model-fit loops (torch training internals
-scoped out by SURVEY); this is the classical statistics counterpart a
-data engine ships.
+The fit is self-certifying: both log-likelihoods (plus an optional
+ridge term) are concave in beta under the canonical link, so a final
+gradient with ``||g||_inf / n < tol`` together with a
+positive-definite Hessian is a PROOF of global optimality — no
+reference implementation needed. Analogue of the reference's
+model-fit loops (torch training internals scoped out by SURVEY);
+this is the classical statistics counterpart a data engine ships.
 """
 
 from __future__ import annotations
@@ -23,10 +24,31 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["logistic_irls"]
+__all__ = ["logistic_irls", "poisson_irls", "glm_irls"]
+
+_ETA_CAP = 30.0  # exp overflow guard for the Poisson link
 
 
-def _pass(feats, beta: np.ndarray, feature_cols, label_col):
+def _moments(eta: np.ndarray, y: np.ndarray, family: str):
+    """(mu, working weight, log-lik) at the linear predictor.
+
+    Poisson log-lik drops the constant ``-sum(log y!)`` term — it does
+    not depend on beta, so the optimum, gradient and Hessian are
+    unchanged; null/fitted deviance DIFFERENCES are still exact."""
+    if family == "logistic":
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        ll = float(np.sum(y * eta - np.logaddexp(0.0, eta)))
+    elif family == "poisson":
+        mu = np.exp(np.minimum(eta, _ETA_CAP))
+        w = mu
+        ll = float(np.sum(y * eta - mu))
+    else:
+        raise ValueError(f"unknown family {family!r}")
+    return mu, w, ll
+
+
+def _pass(feats, beta: np.ndarray, feature_cols, label_col, family: str):
     """One distributed pass: Hessian, gradient, log-lik, row count at
     ``beta``. Ships beta in the closure; reduces k*k+k+2 floats."""
     k = len(beta)
@@ -38,12 +60,9 @@ def _pass(feats, beta: np.ndarray, feature_cols, label_col):
             + [batch[c].to_numpy(np.float64) for c in feature_cols]
         )
         y = batch[label_col].to_numpy(np.float64)
-        eta = X @ b
-        mu = 1.0 / (1.0 + np.exp(-eta))
-        w = mu * (1.0 - mu)
+        mu, w, ll = _moments(X @ b, y, family)
         H = (X * w[:, None]).T @ X
         g = X.T @ (y - mu)
-        ll = float(np.sum(y * eta - np.logaddexp(0.0, eta)))
         row = {f"h{i}_{j}": [H[i, j]] for i in range(k) for j in range(i, k)}
         row.update({f"g{i}": [g[i]] for i in range(k)})
         row.update({"ll": [ll], "n": [float(len(batch))]})
@@ -60,29 +79,39 @@ def _pass(feats, beta: np.ndarray, feature_cols, label_col):
     return H, g, float(s["sum(ll)"]), int(s["sum(n)"])
 
 
-def logistic_irls(
+def glm_irls(
     feats,
     feature_cols,
     label_col: str,
+    family: str = "logistic",
     max_iters: int = 30,
     tol: float = 1e-10,
     ridge: float = 1e-8,
 ) -> dict:
-    """Fit ``P(y=1) = sigmoid(b0 + X beta)`` by IRLS with step-halving.
+    """Fit a canonical-link GLM by IRLS with step-halving.
 
-    ``feats`` is a Dataset with float feature columns and a 0/1 label;
-    it is materialized once (per-key feature tables are orders of
-    magnitude smaller than the raw event log) and re-scanned per
-    iteration. Returns coefficient vector (intercept first), standard
-    errors from the inverse Hessian, the optimality certificate
-    ``grad_inf`` (max |gradient| / n at the solution), deviance and
-    null deviance, iteration count and a ``converged`` flag.
+    ``feats`` is a Dataset with float feature columns and the label
+    (0/1 for logistic, non-negative counts for Poisson); it is
+    materialized once (feature tables are orders of magnitude smaller
+    than the raw event log) and re-scanned per iteration. Returns
+    coefficient vector (intercept first), standard errors from the
+    inverse Hessian, the optimality certificate ``grad_inf``
+    (max |gradient| / n at the solution), deviance vs the
+    intercept-only null deviance, iteration count and a ``converged``
+    flag.
     """
     feats = feats.materialize()
     k = len(feature_cols) + 1
     eye = np.eye(k)
     beta = np.zeros(k)
-    H, g, ll, n = _pass(feats, beta, feature_cols, label_col)
+    # warm-start the intercept at the null-model MLE (one cheap pass);
+    # cuts Newton iterations roughly in half for skewed base rates
+    null_ll, ybar = _null_loglik(feats, label_col, family)
+    if family == "logistic" and 0.0 < ybar < 1.0:
+        beta[0] = np.log(ybar / (1.0 - ybar))
+    elif family == "poisson" and ybar > 0.0:
+        beta[0] = np.log(ybar)
+    H, g, ll, n = _pass(feats, beta, feature_cols, label_col, family)
     iters = 0
     converged = False
     for _ in range(max_iters):
@@ -92,7 +121,7 @@ def logistic_irls(
         nb, H2, g2, ll2 = beta, H, g, ll
         for _ in range(8):  # halve until the penalized log-lik improves
             nb = beta + step * delta
-            H2, g2, ll2, _ = _pass(feats, nb, feature_cols, label_col)
+            H2, g2, ll2, _ = _pass(feats, nb, feature_cols, label_col, family)
             if (ll2 - 0.5 * ridge * nb @ nb) >= (ll - 0.5 * ridge * beta @ beta) - 1e-12:
                 break
             step *= 0.5
@@ -105,13 +134,12 @@ def logistic_irls(
     cov = np.linalg.inv(H + ridge * eye)
     # PD certificate: concave problem + tiny gradient => global optimum
     np.linalg.cholesky(H + ridge * eye)
-    ybar_ll = _null_loglik(feats, label_col)
     return {
         "beta": beta,
         "se": np.sqrt(np.diag(cov)),
         "loglik": ll,
         "deviance": -2.0 * ll,
-        "null_deviance": -2.0 * ybar_ll,
+        "null_deviance": -2.0 * null_ll,
         "grad_inf": grad_inf,
         "n": n,
         "iters": iters,
@@ -119,16 +147,33 @@ def logistic_irls(
     }
 
 
-def _null_loglik(feats, label_col: str) -> float:
-    """Intercept-only log-likelihood: n1*ln(p) + n0*ln(1-p) at the
-    base rate — one tiny aggregate pass."""
+def logistic_irls(feats, feature_cols, label_col: str, **kwargs) -> dict:
+    """Distributed logistic regression (see :func:`glm_irls`)."""
+    return glm_irls(feats, feature_cols, label_col, family="logistic", **kwargs)
+
+
+def poisson_irls(feats, feature_cols, label_col: str, **kwargs) -> dict:
+    """Distributed Poisson (log-link) regression (see :func:`glm_irls`)."""
+    return glm_irls(feats, feature_cols, label_col, family="poisson", **kwargs)
+
+
+def _null_loglik(feats, label_col: str, family: str) -> tuple[float, float]:
+    """(intercept-only log-likelihood at the sample mean, sample mean)
+    — one tiny aggregate pass. Same dropped constants as
+    :func:`_moments`, so deviance differences against the fitted model
+    are exact."""
     def part(batch: pd.DataFrame) -> pd.DataFrame:
         y = batch[label_col].to_numpy(np.float64)
-        return pd.DataFrame({"n1": [float(y.sum())], "n0": [float(len(y) - y.sum())]})
+        return pd.DataFrame({"sy": [float(y.sum())], "n": [float(len(y))]})
 
-    s = feats.map_batches(part, batch_format="pandas", batch_size=None).sum(["n1", "n0"])
-    n1, n0 = float(s["sum(n1)"]), float(s["sum(n0)"])
-    if n1 == 0 or n0 == 0:
-        return 0.0
-    p = n1 / (n1 + n0)
-    return n1 * np.log(p) + n0 * np.log(1.0 - p)
+    s = feats.map_batches(part, batch_format="pandas", batch_size=None).sum(["sy", "n"])
+    sy, n = float(s["sum(sy)"]), float(s["sum(n)"])
+    ybar = sy / n if n else 0.0
+    if family == "logistic":
+        if sy == 0 or sy == n:
+            return 0.0, ybar
+        return sy * np.log(ybar) + (n - sy) * np.log(1.0 - ybar), ybar
+    # poisson: mu = ybar, ll = sum(y)*ln(ybar) - n*ybar (constants dropped)
+    if sy == 0:
+        return 0.0, ybar
+    return sy * np.log(ybar) - n * ybar, ybar

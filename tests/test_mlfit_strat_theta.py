@@ -165,3 +165,47 @@ def test_theta_short_series_flagged_invalid():
     out = ThetaForecaster()(_chunk_batch([[1.0, 2.0]]))
     assert not out["theta_valid"].iloc[0]
     assert np.isnan(out["slope"].iloc[0])
+
+
+# --------------------------------------------------- global distinct count
+def test_distinct_count_global_exact(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.distinct import distinct_count_global
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 5000, size=20000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+    assert distinct_count_global(ds, "v") == len(np.unique(vals))
+    # string keys too
+    ds2 = ray.data.from_pandas(
+        pd.DataFrame({"v": [f"k{x}" for x in vals]})).repartition(4)
+    assert distinct_count_global(ds2, "v") == len(np.unique(vals))
+
+
+def test_poisson_irls_matches_exact_fit(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.mlfit import poisson_irls
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    x = rng.normal(size=n)
+    y = rng.poisson(np.exp(0.4 + 0.7 * x)).astype(np.float64)
+    fit = poisson_irls(
+        ray.data.from_pandas(pd.DataFrame({"x": x, "y": y})).repartition(5),
+        ["x"], "y")
+    assert fit["converged"] and fit["grad_inf"] < 1e-8
+    assert fit["deviance"] <= fit["null_deviance"]
+    # reference: driver-side Newton on the full design
+    X = np.column_stack([np.ones(n), x])
+    beta = np.zeros(2)
+    for _ in range(100):
+        mu = np.exp(X @ beta)
+        H = (X * mu[:, None]).T @ X + 1e-8 * np.eye(2)
+        delta = np.linalg.solve(H, X.T @ (y - mu) - 1e-8 * beta)
+        beta = beta + delta
+        if np.max(np.abs(delta)) < 1e-12:
+            break
+    assert np.max(np.abs(fit["beta"] - beta)) < 1e-7
+    assert np.max(np.abs(fit["beta"] - [0.4, 0.7])) < 0.1
