@@ -5435,6 +5435,75 @@ def _ev_logistic_irls(sf_dir: str):
     })
 
 
+def _tr_croston(sf_dir: str):
+    """Croston / Syntetos-Boylan intermittent-demand rate per packed
+    chunk (`stages/analytics.croston_forecast`) over zero-filled
+    per-minute TURN COUNT series — the forecaster for sparse count
+    series where SES/Theta smear demand into the gaps (retention
+    engines use it to size quiet-tier storage). SELF-VERIFYING via
+    planted conversations riding the real rollup -> zero-fill -> pack
+    path: a demand of size 3 every 7th minute must yield rate exactly
+    3/7 (and SBA (1-alpha/2)*3/7); an every-minute demand of size 1
+    must yield rate exactly 1; an all-zero series is flagged
+    invalid."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import croston_forecast
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ALPHA = 0.2
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "n_turns"])
+
+    k = np.arange(512)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype("datetime64[us]")
+    inter = np.where(k % 7 == 6, 3, 0).astype(np.int64)
+    # keep an explicit zero row at grid[0] so the densified series
+    # starts 6 zeros before the first demand -> EVERY interval is
+    # exactly 7 (no SES transient from a short first interval)
+    keep = (inter > 0) | (k == 0)
+    planted = pd.concat([
+        pd.DataFrame({"conv_id": "__planted_intermittent__",
+                      "bucket_ts": pd.Series(grid[keep]),
+                      "n_turns": inter[keep]}),
+        pd.DataFrame({"conv_id": "__planted_steady__",
+                      "bucket_ts": pd.Series(grid),
+                      "n_turns": np.ones(512, dtype=np.int64)}),
+        pd.DataFrame({"conv_id": "__planted_single__",
+                      "bucket_ts": pd.Series(grid[:1]),
+                      "n_turns": np.array([5], dtype=np.int64)}),
+    ])
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="n_turns", method="dummy")
+    out = croston_forecast(chunks, alpha=ALPHA).to_pandas()
+
+    def rate_of(name: str) -> float:
+        g = out[out["conv_id"] == name]
+        return float(g["croston_rate"].iloc[0]) if len(g) else float("nan")
+
+    g_int = out[out["conv_id"] == "__planted_intermittent__"]
+    checks = {
+        "__planted_intermittent__": bool(
+            abs(rate_of("__planted_intermittent__") - 3.0 / 7.0) < 1e-9
+            and abs(float(g_int["croston_rate_sba"].iloc[0])
+                    - (1.0 - ALPHA / 2.0) * 3.0 / 7.0) < 1e-9
+        ),
+        "__planted_steady__": bool(abs(rate_of("__planted_steady__") - 1.0) < 1e-9),
+        "__planted_single__": bool(not out[
+            out["conv_id"] == "__planted_single__"]["croston_valid"].iloc[0]),
+    }
+    assert all((out["conv_id"] == n).any() for n in checks), "planted missing"
+    out["ok"] = np.array([checks.get(c, True) for c in out["conv_id"]], dtype=bool)
+    return out[["conv_id", "chunk_idx", "n_points", "n_demands",
+                "croston_rate", "croston_rate_sba", "croston_valid", "ok"]]
+
+
 def _ev_poisson_rate(sf_dir: str):
     """Distributed Poisson (log-link) regression
     (`stages/mlfit.poisson_irls`): daily event counts per (user, day)
@@ -5556,7 +5625,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ab_test": Q.ev_ab_test,
         "orders_itemsets": _orders_itemsets,
         "ev_survival_km": Q.ev_survival_km,
-        "ev_chi2_independence": Q.ev_chi2_independence,
         "ev_xcorr_lag": Q.ev_xcorr_lag,
         "ev_histogram": Q.ev_histogram,
         "ev_distinct_exact": Q.ev_distinct_exact,
@@ -5743,6 +5811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_logistic_irls": _ev_logistic_irls,
         "ev_poisson_rate": _ev_poisson_rate,
         "ev_ols_multi": Q.ev_ols_multi,
+        "tr_croston": _tr_croston,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -6604,12 +6673,6 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) as mean_value
             from events group by 1, 2
         """,
-        "ev_value_histogram": """
-            select event_type, cast(floor(value / 25.0) as bigint) as bin,
-                   cast(count(*) as bigint) as n_events,
-                   round(sum(value), 6) as sum_value
-            from events group by 1, 2
-        """,
         "doc_tfidf_top": """
             with tok as (
               select doc_id, unnest(string_split(text, ' ')) as term
@@ -6687,18 +6750,6 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) as p90,
                    round(quantile_cont(value, 0.99), 6) as p99
             from events
-        """,
-        "ev_cohort_retention": """
-            with ud as (
-              select distinct user_id, date_trunc('day', ts) as day
-              from events),
-            f as (
-              select user_id, min(day) as cohort_day from ud group by 1)
-            select f.cohort_day,
-                   cast(date_diff('day', f.cohort_day, ud.day) as bigint) as day_offset,
-                   cast(count(*) as bigint) as n_users
-            from ud join f using (user_id)
-            group by 1, 2
         """,
         "ev_grouping_sets": """
             with base as (
@@ -6860,25 +6911,6 @@ def oracle_sql() -> dict[str, str]:
                    cast(least(floor(value / 50.0), 9) as bigint) as bucket,
                    count(*) as n
             from events group by 1, 2
-        """,
-        "ev_chi2_independence": """
-            with c as (
-              select event_type as t, extract(hour from ts) as h,
-                     count(*) as o
-              from events group by 1, 2),
-            tot as (select sum(o) as n from c),
-            r as (select t, sum(o) as rt from c group by 1),
-            col as (select h, sum(o) as ct from c group by 1),
-            grid as (
-              select r.t, col.h, r.rt * col.ct / tot.n as e
-              from r cross join col cross join tot),
-            j as (
-              select grid.t, grid.h, coalesce(c.o, 0) as o, grid.e
-              from grid left join c on c.t = grid.t and c.h = grid.h)
-            select round(sum((o - e) * (o - e) / e), 6) as chi2,
-                   cast((count(distinct t) - 1) * (count(distinct h) - 1) as bigint) as dof,
-                   cast(sum(o) as bigint) as n
-            from j
         """,
         "ev_dq_checks": """
             select 'event_id_unique' as rule,

@@ -195,7 +195,14 @@ def run_bench() -> dict:
                      # round-3 final: fuzzy ED<=1 name join, skyline,
                      # Haar wavelet budget compression, ASAP smoothing
                      "fuzzy_customer_names", "orders_pareto",
-                     "tr_wavelet", "tr_asap"):
+                     "tr_wavelet", "tr_asap",
+                     # round-3 last: association rules (pair-expansion
+                     # exchange), Kaplan-Meier, GLM fits, Theta
+                     # forecast, stratified sample + bottom-k proof
+                     "orders_itemsets", "ev_survival_km",
+                     "ev_logistic_irls", "ev_poisson_rate",
+                     "tr_theta_forecast", "ev_stratified_sample",
+                     "ev_ols_multi"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

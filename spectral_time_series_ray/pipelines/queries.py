@@ -1498,16 +1498,6 @@ def ev_dow_profile(sf_dir: str):
     return _round_ds(out, {"sum_value": 6, "mean_value": 6})
 
 
-def ev_value_histogram(sf_dir: str):
-    """Fixed-width (w=25) value histogram per event type
-    (`analytics.value_histogram`)."""
-    from ..stages.analytics import value_histogram
-
-    ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    out = value_histogram(ds, group_col="event_type", value_col="value", bin_width=25.0)
-    return _round_ds(out, {"sum_value": 6})
-
-
 def doc_tfidf_top(sf_dir: str):
     """Per-document top TF-IDF term (`text.tfidf_top_term`):
     distributed explode -> DF groupby -> term hash-join -> per-doc
@@ -1620,56 +1610,6 @@ def ev_funnel(sf_dir: str):
         )
 
     return firsts.groupby("_part").map_groups(funnel_part, batch_format="pandas")
-
-
-def ev_cohort_retention(sf_dir: str):
-    """Cohort retention matrix: users grouped by FIRST-seen day
-    (cohort), counted on each later active day as a day offset.
-
-    ONE int-keyed (user-hash) shuffle: per-batch distinct (user, day)
-    partials carry a partition id; the partition pass dedups, finds
-    each user's first day, computes offsets and emits per-partition
-    (cohort, offset) counts; a final calendar-bounded groupby sums
-    them. The user domain never lands on the driver and never joins —
-    every per-user computation happens where the user's rows already
-    are."""
-    from ray.data.aggregate import Sum
-
-    from ..stages.rollup import partitions_for_input
-
-    P = partitions_for_input(None)
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-
-    def to_days(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"user_id": batch["user_id"], "day": batch["ts"].dt.floor("D")}
-        ).drop_duplicates()
-        out["_part"] = (
-            pd.util.hash_pandas_object(out["user_id"], index=False).to_numpy() % P
-        ).astype(np.int32)
-        return out
-
-    def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["user_id", "day"])
-        cohort = df.groupby("user_id")["day"].transform("min")
-        off = (df["day"] - cohort).dt.days.astype(np.int64)
-        out = pd.DataFrame({"cohort_day": cohort, "day_offset": off})
-        out["n"] = 1
-        return out.groupby(["cohort_day", "day_offset"], as_index=False).sum()
-
-    agg = (
-        ds.map_batches(to_days, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(per_part, batch_format="pandas")
-        .groupby(["cohort_day", "day_offset"])
-        .aggregate(Sum("n", alias_name="n_users"))
-    )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_users"] = batch["n_users"].astype(np.int64)
-        return batch
-
-    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 def ev_global_quantiles(sf_dir: str):
@@ -3775,46 +3715,6 @@ def ev_value_histogram(sf_dir: str):
     out["bucket"] = out["bucket"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
-
-
-def ev_chi2_independence(sf_dir: str):
-    """Pearson chi-square test of independence between event_type and
-    hour-of-day: ONE distributed contingency pass (per-batch (type,
-    hour) count partials, tiny groupby merge), then the closed form on
-    the |types| x 24 bounded grid. Expected counts from exact integer
-    marginals; the statistic is a sum of <= 120 double terms, so the
-    6-decimal round matches the oracle's arithmetic."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.DatetimeIndex(batch["ts"]).hour.to_numpy(np.int64)
-        g = pd.DataFrame({"event_type": batch["event_type"], "hour": h})
-        out = g.groupby(["event_type", "hour"], as_index=False).size()
-        out.columns = ["event_type", "hour", "o"]
-        return out
-
-    c = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("o", alias_name="o"))
-        .to_pandas()  # <= |types| x 24
-    )
-    piv = c.pivot_table(index="event_type", columns="hour", values="o",
-                        aggfunc="sum", fill_value=0)
-    O = piv.to_numpy(np.float64)
-    rt = O.sum(axis=1, keepdims=True)
-    ct = O.sum(axis=0, keepdims=True)
-    n = O.sum()
-    E = rt * ct / n
-    chi2 = float(((O - E) ** 2 / E).sum())
-    dof = (O.shape[0] - 1) * (O.shape[1] - 1)
-    return pd.DataFrame({
-        "chi2": [round_half_away(np.float64(chi2), 6)],
-        "dof": np.array([dof], np.int64),
-        "n": np.array([int(n)], np.int64),
-    })
 
 
 def ev_dq_checks(sf_dir: str):

@@ -1677,6 +1677,81 @@ class ThetaForecaster:
         return out
 
 
+class CrostonForecaster:
+    """Croston's method (Croston, Oper. Res. Q. 1972) for INTERMITTENT
+    series per packed chunk row — the estimator for sparse count
+    series (most minutes zero) where SES/Theta smear demand into the
+    gaps. Splits each series into non-zero demand sizes z and
+    inter-demand intervals p, smooths both with SES(alpha), and
+    forecasts rate = z_level / p_level per period, plus the
+    Syntetos-Boylan (IJF 2005) bias-corrected variant
+    ``(1 - alpha/2) * rate``.
+
+    The final SES level is the closed-form geometric dot product
+    ``(1-a)^(m-1) x_0 + sum_j a (1-a)^(m-1-j) x_j`` — no sequential
+    scan, fully vectorized per series, and underflow of the oldest
+    weights is benign. A series with a demand every m-th step of
+    constant size q yields rate exactly q/m (the planted check the
+    query asserts)."""
+
+    def __init__(self, alpha: float = 0.2):
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+        self.alpha = float(alpha)
+
+    @staticmethod
+    def _ses_final(x: np.ndarray, a: float) -> float:
+        m = len(x)
+        w = np.empty(m)
+        w[0] = (1.0 - a) ** (m - 1)
+        if m > 1:
+            w[1:] = a * (1.0 - a) ** np.arange(m - 2, -1, -1, dtype=np.float64)
+        return float(w @ x)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        a = self.alpha
+        n = len(batch)
+        rate = np.full(n, np.nan)
+        rate_sba = np.full(n, np.nan)
+        z_level = np.full(n, np.nan)
+        p_level = np.full(n, np.nan)
+        n_demands = np.zeros(n, dtype=np.int64)
+        valid = np.zeros(n, dtype=bool)
+        for i, vals in enumerate(batch["values"]):
+            x = np.asarray(vals, dtype=np.float64)
+            x = np.where(np.isfinite(x), x, 0.0)
+            nz = np.flatnonzero(x != 0.0)
+            n_demands[i] = len(nz)
+            if len(nz) < 2:
+                continue
+            z = x[nz]
+            p = np.diff(nz).astype(np.float64)
+            p = np.concatenate([[float(nz[0] + 1)], p])
+            lz = self._ses_final(z, a)
+            lp = self._ses_final(p, a)
+            z_level[i], p_level[i] = lz, lp
+            rate[i] = lz / lp
+            rate_sba[i] = (1.0 - a / 2.0) * lz / lp
+            valid[i] = True
+        out = batch[["conv_id", "chunk_idx", "n_points"]].copy()
+        out["n_demands"] = n_demands
+        out["z_level"] = z_level
+        out["p_level"] = p_level
+        out["croston_rate"] = rate
+        out["croston_rate_sba"] = rate_sba
+        out["croston_valid"] = valid
+        return out
+
+
+def croston_forecast(chunk_ds, alpha: float = 0.2, concurrency: int = 4):
+    """Croston / Syntetos-Boylan intermittent-demand rate per packed
+    chunk row."""
+    return chunk_ds.map_batches(
+        CrostonForecaster, fn_constructor_kwargs={"alpha": alpha},
+        batch_format="pandas", batch_size=256, concurrency=concurrency,
+    )
+
+
 def theta_forecast(chunk_ds, alpha: float = 0.5, horizon: int = 8,
                    concurrency: int = 4):
     """Theta-method forecast per packed chunk row (self-certifying via

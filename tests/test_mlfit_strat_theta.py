@@ -209,3 +209,31 @@ def test_poisson_irls_matches_exact_fit(ray_session):
             break
     assert np.max(np.abs(fit["beta"] - beta)) < 1e-7
     assert np.max(np.abs(fit["beta"] - [0.4, 0.7])) < 0.1
+
+
+# ---------------------------------------------------------------- croston
+def test_croston_planted_exact_and_reference():
+    from spectral_time_series_ray.stages.analytics import CrostonForecaster
+
+    x = np.zeros(70)
+    x[6::7] = 3.0  # demand 3 every 7th step
+    steady = np.ones(40)
+    out = CrostonForecaster(alpha=0.2)(_chunk_batch([x, steady, np.zeros(20)]))
+    assert abs(out["croston_rate"].iloc[0] - 3.0 / 7.0) < 1e-9
+    assert abs(out["croston_rate_sba"].iloc[0] - 0.9 * 3.0 / 7.0) < 1e-9
+    assert abs(out["croston_rate"].iloc[1] - 1.0) < 1e-12
+    assert not out["croston_valid"].iloc[2]
+
+    # closed-form SES level == sequential recursion on irregular demands
+    rng = np.random.default_rng(31)
+    y = np.zeros(200)
+    pos = np.sort(rng.choice(200, size=30, replace=False))
+    y[pos] = rng.integers(1, 9, size=30).astype(np.float64)
+    out = CrostonForecaster(alpha=0.35)(_chunk_batch([y]))
+    z = y[y != 0]
+    p = np.concatenate([[pos[0] + 1.0], np.diff(pos).astype(np.float64)])
+    lz, lp = z[0], p[0]
+    for a, b in zip(z[1:], p[1:]):
+        lz = 0.35 * a + 0.65 * lz
+        lp = 0.35 * b + 0.65 * lp
+    assert abs(out["croston_rate"].iloc[0] - lz / lp) < 1e-10
