@@ -5735,6 +5735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_conformal_interval": Q.ev_conformal_interval,
         "ev_mann_kendall": Q.ev_mann_kendall,
         "ev_ntile": Q.ev_ntile,
+        "ev_percent_rank": Q.ev_percent_rank,
         "ev_gini_concentration": Q.ev_gini_concentration,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
@@ -5811,6 +5812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_logistic_irls": _ev_logistic_irls,
         "ev_poisson_rate": _ev_poisson_rate,
         "ev_ols_multi": Q.ev_ols_multi,
+        "ev_ridge": Q.ev_ridge,
+        "li_weighted_median": Q.lineitem_weighted_median,
         "tr_croston": _tr_croston,
     }
 
@@ -6476,6 +6479,18 @@ def oracle_sql() -> dict[str, str]:
                      as bucket
             from events
         """,
+        "ev_percent_rank": """
+            with e as (
+              select event_id, user_id,
+                     cast(round(value * 100) as bigint) as cents
+              from events)
+            select event_id, user_id,
+                   cast(rank() over w as bigint) as rnk,
+                   percent_rank() over w as percent_rank,
+                   cume_dist() over w as cume_dist
+            from e
+            window w as (partition by user_id order by cents)
+        """,
         "ev_mann_kendall": """
             with d as (
               select user_id, date_trunc('day', ts) as t,
@@ -7103,6 +7118,71 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - b1s * s1 - b2s * s2) / n / 100, 6) as intercept,
                    round((b1s * sx1y + b2s * sx2y) / syyc, 9) as r2
             from b
+        """,
+        "ev_ridge": """
+            -- ridge closed form: +lambda (= 0.5 * n per-row penalty)
+            -- on the centered normal-equation diagonal, identical
+            -- float expression chain to the engine
+            with raw as (
+              select cast(hour(ts) as bigint) as x1,
+                     cast(isodow(ts) as bigint) as x2,
+                     cast(round(value * 100) as bigint) as y
+              from events),
+            s as (
+              select cast(count(*) as double) as n,
+                     cast(sum(x1) as double) as s1,
+                     cast(sum(x2) as double) as s2,
+                     cast(sum(y) as double) as sy,
+                     cast(sum(x1 * x1) as double) as s11,
+                     cast(sum(x1 * x2) as double) as s12,
+                     cast(sum(x2 * x2) as double) as s22,
+                     cast(sum(x1 * y) as double) as s1y,
+                     cast(sum(x2 * y) as double) as s2y
+              from raw),
+            c as (
+              select n, s1, s2, sy,
+                     s11 - s1 * s1 / n + 0.5 * n as a11,
+                     s22 - s2 * s2 / n + 0.5 * n as a22,
+                     s12 - s1 * s2 / n as a12,
+                     s1y - s1 * sy / n as c1,
+                     s2y - s2 * sy / n as c2
+              from s),
+            b as (
+              select n, s1, s2, sy,
+                     (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) as b1s,
+                     (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) as b2s
+              from c)
+            select cast(n as bigint) as n_events,
+                   round(b1s / 100, 9) as b_hour,
+                   round(b2s / 100, 9) as b_dow,
+                   round((sy - b1s * s1 - b2s * s2) / n / 100, 9) as intercept
+            from b
+        """,
+        "li_weighted_median": """
+            -- lower weighted quantiles: smallest price whose running
+            -- weight reaches q * total, all-integer comparisons
+            with g as (
+              select l_returnflag as flag,
+                     cast(round(l_extendedprice * 100) as bigint) as cents,
+                     cast(sum(cast(round(l_quantity) as bigint)) as bigint) as w
+              from lineitem group by 1, 2),
+            c as (
+              select flag, cents, w,
+                     sum(w) over (partition by flag
+                                  order by cents
+                                  rows between unbounded preceding
+                                       and current row) as cw,
+                     sum(w) over (partition by flag) as tw
+              from g)
+            select flag,
+                   cast(max(tw) as bigint) as total_qty,
+                   min(case when 4 * cw >= 1 * tw then cents end) / 100.0
+                     as wp25,
+                   min(case when 2 * cw >= 1 * tw then cents end) / 100.0
+                     as wmedian,
+                   min(case when 4 * cw >= 3 * tw then cents end) / 100.0
+                     as wp75
+            from c group by flag
         """,
         "ev_survival_km": """
             with u as (

@@ -4660,6 +4660,24 @@ def ev_ntile(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "bucket"])
 
 
+def ev_percent_rank(sf_dir: str):
+    """``percent_rank() / cume_dist() over (partition by user_id order
+    by value)`` with exact ANSI tie semantics
+    (`features.analytic_percent_rank`): ties resolved on the integer
+    cents key so both engines see bit-equal order keys, each output one
+    double division of exact int64s — IEEE-identical to DuckDB's window
+    functions. One int-keyed shuffle + segmented numpy passes."""
+    from ..stages.features import analytic_percent_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = analytic_percent_rank(
+        ds, key="user_id", value_col="value", id_cols=("event_id",)
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "rnk", "percent_rank", "cume_dist"]
+    )
+
+
 def fuzzy_customer_names(sf_dir: str):
     """Typo-variant entity resolution: every unordered pair of distinct
     customer names at Levenshtein distance <= 1
@@ -5409,3 +5427,110 @@ def ev_ols_multi(sf_dir: str):
         "intercept": round_half_away(np.array([b0s / 100.0]), 6),
         "r2": round_half_away(np.array([r2]), 9),
     })
+
+
+def ev_ridge(sf_dir: str):
+    """Global RIDGE regression (L2, lambda unpenalized intercept) —
+    value ~ hour-of-day + iso-day-of-week — in closed form from the
+    SAME exact integer sufficient statistics as :func:`ev_ols_multi`:
+    the centered normal equations gain ``+lambda`` on the diagonal and
+    solve by the mirrored 2x2 Cramer expressions. lambda is expressed
+    per-row (``lambda = ridge_l2 * n``) so the fit converges to a
+    stable population estimate instead of washing out as n grows.
+    One streaming moment pass, no shuffle; oracle SQL evaluates the
+    identical float expression chain on the same integers."""
+    RIDGE_L2 = 0.5  # per-row penalty, in squared-regressor units
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x1 = batch["ts"].dt.hour.to_numpy(np.int64)
+        x2 = (batch["ts"].dt.dayofweek.to_numpy(np.int64) + 1)
+        y = np.rint(batch["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(batch))],
+            "s1": [x1.sum()], "s2": [x2.sum()], "sy": [y.sum()],
+            "s11": [(x1 * x1).sum()], "s12": [(x1 * x2).sum()],
+            "s22": [(x2 * x2).sum()],
+            "s1y": [(x1 * y).sum()], "s2y": [(x2 * y).sum()],
+        })
+
+    cols = ["n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"]
+    s = ds.map_batches(moments, batch_format="pandas", batch_size=None).sum(cols)
+    n = float(s["sum(n)"])
+    s1, s2, sy = float(s["sum(s1)"]), float(s["sum(s2)"]), float(s["sum(sy)"])
+    s11, s12, s22 = float(s["sum(s11)"]), float(s["sum(s12)"]), float(s["sum(s22)"])
+    s1y, s2y = float(s["sum(s1y)"]), float(s["sum(s2y)"])
+    lam = RIDGE_L2 * n
+    a11 = s11 - s1 * s1 / n + lam
+    a22 = s22 - s2 * s2 / n + lam
+    a12 = s12 - s1 * s2 / n
+    c1 = s1y - s1 * sy / n
+    c2 = s2y - s2 * sy / n
+    det = a11 * a22 - a12 * a12
+    b1s = (c1 * a22 - c2 * a12) / det
+    b2s = (c2 * a11 - c1 * a12) / det
+    b0s = (sy - b1s * s1 - b2s * s2) / n
+    return pd.DataFrame({
+        "n_events": np.array([n], np.int64),
+        "b_hour": round_half_away(np.array([b1s / 100.0]), 9),
+        "b_dow": round_half_away(np.array([b2s / 100.0]), 9),
+        "intercept": round_half_away(np.array([b0s / 100.0]), 9),
+    })
+
+
+def lineitem_weighted_median(sf_dir: str):
+    """Exact WEIGHTED median (and p25/p75, lower/"disc" flavor) of
+    l_extendedprice weighted by l_quantity, per return flag: the
+    quantile q is the smallest price whose running weight reaches
+    q * total — the inventory-weighted price distribution a pricing
+    audit wants, which plain medians misstate when quantities skew.
+
+    Scale shape: per-batch (flag, cents, weight) int64 partials
+    collapse each block to its distinct prices before ONE
+    value-DOMAIN-bounded groupby (prices x flags, never row count);
+    the per-flag finish is a sorted cumulative-weight scan inside
+    map_groups. Raw rows never shuffle. All weight math is exact
+    int64, so thresholds compare integers (2*cw >= tw etc.) with no
+    float ambiguity — the oracle runs the identical comparisons."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        qty = np.rint(batch["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        g = pd.DataFrame({
+            "flag": batch["l_returnflag"].to_numpy(), "cents": cents, "w": qty
+        })
+        return g.groupby(["flag", "cents"], as_index=False)["w"].sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["flag", "cents"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        cw = df["w"].to_numpy(np.int64).cumsum()
+        tw = int(cw[-1])
+        cents = df["cents"].to_numpy(np.int64)
+
+        def pick(num: int, den: int) -> float:
+            # smallest cents with den*cw >= num*tw  (exact ints)
+            return float(cents[np.searchsorted(den * cw, num * tw)]) / 100.0
+
+        return pd.DataFrame({
+            "flag": [df["flag"].iloc[0]],
+            "total_qty": np.array([tw], np.int64),
+            "wp25": [pick(1, 4)],
+            "wmedian": [pick(1, 2)],
+            "wp75": [pick(3, 4)],
+        })
+
+    out = agg.groupby("flag").map_groups(finish, batch_format="pandas")
+    return out.to_pandas().sort_values("flag").reset_index(drop=True)

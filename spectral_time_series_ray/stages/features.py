@@ -828,6 +828,96 @@ def analytic_ntile(
     return tagged.groupby("_part").map_groups(partition_fn, batch_format="pandas")
 
 
+def analytic_percent_rank(
+    ds,
+    key: str = "user_id",
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    value_scale: int | None = 100,
+    num_partitions: int | None = None,
+):
+    """SQL ``percent_rank() / cume_dist() over (partition by key order
+    by value)`` with full ANSI tie semantics — percent_rank =
+    (rank-1)/(n-1) (0 for a single-row partition), cume_dist =
+    (#peers-or-preceding)/n. Ties are honored exactly: when
+    ``value_scale`` is set the order key is the integer
+    ``round(value*scale)`` so equal 2-decimal values are bit-equal on
+    both engines, and each output is ONE double division of exact
+    int64s — IEEE-identical to the oracle.
+
+    Same scale shape as :func:`analytic_ntile`: one int-keyed hash
+    shuffle, one lexsort + two segmented passes per partition; the key
+    domain never lands on the driver."""
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        part = (
+            pd_.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    keep = list(dict.fromkeys((key, value_col, *id_cols)))
+    tagged = ds.select_columns(keep).map_batches(
+        add_part, batch_format="pyarrow", batch_size=None
+    )
+
+    def partition_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        out_cols = [*keep, "rnk", "percent_rank", "cume_dist"]
+        if n == 0:
+            cols = {c: pd.Series([], dtype=object) for c in keep}
+            cols["rnk"] = pd.Series([], dtype=np.int64)
+            cols["percent_rank"] = pd.Series([], dtype=np.float64)
+            cols["cume_dist"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(cols)[out_cols]
+        v = df[value_col].to_numpy()
+        if value_scale:
+            v = np.round(np.asarray(v, dtype=np.float64) * value_scale).astype(
+                np.int64
+            )
+        codes, _ = pd.factorize(df[key], sort=False)
+        order = np.lexsort((v, codes))
+        codes_s, v_s = codes[order], v[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, n))
+        rn0 = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+        seg_n = np.repeat(seg_len, seg_len).astype(np.int64)
+        # tie runs: a new (key, value) run starts where key or value changes
+        new_run = new_key.copy()
+        new_run[1:] |= v_s[1:] != v_s[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_starts, n))
+        # rank = 1 + rn0 at the run start, shared by the whole run;
+        # cume numerator = rn0 at run END + 1 (peers included)
+        rank = np.repeat(rn0[run_starts] + 1, run_len)
+        cume_num = np.repeat(
+            rn0[run_starts] + run_len, run_len
+        ).astype(np.int64)
+        pr = np.where(
+            seg_n > 1, (rank - 1) / np.maximum(seg_n - 1, 1), 0.0
+        )
+        cd = cume_num / seg_n
+        out = df.iloc[order][keep].reset_index(drop=True)
+        out["rnk"] = rank
+        out["percent_rank"] = pr
+        out["cume_dist"] = cd
+        return out[out_cols]
+
+    return tagged.groupby("_part").map_groups(partition_fn, batch_format="pandas")
+
+
 # ----------------------------------------------- global total-order ranks
 
 

@@ -455,3 +455,71 @@ def test_acf_by_key_matches_pandas_autocorr():
             else:
                 np.testing.assert_allclose(gotv, exp, atol=1e-12)
         assert out.loc[uid, "n_buckets"] == len(s)
+
+
+def test_analytic_percent_rank_matches_pandas(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import analytic_percent_rank
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n),
+        # coarse grid -> plenty of ties; one single-row user
+        "value": rng.integers(0, 5, n) * 0.25,
+    })
+    df.loc[0, "user_id"] = 99  # singleton partition -> percent_rank 0
+
+    out = (
+        analytic_percent_rank(ray.data.from_pandas(df), key="user_id",
+                              value_col="value", id_cols=("event_id",),
+                              num_partitions=3)
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    g = df.set_index("event_id").groupby("user_id")["value"]
+    cents = df.set_index("event_id")["value"].mul(100).round()
+    exp_rank = cents.groupby(df.set_index("event_id")["user_id"]).rank(
+        method="min").astype(np.int64)
+    exp_cd = cents.groupby(df.set_index("event_id")["user_id"]).rank(
+        method="max") / g.transform("size")
+    nseg = g.transform("size")
+    exp_pr = np.where(nseg > 1, (exp_rank - 1) / np.maximum(nseg - 1, 1), 0.0)
+
+    assert (out["rnk"] == exp_rank.loc[out.index]).all()
+    np.testing.assert_array_equal(out["percent_rank"].to_numpy(),
+                                  pd.Series(exp_pr, index=nseg.index).loc[out.index].to_numpy())
+    np.testing.assert_array_equal(out["cume_dist"].to_numpy(),
+                                  exp_cd.loc[out.index].to_numpy())
+    assert out.loc[0, "percent_rank"] == 0.0 and out.loc[0, "cume_dist"] == 1.0
+
+
+def test_weighted_median_matches_weight_expansion(ray_session, tmp_path):
+    import ray.data
+
+    from spectral_time_series_ray.pipelines.queries import (
+        lineitem_weighted_median,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_extendedprice": rng.integers(100, 900, n) / 4.0,  # ties + cents
+        "l_quantity": rng.integers(1, 9, n).astype(float),
+        # unused-by-query columns to mimic the real table
+        "l_orderkey": np.arange(n, dtype=np.int64),
+    })
+    df.to_parquet(tmp_path / "lineitem.parquet")
+
+    out = lineitem_weighted_median(str(tmp_path)).set_index("flag")
+    for flag, g in df.groupby("l_returnflag"):
+        cents = np.rint(g["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        w = g["l_quantity"].to_numpy().astype(np.int64)
+        expanded = np.sort(np.repeat(cents, w))
+        W = len(expanded)
+        for col, q in [("wp25", 0.25), ("wmedian", 0.5), ("wp75", 0.75)]:
+            exp = expanded[int(np.ceil(q * W)) - 1] / 100.0
+            assert out.loc[flag, col] == exp, (flag, col)
+        assert out.loc[flag, "total_qty"] == W
