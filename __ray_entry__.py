@@ -5504,6 +5504,92 @@ def _tr_croston(sf_dir: str):
                 "croston_rate", "croston_rate_sba", "croston_valid", "ok"]]
 
 
+def _tr_ar_yw(sf_dir: str):
+    """AR(2) Yule-Walker dynamics fit per packed chunk
+    (`stages/analytics.ar_yule_walker`) over zero-filled per-minute
+    turn-count series — recovers the autoregressive structure
+    (persistence phi1, oscillation phi2) that level forecasters
+    (Theta/Croston/Holt) cannot see. SELF-VERIFYING via three planted
+    processes riding the real rollup -> gapfill -> pack path, whose
+    estimated (phi1, phi2) must land in DISJOINT regions:
+
+    - AR(2) phi=(0.55, 0.30): both estimates within +-0.12;
+    - AR(1) phi=0.85: phi1 high, phi2 near 0;
+    - white noise: both near 0.
+
+    All three must be flagged stationary; a planted constant series
+    must be flagged invalid."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import ar_yule_walker
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "n_turns"])
+
+    rng = np.random.default_rng(17)
+    T = 3000
+    k = np.arange(T)
+    grid = (np.int64(1_700_000_000_000_000) + k * 60_000_000).astype(
+        "datetime64[us]")
+
+    def simulate(p1: float, p2: float, sd: float) -> np.ndarray:
+        e = rng.normal(0.0, sd, T + 200)
+        x = np.zeros(T + 200)
+        for t in range(2, T + 200):
+            x[t] = p1 * x[t - 1] + p2 * x[t - 2] + e[t]
+        return np.maximum(np.rint(x[200:] + 60.0), 0).astype(np.int64)
+
+    planted = pd.concat([
+        pd.DataFrame({"conv_id": "__planted_ar2__", "bucket_ts": grid,
+                      "n_turns": simulate(0.55, 0.30, 5.0)}),
+        pd.DataFrame({"conv_id": "__planted_ar1__", "bucket_ts": grid,
+                      "n_turns": simulate(0.85, 0.0, 5.0)}),
+        pd.DataFrame({"conv_id": "__planted_white__", "bucket_ts": grid,
+                      "n_turns": np.maximum(
+                          np.rint(rng.normal(60.0, 5.0, T)), 0
+                      ).astype(np.int64)}),
+        pd.DataFrame({"conv_id": "__planted_const__", "bucket_ts": grid[:64],
+                      "n_turns": np.full(64, 7, dtype=np.int64)}),
+    ])
+    both = sel.union(ray.data.from_pandas(planted))
+    chunks = gap_fill_pack_series(both, "1m", value_col="n_turns",
+                                  method="dummy")
+    out = ar_yule_walker(chunks).to_pandas()
+
+    def est(name: str) -> tuple[float, float, bool, bool]:
+        g = out[out["conv_id"] == name]
+        # planted series may pack into >1 chunk; use the longest
+        g = g.sort_values("n_points", ascending=False).iloc[0]
+        return (float(g["phi1"]), float(g["phi2"]),
+                bool(g["ar_valid"]), bool(g["ar_stationary"]))
+
+    a1, a2, av, ast = est("__planted_ar2__")
+    b1, b2, bv, bst = est("__planted_ar1__")
+    w1, w2, wv, wst = est("__planted_white__")
+    _, _, cv, _ = est("__planted_const__")
+    checks = {
+        "__planted_ar2__": bool(
+            av and ast and abs(a1 - 0.55) < 0.12 and abs(a2 - 0.30) < 0.12),
+        "__planted_ar1__": bool(
+            bv and bst and abs(b1 - 0.85) < 0.12 and abs(b2) < 0.12),
+        "__planted_white__": bool(
+            wv and wst and abs(w1) < 0.12 and abs(w2) < 0.12),
+        "__planted_const__": bool(not cv),
+    }
+    assert all((out["conv_id"] == n).any() for n in checks), "planted missing"
+    out["ok"] = np.array([checks.get(c, True) for c in out["conv_id"]],
+                         dtype=bool)
+    return out[["conv_id", "chunk_idx", "n_points", "phi1", "phi2",
+                "sigma2", "forecast_1", "ar_valid", "ar_stationary", "ok"]]
+
+
 def _ev_poisson_rate(sf_dir: str):
     """Distributed Poisson (log-link) regression
     (`stages/mlfit.poisson_irls`): daily event counts per (user, day)
@@ -5815,6 +5901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_ridge": Q.ev_ridge,
         "li_weighted_median": Q.lineitem_weighted_median,
         "tr_croston": _tr_croston,
+        "tr_ar_yw": _tr_ar_yw,
     }
 
 def oracle_sql() -> dict[str, str]:

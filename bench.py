@@ -202,7 +202,12 @@ def run_bench() -> dict:
                      "orders_itemsets", "ev_survival_km",
                      "ev_logistic_irls", "ev_poisson_rate",
                      "tr_theta_forecast", "ev_stratified_sample",
-                     "ev_ols_multi"):
+                     "ev_ols_multi",
+                     # round-3 coda: intermittent-demand + AR dynamics
+                     # forecasters, tie-exact percent_rank, ridge,
+                     # weighted quantiles
+                     "tr_croston", "tr_ar_yw", "ev_percent_rank",
+                     "ev_ridge", "li_weighted_median"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

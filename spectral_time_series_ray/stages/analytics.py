@@ -1677,6 +1677,81 @@ class ThetaForecaster:
         return out
 
 
+class ARYuleWalker:
+    """AR(2) fit per packed chunk row via the Yule-Walker equations
+    (Yule 1927; Walker 1931; Box & Jenkins ch. 3) — the parametric
+    complement to the nonparametric Theta/Croston/Holt forecasters:
+    it recovers the process DYNAMICS (phi1, phi2), not just a level.
+
+    Fully vectorized: rows are bucketed by length, biased
+    autocovariances c0..c2 come from two shifted dot products, and the
+    2x2 Toeplitz solve is the explicit closed form
+
+        phi1 = c1*(c0 - c2) / (c0^2 - c1^2)
+        phi2 = (c2*c0 - c1^2) / (c0^2 - c1^2)
+
+    Emits the innovation variance ``sigma2 = c0 - phi1*c1 - phi2*c2``,
+    the 1-step forecast ``mean + phi1*(x[-1]-mean) + phi2*(x[-2]-mean)``
+    and a stationarity flag (phi2 + phi1 < 1, phi2 - phi1 < 1,
+    |phi2| < 1 — the AR(2) admissibility triangle). Constant series
+    (c0 == 0) are flagged invalid."""
+
+    MIN_LEN = 8
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        phi1 = np.full(n, np.nan)
+        phi2 = np.full(n, np.nan)
+        sigma2 = np.full(n, np.nan)
+        fc1 = np.full(n, np.nan)
+        valid = np.zeros(n, dtype=bool)
+        stationary = np.zeros(n, dtype=bool)
+        series = [np.asarray(v, dtype=np.float64) for v in batch["values"]]
+        lens = np.asarray([len(v) for v in series])
+        for L in np.unique(lens):
+            if L < self.MIN_LEN:
+                continue
+            rows = np.flatnonzero(lens == L)
+            x = np.stack([series[i] for i in rows])        # (m, L)
+            mu = x.mean(axis=1)
+            xc = x - mu[:, None]
+            c0 = (xc * xc).sum(axis=1) / L
+            c1 = (xc[:, 1:] * xc[:, :-1]).sum(axis=1) / L
+            c2 = (xc[:, 2:] * xc[:, :-2]).sum(axis=1) / L
+            det = c0 * c0 - c1 * c1
+            ok = (c0 > 0) & (det > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p1 = np.where(ok, c1 * (c0 - c2) / det, np.nan)
+                p2 = np.where(ok, (c2 * c0 - c1 * c1) / det, np.nan)
+            phi1[rows], phi2[rows] = p1, p2
+            sigma2[rows] = np.where(ok, c0 - p1 * c1 - p2 * c2, np.nan)
+            fc1[rows] = np.where(
+                ok,
+                mu + p1 * (x[:, -1] - mu) + p2 * (x[:, -2] - mu),
+                np.nan,
+            )
+            valid[rows] = ok
+            stationary[rows] = ok & (p2 + p1 < 1) & (p2 - p1 < 1) & (
+                np.abs(p2) < 1
+            )
+        out = batch[["conv_id", "chunk_idx", "n_points"]].copy()
+        out["phi1"] = phi1
+        out["phi2"] = phi2
+        out["sigma2"] = sigma2
+        out["forecast_1"] = fc1
+        out["ar_valid"] = valid
+        out["ar_stationary"] = stationary
+        return out
+
+
+def ar_yule_walker(chunk_ds, concurrency: int = 4):
+    """AR(2) Yule-Walker fit per packed chunk row."""
+    return chunk_ds.map_batches(
+        ARYuleWalker, batch_format="pandas", batch_size=256,
+        concurrency=concurrency,
+    )
+
+
 class CrostonForecaster:
     """Croston's method (Croston, Oper. Res. Q. 1972) for INTERMITTENT
     series per packed chunk row — the estimator for sparse count

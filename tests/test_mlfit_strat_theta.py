@@ -237,3 +237,42 @@ def test_croston_planted_exact_and_reference():
         lz = 0.35 * a + 0.65 * lz
         lp = 0.35 * b + 0.65 * lp
     assert abs(out["croston_rate"].iloc[0] - lz / lp) < 1e-10
+
+
+# ---------------------------------------------------------- yule-walker
+def test_ar_yule_walker_matches_linalg_solve():
+    from spectral_time_series_ray.stages.analytics import ARYuleWalker
+
+    rng = np.random.default_rng(5)
+    series = [rng.normal(10, 3, L) for L in (8, 50, 50, 317)]
+    out = ARYuleWalker()(_chunk_batch(series))
+    for i, x in enumerate(series):
+        xc = x - x.mean()
+        L = len(x)
+        c = [float((xc[k:] * xc[: L - k]).sum() / L) for k in range(3)]
+        phi = np.linalg.solve([[c[0], c[1]], [c[1], c[0]]], [c[1], c[2]])
+        np.testing.assert_allclose(
+            [out["phi1"].iloc[i], out["phi2"].iloc[i]], phi, atol=1e-12)
+        s2 = c[0] - phi[0] * c[1] - phi[1] * c[2]
+        np.testing.assert_allclose(out["sigma2"].iloc[i], s2, atol=1e-12)
+        mu = x.mean()
+        fc = mu + phi[0] * (x[-1] - mu) + phi[1] * (x[-2] - mu)
+        np.testing.assert_allclose(out["forecast_1"].iloc[i], fc, atol=1e-10)
+
+
+def test_ar_yule_walker_recovery_and_guards():
+    from spectral_time_series_ray.stages.analytics import ARYuleWalker
+
+    rng = np.random.default_rng(9)
+    T = 20000
+    e = rng.normal(0, 1, T + 500)
+    x = np.zeros(T + 500)
+    for t in range(2, T + 500):
+        x[t] = 0.5 * x[t - 1] + 0.3 * x[t - 2] + e[t]
+    out = ARYuleWalker()(_chunk_batch([
+        x[500:], np.full(100, 4.0), np.arange(5, dtype=float)]))
+    assert abs(out["phi1"].iloc[0] - 0.5) < 0.03
+    assert abs(out["phi2"].iloc[0] - 0.3) < 0.03
+    assert out["ar_stationary"].iloc[0]
+    assert not out["ar_valid"].iloc[1]  # constant -> c0 == 0
+    assert not out["ar_valid"].iloc[2]  # below MIN_LEN
