@@ -5822,6 +5822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_mann_kendall": Q.ev_mann_kendall,
         "ev_ntile": Q.ev_ntile,
         "ev_percent_rank": Q.ev_percent_rank,
+        "ev_rolling_slope": Q.ev_rolling_slope,
         "ev_gini_concentration": Q.ev_gini_concentration,
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
@@ -6565,6 +6566,33 @@ def oracle_sql() -> dict[str, str]:
                                        order by ts, event_id) as bigint)
                      as bucket
             from events
+        """,
+        "ev_rolling_slope": """
+            -- trailing 24-activity-row OLS slope from exact integer
+            -- window moments; hour index rebased to 2020-01-01 to
+            -- mirror the engine's overflow-safe prefix sums
+            with h as (
+              select user_id,
+                     date_diff('hour', timestamp '2020-01-01 00:00:00', ts)
+                       as hx,
+                     cast(count(*) as bigint) as y
+              from events group by 1, 2),
+            w as (
+              select user_id, hx, y,
+                     cast(count(*) over fr as bigint) as m,
+                     cast(sum(hx) over fr as bigint) as sx,
+                     cast(sum(y) over fr as bigint) as sy,
+                     cast(sum(hx * hx) over fr as bigint) as sxx,
+                     cast(sum(hx * y) over fr as bigint) as sxy
+              from h
+              window fr as (partition by user_id order by hx
+                            rows between 23 preceding and current row))
+            select user_id, hx as hour_idx, y, m as n_window,
+                   case when m * sxx - sx * sx > 0
+                        then round(cast(m * sxy - sx * sy as double)
+                                   / (m * sxx - sx * sx), 9)
+                   end as slope
+            from w
         """,
         "ev_percent_rank": """
             with e as (

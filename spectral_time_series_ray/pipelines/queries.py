@@ -4660,6 +4660,20 @@ def ev_ntile(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "bucket"])
 
 
+def ev_rolling_slope(sf_dir: str):
+    """Trailing-24-activity-row OLS slope of hourly event count per
+    user (`features.rolling_ols_slope`): the windowed-regression
+    "is this user accelerating?" feature. One int-keyed exchange of
+    (user, hour, count) partials, per-partition prefix-sum windowed
+    moments, slope = one double division of exact int64s —
+    IEEE-identical to the oracle's window SQL."""
+    from ..stages.features import rolling_ols_slope
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = rolling_ols_slope(ds, key="user_id", ts_col="ts", window=24)
+    return _round_ds(out, {"slope": 9})
+
+
 def ev_percent_rank(sf_dir: str):
     """``percent_rank() / cume_dist() over (partition by user_id order
     by value)`` with exact ANSI tie semantics

@@ -921,6 +921,108 @@ def analytic_percent_rank(
 # ----------------------------------------------- global total-order ranks
 
 
+def rolling_ols_slope(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window: int = 24,
+    num_partitions: int | None = None,
+):
+    """Trailing-window OLS slope per key: for each (key, hour-bucket)
+    activity row, the least-squares slope of hourly event count over
+    hour index across the last ``window`` activity rows (ROWS frame,
+    matching SQL ``rows between W-1 preceding and current row``) — the
+    windowed-regression "is this user accelerating?" feature a
+    feature store computes at serving time.
+
+    ONE int-keyed exchange, cohort-pattern fused: per-batch
+    (key, hour, n) count partials carry a key-hash partition id; each
+    partition merges its partials, lexsorts (key, hour), and computes
+    every windowed moment (m, Sx, Sy, Sxx, Sxy) from int64 prefix
+    sums — no per-row loop, no second shuffle. The slope is ONE double
+    division of exact integers, so the oracle's window SQL reproduces
+    it bit-for-bit. Degenerate windows (m == 1) emit NULL.
+
+    Hour indices are rebased to 2020-01-01 (both engines) so the
+    partition-wide int64 prefix sum of hx^2 stays exact out to ~1e9
+    rows per partition — raw 1970-epoch indices would overflow past
+    ~4e7."""
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    P = num_partitions or partitions_for_input(None)
+    W = int(window)
+    HOUR_US = 3_600_000_000
+    EPOCH_2020_H = 438_288  # hours 1970-01-01 -> 2020-01-01
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hx = (
+            batch[ts_col].astype("datetime64[us]").astype(np.int64) // HOUR_US
+            - EPOCH_2020_H
+        )
+        g = pd.DataFrame({key: batch[key].to_numpy(), "hx": hx})
+        g["n"] = 1
+        out = g.groupby([key, "hx"], as_index=False)["n"].sum()
+        out["_part"] = (
+            pd.util.hash_pandas_object(out[key], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    tagged = ds.select_columns([key, ts_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [key, "hour_idx", "y", "n_window", "slope"]
+        if len(df) == 0:
+            return pd.DataFrame({
+                key: pd.Series([], dtype=object),
+                "hour_idx": pd.Series([], dtype=np.int64),
+                "y": pd.Series([], dtype=np.int64),
+                "n_window": pd.Series([], dtype=np.int64),
+                "slope": pd.Series([], dtype=np.float64),
+            })[out_cols]
+        df = df.groupby([key, "hx"], as_index=False)["n"].sum()
+        codes, uniq = pd.factorize(df[key], sort=False)
+        hx = df["hx"].to_numpy(np.int64)
+        order = np.lexsort((hx, codes))
+        codes_s, hx_s = codes[order], hx[order]
+        y_s = df["n"].to_numpy(np.int64)[order]
+        m_rows = len(df)
+        new_key = np.empty(m_rows, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_len = np.diff(np.append(starts, m_rows))
+        seg_start = np.repeat(starts, seg_len)
+        idx = np.arange(m_rows, dtype=np.int64)
+        lo = np.maximum(idx - (W - 1), seg_start)  # inclusive window start
+
+        def win_sum(a: np.ndarray) -> np.ndarray:
+            p = np.concatenate([[0], np.cumsum(a, dtype=np.int64)])
+            return p[idx + 1] - p[lo]
+
+        m = (idx - lo + 1).astype(np.int64)
+        sx = win_sum(hx_s)
+        sy = win_sum(y_s)
+        sxx = win_sum(hx_s * hx_s)
+        sxy = win_sum(hx_s * y_s)
+        den = m * sxx - sx * sx
+        num = m * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den > 0, num.astype(np.float64) / den, np.nan)
+        return pd.DataFrame({
+            key: np.asarray(uniq)[codes_s],
+            "hour_idx": hx_s,
+            "y": y_s,
+            "n_window": m,
+            "slope": slope,
+        })[out_cols]
+
+    return tagged.groupby("_part").map_groups(per_part, batch_format="pandas")
+
+
 def global_row_number(
     ds,
     primary: str,

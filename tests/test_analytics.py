@@ -523,3 +523,48 @@ def test_weighted_median_matches_weight_expansion(ray_session, tmp_path):
             exp = expanded[int(np.ceil(q * W)) - 1] / 100.0
             assert out.loc[flag, col] == exp, (flag, col)
         assert out.loc[flag, "total_qty"] == W
+
+
+def test_rolling_ols_slope_matches_bruteforce(ray_session):
+    import ray.data
+
+    from spectral_time_series_ray.stages.features import rolling_ols_slope
+
+    rng = np.random.default_rng(21)
+    n = 600
+    base = pd.Timestamp("2026-03-01")
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 5, n),
+        "ts": base + pd.to_timedelta(rng.integers(0, 300, n), unit="h")
+        + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+    })
+    out = (
+        rolling_ols_slope(ray.data.from_pandas(df), key="user_id",
+                          ts_col="ts", window=5, num_partitions=3)
+        .to_pandas().sort_values(["user_id", "hour_idx"]).reset_index(drop=True)
+    )
+    # brute force: per user ordered hourly counts, 5-row OLS windows
+    hx_all = (df["ts"].astype("datetime64[us]").astype(np.int64)
+              // 3_600_000_000 - 438_288)
+    g = (pd.DataFrame({"user_id": df["user_id"], "hx": hx_all})
+         .groupby(["user_id", "hx"]).size().rename("y").reset_index())
+    rows = []
+    for uid, gg in g.groupby("user_id"):
+        gg = gg.sort_values("hx").reset_index(drop=True)
+        for i in range(len(gg)):
+            w = gg.iloc[max(0, i - 4): i + 1]
+            if len(w) > 1 and w["hx"].nunique() > 1:
+                b = np.polyfit(w["hx"], w["y"], 1)[0]
+            else:
+                b = np.nan
+            rows.append((uid, gg["hx"].iloc[i], gg["y"].iloc[i], len(w), b))
+    exp = pd.DataFrame(rows, columns=["user_id", "hour_idx", "y",
+                                      "n_window", "slope"])
+    exp = exp.sort_values(["user_id", "hour_idx"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    for c in ("user_id", "hour_idx", "y", "n_window"):
+        np.testing.assert_array_equal(out[c].to_numpy(), exp[c].to_numpy())
+    a, b = out["slope"].to_numpy(), exp["slope"].to_numpy()
+    mask = np.isnan(b)
+    assert np.isnan(a[mask]).all()
+    np.testing.assert_allclose(a[~mask], b[~mask], atol=1e-9)
