@@ -5903,6 +5903,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "li_weighted_median": Q.lineitem_weighted_median,
         "tr_croston": _tr_croston,
         "tr_ar_yw": _tr_ar_yw,
+        "ev_welch_ttest": Q.ev_welch_ttest,
+        "ev_anova": Q.ev_anova,
+        "ev_spearman_user": Q.ev_spearman_user,
+        "ev_trimmed_mean": Q.ev_trimmed_mean,
+        "ev_kendall_tau": Q.ev_kendall_tau,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -7272,6 +7277,131 @@ def oracle_sql() -> dict[str, str]:
                    round(b2s / 100, 9) as b_dow,
                    round((sy - b1s * s1 - b2s * s2) / n / 100, 9) as intercept
             from b
+        """,
+        "ev_welch_ttest": """
+            with g as (
+              select event_type as grp, count(*) as n,
+                     sum(cast(round(value * 100) as bigint)) as s,
+                     sum(cast(round(value * 100) as bigint)
+                         * cast(round(value * 100) as bigint)) as sq
+              from events where event_type in ('click', 'purchase')
+              group by 1),
+            st as (
+              select grp, n, s / n / 100.0 as mean,
+                     ((cast(sq as double) - cast(s as double) * s / n)
+                      / (n - 1.0)) / 10000.0 as v
+              from g),
+            a as (select * from st where grp = 'click'),
+            b as (select * from st where grp = 'purchase')
+            select cast(a.n as bigint) as n_click,
+                   cast(b.n as bigint) as n_purchase,
+                   round(a.mean, 9) as mean_click,
+                   round(b.mean, 9) as mean_purchase,
+                   round((a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n), 9)
+                     as t_stat,
+                   round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+                         / ((a.v / a.n) * (a.v / a.n) / (a.n - 1.0)
+                            + (b.v / b.n) * (b.v / b.n) / (b.n - 1.0)), 6)
+                     as welch_dof
+            from a cross join b
+        """,
+        "ev_anova": """
+            with g as (
+              select event_type, count(*) as n,
+                     sum(cast(round(value * 100) as bigint)) as s,
+                     sum(cast(round(value * 100) as bigint)
+                         * cast(round(value * 100) as bigint)) as sq
+              from events group by 1),
+            t as (
+              select count(*) as k, sum(n) as nn, sum(s) as ss,
+                     sum(sq) as sqt,
+                     sum(cast(s as double) * s / n) as sb
+              from (select * from g order by event_type))
+            select round(((sb - cast(ss as double) * ss / nn) / (k - 1.0))
+                         / ((cast(sqt as double) - sb) / (nn - k)), 9)
+                     as f_stat,
+                   cast(k - 1 as bigint) as dof_between,
+                   cast(nn - k as bigint) as dof_within,
+                   round((sb - cast(ss as double) * ss / nn)
+                         / ((sb - cast(ss as double) * ss / nn)
+                            + (cast(sqt as double) - sb)), 9) as eta_sq,
+                   cast(nn as bigint) as n
+            from t
+        """,
+        "ev_spearman_user": """
+            with e as (
+              select user_id, cast(round(value * 100) as bigint) as cents,
+                     extract(hour from ts) as hod
+              from events),
+            r as (
+              select user_id,
+                     rank() over (partition by user_id order by cents)
+                       + (count(*) over (partition by user_id, cents) - 1)
+                         / 2.0 as rx,
+                     rank() over (partition by user_id order by hod)
+                       + (count(*) over (partition by user_id, hod) - 1)
+                         / 2.0 as ry
+              from e),
+            s as (
+              select user_id, count(*) as n, sum(rx) as sx, sum(ry) as sy,
+                     sum(rx * rx) as sxx, sum(ry * ry) as syy,
+                     sum(rx * ry) as sxy
+              from r group by 1)
+            select user_id, cast(n as bigint) as n,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx)
+                            * sqrt(n * syy - sy * sy)), 9) as rho
+            from s
+            where (n * sxx - sx * sx) > 0 and (n * syy - sy * sy) > 0
+        """,
+        "ev_trimmed_mean": """
+            with e as (
+              select event_type, cast(round(value * 100) as bigint) as cents
+              from events),
+            r as (
+              select event_type, cents,
+                     row_number() over (partition by event_type
+                                        order by cents) as rn,
+                     count(*) over (partition by event_type) as n
+              from e)
+            select event_type,
+                   cast(any_value(n) as bigint) as n,
+                   cast(any_value(n) - 2 * (any_value(n) // 20) as bigint)
+                     as n_trimmed,
+                   round(cast(sum(case when rn > n // 20
+                                        and rn <= n - n // 20
+                                       then cents end) as double)
+                         / ((any_value(n) - 2 * (any_value(n) // 20))
+                            * 100.0), 9) as trimmed_mean
+            from r group by event_type
+        """,
+        "ev_kendall_tau": """
+            with e as (
+              select extract(hour from ts) as x,
+                     cast(round(value * 100) as bigint) // 1000 as y
+              from events),
+            h as (select x, y, count(*) as c from e group by 1, 2),
+            p as (
+              select
+                coalesce(sum(case when b.x > a.x and b.y > a.y
+                                  then a.c * b.c end), 0) as conc,
+                coalesce(sum(case when b.x > a.x and b.y < a.y
+                                  then a.c * b.c end), 0) as disc
+              from h a cross join h b),
+            m as (
+              select (select sum(c) from h) as n,
+                     (select sum(t * (t - 1) // 2)
+                      from (select sum(c) as t from h group by x)) as n1,
+                     (select sum(t * (t - 1) // 2)
+                      from (select sum(c) as t from h group by y)) as n2)
+            select round(cast(conc - disc as double)
+                         / sqrt(cast(n * (n - 1) // 2 - n1 as double)
+                                * cast(n * (n - 1) // 2 - n2 as double)), 9)
+                     as tau_b,
+                   cast(conc as bigint) as concordant,
+                   cast(disc as bigint) as discordant,
+                   cast(n as bigint) as n
+            from p cross join m
         """,
         "li_weighted_median": """
             -- lower weighted quantiles: smallest price whose running

@@ -5548,3 +5548,252 @@ def lineitem_weighted_median(sf_dir: str):
 
     out = agg.groupby("flag").map_groups(finish, batch_format="pandas")
     return out.to_pandas().sort_values("flag").reset_index(drop=True)
+
+
+def ev_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test of mean event value, 'click' vs
+    'purchase'. Distributed via exact int64 cent moments: per-block
+    partials of (n, sum cents, sum cents^2) per group reduce through a
+    tiny 2-row merge; means/variances/t finish at the driver with the
+    float chain written term-for-term like the oracle SQL (DuckDB sums
+    widen to hugeint, so the engine widens to Python int before the
+    float conversion at the same expression points)."""
+    ds = _read(
+        sf_dir, "events", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "grp": batch["event_type"].to_numpy(),
+            "n": np.int64(1), "s": cents, "sq": cents * cents,
+        })
+        return g.groupby("grp", as_index=False).sum()
+
+    t = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # <= 2 rows per block
+        .groupby("grp", as_index=False)[["n", "s", "sq"]].sum()
+        .sort_values("grp")
+    )
+
+    def stats(row):
+        n, s, sq = int(row["n"]), int(row["s"]), int(row["sq"])
+        mean = s / n / 100.0
+        # sample variance of cents, ddof=1, mirrored: (sq - s*s/n)/(n-1)
+        var_c = (float(sq) - float(s * s) / float(n)) / (n - 1.0)
+        return n, mean, var_c / 10000.0
+
+    n1, m1, v1 = stats(t.iloc[0])  # click
+    n2, m2, v2 = stats(t.iloc[1])  # purchase
+    se2 = v1 / n1 + v2 / n2
+    tstat = (m1 - m2) / np.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    return pd.DataFrame({
+        "n_click": np.array([n1], np.int64),
+        "n_purchase": np.array([n2], np.int64),
+        "mean_click": round_half_away(np.array([m1]), 9),
+        "mean_purchase": round_half_away(np.array([m2]), 9),
+        "t_stat": round_half_away(np.array([tstat]), 9),
+        "welch_dof": round_half_away(np.array([dof]), 6),
+    })
+
+
+def ev_anova(sf_dir: str):
+    """One-way ANOVA of event value across ALL event types. Per-group
+    exact int64 cent moments (n, s, sq) reduce through one bounded
+    |types|-row merge; the F statistic finishes at the driver from the
+    textbook decomposition SSB = sum s_g^2/n_g - S^2/N,
+    SSW = sum sq_g - sum s_g^2/n_g, every term mirrored in the oracle
+    SQL at the same float-conversion points."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "grp": batch["event_type"].to_numpy(),
+            "n": np.int64(1), "s": cents, "sq": cents * cents,
+        })
+        return g.groupby("grp", as_index=False).sum()
+
+    t = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # <= |types| rows per block
+        .groupby("grp", as_index=False)[["n", "s", "sq"]].sum()
+    )
+    k = len(t)
+    nn = int(t["n"].sum())
+    ss = int(t["s"].sum())
+    # sum over groups of s_g^2 / n_g, each term converted like SQL's
+    # (cast(s as double) * s / n)
+    sb = float(sum(float(int(s)) * int(s) / int(n)
+                   for s, n in zip(t["s"], t["n"])))
+    sq_tot = int(t["sq"].sum())
+    ssb = sb - float(ss) * ss / nn
+    ssw = float(sq_tot) - sb
+    f = (ssb / (k - 1.0)) / (ssw / (nn - k))
+    eta2 = ssb / (ssb + ssw)
+    return pd.DataFrame({
+        "f_stat": round_half_away(np.array([f]), 9),
+        "dof_between": np.array([k - 1], np.int64),
+        "dof_within": np.array([nn - k], np.int64),
+        "eta_sq": round_half_away(np.array([eta2]), 9),
+        "n": np.array([nn], np.int64),
+    })
+
+
+def ev_spearman_user(sf_dir: str):
+    """Per-user Spearman rank correlation between event value and
+    hour-of-day. Tie-averaged ranks (minrank + (t-1)/2, the ANSI
+    ``rank() + (count(*) over tie)/2`` identity) are half-integers, so
+    every per-user moment (sx, sxx, sxy, ...) is an exact dyadic
+    rational far below 2^53 — both engines sum them exactly in any
+    order, and rho's closed form divides to the identical double. One
+    user-hash exchange; ranks + moments are segmented pandas/numpy
+    inside each partition; output stays a per-user Dataset (never
+    collected on the driver)."""
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    P = partitions_for_input(None)
+
+    def part_key(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "cents": np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64),
+            "hod": pd.DatetimeIndex(batch["ts"]).hour.to_numpy().astype(np.int64),
+        })
+        out["_part"] = (out["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return out
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")
+        rx = g["cents"].rank(method="average").to_numpy(np.float64)
+        ry = g["hod"].rank(method="average").to_numpy(np.float64)
+        m = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n": np.int64(1),
+            "sx": rx, "sy": ry,
+            "sxx": rx * rx, "syy": ry * ry, "sxy": rx * ry,
+        }).groupby("user_id", as_index=False).sum()
+        n = m["n"].to_numpy(np.float64)
+        vx = n * m["sxx"].to_numpy() - m["sx"].to_numpy() * m["sx"].to_numpy()
+        vy = n * m["syy"].to_numpy() - m["sy"].to_numpy() * m["sy"].to_numpy()
+        keep = (vx > 0) & (vy > 0)
+        m = m[keep]
+        rho = ((n[keep] * m["sxy"].to_numpy() - m["sx"].to_numpy() * m["sy"].to_numpy())
+               / (np.sqrt(vx[keep]) * np.sqrt(vy[keep])))
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "n": m["n"].to_numpy(np.int64),
+            "rho": round_half_away(rho, 9),
+        })
+
+    return (
+        ds.map_batches(part_key, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: per_user(df.drop(columns=["_part"])),
+                    batch_format="pandas")
+    )
+
+
+def ev_trimmed_mean(sf_dir: str):
+    """5% two-sided trimmed mean of event value per event type under
+    the exact ``row_number`` convention (drop the k = n//20 smallest
+    and largest ROWS, ties resolved by value order). Distributed via
+    the bounded cent-DOMAIN histogram (the ev_mannwhitney pattern):
+    per-block (type, cents) count partials merge through a cents-hash
+    exchange, only the domain-sized histogram reaches the driver, and
+    the per-type cumulative sweep retains clip(min(cum, n-k) -
+    max(cum_prev, k), 0, t) rows per distinct value — all int64, so
+    the retained sum is exact and the final division mirrors the
+    oracle SQL."""
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    P = partitions_for_input(None)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "cents": np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64),
+            "t": np.int64(1),
+        })
+        g = g.groupby(["event_type", "cents"], as_index=False).sum()
+        g["_part"] = (g["cents"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "cents"], as_index=False)[["t"]].sum()
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: merge_part(df.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas()  # bounded by |types| x value DOMAIN, not the corpus
+    )
+
+    rows = []
+    for et, df in h.groupby("event_type"):
+        df = df.sort_values("cents")
+        t = df["t"].to_numpy(np.int64)
+        cum = np.cumsum(t)
+        n = int(cum[-1])
+        k = n // 20
+        lo = np.maximum(cum - t, k)          # cum_prev clipped at k
+        hi = np.minimum(cum, n - k)
+        inc = np.maximum(hi - lo, 0)
+        s = int((df["cents"].to_numpy(np.int64) * inc).sum())
+        rows.append((et, n, n - 2 * k, float(s) / ((n - 2 * k) * 100.0)))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "n_trimmed", "trimmed_mean"])
+    out["n"] = out["n"].astype(np.int64)
+    out["n_trimmed"] = out["n_trimmed"].astype(np.int64)
+    out["trimmed_mean"] = round_half_away(out["trimmed_mean"].to_numpy(), 9)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def ev_kendall_tau(sf_dir: str):
+    """Kendall tau-b association between hour-of-day and the $10 value
+    bucket of each event, computed EXACTLY from the bounded 24x~50
+    joint histogram: concordant/discordant pair counts are 2-D suffix
+    sums of cell-count products (pure int64), tie terms come from the
+    marginals, and tau-b's denominator converts to double at the same
+    expression points as the oracle SQL (whose pair sums are the
+    equivalent strict-order self-join over the tiny histogram)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "x": pd.DatetimeIndex(batch["ts"]).hour.to_numpy().astype(np.int64),
+            "y": (np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64)
+                  // 1000),
+            "c": np.int64(1),
+        })
+        return g.groupby(["x", "y"], as_index=False).sum()
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby(["x", "y"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded by the 24 x value-bucket DOMAIN
+    )
+    from ..functions.assoc import kendall_from_joint, tau_b
+
+    xs = np.sort(h["x"].unique())
+    ys = np.sort(h["y"].unique())
+    H = np.zeros((len(xs), len(ys)), np.int64)
+    H[np.searchsorted(xs, h["x"].to_numpy(np.int64)),
+      np.searchsorted(ys, h["y"].to_numpy(np.int64))] = h["c"].to_numpy(np.int64)
+    conc, disc, n, n1, n2 = kendall_from_joint(H)
+    tau = tau_b(conc, disc, n, n1, n2)
+    return pd.DataFrame({
+        "tau_b": round_half_away(np.array([tau]), 9),
+        "concordant": np.array([conc], np.int64),
+        "discordant": np.array([disc], np.int64),
+        "n": np.array([n], np.int64),
+    })

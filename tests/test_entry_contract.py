@@ -57,7 +57,9 @@ def test_oracle_keys_subset(entry_mod):
 @pytest.mark.parametrize(
     "name",
     ["ev_rollup_1m", "ev_cascade_1h", "ev_sessions", "q1_pricing",
-     "doc_exact_dedup", "emb_ann_topk", "ev_gapfill_1h"],
+     "doc_exact_dedup", "emb_ann_topk", "ev_gapfill_1h",
+     "ev_welch_ttest", "ev_anova", "ev_spearman_user",
+     "ev_trimmed_mean", "ev_kendall_tau"],
 )
 def test_query_matches_oracle_sf0001(entry_mod, oracle_con, name):
     got = canon(to_pandas(entry_mod.queries()[name](SF)))
