@@ -5501,14 +5501,14 @@ def lineitem_weighted_median(sf_dir: str):
     audit wants, which plain medians misstate when quantities skew.
 
     Scale shape: per-batch (flag, cents, weight) int64 partials
-    collapse each block to its distinct prices before ONE
-    value-DOMAIN-bounded groupby (prices x flags, never row count);
-    the per-flag finish is a sorted cumulative-weight scan inside
-    map_groups. Raw rows never shuffle. All weight math is exact
-    int64, so thresholds compare integers (2*cw >= tw etc.) with no
-    float ambiguity — the oracle runs the identical comparisons."""
-    from ray.data.aggregate import Sum
-
+    collapse each block to its distinct prices, then ONE 3-group flag
+    exchange feeds the per-flag sorted cumulative-weight sweep (the
+    sweep tolerates duplicate cents rows, so no distinct-key groupby
+    is needed — prices are near-unique and a (flag, cents) aggregate
+    would sort ~|rows| keys for no collapse). All weight math is
+    exact int64, so thresholds compare integers (2*cw >= tw etc.)
+    with no float ambiguity — the oracle runs the identical
+    comparisons."""
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_extendedprice", "l_quantity"])
 
@@ -5522,11 +5522,12 @@ def lineitem_weighted_median(sf_dir: str):
         })
         return g.groupby(["flag", "cents"], as_index=False)["w"].sum()
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
-        .groupby(["flag", "cents"])
-        .aggregate(Sum("w", alias_name="w"))
-    )
+    # ONE 3-group flag exchange of per-block partials; no distinct-key
+    # groupby (prices are near-unique, so a (flag, cents) aggregate
+    # would sort ~|rows| keys for no collapse). The per-flag sweep
+    # tolerates duplicate cents rows: the cumulative crossing lands on
+    # the same price value whichever duplicate it hits first.
+    agg = ds.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("cents")
