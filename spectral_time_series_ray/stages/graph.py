@@ -744,3 +744,186 @@ def connected_components_contract(edges, num_partitions: int | None = None):
         merged.filter(expr="is_pair == False")
         .map_batches(relabel, batch_format="pandas", batch_size=None)
     )
+
+
+def edge_jaccard(edges, num_partitions: int | None = None):
+    """Per-EDGE neighborhood overlap: for every undirected edge
+    ``(u, v)`` (u < v, int64 ids < 2^31), the common-neighbor count
+    ``|N(u) & N(v)|`` plus both endpoint degrees — the inputs of the
+    edge Jaccard / Adamic-Adar family of link-strength scores.
+
+    Same degree-ordered orientation + wedge closure as
+    :func:`triangle_count` (Suri & Vassilvitskii WWW'11) — a closed
+    wedge (a, b) at center w IS the triangle {w, a, b}, and each
+    triangle contributes one common neighbor to EACH of its three
+    edges, so closure emits three per-edge increments instead of a
+    scalar count. Five int-keyed exchanges, per-node work bounded by
+    the O(sqrt(m)) oriented out-degree; the result stays a Dataset
+    ``(u, v, du, dv, common)``, one row per input edge.
+    """
+    import ray.data
+
+    edges = edges.materialize()
+    if num_partitions is None:
+        m = edges.count()
+        num_partitions = max(4, -(-m * 24 // (32 << 20)))
+    P = num_partitions
+    if edges.num_blocks() > 4 * P:
+        edges = edges.repartition(4 * P).materialize()
+
+    def _tag(arr: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy() % P
+        ).astype(np.int32)
+
+    def copies(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        key = np.concatenate([u, v])
+        out = pd.DataFrame({
+            "key": key,
+            "u": np.concatenate([u, u]),
+            "v": np.concatenate([v, v]),
+        })
+        out["_part"] = _tag(out["key"].to_numpy())
+        return out
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(np.int64)
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+        deg = counts[inv]
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        pk = u * (1 << 32) + v
+        out = pd.DataFrame({
+            "pk": pk,
+            "deg": deg.astype(np.int64),
+            "is_u": key == u,
+        })
+        out["_p2"] = _tag(pk)
+        return out
+
+    halves = (
+        edges.map_batches(copies, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(attach_deg, batch_format="pandas")
+    )
+
+    def orient(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "is_u"], ascending=[True, False],
+                          kind="stable")
+        pk = g["pk"].to_numpy(np.int64)
+        deg = g["deg"].to_numpy(np.int64)
+        du, dv = deg[0::2], deg[1::2]
+        upk = pk[0::2]
+        u = upk >> 32
+        v = upk & ((1 << 32) - 1)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        ddst = np.where(u_first, dv, du)
+        out = pd.DataFrame({"src": src, "dst": dst,
+                            "du": np.where(u_first, du, dv),
+                            "dv": ddst,
+                            "dk": ddst * (1 << 32) + dst})
+        out["_p3"] = _tag(src)
+        return out
+
+    oriented = (
+        halves.groupby("_p2")
+        .map_groups(orient, batch_format="pandas")
+        .materialize()
+    )
+
+    # wedges carry their CENTER so closure can credit all 3 edges
+    def wedge_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dk"], kind="stable")
+        keys = [g["src"].to_numpy(np.int64) * (1 << 32)
+                + g["dst"].to_numpy(np.int64)]
+        centers = [np.full(len(g), -1, np.int64)]   # -1 == real edge
+        for s, grp in g.groupby("src", sort=False):
+            d = grp["dst"].to_numpy(np.int64)
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            # wedge pair stays in (deg, id) order — it must equal the
+            # ORIENTED key of the closing edge, not the canonical one
+            keys.append(d[i] * (1 << 32) + d[j])
+            centers.append(np.full(len(i), s, np.int64))
+        pk = np.concatenate(keys)
+        out = pd.DataFrame({"pk": pk, "center": np.concatenate(centers)})
+        out["_p4"] = _tag(pk)
+        return out
+
+    tagged = oriented.groupby("_p3").map_groups(wedge_part,
+                                                batch_format="pandas")
+
+    # closure: each matched wedge (a,b)@w emits +1 for edges (a,b),
+    # (w,a), (w,b) — re-keyed by edge pair for the final merge
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        center = g["center"].to_numpy(np.int64)
+        pk = g["pk"].to_numpy(np.int64)
+        edge_set = pk[center == -1]
+        wpk = pk[center != -1]
+        wc = center[center != -1]
+        hit = np.isin(wpk, edge_set)
+        wpk, wc = wpk[hit], wc[hit]
+        a = wpk >> 32
+        b = wpk & ((1 << 32) - 1)
+        # emit increments under CANONICAL (min, max) edge keys
+        e1 = np.minimum(a, b) * (1 << 32) + np.maximum(a, b)
+        e2 = np.minimum(wc, a) * (1 << 32) + np.maximum(wc, a)
+        e3 = np.minimum(wc, b) * (1 << 32) + np.maximum(wc, b)
+        out = pd.DataFrame({"pk": np.concatenate([e1, e2, e3]),
+                            "c": np.int64(1)})
+        out = out.groupby("pk", as_index=False).sum()
+        out["_p5"] = _tag(out["pk"].to_numpy())
+        return out
+
+    incs = tagged.groupby("_p4").map_groups(close_part,
+                                            batch_format="pandas")
+
+    # final merge: per-edge rows (from oriented, canonical pk) union
+    # increment partials, co-partitioned by pk hash
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["src"].to_numpy(np.int64)
+        dst = b["dst"].to_numpy(np.int64)
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        du = np.where(src < dst, b["du"].to_numpy(np.int64),
+                      b["dv"].to_numpy(np.int64))
+        dv = np.where(src < dst, b["dv"].to_numpy(np.int64),
+                      b["du"].to_numpy(np.int64))
+        pk = lo * (1 << 32) + hi
+        out = pd.DataFrame({"pk": pk, "du": du, "dv": dv,
+                            "c": np.int64(0), "is_edge": True})
+        out["_p5"] = _tag(pk)
+        return out
+
+    inc_rows = incs.map_batches(
+        lambda b: pd.DataFrame({
+            "pk": b["pk"].to_numpy(np.int64),
+            "du": np.int64(0), "dv": np.int64(0),
+            "c": b["c"].to_numpy(np.int64),
+            "is_edge": False, "_p5": b["_p5"].to_numpy(np.int32),
+        }),
+        batch_format="pandas", batch_size=None,
+    )
+    both = oriented.map_batches(edge_rows, batch_format="pandas",
+                                batch_size=None).union(inc_rows)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pk", as_index=False).agg(
+            du=("du", "max"), dv=("dv", "max"), c=("c", "sum"),
+            is_edge=("is_edge", "any"))
+        agg = agg[agg["is_edge"]]
+        pk = agg["pk"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "u": pk >> 32,
+            "v": pk & ((1 << 32) - 1),
+            "du": agg["du"].to_numpy(np.int64),
+            "dv": agg["dv"].to_numpy(np.int64),
+            "common": agg["c"].to_numpy(np.int64),
+        })
+
+    return both.groupby("_p5").map_groups(merge, batch_format="pandas")
