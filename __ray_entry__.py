@@ -5802,16 +5802,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_attribution": Q.ev_attribution,
         "ev_top_users": Q.ev_top_users,
         "ev_outliers_mad": Q.ev_outliers_mad,
-        "ev_decay_score": Q.ev_decay_score,
+        "ev_spearman_user": Q.ev_spearman_user,
         "ev_dq_checks": Q.ev_dq_checks,
         "ev_trend": Q.ev_trend,
         "q1_pricing": Q.q1_pricing,
         "doc_ssjoin": Q.doc_ssjoin,
         "q12_priority_lines": Q.q12_priority_lines,
         "doc_bm25_search": Q.doc_bm25_search,
-        "q8_market_share": Q.q8_market_share,
+        "ev_kendall_tau": Q.ev_kendall_tau,
         "q3_revenue_topk": Q.q3_revenue_topk,
-        "q5_local_supplier": Q.q5_local_supplier,
+        "graph_jaccard": _graph_jaccard,
         "orders_pareto": Q.orders_pareto,
         "bucketed_join_priority": _bucketed_join_priority,
         "graph_triangles": _graph_triangles,
@@ -5826,7 +5826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_entropy": Q.ev_entropy,
         "ev_rfm": Q.ev_rfm,
         "graph_components": _graph_components,
-        "ev_ab_test": Q.ev_ab_test,
+        "ev_welch_ttest": Q.ev_welch_ttest,
         "orders_itemsets": _orders_itemsets,
         "ev_survival_km": Q.ev_survival_km,
         "ev_xcorr_lag": Q.ev_xcorr_lag,
@@ -6021,13 +6021,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "li_weighted_median": Q.lineitem_weighted_median,
         "tr_croston": _tr_croston,
         "tr_ar_yw": _tr_ar_yw,
-        "ev_welch_ttest": Q.ev_welch_ttest,
+        "ev_ab_test": Q.ev_ab_test,
         "ev_anova": Q.ev_anova,
-        "ev_spearman_user": Q.ev_spearman_user,
+        "ev_decay_score": Q.ev_decay_score,
         "ev_trimmed_mean": Q.ev_trimmed_mean,
-        "ev_kendall_tau": Q.ev_kendall_tau,
+        "q8_market_share": Q.q8_market_share,
         "ev_isotonic": _ev_isotonic,
-        "graph_jaccard": _graph_jaccard,
+        "q5_local_supplier": Q.q5_local_supplier,
     }
 
 def oracle_sql() -> dict[str, str]:
