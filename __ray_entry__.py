@@ -6028,6 +6028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": Q.q8_market_share,
         "ev_isotonic": _ev_isotonic,
         "q5_local_supplier": Q.q5_local_supplier,
+        "ev_backtest_expanding": Q.ev_backtest_expanding,
+        "ev_wilcoxon_signed": Q.ev_wilcoxon_signed,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -7397,6 +7399,59 @@ def oracle_sql() -> dict[str, str]:
                    round(b2s / 100, 9) as b_dow,
                    round((sy - b1s * s1 - b2s * s2) / n / 100, 9) as intercept
             from b
+        """,
+        "ev_backtest_expanding": """
+            with hc as (
+              select user_id, date_trunc('hour', ts) as hr,
+                     count(*) as y
+              from events group by 1, 2),
+            w as (
+              select user_id, hr, y,
+                     sum(y) over (partition by user_id order by hr
+                                  rows between unbounded preceding
+                                       and 1 preceding) as sp,
+                     count(y) over (partition by user_id order by hr
+                                    rows between unbounded preceding
+                                         and 1 preceding) as np,
+                     row_number() over (partition by user_id
+                                        order by hr desc) as rdesc
+              from hc)
+            select user_id, hr as hour_ts, cast(rdesc as bigint) as fold,
+                   cast(y as bigint) as y,
+                   round(cast(sp as double) / np, 9) as pred,
+                   round(abs(y - cast(sp as double) / np), 9) as abs_err
+            from w where rdesc <= 3 and np > 0
+        """,
+        "ev_wilcoxon_signed": """
+            with b as (
+              select (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 as mid
+              from events),
+            d as (
+              select user_id,
+                     sum(case when epoch_us(ts) >= (select mid from b)
+                              then 1 else -1 end) as d
+              from events group by 1),
+            nz as (select d, abs(d) as ad from d where d <> 0),
+            h as (
+              select ad, count(*) as t,
+                     sum(case when d > 0 then 1 else 0 end) as npos
+              from nz group by 1),
+            c as (
+              select ad, t, npos,
+                     coalesce(sum(t) over (order by ad
+                       rows between unbounded preceding and 1 preceding),
+                       0) as cprev
+              from h),
+            s as (
+              select sum(npos * (2 * cprev + t + 1)) as w2,
+                     sum(t) as n, sum(t * t * t - t) as tie
+              from c)
+            select round((w2 / 2.0 - n * (n + 1) / 4.0)
+                         / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                                - tie / 48.0), 9) as z,
+                   cast(w2 as bigint) as w_plus_x2,
+                   cast(n as bigint) as n_nonzero
+            from s
         """,
         "ev_welch_ttest": """
             with g as (

@@ -5798,3 +5798,125 @@ def ev_kendall_tau(sf_dir: str):
         "discordant": np.array([disc], np.int64),
         "n": np.array([n], np.int64),
     })
+
+
+def ev_backtest_expanding(sf_dir: str):
+    """Rolling-origin forecast backtest (the standard time-series
+    cross-validation harness, Hyndman & Athanasopoulos §5.10): for
+    each user's last 3 OBSERVED hourly counts, forecast with the
+    expanding mean of all strictly-prior observed hours and emit the
+    per-fold prediction and absolute error. Every prediction is one
+    exact-int division (prefix sum / prefix count), so engine and SQL
+    agree bit-for-bit; no cross-row float summation exists to reorder.
+    One user-hash exchange, segmented prefix sums, Dataset output."""
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    P = partitions_for_input(None)
+
+    def hour_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "hr": batch["ts"].to_numpy().astype("datetime64[h]").astype(np.int64),
+            "y": np.int64(1),
+        }).groupby(["user_id", "hr"], as_index=False).sum()
+        g["_part"] = (g["user_id"].to_numpy(np.int64) % P).astype(np.int32)
+        return g
+
+    def folds(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.groupby(["user_id", "hr"], as_index=False)["y"].sum()
+                .sort_values(["user_id", "hr"], kind="mergesort"))
+        u = df["user_id"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(u[1:] != u[:-1]) + 1,
+                                 [len(u)]])
+        seg_id = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+        seg_start = starts[seg_id]
+        idx = np.arange(len(u))
+        pos = idx - seg_start                      # 0-based within user
+        seg_len = np.diff(starts)[seg_id]
+        cs = np.cumsum(y)
+        base = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        sp = cs - base - y                          # strictly-prior sum
+        npr = pos                                   # strictly-prior count
+        rdesc = seg_len - pos                       # 1 == last hour
+        keep = (rdesc <= 3) & (npr > 0)
+        pred = sp[keep].astype(np.float64) / npr[keep]
+        hrs = df["hr"].to_numpy(np.int64)[keep]
+        return pd.DataFrame({
+            "user_id": u[keep],
+            "hour_ts": hrs.astype("datetime64[h]").astype("datetime64[us]"),
+            "fold": rdesc[keep].astype(np.int64),
+            "y": y[keep],
+            "pred": round_half_away(pred, 9),
+            "abs_err": round_half_away(
+                np.abs(y[keep].astype(np.float64) - pred), 9),
+        })
+
+    return (
+        ds.map_batches(hour_counts, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: folds(df.drop(columns=["_part"])),
+                    batch_format="pandas")
+    )
+
+
+def ev_wilcoxon_signed(sf_dir: str):
+    """Wilcoxon signed-rank test of per-user activity shift between
+    the first and second half of the observation window (paired by
+    user; d = second-half minus first-half event count, zero
+    differences dropped per the standard convention). Distributed via
+    the bounded |d|-DOMAIN histogram exactly like ev_mannwhitney:
+    tie-averaged ranks collapse to 2*W+ = sum npos*(2*cprev + t + 1)
+    in exact int64, and the tie-corrected normal z mirrors the oracle
+    SQL term-for-term. Two streaming passes (global min/max ts, then
+    per-user signed counts through one int-keyed reduce)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(mm["min(ts)"]).value // 1000   # ns -> us
+    hi = pd.Timestamp(mm["max(ts)"]).value // 1000
+    mid = (lo + hi) // 2
+
+    def signed(batch: pd.DataFrame) -> pd.DataFrame:
+        tus = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "d": np.where(tus >= mid, np.int64(1), np.int64(-1)),
+        })
+        return g.groupby("user_id", as_index=False).sum()
+
+    per_user = (
+        ds.map_batches(signed, batch_format="pandas", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["d"].to_numpy(np.int64)
+        d = d[d != 0]
+        g = pd.DataFrame({"ad": np.abs(d), "t": np.int64(1),
+                          "npos": (d > 0).astype(np.int64)})
+        return g.groupby("ad", as_index=False).sum()
+
+    h = (
+        per_user.map_batches(hist, batch_format="pandas", batch_size=None)
+        .to_pandas()  # bounded by the |d| DOMAIN
+        .groupby("ad", as_index=False)[["t", "npos"]].sum()
+        .sort_values("ad")
+    )
+    t = h["t"].to_numpy(np.int64)
+    npos = h["npos"].to_numpy(np.int64)
+    cprev = np.concatenate([[0], np.cumsum(t)[:-1]]).astype(np.int64)
+    w2 = int((npos * (2 * cprev + t + 1)).sum())
+    n = int(t.sum())
+    tie = int((t**3 - t).sum())
+    z = ((w2 / 2.0 - n * (n + 1) / 4.0)
+         / np.sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0 - tie / 48.0))
+    return pd.DataFrame({
+        "z": round_half_away(np.array([z]), 9),
+        "w_plus_x2": np.array([w2], np.int64),
+        "n_nonzero": np.array([n], np.int64),
+    })
