@@ -6165,6 +6165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_backtest_expanding": Q.ev_backtest_expanding,
         "ev_wilcoxon_signed": Q.ev_wilcoxon_signed,
         "tr_snapshot_diff": _tr_snapshot_diff,
+        "doc_collocations": Q.doc_collocations,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -8708,6 +8709,38 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_docs,
                    cast(count(distinct source) as bigint) as n_sources
             from documents group by lang
+        """,
+        "doc_collocations": """
+            with toks as (
+              select string_split(text, ' ') as w from documents
+            ),
+            uni as (
+              select u as g, count(*) as n
+              from toks, unnest(w) as t(u) group by 1
+            ),
+            bi as (
+              select w[i] || ' ' || w[i + 1] as g,
+                     w[i] as a, w[i + 1] as b, count(*) as n
+              from toks, unnest(generate_series(1, len(w) - 1)) as t(i)
+              where len(w) >= 2
+              group by 1, 2, 3
+            ),
+            tot as (
+              select (select sum(n) from uni) as nu,
+                     (select sum(n) from bi) as nb
+            )
+            select bi.g as gram,
+                   cast(bi.n as bigint) as n_ab,
+                   cast(ua.n as bigint) as n_a,
+                   cast(ub.n as bigint) as n_b,
+                   round(ln((bi.n * 1.0 / nb)
+                            / ((ua.n * 1.0 / nu) * (ub.n * 1.0 / nu))),
+                         9) as pmi
+            from bi
+            join uni ua on ua.g = bi.a
+            join uni ub on ub.g = bi.b
+            cross join tot
+            where bi.n >= 25
         """,
         "doc_top_ngrams": """
             with toks as (

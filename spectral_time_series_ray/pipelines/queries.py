@@ -5920,3 +5920,70 @@ def ev_wilcoxon_signed(sf_dir: str):
         "w_plus_x2": np.array([w2], np.int64),
         "n_nonzero": np.array([n], np.int64),
     })
+
+
+def doc_collocations(sf_dir: str, min_count: int = 25):
+    """PMI collocation mining (Church & Hanks 1990): every adjacent
+    word bigram with corpus count >= ``min_count``, scored
+    pmi = ln((n_ab/N_bi) / ((n_a/N_uni) * (n_b/N_uni))). One pass
+    emits per-block pre-counted (kind, gram, n) partials for unigrams
+    and bigrams together; one gram-hash exchange merges them; only the
+    VOCABULARY-bounded count table reaches the driver (never token
+    volume), where the PMI float chain mirrors the oracle SQL. A
+    support threshold instead of top-k means no float-ordered
+    selection boundary exists for an ulp to flip."""
+    from ..stages.rollup import partitions_for_input
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    P = partitions_for_input(None)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        uni: dict = {}
+        bi: dict = {}
+        for t in batch["text"]:
+            w = t.split(" ")
+            for a in w:
+                uni[a] = uni.get(a, 0) + 1
+            for a, b in zip(w[:-1], w[1:]):
+                k = a + " " + b
+                bi[k] = bi.get(k, 0) + 1
+        out = pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(uni), np.int8),
+                                    np.ones(len(bi), np.int8)]),
+            "g": list(uni) + list(bi),
+            "n": np.fromiter(uni.values(), np.int64, len(uni)).tolist()
+                 + np.fromiter(bi.values(), np.int64, len(bi)).tolist(),
+        })
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["g"], index=False).to_numpy() % P
+        ).astype(np.int32)
+        return out
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["kind", "g"], as_index=False)["n"].sum()
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: merge_part(df.drop(columns=["_part"])),
+                    batch_format="pandas")
+        .to_pandas()  # bounded by |vocab| + |vocab|^2, never token volume
+    )
+    uni = h[h["kind"] == 0].set_index("g")["n"]
+    bi = h[h["kind"] == 1]
+    nu = int(uni.sum())
+    nb = int(bi["n"].sum())
+    bi = bi[bi["n"] >= min_count]
+    parts = bi["g"].str.split(" ", n=1, expand=True)
+    na = uni.reindex(parts[0]).to_numpy(np.int64)
+    nbv = uni.reindex(parts[1]).to_numpy(np.int64)
+    nab = bi["n"].to_numpy(np.int64)
+    pmi = np.log((nab * 1.0 / nb) / ((na * 1.0 / nu) * (nbv * 1.0 / nu)))
+    out = pd.DataFrame({
+        "gram": bi["g"].to_numpy(),
+        "n_ab": nab,
+        "n_a": na,
+        "n_b": nbv,
+        "pmi": round_half_away(pmi, 9),
+    })
+    return out.sort_values("gram").reset_index(drop=True)
