@@ -152,3 +152,145 @@ def sample_frames(ds, every_k: int = 4, concurrency: int = 2):
         batch_size=32,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL formats, dependency-free: RIFF/WAV PCM16 audio and PPM (P6) images
+# are fully decodable with struct + numpy, so the decode stages below are
+# genuine codecs (not the SMM1 fake) while still requiring no PIL/ffmpeg.
+# ---------------------------------------------------------------------------
+
+
+def synth_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a real RIFF/WAVE PCM16 file."""
+    samples = np.asarray(samples, dtype="<i2")
+    payload = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE PCM16 mono file by walking its chunk list
+    (a real parser: tolerates extra chunks, validates the fmt tag).
+    Returns (sample_rate, int16 samples)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, n_ch, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, data
+
+
+def synth_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        img, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) with full header handling (comments,
+    arbitrary whitespace). Returns an (h, w, 3) uint8 array."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":           # comment to end of line
+            while pos < len(blob) and blob[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    arr = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: decode WAV blobs and extract REAL audio
+    features — RMS, zero-crossing rate, dominant frequency (rFFT
+    argmax) and spectral centroid. The Hann window is built once per
+    actor (stateful setup), features are vectorized numpy per blob."""
+
+    def __init__(self, n_fft: int = 2048):
+        self.n_fft = n_fft
+        self._hann = 0.5 - 0.5 * np.cos(
+            2.0 * np.pi * np.arange(n_fft) / n_fft)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b in batch["blob"]:
+            sr, x = decode_wav(b)
+            xf = x.astype(np.float64) / 32768.0
+            rms = float(np.sqrt(np.mean(xf * xf)))
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(xf))))) if len(xf) > 1 else 0.0
+            seg = xf[: self.n_fft]
+            if len(seg) < self.n_fft:
+                seg = np.pad(seg, (0, self.n_fft - len(seg)))
+            mag = np.abs(np.fft.rfft(seg * self._hann))
+            freqs = np.fft.rfftfreq(self.n_fft, 1.0 / sr)
+            dom = float(freqs[int(np.argmax(mag[1:])) + 1])
+            cen = float((freqs * mag).sum() / mag.sum()) if mag.sum() > 0 else 0.0
+            rows.append((sr, len(x), rms, zcr, dom, cen))
+        out = batch[[c for c in batch.columns if c != "blob"]].copy()
+        out[["sample_rate", "n_samples", "rms", "zcr",
+             "dominant_hz", "centroid_hz"]] = pd.DataFrame(rows, index=batch.index)
+        return out
+
+
+class ImageFeaturizer:
+    """Actor-pool stage: decode PPM blobs and extract REAL image
+    features — per-channel means, a 4x4 mean-pooled luma thumbnail
+    (flattened), and mean gradient magnitude (edge energy)."""
+
+    def __init__(self, thumb: int = 4):
+        self.thumb = thumb
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b in batch["blob"]:
+            img = decode_ppm(b).astype(np.float64)
+            h, w, _ = img.shape
+            luma = img @ np.array([0.299, 0.587, 0.114])
+            t = self.thumb
+            ys = (np.arange(h) * t) // h
+            xs = (np.arange(w) * t) // w
+            thumb = np.zeros((t, t))
+            cnt = np.zeros((t, t))
+            np.add.at(thumb, (ys[:, None], xs[None, :]), luma)
+            np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+            thumb /= cnt
+            gx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+            gy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+            rows.append((h, w, float(img[..., 0].mean()),
+                         float(img[..., 1].mean()), float(img[..., 2].mean()),
+                         thumb.ravel().tolist(), float(gx + gy)))
+        out = batch[[c for c in batch.columns if c != "blob"]].copy()
+        out[["height", "width", "mean_r", "mean_g", "mean_b",
+             "thumb", "edge_energy"]] = pd.DataFrame(
+            rows, index=batch.index,
+            columns=["height", "width", "mean_r", "mean_g", "mean_b",
+                     "thumb", "edge_energy"])
+        return out

@@ -1,0 +1,64 @@
+"""Real WAV/PPM codec roundtrips + featurizer correctness."""
+
+import numpy as np
+import pandas as pd
+
+from spectral_time_series_ray.stages.multimodal import (
+    AudioFeaturizer,
+    ImageFeaturizer,
+    decode_ppm,
+    decode_wav,
+    synth_ppm,
+    synth_wav,
+)
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    x = rng.integers(-32768, 32767, 5000).astype(np.int16)
+    sr, y = decode_wav(synth_wav(x, 16000))
+    assert sr == 16000
+    assert np.array_equal(x, y)
+
+
+def test_wav_parser_tolerates_extra_chunks():
+    import struct
+    x = np.arange(100, dtype=np.int16)
+    blob = synth_wav(x, 8000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = blob.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = blob[:fmt_end] + extra + blob[fmt_end:]
+    sr, y = decode_wav(spliced)
+    assert sr == 8000 and np.array_equal(x, y)
+
+
+def test_ppm_roundtrip_and_comments():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(synth_ppm(img)), img)
+    # header with comments + odd whitespace
+    blob = b"P6\n# a comment\n 11\t7 # trailing\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(blob), img)
+
+
+def test_audio_featurizer_tone():
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 20000).astype(np.int16)
+    df = pd.DataFrame({"media_id": [0], "blob": [synth_wav(x, sr)]})
+    out = AudioFeaturizer()(df)
+    assert abs(out["dominant_hz"].iloc[0] - 440.0) <= sr / 2048.0
+    assert 0.2 < out["rms"].iloc[0] < 0.5
+
+
+def test_image_featurizer_gradient():
+    w, h = 32, 16
+    img = np.repeat(np.tile(
+        np.linspace(0, 255, w).astype(np.uint8)[None, :, None],
+        (h, 1, 1)), 3, axis=2)
+    df = pd.DataFrame({"media_id": [0], "blob": [synth_ppm(img)]})
+    out = ImageFeaturizer()(df)
+    m = np.asarray(out["thumb"].iloc[0]).reshape(4, 4)
+    assert (np.diff(m, axis=1) > 0).all()
+    assert out["edge_energy"].iloc[0] > 0
