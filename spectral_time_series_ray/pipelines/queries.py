@@ -5937,22 +5937,33 @@ def doc_collocations(sf_dir: str, min_count: int = 25):
     ds = _read(sf_dir, "documents", columns=["text"])
     P = partitions_for_input(None)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        uni: dict = {}
-        bi: dict = {}
-        for t in batch["text"]:
-            w = t.split(" ")
-            for a in w:
-                uni[a] = uni.get(a, 0) + 1
-            for a, b in zip(w[:-1], w[1:]):
-                k = a + " " + b
-                bi[k] = bi.get(k, 0) + 1
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        # fully vectorized in Arrow: split -> flattened token array;
+        # adjacent-pair mask from the list offsets (a pair is valid
+        # unless position i+1 starts a new document)
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        n = len(flat)
+        starts = np.zeros(n + 1, bool)
+        starts[offs] = True
+        valid = ~starts[1:n] if n else np.zeros(0, bool)
+        us = pd.Series(flat.to_pandas())
+        uni = us.groupby(us, sort=False).size()
+        if n > 1:
+            pairs = pc.binary_join_element_wise(
+                flat.slice(0, n - 1), flat.slice(1), " ")
+            bs = pd.Series(pairs.to_pandas())[valid]
+            bi = bs.groupby(bs, sort=False).size()
+        else:
+            bi = pd.Series([], dtype=np.int64)
         out = pd.DataFrame({
             "kind": np.concatenate([np.zeros(len(uni), np.int8),
                                     np.ones(len(bi), np.int8)]),
-            "g": list(uni) + list(bi),
-            "n": np.fromiter(uni.values(), np.int64, len(uni)).tolist()
-                 + np.fromiter(bi.values(), np.int64, len(bi)).tolist(),
+            "g": np.concatenate([uni.index.to_numpy(),
+                                 bi.index.to_numpy()]),
+            "n": np.concatenate([uni.to_numpy(np.int64),
+                                 bi.to_numpy(np.int64)]),
         })
         out["_part"] = (
             pd.util.hash_pandas_object(out["g"], index=False).to_numpy() % P
@@ -5963,7 +5974,7 @@ def doc_collocations(sf_dir: str, min_count: int = 25):
         return df.groupby(["kind", "g"], as_index=False)["n"].sum()
 
     h = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("_part")
         .map_groups(lambda df: merge_part(df.drop(columns=["_part"])),
                     batch_format="pandas")
