@@ -5984,6 +5984,81 @@ def _media_decode_real(sf_dir: str):
         {"check": object, "value": np.float64, "ok": bool})
 
 
+
+def _media_image_neardup(sf_dir: str):
+    """Image near-duplicate detection via perceptual dHash
+    (`multimodal.dhash64` + `ImageDHashStage`) over REAL PPM files,
+    clustered by the SAME Manku banding machinery as text SimHash
+    (`dedup.hamming64_cluster` — the refactor makes one Hamming
+    engine serve both modalities). SELF-VERIFYING: each smooth base
+    image gets a brightness-shifted noisy copy (a true near-dup:
+    dHash is invariant to monotone brightness maps) — every such pair
+    MUST land in one cluster (recall 1.0); structurally different
+    images and noise distractors must NOT join any planted cluster
+    (precision 1.0 over the planted set)."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import hamming64_cluster
+    from spectral_time_series_ray.stages.multimodal import (
+        ImageDHashStage,
+        synth_ppm,
+    )
+
+    n_base = max(48, int(480 * float(sf_dir.rstrip("/").split("sf")[-1])))
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(n_base):
+        h, w = int(rng.integers(24, 56)), int(rng.integers(24, 56))
+        y, x = np.mgrid[0:h, 0:w]
+        # three oriented plane waves: enough structural diversity that
+        # distinct bases land >3 Hamming bits apart in dHash space
+        base = np.full((h, w), 120.0)
+        for _ in range(3):
+            th = rng.uniform(0, np.pi)
+            lam = rng.uniform(3.0, 14.0)
+            ph = rng.uniform(0, 6.28)
+            base += rng.uniform(25, 45) * np.sin(
+                (x * np.cos(th) + y * np.sin(th)) / lam + ph)
+        img = np.repeat(base.clip(0, 255)[..., None], 3, 2).astype(np.uint8)
+        rows.append((i, synth_ppm(img)))
+        shifted = np.clip(
+            img.astype(np.int64) + int(rng.integers(10, 40))
+            + rng.integers(-3, 4, img.shape), 0, 255).astype(np.uint8)
+        rows.append((i + 100_000, synth_ppm(shifted)))
+    for i in range(n_base // 2):            # pure-noise distractors
+        h, w = int(rng.integers(24, 56)), int(rng.integers(24, 56))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append((i + 200_000, synth_ppm(img)))
+    media = pd.DataFrame(rows, columns=["media_id", "blob"])
+
+    hashes = ray.data.from_pandas(media).map_batches(
+        ImageDHashStage, batch_size=64, concurrency=2,
+        batch_format="pandas").materialize()
+    clusters = hamming64_cluster(hashes, max_hamming=3)
+    cmap = dict(zip(clusters["doc_id"].astype(int),
+                    clusters["cluster_id"].astype(int)))
+
+    pair_ok = all(
+        cmap.get(i, i) == cmap.get(i + 100_000, i + 100_000)
+        for i in range(n_base)
+    )
+    planted_clusters = {cmap.get(i, i) for i in range(n_base)}
+    outsiders = [mid for mid in media["media_id"]
+                 if mid >= 200_000 and cmap.get(mid, mid) in planted_clusters]
+    # distinct bases may legitimately collide only if their dHashes are
+    # within 3 bits — with random phases that is vanishingly rare, so
+    # demand at least 95% of bases form their own cluster
+    n_distinct = len(planted_clusters)
+    rows_out = [
+        ("pair_recall", float(n_base), pair_ok),
+        ("distractor_precision", float(len(outsiders)), not outsiders),
+        ("cluster_separation", float(n_distinct),
+         n_distinct >= int(0.95 * n_base)),
+    ]
+    return pd.DataFrame(rows_out, columns=["check", "value", "ok"]).astype(
+        {"check": object, "value": np.float64, "ok": bool})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -6251,6 +6326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_snapshot_diff": _tr_snapshot_diff,
         "doc_collocations": Q.doc_collocations,
         "media_decode_real": _media_decode_real,
+        "media_image_neardup": _media_image_neardup,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -479,39 +479,29 @@ def _simhash_block_tables(n_blocks: int, key_blocks: int):
     return widths, offsets, combos
 
 
-def simhash_dedup(
-    ds,
+def hamming64_cluster(
+    hashes,
     max_hamming: int = 3,
-    concurrency: int = 4,
     n_blocks: int = 6,
     key_blocks: int = 3,
     bucket_cap: int = 500,
 ):
-    """SimHash near-dup via multi-table block banding (Manku et al.,
-    WWW'07): C(n_blocks, key_blocks) tables, each keyed on a distinct
-    combination of ``key_blocks`` of the ``n_blocks`` fingerprint
-    blocks. Pigeonhole guarantees every pair within
-    ``max_hamming <= n_blocks - key_blocks`` collides in some table;
-    the default 3-of-6 gives 20 tables with ~32-bit keys, so bucket
-    occupancy stays O(corpus / 2^32) at any corpus size. Hamming is
-    verified exactly in-bucket. Returns (doc_id, cluster_id,
-    is_keeper).
-
-    Oversized buckets (> ``bucket_cap`` DISTINCT fingerprints — e.g.
-    an adversarial key collision) are skipped with a warning; but
-    identical fingerprints are first chained in O(n) (mass-duplicated
-    content floods buckets legitimately and loses no recall), so the
-    cap applies only to the distinct-fingerprint pair verification.
-    """
+    """Near-dup clustering of ANY 64-bit fingerprint Dataset
+    ``(doc_id, simhash)`` under Hamming distance <= ``max_hamming``,
+    via the same Manku WWW'07 multi-table block banding as
+    :func:`simhash_dedup` (which now delegates here). Text SimHash,
+    image dHash/pHash and audio fingerprints all share this machinery:
+    C(n_blocks, key_blocks) tables, pigeonhole-lossless for
+    max_hamming <= n_blocks - key_blocks, identical fingerprints
+    chained in O(n), exact in-bucket Hamming verification, union-find
+    clusters on the sparse verified pairs. Returns (doc_id,
+    cluster_id, is_keeper)."""
     if n_blocks - key_blocks < max_hamming:
         raise ValueError(
             f"need n_blocks - key_blocks >= max_hamming for full recall "
             f"(got {n_blocks}-{key_blocks} < {max_hamming})"
         )
     widths, offsets, combos = _simhash_block_tables(n_blocks, key_blocks)
-    hashes = ds.map_batches(
-        _SimHashStage, batch_format="pandas", batch_size=2048, concurrency=concurrency
-    ).materialize()
 
     from .rollup import partitions_for_input
 
@@ -622,6 +612,28 @@ def simhash_dedup(
     ).sort_values("doc_id")
     df["is_keeper"] = df["doc_id"] == df["cluster_id"]
     return df.reset_index(drop=True)
+
+
+
+
+def simhash_dedup(
+    ds,
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    n_blocks: int = 6,
+    key_blocks: int = 3,
+    bucket_cap: int = 500,
+):
+    """SimHash near-dup via multi-table block banding (Manku et al.,
+    WWW'07) — computes the text fingerprints in an actor pool, then
+    delegates banding/verification/clustering to
+    :func:`hamming64_cluster` (shared with the image dHash path)."""
+    hashes = ds.map_batches(
+        _SimHashStage, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    ).materialize()
+    return hamming64_cluster(
+        hashes, max_hamming=max_hamming, n_blocks=n_blocks,
+        key_blocks=key_blocks, bucket_cap=bucket_cap)
 
 
 class _ShingleMinHashStage(_MinHashStage):

@@ -294,3 +294,40 @@ class ImageFeaturizer:
             columns=["height", "width", "mean_r", "mean_g", "mean_b",
                      "thumb", "edge_energy"])
         return out
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Perceptual difference hash (dHash, Krawetz 2013): mean-pool the
+    luma plane to 8 rows x 9 cols, emit one bit per horizontal
+    neighbor comparison (left < right) — 64 bits. Invariant to global
+    brightness/contrast shifts (monotone maps preserve comparisons)
+    and robust to small noise; near-duplicate images differ in a few
+    bits, so Hamming banding finds them."""
+    luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 9) // w
+    pool = np.zeros((8, 9))
+    cnt = np.zeros((8, 9))
+    np.add.at(pool, (ys[:, None], xs[None, :]), luma)
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    pool /= cnt
+    bits = (pool[:, :-1] < pool[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageDHashStage:
+    """Actor-pool stage: decode PPM blobs -> 64-bit dHash fingerprints
+    in the ``(doc_id, simhash)`` contract of
+    `dedup.hamming64_cluster`, so image near-dup shares the text
+    SimHash banding machinery."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.fromiter(
+            (dhash64(decode_ppm(b)) for b in batch["blob"]),
+            dtype=np.uint64, count=len(batch),
+        )
+        return pd.DataFrame({
+            "doc_id": batch["media_id"].to_numpy(np.int64),
+            "simhash": hs.view(np.int64),
+        })

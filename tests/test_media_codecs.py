@@ -62,3 +62,26 @@ def test_image_featurizer_gradient():
     m = np.asarray(out["thumb"].iloc[0]).reshape(4, 4)
     assert (np.diff(m, axis=1) > 0).all()
     assert out["edge_energy"].iloc[0] > 0
+
+
+def test_dhash_invariances():
+    from spectral_time_series_ray.stages.multimodal import dhash64
+
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:40, 0:40]
+    img = np.repeat(
+        (120 + 60 * np.sin(x / 5) + 40 * np.cos(y / 7)).clip(0, 255)[..., None],
+        3, 2).astype(np.uint8)
+    h0 = dhash64(img)
+    # global brightness shift: identical hash (monotone map)
+    shifted = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    assert dhash64(shifted) == h0
+    # small noise: within a few bits
+    noisy = np.clip(img.astype(int) + rng.integers(-4, 5, img.shape),
+                    0, 255).astype(np.uint8)
+    assert bin(dhash64(noisy) ^ h0).count("1") <= 3
+    # a structurally different image: far away
+    other = np.repeat(
+        (120 + 60 * np.sin((x + 2 * y) / 3.3 + 1)).clip(0, 255)[..., None],
+        3, 2).astype(np.uint8)
+    assert bin(dhash64(other) ^ h0).count("1") > 10
