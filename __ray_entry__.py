@@ -6059,6 +6059,72 @@ def _media_image_neardup(sf_dir: str):
         {"check": object, "value": np.float64, "ok": bool})
 
 
+
+def _media_audio_neardup(sf_dir: str):
+    """Audio near-duplicate detection via 64-bit spectral-peak
+    fingerprints (`multimodal.audio_fingerprint64`, Wang ISMIR'03
+    constellation reduced to one word) over REAL RIFF/PCM16 files —
+    the THIRD modality on the shared `dedup.hamming64_cluster` Manku
+    banding engine (text SimHash, image dHash, audio). SELF-VERIFYING:
+    each planted melody gets an amplitude-scaled noisy re-encode (the
+    fingerprint is exactly argmax-invariant to scaling) which MUST
+    cluster with its original; fresh melodies and noise distractors
+    must stay out of planted clusters."""
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import hamming64_cluster
+    from spectral_time_series_ray.stages.multimodal import (
+        AudioFingerprintStage,
+        synth_wav,
+    )
+
+    n_base = max(48, int(480 * float(sf_dir.rstrip("/").split("sf")[-1])))
+    sr = 8000
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(n_base):
+        r = np.random.default_rng(1000 + i)
+        segs = []
+        for _ in range(16):
+            f = r.uniform(150.0, 2500.0)
+            tt = np.arange(sr // 16) / sr
+            segs.append(np.sin(2 * np.pi * f * tt) * r.uniform(0.3, 0.6))
+        x = np.concatenate(segs)
+        rows.append((i, synth_wav((x * 15000).astype(np.int16), sr)))
+        dup = (x * rng.uniform(0.2, 0.7)
+               + rng.normal(0, 0.01, len(x)))
+        rows.append((i + 100_000,
+                     synth_wav((dup * 15000).astype(np.int16), sr)))
+    for i in range(n_base // 2):             # noise distractors
+        rows.append((i + 200_000, synth_wav(
+            (rng.normal(0, 0.2, sr) * 15000).astype(np.int16), sr)))
+    media = pd.DataFrame(rows, columns=["media_id", "blob"])
+
+    hashes = ray.data.from_pandas(media).map_batches(
+        AudioFingerprintStage, batch_size=64, concurrency=2,
+        batch_format="pandas").materialize()
+    clusters = hamming64_cluster(hashes, max_hamming=3)
+    cmap = dict(zip(clusters["doc_id"].astype(int),
+                    clusters["cluster_id"].astype(int)))
+
+    pair_ok = all(
+        cmap.get(i, i) == cmap.get(i + 100_000, i + 100_000)
+        for i in range(n_base)
+    )
+    planted_clusters = {cmap.get(i, i) for i in range(n_base)}
+    outsiders = [mid for mid in media["media_id"]
+                 if mid >= 200_000 and cmap.get(mid, mid) in planted_clusters]
+    n_distinct = len(planted_clusters)
+    rows_out = [
+        ("pair_recall", float(n_base), pair_ok),
+        ("distractor_precision", float(len(outsiders)), not outsiders),
+        ("cluster_separation", float(n_distinct),
+         n_distinct >= int(0.95 * n_base)),
+    ]
+    return pd.DataFrame(rows_out, columns=["check", "value", "ok"]).astype(
+        {"check": object, "value": np.float64, "ok": bool})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -6327,6 +6393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_collocations": Q.doc_collocations,
         "media_decode_real": _media_decode_real,
         "media_image_neardup": _media_image_neardup,
+        "media_audio_neardup": _media_audio_neardup,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -331,3 +331,52 @@ class ImageDHashStage:
             "doc_id": batch["media_id"].to_numpy(np.int64),
             "simhash": hs.view(np.int64),
         })
+
+
+def audio_fingerprint64(samples: np.ndarray, sample_rate: int,
+                        n_frames: int = 16, n_bands: int = 16) -> int:
+    """64-bit spectral-peak audio fingerprint (the peak-constellation
+    idea of Shazam, Wang ISMIR'03, reduced to one word): the signal
+    splits into ``n_frames`` Hann-windowed frames; each frame
+    contributes the 4-bit INDEX of its dominant log-spaced frequency
+    band — 16 frames x 4 bits = 64 bits. Exactly invariant to
+    amplitude scaling (argmax of uniformly scaled energies) and robust
+    to noise far below the dominant partial; two recordings share
+    nibbles only where the same band dominates the same frame, so
+    structurally different audio sits ~half the nibbles apart."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    frame_len = n // n_frames
+    if frame_len < 2 * n_bands:
+        raise ValueError("audio too short for fingerprinting")
+    frames = x[: frame_len * n_frames].reshape(n_frames, frame_len)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame_len) / frame_len)
+    mag = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frame_len, 1.0 / sample_rate)
+    lo, hi = 100.0, min(3200.0, sample_rate / 2.0)
+    edges = lo * (hi / lo) ** (np.arange(n_bands + 1) / n_bands)
+    idx = np.searchsorted(freqs, edges)
+    E = np.stack([mag[:, idx[b]:max(idx[b] + 1, idx[b + 1])].sum(axis=1)
+                  for b in range(n_bands)], axis=1)
+    codes = E.argmax(axis=1).astype(np.uint64)     # 4-bit band index
+    h = np.uint64(0)
+    for c in codes:
+        h = (h << np.uint64(4)) | c
+    return int(h)
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: decode WAV blobs -> 64-bit Haitsma-Kalker
+    fingerprints in the ``(doc_id, simhash)`` contract of
+    `dedup.hamming64_cluster` — the third modality on the shared
+    Hamming banding engine."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.empty(len(batch), np.uint64)
+        for i, b in enumerate(batch["blob"]):
+            sr, x = decode_wav(b)
+            hs[i] = audio_fingerprint64(x, sr)
+        return pd.DataFrame({
+            "doc_id": batch["media_id"].to_numpy(np.int64),
+            "simhash": hs.view(np.int64),
+        })

@@ -85,3 +85,31 @@ def test_dhash_invariances():
         (120 + 60 * np.sin((x + 2 * y) / 3.3 + 1)).clip(0, 255)[..., None],
         3, 2).astype(np.uint8)
     assert bin(dhash64(other) ^ h0).count("1") > 10
+
+
+def test_audio_fingerprint_invariances():
+    from spectral_time_series_ray.stages.multimodal import audio_fingerprint64
+
+    rng = np.random.default_rng(4)
+    sr = 8000
+    r = np.random.default_rng(77)
+    segs = []
+    for _ in range(16):
+        f = r.uniform(150, 2500)
+        tt = np.arange(sr // 16) / sr
+        segs.append(np.sin(2 * np.pi * f * tt) * r.uniform(0.3, 0.6))
+    x = np.concatenate(segs)
+    h0 = audio_fingerprint64((x * 15000).astype(np.int16), sr)
+    # amplitude scaling: identical (argmax invariance)
+    h1 = audio_fingerprint64((x * 0.3 * 15000).astype(np.int16), sr)
+    assert h1 == h0
+    # mild noise: identical or within a nibble
+    noisy = x + rng.normal(0, 0.01, len(x))
+    h2 = audio_fingerprint64((noisy * 15000).astype(np.int16), sr)
+    assert bin(h2 ^ h0).count("1") <= 4
+    # different melody: far
+    r2 = np.random.default_rng(78)
+    segs2 = [np.sin(2 * np.pi * r2.uniform(150, 2500)
+                    * np.arange(sr // 16) / sr) * 0.5 for _ in range(16)]
+    h3 = audio_fingerprint64((np.concatenate(segs2) * 15000).astype(np.int16), sr)
+    assert bin(h3 ^ h0).count("1") > 10
