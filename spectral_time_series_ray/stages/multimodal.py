@@ -380,3 +380,63 @@ class AudioFingerprintStage:
             "doc_id": batch["media_id"].to_numpy(np.int64),
             "simhash": hs.view(np.int64),
         })
+
+
+VIDEO_MAGIC = b"VID1"
+
+
+def synth_video(frames: list[np.ndarray]) -> bytes:
+    """Encode a frame sequence as a simple length-prefixed container:
+    ``b"VID1" + u32 n_frames + n x (u32 size) + concatenated PPMs``.
+    Each frame is a real P6 PPM, so per-frame decoding exercises the
+    real image codec."""
+    blobs = [synth_ppm(f) for f in frames]
+    head = VIDEO_MAGIC + struct.pack("<I", len(blobs))
+    head += b"".join(struct.pack("<I", len(b)) for b in blobs)
+    return head + b"".join(blobs)
+
+
+def decode_video(blob: bytes) -> list[np.ndarray]:
+    """Parse the VID1 container and decode every PPM frame."""
+    if blob[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID1 container")
+    (n,) = struct.unpack("<I", blob[4:8])
+    sizes = struct.unpack(f"<{n}I", blob[8:8 + 4 * n])
+    pos = 8 + 4 * n
+    frames = []
+    for s in sizes:
+        frames.append(decode_ppm(blob[pos:pos + s]))
+        pos += s
+    return frames
+
+
+class VideoShotStage:
+    """Actor-pool stage: decode VID1 blobs, dHash every frame, and cut
+    SHOT BOUNDARIES where consecutive frames' perceptual hashes jump
+    by more than ``cut_dist`` bits (the classic hash-delta shot
+    detector); emits one row per shot with its first frame as the
+    keyframe id and the frame span — the frame-sampling front end of a
+    video training-data pipeline."""
+
+    def __init__(self, cut_dist: int = 10):
+        self.cut_dist = cut_dist
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for mid, b in zip(batch["media_id"], batch["blob"]):
+            frames = decode_video(b)
+            hs = np.array([dhash64(f) for f in frames], dtype=np.uint64)
+            if len(hs) == 0:
+                continue
+            x = hs[1:] ^ hs[:-1]
+            # vectorized popcount over uint64 via the 8-byte view
+            d = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(1)
+            cuts = np.flatnonzero(d > self.cut_dist) + 1
+            bounds = np.concatenate([[0], cuts, [len(hs)]])
+            keys = hs.view(np.int64)   # two's-complement reinterpret
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                out.append((int(mid), int(s), int(e), int(keys[s])))
+        return pd.DataFrame(out, columns=[
+            "media_id", "start_frame", "end_frame_excl", "keyframe_dhash",
+        ]).astype({"media_id": np.int64, "start_frame": np.int64,
+                   "end_frame_excl": np.int64, "keyframe_dhash": np.int64})

@@ -113,3 +113,26 @@ def test_audio_fingerprint_invariances():
                     * np.arange(sr // 16) / sr) * 0.5 for _ in range(16)]
     h3 = audio_fingerprint64((np.concatenate(segs2) * 15000).astype(np.int16), sr)
     assert bin(h3 ^ h0).count("1") > 10
+
+
+def test_video_roundtrip_and_shots():
+    from spectral_time_series_ray.stages.multimodal import (
+        VideoShotStage,
+        decode_video,
+        synth_video,
+    )
+
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:24, 0:24]
+    a = np.repeat((120 + 60 * np.sin(x / 4)).clip(0, 255)[..., None], 3, 2)
+    b = np.repeat((120 + 60 * np.cos((x + 2 * y) / 3)).clip(0, 255)[..., None], 3, 2)
+    frames = [np.clip(a + rng.integers(-2, 3, a.shape), 0, 255).astype(np.uint8)
+              for _ in range(4)]
+    frames += [np.clip(b + rng.integers(-2, 3, b.shape), 0, 255).astype(np.uint8)
+               for _ in range(3)]
+    blob = synth_video(frames)
+    dec = decode_video(blob)
+    assert len(dec) == 7 and np.array_equal(dec[0], frames[0])
+    shots = VideoShotStage()(pd.DataFrame({"media_id": [1], "blob": [blob]}))
+    spans = sorted(zip(shots["start_frame"], shots["end_frame_excl"]))
+    assert spans == [(0, 4), (4, 7)]
