@@ -6457,6 +6457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier": Q.q5_local_supplier,
         "ev_backtest_expanding": Q.ev_backtest_expanding,
         "ev_wilcoxon_signed": Q.ev_wilcoxon_signed,
+        "ev_epoch_shuffle": Q.ev_epoch_shuffle,
         "tr_snapshot_diff": _tr_snapshot_diff,
         "doc_collocations": Q.doc_collocations,
         "media_decode_real": _media_decode_real,
@@ -7885,6 +7886,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(w2 as bigint) as w_plus_x2,
                    cast(n as bigint) as n_nonzero
             from s
+        """,
+        "ev_epoch_shuffle": """
+            with e as (
+              select event_id, epoch
+              from events cross join (values (0), (1)) as ep(epoch)),
+            k as (
+              select event_id, epoch,
+                     (69621 * ((48271 * ((event_id
+                          + epoch * 1000000007) % 2147483647)
+                        + 1013904223) % 2147483647)
+                      + 1664525) % 2147483647 as k
+              from e)
+            select event_id, cast(epoch as bigint) as epoch,
+                   cast(row_number() over (partition by epoch
+                                           order by k, event_id)
+                        as bigint) as pos
+            from k
         """,
         "ev_welch_ttest": """
             with g as (

@@ -5998,3 +5998,51 @@ def doc_collocations(sf_dir: str, min_count: int = 25):
         "pmi": round_half_away(pmi, 9),
     })
     return out.sort_values("gram").reset_index(drop=True)
+
+
+
+def ev_epoch_shuffle(sf_dir: str, epochs: int = 2):
+    """Deterministic RESUMABLE epoch shuffle — the training-data
+    ordering primitive: every row's position in epoch e is a pure
+    function of (seed constants, e, event_id), so a restarted job
+    recomputes the identical order from any step with no stored
+    state, and every epoch is a fresh permutation. The shuffle key is
+    two affine rounds modulo the Mersenne prime 2^31-1 (MINSTD-style
+    multipliers, Park & Miller CACM'88; all int64 products < 2^63, so
+    engine and SQL compute bit-equal keys); global positions come
+    from the exact range exchange of `features.global_row_number`
+    (sample-balanced partitions, exact per-partition counts, no
+    driver sort). The ~1e2 birthday collisions per 1e6 rows in the
+    31-bit keyspace are broken deterministically by event_id in the
+    SAME total order on both sides."""
+    import ray.data
+
+    from ..stages.features import global_row_number
+
+    M = 2147483647              # 2^31 - 1
+    A1, C1 = 48271, 1013904223  # round 1 (MINSTD multiplier)
+    A2, C2 = 69621, 1664525     # round 2
+
+    outs = []
+    for e in range(epochs):
+        ds = _read(sf_dir, "events", columns=["event_id"])
+
+        def key(batch: pd.DataFrame, _e=e) -> pd.DataFrame:
+            x = (batch["event_id"].to_numpy(np.int64)
+                 + np.int64(_e) * np.int64(1_000_000_007)) % M
+            k1 = (A1 * x + C1) % M
+            k2 = (A2 * k1 + C2) % M
+            return pd.DataFrame({
+                "event_id": batch["event_id"].to_numpy(np.int64),
+                "epoch": np.int64(_e),
+                "k": k2,
+            })
+
+        keyed = ds.map_batches(key, batch_format="pandas", batch_size=None)
+        ranked, _total = global_row_number(
+            keyed, primary="k", tiebreak="event_id", out_col="pos")
+        outs.append(ranked.select_columns(["event_id", "epoch", "pos"]))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res
