@@ -6193,6 +6193,90 @@ def _media_video_shots(sf_dir: str):
         {"check": object, "value": np.float64, "ok": bool})
 
 
+
+def _ev_dp_counts(sf_dir: str):
+    """Differentially-private event-type count release with the REAL
+    DP mechanics: per-user contribution CLIPPING bounds sensitivity
+    (each user contributes at most C=16 events per type — one
+    (user, type)-keyed exchange computes min(count, C) partials), then
+    Laplace(C/eps) noise, eps=1, via inverse-CDF over splitmix64
+    uniforms keyed by (release_seed, event_type) — deterministic, so
+    re-running the release reproduces it bit-for-bit (the
+    publish-once contract). SELF-VERIFYING: (a) bit-exact determinism
+    across two independent noise draws; (b) the clipping loss equals
+    an independently computed sum of per-user excesses
+    (distributed, exact int64); (c) every |noisy - clipped| sits
+    below the 1-1e-12 Laplace quantile of its scale."""
+    from spectral_time_series_ray.functions.kll import _splitmix64 as splitmix64
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.stages.join import hash_groupby_sum
+
+    C, EPS, SEED = 16, 1.0, 20260820
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def ut_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "event_type": batch["event_type"].to_numpy(),
+            "n": np.int64(1),
+        })
+        return g.groupby(["user_id", "event_type"], as_index=False).sum()
+
+    ut = hash_groupby_sum(
+        ds.map_batches(ut_partial, batch_format="pandas", batch_size=None),
+        ("user_id", "event_type"), ("n",),
+    )
+
+    def clip_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "clipped": np.minimum(n, C),
+            "raw": n,
+            "excess": np.maximum(n - C, 0),
+        }).groupby("event_type", as_index=False).sum()
+
+    t = (
+        ut.map_batches(clip_partial, batch_format="pandas", batch_size=None)
+        .to_pandas()  # <= |types| rows per block
+        .groupby("event_type", as_index=False)[["clipped", "raw", "excess"]]
+        .sum().sort_values("event_type").reset_index(drop=True)
+    )
+
+    def laplace_noise(types) -> np.ndarray:
+        # uniform in (0,1) from a 53-bit splitmix64 draw keyed by
+        # (SEED, type-hash); inverse CDF of Laplace(scale)
+        th = np.array([
+            splitmix64(SEED ^ int(
+                pd.util.hash_pandas_object(pd.Series([s]), index=False)
+                .iloc[0]))
+            for s in types
+        ], dtype=np.uint64)
+        u = ((th >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        signed = u - 0.5
+        scale = C / EPS
+        return -scale * np.sign(signed) * np.log1p(-2.0 * np.abs(signed))
+
+    n1 = laplace_noise(t["event_type"])
+    n2 = laplace_noise(t["event_type"])
+    noisy = t["clipped"].to_numpy(np.float64) + n1
+    q = (C / EPS) * np.log(1.0 / 1e-12)   # 1 - 1e-12 two-sided quantile
+    ok_det = bool(np.array_equal(n1, n2))
+    ok_clip = bool((t["raw"] - t["excess"] == t["clipped"]).all()
+                   and (t["excess"] >= 0).all())
+    ok_bound = bool((np.abs(noisy - t["clipped"].to_numpy(np.float64)) < q).all())
+    out = pd.DataFrame({
+        "event_type": t["event_type"],
+        "noisy_count": np.round(noisy, 6),
+        "clipped_count": t["clipped"].to_numpy(np.int64),
+        "raw_count": t["raw"].to_numpy(np.int64),
+        "clip_loss": t["excess"].to_numpy(np.int64),
+        "ok": ok_det and ok_clip and ok_bound,
+    })
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -6464,6 +6548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_neardup": _media_image_neardup,
         "media_audio_neardup": _media_audio_neardup,
         "media_video_shots": _media_video_shots,
+        "ev_dp_counts": _ev_dp_counts,
     }
 
 def oracle_sql() -> dict[str, str]:
