@@ -6542,6 +6542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_backtest_expanding": Q.ev_backtest_expanding,
         "ev_wilcoxon_signed": Q.ev_wilcoxon_signed,
         "ev_epoch_shuffle": Q.ev_epoch_shuffle,
+        "ev_granger": Q.ev_granger,
         "tr_snapshot_diff": _tr_snapshot_diff,
         "doc_collocations": Q.doc_collocations,
         "media_decode_real": _media_decode_real,
@@ -7988,6 +7989,71 @@ def oracle_sql() -> dict[str, str]:
                                            order by k, event_id)
                         as bigint) as pos
             from k
+        """,
+        "ev_granger": """
+            with e as (
+              select event_type, date_trunc('hour', ts) as hr
+              from events where event_type in ('click', 'purchase')),
+            bounds as (select min(hr) as g0, max(hr) as g1 from e),
+            grid as (
+              select unnest(generate_series(
+                (select g0 from bounds), (select g1 from bounds),
+                interval 1 hour)) as hr),
+            hc as (
+              select hr,
+                     sum(case when event_type = 'click' then 1 else 0 end)
+                       as c,
+                     sum(case when event_type = 'purchase' then 1 else 0 end)
+                       as p
+              from e group by 1),
+            g as (
+              select grid.hr, coalesce(hc.c, 0) as c, coalesce(hc.p, 0) as p
+              from grid left join hc on hc.hr = grid.hr),
+            l as (
+              select p as y,
+                     lag(p) over (order by hr) as x1,
+                     lag(c) over (order by hr) as x2
+              from g),
+            v as (select y, x1, x2 from l where x1 is not null),
+            s as (
+              select cast(count(*) as double) as n,
+                     cast(sum(x1) as double) as s1,
+                     cast(sum(x2) as double) as s2,
+                     cast(sum(y) as double) as sy,
+                     cast(sum(x1 * x1) as double) as s11,
+                     cast(sum(x1 * x2) as double) as s12,
+                     cast(sum(x2 * x2) as double) as s22,
+                     cast(sum(x1 * y) as double) as s1y,
+                     cast(sum(x2 * y) as double) as s2y,
+                     cast(sum(y * y) as double) as syy
+              from v),
+            c1 as (
+              select n, s1y, s2y,
+                     s11 - s1 * s1 / n as sxx1,
+                     s22 - s2 * s2 / n as sxx2,
+                     s12 - s1 * s2 / n as sx12,
+                     s1y - s1 * sy / n as sx1y,
+                     s2y - s2 * sy / n as sx2y,
+                     syy - sy * sy / n as syyc
+              from s),
+            b as (
+              select n, sx1y, sx2y, syyc, sxx1,
+                     (sx1y * sxx2 - sx2y * sx12)
+                       / (sxx1 * sxx2 - sx12 * sx12) as b1,
+                     (sx2y * sxx1 - sx1y * sx12)
+                       / (sxx1 * sxx2 - sx12 * sx12) as b2
+              from c1),
+            r as (
+              select n, b1, b2,
+                     syyc - b1 * sx1y - b2 * sx2y as rss_u,
+                     syyc - sx1y * sx1y / sxx1 as rss_r
+              from b)
+            select cast(n as bigint) as n_hours,
+                   round(b1, 9) as b_self_lag,
+                   round(b2, 9) as b_click_lag,
+                   round((rss_r - rss_u) / (rss_u / (n - 3.0)), 9) as f_stat,
+                   round(rss_u / rss_r, 9) as rss_ratio
+            from r
         """,
         "ev_welch_ttest": """
             with g as (

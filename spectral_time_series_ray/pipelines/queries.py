@@ -6046,3 +6046,74 @@ def ev_epoch_shuffle(sf_dir: str, epochs: int = 2):
     for o in outs[1:]:
         res = res.union(o)
     return res
+
+
+def ev_granger(sf_dir: str):
+    """Granger-causality test (Granger 1969): do lagged CLICK counts
+    improve the one-step prediction of PURCHASE counts beyond
+    purchases' own lag? Both hourly series live on the DENSE calendar
+    grid between the first and last click/purchase hour (missing
+    hours are exact zeros); the unrestricted AR-X model
+    p_t ~ p_{t-1} + c_{t-1} solves by the same centered-Cramer closed
+    form as ev_ols_multi, the restricted model drops c_{t-1}, and
+    F = (RSS_r - RSS_u) / (RSS_u / (n - 3)). Distributed shape: one
+    bounded (hour, type) count exchange; only the CALENDAR-sized grid
+    reaches the driver, where every sufficient statistic is an exact
+    int64 sum — the float chain mirrors the oracle SQL operation for
+    operation."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "events", columns=["event_type", "ts"],
+        filter=pc.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hr = batch["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        is_c = (batch["event_type"] == "click").to_numpy()
+        g = pd.DataFrame({
+            "hr": hr,
+            "c": is_c.astype(np.int64),
+            "p": (~is_c).astype(np.int64),
+        })
+        return g.groupby("hr", as_index=False).sum()
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("hr")
+        .aggregate(Sum("c", alias_name="c"), Sum("p", alias_name="p"))
+        .to_pandas()  # bounded by the CALENDAR hour grid
+        .sort_values("hr")
+    )
+    h0, h1 = int(h["hr"].iloc[0]), int(h["hr"].iloc[-1])
+    grid = np.arange(h0, h1 + 1)
+    c = np.zeros(len(grid), np.int64)
+    p = np.zeros(len(grid), np.int64)
+    pos = h["hr"].to_numpy(np.int64) - h0
+    c[pos] = h["c"].to_numpy(np.int64)
+    p[pos] = h["p"].to_numpy(np.int64)
+
+    y, x1, x2 = p[1:], p[:-1], c[:-1]
+    n = float(len(y))
+    s1, s2, sy = float(x1.sum()), float(x2.sum()), float(y.sum())
+    s11, s12, s22 = float((x1 * x1).sum()), float((x1 * x2).sum()), float((x2 * x2).sum())
+    s1y, s2y, syy = float((x1 * y).sum()), float((x2 * y).sum()), float((y * y).sum())
+    sxx1 = s11 - s1 * s1 / n
+    sxx2 = s22 - s2 * s2 / n
+    sx12 = s12 - s1 * s2 / n
+    sx1y = s1y - s1 * sy / n
+    sx2y = s2y - s2 * sy / n
+    syyc = syy - sy * sy / n
+    det = sxx1 * sxx2 - sx12 * sx12
+    b1 = (sx1y * sxx2 - sx2y * sx12) / det
+    b2 = (sx2y * sxx1 - sx1y * sx12) / det
+    rss_u = syyc - b1 * sx1y - b2 * sx2y
+    rss_r = syyc - sx1y * sx1y / sxx1
+    f = (rss_r - rss_u) / (rss_u / (n - 3.0))
+    return pd.DataFrame({
+        "n_hours": np.array([int(n)], np.int64),
+        "b_self_lag": round_half_away(np.array([b1]), 9),
+        "b_click_lag": round_half_away(np.array([b2]), 9),
+        "f_stat": round_half_away(np.array([f]), 9),
+        "rss_ratio": round_half_away(np.array([rss_u / rss_r]), 9),
+    })
