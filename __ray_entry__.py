@@ -6306,7 +6306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_m4_downsample": Q.ev_m4_downsample,
         "ev_seasonal_decompose": Q.ev_seasonal_decompose,
-        "ev_seasonal_mase": Q.ev_seasonal_mase,
+        "ev_backtest_expanding": Q.ev_backtest_expanding,
         "ev_user_scaler": Q.ev_user_scaler,
         "ev_multivariate_precond": Q.ev_multivariate_precond,
         "ev_retained_users": Q.ev_retained_users,
@@ -6318,7 +6318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_trend": Q.ev_trend,
         "q1_pricing": Q.q1_pricing,
         "doc_ssjoin": Q.doc_ssjoin,
-        "q12_priority_lines": Q.q12_priority_lines,
+        "ev_granger": Q.ev_granger,
         "doc_bm25_search": Q.doc_bm25_search,
         "ev_kendall_tau": Q.ev_kendall_tau,
         "q3_revenue_topk": Q.q3_revenue_topk,
@@ -6539,10 +6539,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": Q.q8_market_share,
         "ev_isotonic": _ev_isotonic,
         "q5_local_supplier": Q.q5_local_supplier,
-        "ev_backtest_expanding": Q.ev_backtest_expanding,
+        "ev_seasonal_mase": Q.ev_seasonal_mase,
         "ev_wilcoxon_signed": Q.ev_wilcoxon_signed,
         "ev_epoch_shuffle": Q.ev_epoch_shuffle,
-        "ev_granger": Q.ev_granger,
+        "q12_priority_lines": Q.q12_priority_lines,
         "tr_snapshot_diff": _tr_snapshot_diff,
         "doc_collocations": Q.doc_collocations,
         "media_decode_real": _media_decode_real,
