@@ -6015,8 +6015,6 @@ def ev_epoch_shuffle(sf_dir: str, epochs: int = 2):
     driver sort). The ~1e2 birthday collisions per 1e6 rows in the
     31-bit keyspace are broken deterministically by event_id in the
     SAME total order on both sides."""
-    import ray.data
-
     from ..stages.features import global_row_number
 
     M = 2147483647              # 2^31 - 1
