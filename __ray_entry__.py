@@ -6319,6 +6319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": Q.q1_pricing,
         "doc_ssjoin": Q.doc_ssjoin,
         "ev_granger": Q.ev_granger,
+        "ev_hill_tail": Q.ev_hill_tail,
         "doc_bm25_search": Q.doc_bm25_search,
         "ev_kendall_tau": Q.ev_kendall_tau,
         "q3_revenue_topk": Q.q3_revenue_topk,
@@ -8054,6 +8055,45 @@ def oracle_sql() -> dict[str, str]:
                    round((rss_r - rss_u) / (rss_u / (n - 3.0)), 9) as f_stat,
                    round(rss_u / rss_r, 9) as rss_ratio
             from r
+        """,
+        "ev_hill_tail": """
+            with e as (
+              select event_type, cast(round(value * 100) as bigint) as cents
+              from events),
+            h as (select event_type, cents, count(*) as t
+                  from e group by 1, 2),
+            c as (
+              select event_type, cents, t,
+                     sum(t) over (partition by event_type
+                                  order by cents desc
+                                  rows between unbounded preceding
+                                       and current row) as cum,
+                     sum(t) over (partition by event_type) as n
+              from h),
+            kk as (
+              select event_type, any_value(n) as n,
+                     least(500, any_value(n)) as k
+              from c group by event_type),
+            bx as (
+              select c.event_type, max(c.cents) as xkc
+              from c join kk on kk.event_type = c.event_type
+              where c.cum >= kk.k
+              group by c.event_type),
+            s as (
+              select c.event_type,
+                     sum(c.t * ln(c.cents * 1.0 / bx.xkc)) as ls,
+                     cast(coalesce(sum(c.t), 0) as bigint) as n_above
+              from c join bx on bx.event_type = c.event_type
+              where c.cents > bx.xkc
+              group by c.event_type)
+            select kk.event_type,
+                   cast(kk.n as bigint) as n,
+                   cast(kk.k as bigint) as k,
+                   bx.xkc / 100.0 as x_k,
+                   round(kk.k / s.ls, 9) as alpha,
+                   s.n_above
+            from kk join bx on bx.event_type = kk.event_type
+                    join s on s.event_type = kk.event_type
         """,
         "ev_welch_ttest": """
             with g as (

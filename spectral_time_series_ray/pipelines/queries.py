@@ -6115,3 +6115,68 @@ def ev_granger(sf_dir: str):
         "f_stat": round_half_away(np.array([f]), 9),
         "rss_ratio": round_half_away(np.array([rss_u / rss_r]), 9),
     })
+
+
+def ev_hill_tail(sf_dir: str, k: int = 500):
+    """Hill tail-index estimator (Hill 1975) per event type: over the
+    k=500 largest values, alpha_hat = k / sum(ln(x_i / x_(k))) — the
+    standard heavy-tail audit for deciding whether a metric has finite
+    variance. Distributed via the bounded cent-DOMAIN histogram: the
+    k-th order statistic falls out of the cumulative counts, and the
+    log-sum collapses to sum over distinct values above it of
+    t_v * ln(v / x_k) (boundary rows contribute exactly zero). Only
+    the domain histogram reaches the driver; the oracle SQL evaluates
+    the same term set (float addition order may differ by an ulp —
+    absorbed by round-9 like the chi-square/entropy entries)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(),
+            "cents": np.round(batch["value"].to_numpy(np.float64) * 100).astype(np.int64),
+            "t": np.int64(1),
+        })
+        return g.groupby(["event_type", "cents"], as_index=False).sum()
+
+    from ..stages.rollup import partitions_for_input
+
+    P = partitions_for_input(None)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_part"] = (batch["cents"].to_numpy(np.int64) % P).astype(np.int32)
+        return batch
+
+    h = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .map_batches(add_part, batch_format="pandas", batch_size=None)
+        .groupby("_part")
+        .map_groups(lambda df: df.drop(columns=["_part"])
+                    .groupby(["event_type", "cents"], as_index=False).sum(),
+                    batch_format="pandas")
+        .to_pandas()  # bounded by |types| x value DOMAIN
+    )
+    rows = []
+    for et, df in h.groupby("event_type"):
+        df = df.sort_values("cents", ascending=False)
+        v = df["cents"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        cum = np.cumsum(t)
+        n = int(cum[-1])
+        kk = min(k, n)
+        j = int(np.searchsorted(cum, kk))      # first idx with cum >= kk
+        xk = float(v[j])
+        above = slice(0, j)                     # strictly larger values
+        # count of terms above xk; boundary rows contribute ln(1)=0
+        n_above = int(cum[j - 1]) if j > 0 else 0
+        ls = float((t[above] * np.log(v[above] / xk)).sum())
+        alpha = kk / ls if ls > 0 else np.nan
+        rows.append((et, n, kk, xk / 100.0, alpha, n_above))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "k", "x_k",
+                                      "alpha", "n_above"])
+    out["n"] = out["n"].astype(np.int64)
+    out["k"] = out["k"].astype(np.int64)
+    out["n_above"] = out["n_above"].astype(np.int64)
+    out["alpha"] = round_half_away(out["alpha"].to_numpy(np.float64), 9)
+    return out.sort_values("event_type").reset_index(drop=True)
