@@ -6320,6 +6320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ssjoin": Q.doc_ssjoin,
         "ev_granger": Q.ev_granger,
         "ev_hill_tail": Q.ev_hill_tail,
+        "ev_fdr_bh": Q.ev_fdr_bh,
         "doc_bm25_search": Q.doc_bm25_search,
         "ev_kendall_tau": Q.ev_kendall_tau,
         "q3_revenue_topk": Q.q3_revenue_topk,
@@ -8094,6 +8095,35 @@ def oracle_sql() -> dict[str, str]:
                    s.n_above
             from kk join bx on bx.event_type = kk.event_type
                     join s on s.event_type = kk.event_type
+        """,
+        "ev_fdr_bh": """
+            with b as (
+              select (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 as mid
+              from events),
+            u as (
+              select user_id,
+                     sum(case when epoch_us(ts) >= (select mid from b)
+                              then 1 else -1 end) as d,
+                     count(*) as n
+              from events group by 1),
+            m as (select count(*) as m from u),
+            s as (
+              select user_id, d, n,
+                     (d * d) * 1.0 / n as ddn,
+                     row_number() over (order by (d * d) * 1.0 / n desc,
+                                        user_id) as rnk
+              from u),
+            rstar as (
+              select coalesce(max(case when ddn >=
+                       -2.0 * ln(rnk * 0.1 / (2.0 * (select m from m)))
+                     then rnk else 0 end), 0) as r
+              from s)
+            select user_id, cast(d as bigint) as d, cast(n as bigint) as n,
+                   cast(rnk as bigint) as rnk,
+                   round(least(1.0, 2.0 * exp(-(d * d) / (2.0 * n))), 6)
+                     as p_hoeffding,
+                   rnk <= (select r from rstar) as rejected
+            from s
         """,
         "ev_welch_ttest": """
             with g as (

@@ -6180,3 +6180,84 @@ def ev_hill_tail(sf_dir: str, k: int = 500):
     out["n_above"] = out["n_above"].astype(np.int64)
     out["alpha"] = round_half_away(out["alpha"].to_numpy(np.float64), 9)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def ev_fdr_bh(sf_dir: str, q: float = 0.1):
+    """Benjamini-Hochberg FDR control (JRSS-B 1995) over per-user
+    activity-shift tests: d_u = second-half minus first-half event
+    count, conservative Hoeffding p-value p_u = min(1,
+    2 exp(-d^2/(2n))). DESIGN NOTE on exactness: numpy and DuckDB
+    transcendentals differ in the last ulp (~25% of values measured),
+    so every ORDERING/DECISION uses the exact monotone surrogate
+    d^2/n — a single IEEE division of exact int64s, bit-identical in
+    both engines; p itself is display-only (round 6) and the BH
+    threshold comparison d^2/n >= -2 ln(r q / (2 m)) touches ln only
+    on the threshold side, where a flip needs d^2/n within one ulp of
+    it. Distributed shape: one user-keyed count exchange, ranks from
+    `features.global_row_number`'s range exchange, r* via one tiny
+    max aggregate broadcast back."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.features import global_row_number
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(mm["min(ts)"]).value // 1000
+    hi = pd.Timestamp(mm["max(ts)"]).value // 1000
+    mid = (lo + hi) // 2
+
+    def signed(batch: pd.DataFrame) -> pd.DataFrame:
+        tus = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "d": np.where(tus >= mid, np.int64(1), np.int64(-1)),
+            "n": np.int64(1),
+        })
+        return g.groupby("user_id", as_index=False).sum()
+
+    per_user = (
+        ds.map_batches(signed, batch_format="pandas", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Sum("d", alias_name="d"), Sum("n", alias_name="n"))
+        .materialize()
+    )
+    m = int(per_user.count())
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["d"].to_numpy(np.int64)
+        n = batch["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "d": d, "n": n,
+            "ddn": (d * d) / n,     # exact IEEE division of exact ints
+        })
+
+    scored = per_user.map_batches(score, batch_format="pandas", batch_size=None)
+    ranked, _ = global_row_number(scored, primary="ddn", tiebreak="user_id",
+                                  descending=True, out_col="rnk")
+
+    def bh_test(batch: pd.DataFrame) -> pd.DataFrame:
+        r = batch["rnk"].to_numpy(np.int64)
+        rhs = -2.0 * np.log(r * q / (2.0 * m))
+        batch["hit"] = np.where(batch["ddn"].to_numpy(np.float64) >= rhs,
+                                r, np.int64(0))
+        return batch
+
+    tested = ranked.map_batches(bh_test, batch_format="pandas",
+                                batch_size=None).materialize()
+    r_star = int(tested.max("hit") or 0)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["d"].to_numpy(np.int64)
+        n = batch["n"].to_numpy(np.int64)
+        p = np.minimum(1.0, 2.0 * np.exp(-(d * d) / (2.0 * n)))
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "d": d, "n": n,
+            "rnk": batch["rnk"].to_numpy(np.int64),
+            "p_hoeffding": round_half_away(p, 6),
+            "rejected": batch["rnk"].to_numpy(np.int64) <= r_star,
+        })
+
+    return tested.map_batches(finish, batch_format="pandas", batch_size=None)
