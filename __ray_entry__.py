@@ -6277,6 +6277,70 @@ def _ev_dp_counts(sf_dir: str):
     return out
 
 
+
+def _tr_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) source/sink roundtrip at scale
+    (`sources/ipc.py` — the third wire format next to Parquet and
+    JSONL, exact-schema, zero-cast): write the transcript Dataset as
+    one .arrow shard per block, read it back through the distributed
+    per-shard decoder, and compare both sides by the same
+    order-invariant distributed fingerprint as the JSONL entry.
+    Self-check: shard count >= 1, counts equal, fingerprints equal,
+    and the restored schema is EXACTLY the source schema (the whole
+    point of IPC over JSONL)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from spectral_time_series_ray.sources.ipc import (
+        read_transcripts_ipc,
+        write_transcripts_ipc,
+    )
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+
+    def fingerprint(ds):
+        def batch_hash(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["ts"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+            h = pd.util.hash_pandas_object(
+                df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+                index=False,
+            ).to_numpy()
+            s = int(h.view(np.int64).sum(dtype=np.int64)) if len(h) else 0
+            return pa.table({"h": pa.array([s], type=pa.int64()),
+                             "n": pa.array([len(h)], type=pa.int64())})
+
+        parts = ds.map_batches(
+            batch_hash, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        return (
+            int(parts["h"].to_numpy().sum(dtype=np.int64)),
+            int(parts["n"].sum()),
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="tr_ipc_", dir="/tmp")
+    try:
+        src = read_transcripts(sf_dir)
+        n_shards = write_transcripts_ipc(src, out_dir)
+        back = read_transcripts_ipc(out_dir)
+        schema_ok = back.schema().names == src.schema().names and [
+            str(t) for t in back.schema().types
+        ] == [str(t) for t in src.schema().types]
+        a = fingerprint(read_transcripts(sf_dir))
+        b = fingerprint(back)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    ok = bool(n_shards >= 1 and schema_ok and a == b and a[1] > 0)
+    return pd.DataFrame({
+        "n_shards": np.array([n_shards], np.int64),
+        "rows": np.array([a[1]], np.int64),
+        "fingerprint_match": [a == b],
+        "schema_exact": [bool(schema_ok)],
+        "ok": [ok],
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -6321,6 +6385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_granger": Q.ev_granger,
         "ev_hill_tail": Q.ev_hill_tail,
         "ev_fdr_bh": Q.ev_fdr_bh,
+        "tr_ipc_roundtrip": _tr_ipc_roundtrip,
         "doc_bm25_search": Q.doc_bm25_search,
         "ev_kendall_tau": Q.ev_kendall_tau,
         "q3_revenue_topk": Q.q3_revenue_topk,

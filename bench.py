@@ -207,7 +207,13 @@ def run_bench() -> dict:
                      # forecasters, tie-exact percent_rank, ridge,
                      # weighted quantiles
                      "tr_croston", "tr_ar_yw", "ev_percent_rank",
-                     "ev_ridge", "li_weighted_median"):
+                     "ev_ridge", "li_weighted_median",
+                     # round-3 session finale: association/rank stats,
+                     # edge Jaccard, resumable epoch shuffle, BH-FDR,
+                     # real-codec multimodal near-dup
+                     "ev_kendall_tau", "ev_trimmed_mean",
+                     "graph_jaccard", "ev_epoch_shuffle",
+                     "ev_fdr_bh", "media_image_neardup"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):
