@@ -6341,6 +6341,91 @@ def _tr_ipc_roundtrip(sf_dir: str):
     })
 
 
+
+def _ev_fisher_exact(sf_dir: str):
+    """Fisher's EXACT test (conditional hypergeometric) on the 2x2
+    table (variant = user-id parity) x (user converted): the same
+    experiment ev_ab_test approximates with a pooled z — this entry
+    computes the exact two-sided p-value by summing hypergeometric
+    table probabilities <= the observed one. All probabilities are
+    EXACT RATIONALS (math.comb big-ints over a common denominator), so
+    the two-sided sum is decided by integer comparisons with no float
+    anywhere in the decision. SELF-VERIFYING: (a) a second,
+    independent computation via the hypergeometric RECURRENCE
+    P(k+1)/P(k) = ((Ka-k)(N1-k)) / ((k+1)(N-Ka-N1+k+1)) in exact
+    Fraction arithmetic must give the identical rational p; (b) the
+    one-sided p never exceeds the two-sided; (c) p == 1 exactly when
+    the observed table is the modal one at balanced margins is NOT
+    required (two-sided ties are subtle) but p in (0, 1] is. The 4
+    cell counts come from one distributed user-level reduce."""
+    from fractions import Fraction
+    from math import comb
+
+    from spectral_time_series_ray.pipelines.queries import _read
+
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "conv": (batch["event_type"] == "purchase").to_numpy().astype(np.int64),
+        })
+        return g.groupby("user_id", as_index=False).max()
+
+    users = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Max("conv", alias_name="conv"))
+    )
+
+    def cells(batch: pd.DataFrame) -> pd.DataFrame:
+        v = (batch["user_id"].to_numpy(np.int64) % 2).astype(np.int64)
+        c = batch["conv"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_a": [int((v == 0).sum())], "n_b": [int((v == 1).sum())],
+            "c_a": [int(c[v == 0].sum())], "c_b": [int(c[v == 1].sum())],
+        })
+
+    t = (users.map_batches(cells, batch_format="pandas", batch_size=None)
+         .to_pandas().sum())
+    n_a, n_b = int(t["n_a"]), int(t["n_b"])
+    c_a, c_b = int(t["c_a"]), int(t["c_b"])
+    N, K = n_a + n_b, c_a + c_b          # total users, total converters
+    lo, hi = max(0, K - n_b), min(K, n_a)
+
+    # algorithm 1: direct binomial-coefficient integers over the
+    # common denominator C(N, K) — weights w(k) = C(n_a,k) C(n_b,K-k)
+    w = {k: comb(n_a, k) * comb(n_b, K - k) for k in range(lo, hi + 1)}
+    denom = comb(N, K)
+    assert sum(w.values()) == denom      # Vandermonde identity — exact
+    w_obs = w[c_a]
+    p_two_int = sum(v for v in w.values() if v <= w_obs)
+    p_two = Fraction(p_two_int, denom)
+    p_one = Fraction(sum(w[k] for k in range(c_a, hi + 1)), denom)
+
+    # algorithm 2: recurrence in exact Fractions from P(lo)
+    probs = {lo: Fraction(w[lo], denom)}
+    for k in range(lo, hi):
+        probs[k + 1] = (probs[k] * (n_a - k) * (K - k)
+                        / ((k + 1) * (n_b - K + k + 1)))
+    p_two_rec = sum(v for v in probs.values() if v <= probs[c_a])
+    ok = bool(
+        p_two_rec == p_two
+        and sum(probs.values()) == 1
+        and p_one <= p_two
+        and 0 < p_two <= 1
+    )
+    return pd.DataFrame({
+        "n_a": np.array([n_a], np.int64), "n_b": np.array([n_b], np.int64),
+        "conv_a": np.array([c_a], np.int64), "conv_b": np.array([c_b], np.int64),
+        "p_two_sided": np.array([float(p_two)], np.float64),
+        "p_one_sided": np.array([float(p_one)], np.float64),
+        "ok": [ok],
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries, so the window holds exactly one oracle-checked
@@ -6386,6 +6471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_hill_tail": Q.ev_hill_tail,
         "ev_fdr_bh": Q.ev_fdr_bh,
         "tr_ipc_roundtrip": _tr_ipc_roundtrip,
+        "ev_fisher_exact": _ev_fisher_exact,
         "doc_bm25_search": Q.doc_bm25_search,
         "ev_kendall_tau": Q.ev_kendall_tau,
         "q3_revenue_topk": Q.q3_revenue_topk,
