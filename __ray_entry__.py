@@ -1933,8 +1933,14 @@ def _emb_near_dup(sf_dir: str):
 
     from spectral_time_series_ray.stages.similarity import embedding_near_dup
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(10)  # tiny planted slice
+    # Predicate-pushdown read of ONLY the 10 planted base rows — the
+    # driver never pulls the full embeddings table even at 100x.
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 10)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
     rng = np.random.default_rng(5)
     base_ids = df["vec_id"].to_numpy()
     copies = pd.DataFrame(
@@ -2060,8 +2066,14 @@ def _emb_semdedup(sf_dir: str):
 
     from spectral_time_series_ray.stages.similarity import semdedup
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(10)
+    # Predicate-pushdown read of ONLY the 10 planted base rows (see
+    # _emb_near_dup) — no whole-table driver pull at any scale.
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 10)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
     rng = np.random.default_rng(5)
     base_ids = df["vec_id"].to_numpy()
     copies = pd.DataFrame(
@@ -6342,25 +6354,90 @@ def _tr_ipc_roundtrip(sf_dir: str):
 
 
 
+def _src_tsf_roundtrip(sf_dir: str):
+    """Monash ``.tsf`` source (`sources/tsf.py`, format of
+    gluonts.py:345-403's archives): build a BOUNDED fixture of 40
+    per-user hourly count series from events (40 users by id — fixed
+    size by construction, never O(#users)), export it as a zipped
+    .tsf, then stream it back through the distributed line-splittable
+    reader and compare bit-exact at float32 (NaN markers included —
+    every 7th point is punched out as '?'). Self-checks: series count,
+    per-series start timestamps, freq alias mapping, exact NaN mask,
+    and bit-equal values."""
+    import tempfile
+
+    from spectral_time_series_ray.pipelines.queries import _read
+    from spectral_time_series_ray.sources.tsf import read_tsf, write_tsf
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    ds = ds.filter(expr="user_id < 40")
+
+    def hourly(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "h": batch["ts"].dt.floor("h"),
+        })
+        out = g.groupby(["user_id", "h"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    # bounded driver pull: <= 40 users x hours in the data's range
+    agg = (
+        ds.map_batches(hourly, batch_format="pandas", batch_size=None)
+        .groupby(["user_id", "h"]).sum("n").to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    rows = []
+    for uid, g in agg.sort_values(["user_id", "h"]).groupby("user_id"):
+        start = g["h"].min()
+        idx = ((g["h"] - start).dt.total_seconds() // 3600).astype(int).to_numpy()
+        tgt = np.full(int(idx.max()) + 1, 0.0, np.float64)
+        tgt[idx] = g["n"].to_numpy(np.float64)
+        tgt[::7] = np.nan  # exercise the '?' missing marker
+        rows.append({"item_id": f"u{uid:05d}", "start": start, "target": tgt})
+    fix = pd.DataFrame(rows)
+
+    with tempfile.TemporaryDirectory(prefix="tsf_", dir="/tmp") as d:
+        import zipfile
+
+        tsf = f"{d}/series.tsf"
+        write_tsf(fix, tsf, frequency="hourly")
+        zpath = f"{d}/series.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            zf.write(tsf, "series.tsf")
+        got = read_tsf(zpath, scratch_dir=d).to_pandas()
+
+    got = got.sort_values("item_id").reset_index(drop=True)
+    ok = len(got) == len(fix) and (got["freq"] == "h").all()
+    ok = ok and got["start"].tolist() == fix["start"].tolist()
+    n_vals = n_nan = 0
+    for g, e in zip(got["target"], fix["target"]):
+        g = np.asarray(g, np.float32)
+        e = np.asarray(e, np.float32)
+        same_mask = len(g) == len(e) and np.array_equal(np.isnan(g), np.isnan(e))
+        ok = ok and same_mask and np.array_equal(g[~np.isnan(g)], e[~np.isnan(e)])
+        n_vals += len(g)
+        n_nan += int(np.isnan(g).sum())
+    return pd.DataFrame({
+        "n_series": np.array([len(got)], np.int64),
+        "n_points": np.array([n_vals], np.int64),
+        "n_missing": np.array([n_nan], np.int64),
+        "ok": [bool(ok)],
+    })
+
+
 def _ev_fisher_exact(sf_dir: str):
     """Fisher's EXACT test (conditional hypergeometric) on the 2x2
     table (variant = user-id parity) x (user converted): the same
     experiment ev_ab_test approximates with a pooled z — this entry
     computes the exact two-sided p-value by summing hypergeometric
-    table probabilities <= the observed one. All probabilities are
-    EXACT RATIONALS (math.comb big-ints over a common denominator), so
-    the two-sided sum is decided by integer comparisons with no float
-    anywhere in the decision. SELF-VERIFYING: (a) a second,
-    independent computation via the hypergeometric RECURRENCE
-    P(k+1)/P(k) = ((Ka-k)(N1-k)) / ((k+1)(N-Ka-N1+k+1)) in exact
-    Fraction arithmetic must give the identical rational p; (b) the
-    one-sided p never exceeds the two-sided; (c) p == 1 exactly when
-    the observed table is the modal one at balanced margins is NOT
-    required (two-sided ties are subtle) but p in (0, 1] is. The 4
-    cell counts come from one distributed user-level reduce."""
-    from fractions import Fraction
-    from math import comb
-
+    table probabilities <= the observed one. Delegates to
+    functions/fisher.py: EXACT RATIONALS (big-int binomials, integer
+    decision arithmetic, independent Fraction-recurrence witness) while
+    the support is <= 10_000 tables; an O(sqrt(N)) lgamma window above
+    that — the driver leg is bounded at every scale. The 4 cell counts
+    come from one distributed user-level reduce; the ``method`` column
+    reports which path ran and ``ok`` bundles the path's self-checks
+    (Vandermonde + recurrence equality, or unit mass + ordering)."""
     from spectral_time_series_ray.pipelines.queries import _read
 
     from ray.data.aggregate import Max
@@ -6392,36 +6469,21 @@ def _ev_fisher_exact(sf_dir: str):
          .to_pandas().sum())
     n_a, n_b = int(t["n_a"]), int(t["n_b"])
     c_a, c_b = int(t["c_a"]), int(t["c_b"])
-    N, K = n_a + n_b, c_a + c_b          # total users, total converters
-    lo, hi = max(0, K - n_b), min(K, n_a)
 
-    # algorithm 1: direct binomial-coefficient integers over the
-    # common denominator C(N, K) — weights w(k) = C(n_a,k) C(n_b,K-k)
-    w = {k: comb(n_a, k) * comb(n_b, K - k) for k in range(lo, hi + 1)}
-    denom = comb(N, K)
-    assert sum(w.values()) == denom      # Vandermonde identity — exact
-    w_obs = w[c_a]
-    p_two_int = sum(v for v in w.values() if v <= w_obs)
-    p_two = Fraction(p_two_int, denom)
-    p_one = Fraction(sum(w[k] for k in range(c_a, hi + 1)), denom)
+    # BOUNDED driver leg (round-3 verdict fix): exact big-int rationals
+    # only while the hypergeometric support is <= 10_000 tables; above
+    # that, an O(sqrt(N)) lgamma window (mean +/- 40 sigma, truncation
+    # < 1e-300/table) — never an O(#users) big-int loop.  Boundary is
+    # pinned exact-vs-window in tests/test_fisher.py.
+    from spectral_time_series_ray.functions.fisher import fisher_exact_p
 
-    # algorithm 2: recurrence in exact Fractions from P(lo)
-    probs = {lo: Fraction(w[lo], denom)}
-    for k in range(lo, hi):
-        probs[k + 1] = (probs[k] * (n_a - k) * (K - k)
-                        / ((k + 1) * (n_b - K + k + 1)))
-    p_two_rec = sum(v for v in probs.values() if v <= probs[c_a])
-    ok = bool(
-        p_two_rec == p_two
-        and sum(probs.values()) == 1
-        and p_one <= p_two
-        and 0 < p_two <= 1
-    )
+    p_two, p_one, ok, method = fisher_exact_p(n_a, n_b, c_a, c_b)
     return pd.DataFrame({
         "n_a": np.array([n_a], np.int64), "n_b": np.array([n_b], np.int64),
         "conv_a": np.array([c_a], np.int64), "conv_b": np.array([c_b], np.int64),
         "p_two_sided": np.array([float(p_two)], np.float64),
         "p_one_sided": np.array([float(p_one)], np.float64),
+        "method": [method],
         "ok": [ok],
     })
 
@@ -6470,8 +6532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_granger": Q.ev_granger,
         "ev_hill_tail": Q.ev_hill_tail,
         "ev_fdr_bh": Q.ev_fdr_bh,
-        "tr_ipc_roundtrip": _tr_ipc_roundtrip,
-        "ev_fisher_exact": _ev_fisher_exact,
+        "ev_entropy": Q.ev_entropy,
+        "ev_rfm": Q.ev_rfm,
         "doc_bm25_search": Q.doc_bm25_search,
         "ev_kendall_tau": Q.ev_kendall_tau,
         "q3_revenue_topk": Q.q3_revenue_topk,
@@ -6487,8 +6549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_match": _doc_phrase_match,
         "ev_mannwhitney": Q.ev_mannwhitney,
         "ev_transitions": Q.ev_transitions,
-        "ev_entropy": Q.ev_entropy,
-        "ev_rfm": Q.ev_rfm,
+        "tr_ipc_roundtrip": _tr_ipc_roundtrip,
+        "ev_fisher_exact": _ev_fisher_exact,
         "graph_components": _graph_components,
         "ev_welch_ttest": Q.ev_welch_ttest,
         "orders_itemsets": _orders_itemsets,
@@ -6671,6 +6733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_role_transitions": _tr_role_transitions,
         "tr_tool_stats": _tr_tool_stats,
         "tr_jsonl_roundtrip": _tr_jsonl_roundtrip,
+        "src_tsf_roundtrip": _src_tsf_roundtrip,
         "tr_sessions": _tr_sessions,
         "doc_chunking": _doc_chunking,
         "doc_redact": _doc_redact,
@@ -7583,9 +7646,9 @@ def oracle_sql() -> dict[str, str]:
                 partition by user_id, extract(hour from hs)) as seasonal
               from t)
             select user_id, hs, cast(x as bigint) as x,
-                   round(trend, 6) as trend,
-                   round(seasonal, 6) as seasonal,
-                   round(x - trend - seasonal, 6) as resid
+                   round(trend, 6) + 0.0 as trend,
+                   round(seasonal, 6) + 0.0 as seasonal,
+                   round(x - trend - seasonal, 6) + 0.0 as resid
             from s
         """,
         "ev_auto_join": """

@@ -46,9 +46,17 @@ def _join_partitions() -> int:
 
 
 def round_half_away(x, digits: int):
-    """DuckDB ``round()`` semantics (half away from zero)."""
+    """DuckDB ``round()`` semantics (half away from zero).
+
+    The trailing ``+ 0.0`` normalizes IEEE negative zero to +0.0:
+    ``np.sign(x) * floor(...)`` yields -0.0 for tiny negatives, and the
+    driver's correctness gate hashes typed BYTES, so -0.0 vs 0.0 is a
+    hash mismatch even though ``==`` says equal.  Every oracle SQL that
+    rounds a sign-crossing (difference-like) quantity appends ``+ 0.0``
+    on its side for the same reason (IEEE 754: -0.0 + 0.0 == +0.0).
+    """
     m = 10.0**digits
-    return np.sign(x) * np.floor(np.abs(np.asarray(x, dtype=np.float64)) * m + 0.5) / m
+    return np.sign(x) * np.floor(np.abs(np.asarray(x, dtype=np.float64)) * m + 0.5) / m + 0.0
 
 
 def _round_ds(ds, digits_map: dict[str, int]):
@@ -947,11 +955,22 @@ def doc_exact_dedup(sf_dir: str):
 # ---------------------------------------------------------------- embeddings
 
 def _query_vec(sf_dir: str) -> np.ndarray:
+    """Driver-side read of ONE query vector (vec_id == 0).
+
+    Uses a parquet predicate (``filters=``) so only the row groups whose
+    vec_id min/max straddle 0 are decoded — at 100x the table this stays
+    a single-row-group read, never a whole-table driver pull.
+    """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    return np.asarray(df.loc[df["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    if t.num_rows == 0:
+        raise ValueError("no embedding with vec_id == 0")
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 class _CosineAll:

@@ -57,7 +57,17 @@ def compare(name, got, exp) -> str:
             return f"DTYPE col={c} got={got[c].dtype} exp={exp[c].dtype}"
     for c in got.columns:
         g, e = got[c].to_numpy(), exp[c].to_numpy()
-        if got[c].dtype.kind in "fM":
+        if got[c].dtype.kind == "f":
+            # The driver hashes typed BYTES, under which -0.0 != 0.0 and
+            # NaN payloads matter, while numpy == treats -0.0 == 0.0 and
+            # NaN != NaN.  Compare NaN-normalized int64 bit views so this
+            # gate is byte-equivalent to the driver's hash (round-3
+            # verdict: ev_seasonal_decompose shipped red because == hid a
+            # -0.0/-+0.0 divergence this comparator could not see).
+            gq = np.where(np.isnan(g), np.float64("nan"), g)
+            eq = np.where(np.isnan(e), np.float64("nan"), e)
+            ok = gq.view(np.int64) == eq.view(np.int64)
+        elif got[c].dtype.kind == "M":
             both_nan = pd.isna(g) & pd.isna(e)
             ok = both_nan | (g == e)
         else:
