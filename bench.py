@@ -52,7 +52,7 @@ def run_bench() -> dict:
         sf_from_dir,
         transcripts_path,
     )
-    from spectral_time_series_ray.stages.rollup import cascade, rollup_transcripts
+    from spectral_time_series_ray.stages.rollup import cascade_multi, rollup_transcripts
     from spectral_time_series_ray.stages.series import gap_fill_pack_series
 
     sf = sf_from_dir(sf_dir)
@@ -116,9 +116,11 @@ def run_bench() -> dict:
 
     def flagship_once():
         m1 = rollup_transcripts(get_input(), "1m").materialize()
+        # both coarser tiers in ONE execution + ONE exchange
+        # (cascade_multi; sequential cascade() kept for the fixture
+        # oracle and the per-tier timed section below)
         with timed("cascade_1h_1d"):
-            h1 = cascade(m1, "1h").materialize()
-            cascade(h1, "1d").materialize()
+            cascade_multi(m1, ["1h", "1d"]).materialize()
         # gapfill -> pack -> encode runs as ONE streaming execution: no
         # materialize barrier between pack and encode, so encoding
         # overlaps the gap-fill shuffle's tail AND the pipeline pays one
@@ -144,8 +146,7 @@ def run_bench() -> dict:
     # runs at 16 CPUs — the two streaming executors thrash each other's
     # resource budgets); serial is deterministic and scales cleanly
     with timed("cascade_1h_1d_timed"):
-        h1 = cascade(m1, "1h").materialize()
-        cascade(h1, "1d").materialize()
+        cascade_multi(m1, ["1h", "1d"]).materialize()
     with timed("chunks_timed"):
         chunks = gap_fill_pack_series(
             m1, "1m", value_col="mean_latency", method="locf",

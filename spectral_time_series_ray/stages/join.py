@@ -801,6 +801,50 @@ def hash_groupby_sum(
     return tagged.groupby("_part").map_groups(merge, batch_format="pandas")
 
 
+def hash_groupby_agg(
+    ds,
+    key,
+    agg_map: "dict[str, str]",
+    num_partitions: int | None = None,
+):
+    """Exact grouped SUM/MIN/MAX (mixable per column) with the same
+    bounded-partition shape as :func:`hash_groupby_sum` — per-batch
+    pandas partials (sum/min/max are all mergeable: agg of partials ==
+    agg of rows), an int ``hash(key) % P`` tag, one partition pass to
+    finish.  Replaces ``groupby().aggregate(Min/Max/Sum...)`` on
+    high-cardinality keys, where Ray's sort-based aggregate was
+    measured ~10x slower (see hash_groupby_sum).
+
+    ``agg_map``: {column: "sum" | "min" | "max"}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .rollup import partitions_for_input
+
+    keys = [key] if isinstance(key, str) else list(key)
+    P = num_partitions or partitions_for_input(None)
+    cols = keys + list(agg_map)
+    aggs = dict(agg_map)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[cols].groupby(keys, as_index=False).agg(aggs)
+        out["_part"] = (
+            pd.util.hash_pandas_object(
+                out[keys[0]] if len(keys) == 1 else out[keys], index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return out
+
+    tagged = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g[cols].groupby(keys, as_index=False).agg(aggs)
+
+    return tagged.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
 # ---------------------------------------------------- adaptive join planning
 
 

@@ -372,13 +372,19 @@ def _merge_partitioned(
     value_cols: tuple[str, ...],
     style: str,
     num_partitions: int | None = None,
+    extra_key: str | None = None,
 ):
     """Partition-level partial-stat merge for the hot (key, bucket)
     shape: hash the key to an int partition, shuffle P integer keys,
     and merge ALL (key, bucket) groups of a partition in one numpy
     lexsort + reduceat pass — per-group Python overhead is O(P), not
     O(#keys) (the same design as rollup_transcripts; a per-key
-    map_groups was measured 2-3x slower at 1.7M partial rows)."""
+    map_groups was measured 2-3x slower at 1.7M partial rows).
+
+    ``extra_key``: optional small-int column added to the group
+    identity (between key and bucket) and carried to the output —
+    the hook that lets :func:`cascade_multi` merge several tiers in
+    ONE exchange."""
     colmap = _colmap(value_cols, style)
     P = num_partitions or partitions_for_input(None)
 
@@ -400,6 +406,8 @@ def _merge_partitioned(
                 key: pd.Series([], dtype=object),
                 BUCKET_COL: pd.Series([], dtype="datetime64[us]"),
             }
+            if extra_key is not None:
+                cols[extra_key] = pd.Series([], dtype=np.int64)
             for s in colmap:
                 cols[f"count_{s}"] = pd.Series([], dtype=np.int64)
                 for stat in ("sum", "min", "max"):
@@ -407,16 +415,30 @@ def _merge_partitioned(
             return pd.DataFrame(cols)
         codes, uniques = pd.factorize(df[key], sort=False)
         b = df[BUCKET_COL].to_numpy(dtype="datetime64[us]").view("int64")
-        order = np.lexsort((b, codes))
-        codes_s, b_s = codes[order], b[order]
-        new_seg = np.empty(n, dtype=bool)
-        new_seg[0] = True
-        new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (b_s[1:] != b_s[:-1])
+        if extra_key is not None:
+            e = df[extra_key].to_numpy(np.int64)
+            order = np.lexsort((b, e, codes))
+            codes_s, b_s, e_s = codes[order], b[order], e[order]
+            new_seg = np.empty(n, dtype=bool)
+            new_seg[0] = True
+            new_seg[1:] = (
+                (codes_s[1:] != codes_s[:-1])
+                | (e_s[1:] != e_s[:-1])
+                | (b_s[1:] != b_s[:-1])
+            )
+        else:
+            order = np.lexsort((b, codes))
+            codes_s, b_s = codes[order], b[order]
+            new_seg = np.empty(n, dtype=bool)
+            new_seg[0] = True
+            new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (b_s[1:] != b_s[:-1])
         starts = np.flatnonzero(new_seg)
         out: dict[str, np.ndarray] = {
             key: np.asarray(uniques)[codes_s[starts]],
             BUCKET_COL: b_s[starts].astype("datetime64[us]"),
         }
+        if extra_key is not None:
+            out[extra_key] = e_s[starts]
         for s, (c_count, c_sum, c_min, c_max) in colmap.items():
             cnt = np.add.reduceat(
                 df[c_count].to_numpy(dtype=np.float64)[order], starts
@@ -682,3 +704,66 @@ def cascade(
     ds = ds.select_columns(cols)
     merged = _merge_partitioned(ds, key, value_cols, style="merged")
     return _with_means(merged, value_cols)
+
+
+def cascade_multi(
+    rolled_ds,
+    tiers: "list[str]",
+    value_cols: Iterable[str] = ("latency_s", "text_len"),
+    key: str = "conv_id",
+    tier_col: str = "tier",
+):
+    """Cascade a finer rollup into SEVERAL coarser tiers in ONE
+    execution and ONE exchange.
+
+    ``cascade(m1, "1h")`` then ``cascade(h1, "1d")`` runs two
+    executor spin-ups and two shuffles; at the scaling measurement's
+    4-CPU leg each spin-up is ~0.6 s of serial time (BASELINE.md
+    fixed-cost analysis).  This variant floors every input row to
+    EVERY target tier inside one map (tier-tagged concat — the rows
+    are already aggregated partials, so the x len(tiers) volume is
+    small), shuffles once, and merges all (tier, key, bucket) groups
+    in the same lexsort+reduceat partition pass via
+    ``_merge_partitioned(extra_key=...)``.
+
+    Counts/min/max are bit-identical to the sequential cascades; sums
+    (and the means derived from them) can differ by summation ORDER
+    only (1m->1d directly vs 1m->1h->1d), i.e. within float
+    associativity — asserted in tests/test_cascade_multi.py.
+
+    Returns the union of the per-tier cascades with a ``tier`` string
+    column (filter or partition by it when writing).
+    """
+    value_cols = tuple(value_cols)
+    units = [TIER_UNIT[t] for t in tiers]
+    cols = [key, BUCKET_COL] + [
+        f"{k}_{short_name(c)}" for c in value_cols for k in ("count", "sum", "min", "max")
+    ]
+
+    def rebucket_multi(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        idx = batch.schema.get_field_index(BUCKET_COL)
+        parts = []
+        for i, unit in enumerate(units):
+            t = batch.set_column(
+                idx, BUCKET_COL, pc.floor_temporal(batch[BUCKET_COL], unit=unit)
+            )
+            parts.append(
+                t.append_column(
+                    "_tier", pa.array(np.full(batch.num_rows, i, dtype=np.int64))
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ds = rolled_ds.map_batches(rebucket_multi, batch_format="pyarrow", batch_size=None)
+    merged = _merge_partitioned(ds, key, value_cols, style="merged", extra_key="_tier")
+    merged = _with_means(merged, value_cols)
+    names = list(tiers)
+
+    def tier_name(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("_tier")
+        t = batch["_tier"].to_numpy(zero_copy_only=False)
+        arr = pa.array(np.asarray(names, dtype=object)[t], pa.string())
+        return batch.remove_column(i).append_column(tier_col, arr)
+
+    return merged.map_batches(tier_name, batch_format="pyarrow", batch_size=None)
