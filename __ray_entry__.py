@@ -6439,8 +6439,7 @@ def _ev_fisher_exact(sf_dir: str):
     reports which path ran and ``ok`` bundles the path's self-checks
     (Vandermonde + recurrence equality, or unit mass + ordering)."""
     from spectral_time_series_ray.pipelines.queries import _read
-
-    from ray.data.aggregate import Max
+    from spectral_time_series_ray.stages.join import hash_groupby_agg
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
@@ -6451,10 +6450,11 @@ def _ev_fisher_exact(sf_dir: str):
         })
         return g.groupby("user_id", as_index=False).max()
 
-    users = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=None)
-        .groupby("user_id")
-        .aggregate(Max("conv", alias_name="conv"))
+    # bounded-partition int-keyed exchange — Ray's sort-based aggregate
+    # measured ~10x slower at this key cardinality (round-4 sweep)
+    users = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        "user_id", {"conv": "max"},
     )
 
     def cells(batch: pd.DataFrame) -> pd.DataFrame:
@@ -7585,9 +7585,9 @@ def oracle_sql() -> dict[str, str]:
               from d group by 1)
             select user_id, n as n_hours,
                    round((n*sty - st*sy) * 1.0
-                         / (n*stt - st*st), 6) as slope,
+                         / (n*stt - st*st), 6) + 0.0 as slope,
                    round((sy - ((n*sty - st*sy) * 1.0
-                                / (n*stt - st*st)) * st) / n, 6)
+                                / (n*stt - st*st)) * st) / n, 6) + 0.0
                      as intercept,
                    round(((n*sty - st*sy) * (n*sty - st*sy)) * 1.0
                          / ((n*stt - st*st) * (n*syy - sy*sy)), 6) as r2

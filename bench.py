@@ -52,7 +52,10 @@ def run_bench() -> dict:
         sf_from_dir,
         transcripts_path,
     )
-    from spectral_time_series_ray.stages.rollup import cascade_multi, rollup_transcripts
+    from spectral_time_series_ray.stages.rollup import (
+        cascade_multi,
+        rollup_transcripts_multi,
+    )
     from spectral_time_series_ray.stages.series import gap_fill_pack_series
 
     sf = sf_from_dir(sf_dir)
@@ -114,18 +117,24 @@ def run_bench() -> dict:
     # (measured 3-4x on identical reruns); we report steady state.
     from spectral_time_series_ray.stages.chunkworker import process_chunks
 
+    # Flagship DAG = TWO executions total (BASELINE.md fixed-cost
+    # analysis: each sequential execution costs ~0.6-1.1 s of serial
+    # executor spin-up, the dominant term of the 16-CPU scaling leg):
+    # 1. rollup_transcripts_multi — ALL THREE tiers (1m/1h/1d) in one
+    #    conv-hash exchange; every row of a conversation lands in one
+    #    partition, so each tier's stats INCLUDING exact p50/p99 are
+    #    complete there (the old rollup->cascade->cascade chain was 3
+    #    executions + 3 exchanges and could not produce coarse-tier
+    #    quantiles at all — not mergeable).
+    # 2. gapfill -> precondition -> pack -> gorilla/welch encode as one
+    #    streaming execution over the 1m slice (a LAZY filter over the
+    #    materialized tier union — no extra execution, no re-shuffle).
     def flagship_once():
-        m1 = rollup_transcripts(get_input(), "1m").materialize()
-        # both coarser tiers in ONE execution + ONE exchange
-        # (cascade_multi; sequential cascade() kept for the fixture
-        # oracle and the per-tier timed section below)
-        with timed("cascade_1h_1d"):
-            cascade_multi(m1, ["1h", "1d"]).materialize()
-        # gapfill -> pack -> encode runs as ONE streaming execution: no
-        # materialize barrier between pack and encode, so encoding
-        # overlaps the gap-fill shuffle's tail AND the pipeline pays one
-        # executor spin-up instead of two (~0.6 s fixed per execution —
-        # the dominant term of the 16-CPU scaling leg's serial fraction)
+        with timed("rollup_all_tiers"):
+            allt = rollup_transcripts_multi(
+                get_input(), ["1m", "1h", "1d"]
+            ).materialize()
+        m1 = allt.filter(expr="tier == '1m'").drop_columns(["tier"])
         with timed("gapfill_gorilla_fused"):
             chunks = gap_fill_pack_series(
                 m1, "1m", value_col="mean_latency", method="locf",
@@ -134,28 +143,17 @@ def run_bench() -> dict:
             enc = process_chunks(
                 chunks, quantize_digits=3, method="welch", use_actors=False,
             ).materialize()
-        return m1, enc
+        return allt, m1, enc
 
-    flagship_once()  # warm-up (untimed)
+    flagship_once()  # warm-up (untimed; object-store mmap growth etc.)
     t_head = time.time()
-    with timed("rollup_1m"):
-        m1 = rollup_transcripts(get_input(), "1m").materialize()
-
-    # post-rollup branches run SERIALLY: concurrent dataset execution
-    # from driver threads measured bimodal (14s vs 34s for identical
-    # runs at 16 CPUs — the two streaming executors thrash each other's
-    # resource budgets); serial is deterministic and scales cleanly
-    with timed("cascade_1h_1d_timed"):
-        cascade_multi(m1, ["1h", "1d"]).materialize()
-    with timed("chunks_timed"):
-        chunks = gap_fill_pack_series(
-            m1, "1m", value_col="mean_latency", method="locf",
-            polynomial="chebyshev", degree=4,
-        ).select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
-        enc = process_chunks(
-            chunks, quantize_digits=3, method="welch", use_actors=False,
-        ).materialize()
+    allt, m1, enc = flagship_once()
     headline = round(time.time() - t_head, 3)
+    # per-tier cascade timing retained as a secondary metric (the
+    # standalone cascade_multi stage over the materialized 1m slice)
+    m1m = m1.materialize()
+    with timed("cascade_1h_1d_timed"):
+        cascade_multi(m1m, ["1h", "1d"]).materialize()
 
     encp = enc.to_pandas()
     bpp = float((encp["bytes_per_point"] * encp["n_points"]).sum() / max(1, encp["n_points"].sum()))
@@ -214,7 +212,9 @@ def run_bench() -> dict:
                      # real-codec multimodal near-dup
                      "ev_kendall_tau", "ev_trimmed_mean",
                      "graph_jaccard", "ev_epoch_shuffle",
-                     "ev_fdr_bh", "media_image_neardup"):
+                     "ev_fdr_bh", "media_image_neardup",
+                     # round-4: bounded Fisher p, Monash .tsf source
+                     "ev_fisher_exact", "src_tsf_roundtrip"):
             t0 = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "count"):

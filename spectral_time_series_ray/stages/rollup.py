@@ -767,3 +767,146 @@ def cascade_multi(
         return batch.remove_column(i).append_column(tier_col, arr)
 
     return merged.map_batches(tier_name, batch_format="pyarrow", batch_size=None)
+
+
+def rollup_transcripts_multi(
+    ds,
+    tiers: "list[str]",
+    quantiles: tuple[float, ...] = (0.5, 0.99),
+    key: str = "conv_id",
+    num_partitions: int | None = None,
+    input_bytes: int | None = None,
+    tier_col: str = "tier",
+):
+    """ALL tiers of the transcript rollup in ONE shuffle and ONE
+    execution — the fused alternative to ``rollup_transcripts`` +
+    ``cascade``/``cascade_multi``.
+
+    Why it is exact: the shuffle key is ``hash(conv_id) % P``, so every
+    row of a conversation lands in ONE partition.  Per-tier stats per
+    (conv, bucket) are therefore COMPLETE inside the partition — not
+    partials — for every tier at once, including EXACT p50/p99 per
+    coarser bucket, which the cascade path cannot produce at all
+    (quantiles are not mergeable; this recompute-from-raw-per-tier is
+    the documented alternative in this module's header, now fused into
+    the same pass).
+
+    One lexsort serves every tier: rows sorted by (conv, finest
+    bucket) are also sorted by (conv, coarser bucket) because coarser
+    buckets are floors of finer ones — only the segment boundaries
+    differ per tier.  Output rows carry a ``tier`` column; filter on
+    it (a lazy map stage, no extra execution) to feed downstream
+    stages like gap-fill.
+
+    Motivation (BASELINE.md fixed-cost analysis): each sequential
+    Dataset execution costs ~0.6-1.1 s of serial executor spin-up,
+    ~35% of the 16-CPU scaling leg; rollup->cascade->cascade was 3
+    executions + 3 exchanges, this is 1 + 1.
+    """
+    import pyarrow.compute as pc_  # noqa: N813
+
+    if num_partitions is None:
+        num_partitions = partitions_for_input(input_bytes)
+    P = num_partitions
+    steps_us = [TIER_SECONDS[t] * 1_000_000 for t in tiers]
+    finest = min(range(len(tiers)), key=lambda i: steps_us[i])
+    names = list(tiers)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        if "text" in batch.column_names:
+            tl = pc_.utf8_length(batch["text"])
+        else:
+            tl = batch["text_len"]
+        part = (
+            pd.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return pa.table(
+            {
+                key: batch[key],
+                "turn_idx": batch["turn_idx"],
+                "ts": batch["ts"],
+                "text_len": tl,
+                "_part": pa.array(part),
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+    def _empty_out() -> pd.DataFrame:
+        cols: dict[str, pd.Series] = {
+            key: pd.Series([], dtype=object),
+            BUCKET_COL: pd.Series([], dtype="datetime64[us]"),
+            tier_col: pd.Series([], dtype=object),
+            "n_turns": pd.Series([], dtype=np.int64),
+        }
+        for col in ("latency_s", "text_len"):
+            s = short_name(col)
+            cols[f"count_{s}"] = pd.Series([], dtype=np.int64)
+            for stat in ("sum", "min", "max", "mean"):
+                cols[f"{stat}_{s}"] = pd.Series([], dtype=np.float64)
+            for q in quantiles:
+                cols[f"p{int(q * 100)}_{s}"] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(cols)
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return _empty_out()
+        codes, uniques = pd.factorize(df[key], sort=False)
+        order = np.lexsort((df["turn_idx"].to_numpy(), codes))
+        codes_s = codes[order]
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")[order]
+        text_len = df["text_len"].to_numpy(dtype=np.float64)[order]
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = codes_s[1:] != codes_s[:-1]
+        lat = np.empty(n)
+        lat[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
+        lat[new_conv] = np.nan
+        fine_bucket = (ts_us // steps_us[finest]) * steps_us[finest]
+        # same conditional re-sort as rollup_transcripts, on the FINEST
+        # bucket — coarser buckets are floors of it, so one order
+        # serves every tier
+        out_of_order = bool(
+            np.any((fine_bucket[1:] < fine_bucket[:-1]) & ~new_conv[1:])
+        )
+        if out_of_order:
+            order2 = np.lexsort((fine_bucket, codes_s))
+            codes_s = codes_s[order2]
+            ts_us = ts_us[order2]
+            lat = lat[order2]
+            text_len = text_len[order2]
+        frames = []
+        for t_idx, step_us in enumerate(steps_us):
+            bucket_us = (ts_us // step_us) * step_us
+            new_seg = np.empty(n, dtype=bool)
+            new_seg[0] = True
+            new_seg[1:] = (codes_s[1:] != codes_s[:-1]) | (
+                bucket_us[1:] != bucket_us[:-1]
+            )
+            seg_of_row = np.cumsum(new_seg) - 1
+            starts = np.flatnonzero(new_seg)
+            ends = np.append(starts[1:], n)
+            out: dict[str, np.ndarray] = {
+                key: np.asarray(uniques)[codes_s[starts]],
+                BUCKET_COL: bucket_us[starts].astype("datetime64[us]"),
+                tier_col: np.repeat(names[t_idx], len(starts)),
+                "n_turns": ends - starts,
+            }
+            for col, v in (("latency_s", lat), ("text_len", text_len)):
+                s = short_name(col)
+                st = _segmented_stats(v, starts, ends, seg_of_row, quantiles)
+                out[f"count_{s}"] = st["count"]
+                out[f"sum_{s}"] = st["sum"]
+                out[f"min_{s}"] = st["min"]
+                out[f"max_{s}"] = st["max"]
+                out[f"mean_{s}"] = st["mean"]
+                for q in quantiles:
+                    out[f"p{int(q * 100)}_{s}"] = st[f"q{q}"]
+            frames.append(pd.DataFrame(out))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.groupby("_part").map_groups(partition_fn, batch_format="pandas")
