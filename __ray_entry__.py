@@ -6501,6 +6501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "ev_rollup_1m": Q.ev_rollup_1m,
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
+        "ev_rollup_multi": Q.ev_rollup_multi,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "emb_ann_topk": Q.emb_ann_topk,
         "ev_gapfill_seasonal": Q.ev_gapfill_seasonal,
@@ -6795,6 +6796,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ev_cascade_1d_salted": f"""
             select user_id, date_trunc('day', ts) as bucket_ts,{rollup_cols}
+            from events group by 1, 2
+        """,
+        "ev_rollup_multi": f"""
+            select user_id, date_trunc('hour', ts) as bucket_ts,
+                   '1h' as tier,{rollup_cols}
+            from events group by 1, 2
+            union all
+            select user_id, date_trunc('day', ts) as bucket_ts,
+                   '1d' as tier,{rollup_cols}
             from events group by 1, 2
         """,
         "ev_interarrival": """

@@ -17,7 +17,14 @@ import pyarrow.compute as pc
 from ..stages.dedup import exact_dedup
 from ..stages.features import add_text_features
 from ..stages.join import broadcast_join, semi_join_keys
-from ..stages.rollup import BUCKET_COL, add_bucket, cascade, rollup_exact, rollup_mergeable
+from ..stages.rollup import (
+    BUCKET_COL,
+    add_bucket,
+    cascade,
+    cascade_multi,
+    rollup_exact,
+    rollup_mergeable,
+)
 from ..stages.series import gap_fill_series
 
 
@@ -133,6 +140,19 @@ def ev_cascade_1h(sf_dir: str):
     m1 = rollup_mergeable(ds, "1m", value_cols=("value",), key="user_id")
     h1 = cascade(m1, "1h", value_cols=("value",), key="user_id")
     return _round_ds(h1, ROLLUP_ROUND)
+
+
+def ev_rollup_multi(sf_dir: str):
+    """BOTH coarser tiers (1h, 1d) cascaded from 1m mergeable partials
+    in ONE tier-tagged exchange and ONE execution
+    (`stages/rollup.cascade_multi`, round 4) — vs the sequential
+    cascade chain's two of each. Oracle: UNION ALL of the two direct
+    DuckDB rollups with a tier literal (cascade == direct rollup for
+    mergeable stats, the FIXTURES.md §4 invariant, now per tier)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    m1 = rollup_mergeable(ds, "1m", value_cols=("value",), key="user_id")
+    multi = cascade_multi(m1, ["1h", "1d"], value_cols=("value",), key="user_id")
+    return _round_ds(multi, ROLLUP_ROUND)
 
 
 def ev_cascade_1d_salted(sf_dir: str):
@@ -3559,7 +3579,6 @@ def q21_waiting_suppliers(sf_dir: str):
     both finish vectorized inside each partition; per-supplier waits
     are partial sums and the driver sees |supplier| rows for the
     top-20 cut."""
-    from ray.data.aggregate import Sum
 
     from ..stages.join import partition_merge_join
 
@@ -3610,12 +3629,12 @@ def q21_waiting_suppliers(sf_dir: str):
         return pd.DataFrame({"s_suppkey": vc.index.to_numpy(np.int64),
                              "numwait": vc.to_numpy(np.int64)})
 
-    waits = (
-        joined.map_batches(per_order, batch_format="pandas", batch_size=None)
-        .groupby("s_suppkey")
-        .aggregate(Sum("numwait", alias_name="numwait"))
-        .to_pandas()  # |supplier| rows — a dimension
-    )
+    from ..stages.join import hash_groupby_sum
+
+    waits = hash_groupby_sum(
+        joined.map_batches(per_order, batch_format="pandas", batch_size=None),
+        "s_suppkey", ("numwait",),
+    ).to_pandas()  # |supplier| rows — a dimension
     waits = waits.sort_values(["numwait", "s_suppkey"], ascending=[False, True]).head(20)
     names = _read(
         sf_dir, "supplier", columns=["s_suppkey", "s_name"],
