@@ -22,6 +22,25 @@ import pandas as pd
 from spectral_time_series_ray.pipelines import queries as Q
 
 
+def _conc() -> int:
+    """Actor-pool width sized to the Ray session (a QUARTER of the
+    CPUs, floor 2) — replaces the early fixed ``concurrency=2`` that
+    capped every stateful stage at two actors regardless of cluster
+    size.  A quarter, not half, because Ray Data actor pools RESERVE
+    their CPUs for the pipeline's lifetime: a query chaining two
+    actor-pool stages at width CPUs/2 reserves the whole session and
+    the task-pool read feeding them can never schedule (emb_ann_ivf
+    deadlocked exactly this way at 4 + 4 actors on an 8-CPU session).
+    CPUs/4 leaves a two-actor-stage pipeline half the session for its
+    task stages."""
+    try:
+        import ray
+
+        return max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    except Exception:
+        return 2
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: read -> features -> tiered rollups
     -> gap-fill -> precondition -> Gorilla -> spectral. Returns the 1m
@@ -362,7 +381,7 @@ def _tr_spectral_lomb(sf_dir: str):
         feats, value_col="latency_s", ts_col="ts", order_col="turn_idx",
         chunk_points=2048,
     )
-    out = spectral_downsample(chunks, method="lomb", concurrency=2, n_freqs=128)
+    out = spectral_downsample(chunks, method="lomb", concurrency=_conc(), n_freqs=128)
     out = out.select_columns(
         ["conv_id", "chunk_idx", "n_points", "peak_freq", "method"]
     ).to_pandas()
@@ -391,7 +410,7 @@ def _tr_window_eval(sf_dir: str):
     m1 = rollup_transcripts(ds, "1m").materialize()
     filled = gap_fill_series(m1, "1m", value_col="mean_latency", method="locf")
     wins = enumerate_windows(filled, ctx=32, pred=8, stride=8)
-    out = evaluate_windows(wins, season=8, concurrency=2)
+    out = evaluate_windows(wins, season=8, concurrency=_conc())
 
     def check(df: pd.DataFrame) -> pd.DataFrame:
         ok = df["n_windows"].to_numpy() >= 1
@@ -421,7 +440,7 @@ def _tr_hybrid_reversal(sf_dir: str):
     m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
     filled = gap_fill_series(m1, "1m", value_col="mean_latency", method="locf")
     wins = enumerate_windows(filled, ctx=32, pred=8, stride=8)
-    return hybrid_reversal_eval(wins, season=8, degree=4, concurrency=2)
+    return hybrid_reversal_eval(wins, season=8, degree=4, concurrency=_conc())
 
 
 def _doc_lm_quality(sf_dir: str):
@@ -454,7 +473,7 @@ def _doc_lm_quality(sf_dir: str):
     # arrow-born parquet Dataset trips Ray's block-type batcher
     both = ds.union(ray.data.from_arrow(_pa.Table.from_pandas(gib)))
     logp = train_char_lm(both)
-    scored = lm_quality_score(both, logp, concurrency=2).materialize()
+    scored = lm_quality_score(both, logp, concurrency=_conc()).materialize()
 
     import ray.data.aggregate as agg
 
@@ -474,7 +493,7 @@ def _doc_lm_quality(sf_dir: str):
     plant = stats[stats["planted"]].iloc[0]
     sep_ok = bool(plant["min_nll"] > real["max_nll"])
     thr = 0.5 * (float(real["max_nll"]) + float(plant["min_nll"]))
-    kept = lm_quality_filter(both, logp, max_nll=thr, concurrency=2)
+    kept = lm_quality_filter(both, logp, max_nll=thr, concurrency=_conc())
     n_kept = kept.count()
     filter_ok = n_kept == int(real["n"])
     stats = stats.sort_values("planted").reset_index(drop=True)
@@ -507,7 +526,7 @@ def _doc_quality(sf_dir: str):
         return df
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = analyze_documents(ds, concurrency=2)
+    out = analyze_documents(ds, concurrency=_conc())
     return out.map_batches(check, batch_format="pandas", batch_size=None)
 
 
@@ -535,7 +554,7 @@ def _doc_fingerprints(sf_dir: str):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return fingerprint_documents(ds, concurrency=2).map_batches(
+    return fingerprint_documents(ds, concurrency=_conc()).map_batches(
         check, batch_format="pandas", batch_size=None
     )
 
@@ -581,7 +600,7 @@ def _doc_minhash_dedup(sf_dir: str):
     from spectral_time_series_ray.stages.dedup import minhash_lsh_dedup
 
     ds, planted = _plant_near_dups(sf_dir)
-    out = minhash_lsh_dedup(ds, threshold=0.8, concurrency=2)
+    out = minhash_lsh_dedup(ds, threshold=0.8, concurrency=_conc())
     return _with_recall(out, planted)
 
 
@@ -594,7 +613,7 @@ def _doc_ngram_dedup(sf_dir: str):
     from spectral_time_series_ray.stages.dedup import ngram_jaccard_dedup
 
     ds, planted = _plant_near_dups(sf_dir)
-    out = ngram_jaccard_dedup(ds, threshold=0.7, concurrency=2)
+    out = ngram_jaccard_dedup(ds, threshold=0.7, concurrency=_conc())
     return _with_recall(out, planted)
 
 
@@ -623,7 +642,7 @@ def _doc_simhash_dedup(sf_dir: str):
         mut_text = " ".join(t[a].split()[:-1] + ["zzzzplanted"])
         if int(hamming64(sh(t[a]), sh(mut_text))[()]) <= max_hamming:
             detectable.add((a, b))
-    out = simhash_dedup(ds, max_hamming=max_hamming, concurrency=2)
+    out = simhash_dedup(ds, max_hamming=max_hamming, concurrency=_conc())
     return _with_recall(out, detectable)
 
 
@@ -642,8 +661,8 @@ def _emb_ann_ivf(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = _query_vec(sf_dir)[None, :]
-    ivf = ivf_search(ds, q, k=10, n_clusters=8, nprobe=6, concurrency=2).to_pandas()
-    exact = ann_brute_force(ds, q, k=10, concurrency=2).to_pandas()
+    ivf = ivf_search(ds, q, k=10, n_clusters=8, nprobe=6, concurrency=_conc()).to_pandas()
+    exact = ann_brute_force(ds, q, k=10, concurrency=_conc()).to_pandas()
     recall = len(set(ivf["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
     ivf["recall_vs_brute"] = recall
     ivf["ok"] = recall >= 0.9
@@ -665,8 +684,8 @@ def _emb_ann_pq(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = _query_vec(sf_dir)[None, :]
-    pq = pq_search(ds, q, k=10, m=8, shortlist=100, concurrency=2).to_pandas()
-    exact = ann_brute_force(ds, q, k=10, concurrency=2).to_pandas()
+    pq = pq_search(ds, q, k=10, m=8, shortlist=100, concurrency=_conc()).to_pandas()
+    exact = ann_brute_force(ds, q, k=10, concurrency=_conc()).to_pandas()
     recall = len(set(pq["vec_id"]) & set(exact["vec_id"])) / max(1, len(exact))
     pq["recall_vs_brute"] = recall
     pq["compression_x"] = 64 * 4 / 8.0
@@ -688,7 +707,7 @@ def _tr_train_crop(sf_dir: str):
     m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir))
     chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
     crops = train_crop_series(
-        ds=chunks, concurrency=2, freq="1m", min_time_patches=2, max_patches=64, seed=11
+        ds=chunks, concurrency=_conc(), freq="1m", min_time_patches=2, max_patches=64, seed=11
     ).to_pandas()
     n = crops["n_points"].to_numpy()
     ps = crops["patch_size"].to_numpy()
@@ -726,7 +745,7 @@ def _tr_masked_prediction(sf_dir: str):
     chunks = gap_fill_pack_series(m1, "1m", value_col="mean_latency", method="locf")
     lo, hi = 0.15, 0.5
     tasks = masked_prediction_series(
-        chunks, concurrency=2, min_mask_ratio=lo, max_mask_ratio=hi, seed=13
+        chunks, concurrency=_conc(), min_mask_ratio=lo, max_mask_ratio=hi, seed=13
     ).to_pandas()
     n = tasks["n_points"].to_numpy()
     mlen = tasks["mask_length"].to_numpy()
@@ -788,7 +807,7 @@ def _tr_resample(sf_dir: str):
     both = sel.union(ray.data.from_pandas(planted))
     chunks = gap_fill_pack_series(both, "1m", value_col="mean_latency", method="locf")
     down = resample_series(chunks, factor=2, mode="gaussian").materialize()
-    spec = spectral_downsample(down, method="welch", concurrency=2).to_pandas()
+    spec = spectral_downsample(down, method="welch", concurrency=_conc()).to_pandas()
     f0 = 1.0 / (period_buckets * 60.0)
     is_planted = spec["conv_id"] == "__planted_tone__"
     assert is_planted.any(), "planted tone missing from resampled output"
@@ -875,7 +894,7 @@ def _doc_training_pipeline(sf_dir: str):
 
     ds, planted = _plant_near_dups(sf_dir)
     n0 = ds.count()
-    analyzed = analyze_documents(ds, concurrency=2).materialize()
+    analyzed = analyze_documents(ds, concurrency=_conc()).materialize()
     kept = analyzed.filter(expr="quality >= 0.2 and lang_pred != 'und'")
     n1 = kept.count()
     # exact dedup -> keeper ids joined back as a DATASET (hash join —
@@ -894,7 +913,7 @@ def _doc_training_pipeline(sf_dir: str):
     from spectral_time_series_ray.stages.join import anti_join_keys
 
     clusters = minhash_lsh_dedup(
-        deduped.select_columns(["doc_id", "text"]), threshold=0.8, concurrency=2
+        deduped.select_columns(["doc_id", "text"]), threshold=0.8, concurrency=_conc()
     )
     drop = set(clusters.loc[~clusters["is_keeper"], "doc_id"].astype(int))
     final = anti_join_keys(deduped, drop, "doc_id") if drop else deduped
@@ -2049,7 +2068,7 @@ def _emb_near_dup(sf_dir: str):
 
     full = ds.union(ray.data.from_arrow(pa.Table.from_pandas(copies, preserve_index=False)))
     dim = len(np.asarray(df["embedding"].iloc[0]))
-    pairs = embedding_near_dup(full, threshold=0.98, dim=dim, concurrency=2)
+    pairs = embedding_near_dup(full, threshold=0.98, dim=dim, concurrency=_conc())
     found = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
     hits = sum(1 for b in base_ids if (int(b), int(b) + 1_000_000) in found)
     recall = hits / len(base_ids)
@@ -2117,7 +2136,7 @@ def _doc_tokenize_pack(sf_dir: str):
     max_len = 512
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     merges, _ = train_bpe(ds, n_merges=48)
-    toks = bpe_tokenize(ds, merges, concurrency=2)
+    toks = bpe_tokenize(ds, merges, concurrency=_conc())
 
     def crop(batch: pd.DataFrame) -> pd.DataFrame:
         batch["n_points"] = np.minimum(batch["n_bpe_tokens"].to_numpy(), max_len)
@@ -2180,7 +2199,7 @@ def _emb_semdedup(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     full = ds.union(ray.data.from_arrow(pa.Table.from_pandas(copies, preserve_index=False)))
     n_in = full.count()
-    out = semdedup(full, n_clusters=8, eps=0.01, concurrency=2).to_pandas()
+    out = semdedup(full, n_clusters=8, eps=0.01, concurrency=_conc()).to_pandas()
     m = out.set_index("vec_id")
     pair_ok = 0
     for b in base_ids:
@@ -2212,9 +2231,9 @@ def _media_pipeline(sf_dir: str):
 
     tbl = synth_media_table(n=200, seed=42)
     media = ray.data.from_pandas(tbl)
-    decoded = decode_media(media, concurrency=2)
-    feats = featurize_media(decoded, concurrency=2).to_pandas()
-    frames = sample_frames(media, every_k=4, concurrency=2).to_pandas()
+    decoded = decode_media(media, concurrency=_conc())
+    feats = featurize_media(decoded, concurrency=_conc()).to_pandas()
+    frames = sample_frames(media, every_k=4, concurrency=_conc()).to_pandas()
     # self-checks: header/payload consistency (n_bytes == 10 + w*h*c),
     # payload stats in byte range, and the frame count the sampler MUST
     # produce (every 4th of h frames per video, knowable from headers)
@@ -6060,10 +6079,10 @@ def _media_decode_real(sf_dir: str):
     imgs = pd.DataFrame(img_rows, columns=["media_id", "kind", "blob"])
 
     afeat = ray.data.from_pandas(wavs).map_batches(
-        AudioFeaturizer, batch_size=32, concurrency=2,
+        AudioFeaturizer, batch_size=32, concurrency=_conc(),
         batch_format="pandas").to_pandas()
     ifeat = ray.data.from_pandas(imgs).map_batches(
-        ImageFeaturizer, batch_size=32, concurrency=2,
+        ImageFeaturizer, batch_size=32, concurrency=_conc(),
         batch_format="pandas").to_pandas()
 
     bin_hz = sr / 2048.0
@@ -6136,7 +6155,7 @@ def _media_image_neardup(sf_dir: str):
     media = pd.DataFrame(rows, columns=["media_id", "blob"])
 
     hashes = ray.data.from_pandas(media).map_batches(
-        ImageDHashStage, batch_size=64, concurrency=2,
+        ImageDHashStage, batch_size=64, concurrency=_conc(),
         batch_format="pandas").materialize()
     clusters = hamming64_cluster(hashes, max_hamming=3)
     cmap = dict(zip(clusters["doc_id"].astype(int),
@@ -6205,7 +6224,7 @@ def _media_audio_neardup(sf_dir: str):
     media = pd.DataFrame(rows, columns=["media_id", "blob"])
 
     hashes = ray.data.from_pandas(media).map_batches(
-        AudioFingerprintStage, batch_size=64, concurrency=2,
+        AudioFingerprintStage, batch_size=64, concurrency=_conc(),
         batch_format="pandas").materialize()
     clusters = hamming64_cluster(hashes, max_hamming=3)
     cmap = dict(zip(clusters["doc_id"].astype(int),
@@ -6278,7 +6297,7 @@ def _media_video_shots(sf_dir: str):
     media = pd.DataFrame(rows, columns=["media_id", "blob"])
 
     shots = ray.data.from_pandas(media).map_batches(
-        VideoShotStage, batch_size=16, concurrency=2,
+        VideoShotStage, batch_size=16, concurrency=_conc(),
         batch_format="pandas").to_pandas()
 
     exact = 0

@@ -86,14 +86,29 @@ class SpectralDownsampler:
         return out
 
 
-def spectral_downsample(chunk_ds, method: str = "welch", concurrency: int = 4, **kwargs):
+def spectral_downsample(
+    chunk_ds,
+    method: str = "welch",
+    concurrency: int = 4,
+    batch_size: int | None = None,
+    **kwargs,
+):
     """Actor-pool spectral summary over packed chunk rows
-    (series.pack_series output)."""
+    (series.pack_series output).
+
+    ``batch_size`` defaults by method cost: Lomb-Scargle is
+    O(n_freqs x n_points) per chunk (~10-30 ms at 2048x128), so large
+    batches starve the pool — 128-chunk batches turned a 794-chunk
+    corpus into 7 tasks and the stage ran at ~1/8 of the pool's
+    throughput; 16-chunk batches load-balance it. Welch is an FFT and
+    stays at 128."""
+    if batch_size is None:
+        batch_size = 16 if method == "lomb" else 128
     return chunk_ds.map_batches(
         SpectralDownsampler,
         fn_constructor_kwargs={"method": method, **kwargs},
         batch_format="pandas",
-        batch_size=128,
+        batch_size=batch_size,
         concurrency=concurrency,
     )
 
