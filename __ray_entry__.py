@@ -1045,6 +1045,78 @@ def _tr_split_assign(sf_dir: str):
     return out
 
 
+def _tr_rollup_multi(sf_dir: str):
+    """Single-exchange multi-tier transcript rollup
+    (`rollup.rollup_transcripts_multi`, the round-4 flagship core):
+    all three tiers (1m/1h/1d) with EXACT per-tier p50/p99 from ONE
+    conv-hash exchange — conversations are complete per partition, so
+    coarse-tier quantiles (unmergeable, impossible on the cascade
+    path) come from raw values in the same pass. SELF-VERIFYING at
+    driver time: the 1m slice must equal the standalone single-tier
+    `rollup_transcripts` BIT-EXACTLY (every column, NaN-normalized
+    int64 bit views for floats), and per-tier bucket counts must be
+    monotone non-increasing with tier coarseness. Output: one row per
+    tier with bucket/turn conservation stats + ok."""
+    from spectral_time_series_ray.sources.transcripts import (
+        read_transcripts,
+        transcripts_bytes,
+    )
+    from spectral_time_series_ray.stages.rollup import (
+        rollup_transcripts,
+        rollup_transcripts_multi,
+    )
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    ib = transcripts_bytes(sf_dir)
+    allt = rollup_transcripts_multi(
+        ds, ["1m", "1h", "1d"], input_bytes=ib
+    ).materialize()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+
+    m1_multi = canon(
+        allt.filter(expr="tier == '1m'").drop_columns(["tier"]).to_pandas()
+    )
+    ds2 = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1_single = canon(rollup_transcripts(ds2, "1m", input_bytes=ib).to_pandas())
+
+    bit_equal = list(m1_multi.columns) == list(m1_single.columns) and len(
+        m1_multi
+    ) == len(m1_single)
+    if bit_equal:
+        for c in m1_single.columns:
+            g = m1_multi[c].to_numpy()
+            e = m1_single[c].to_numpy()
+            if m1_single[c].dtype.kind == "f":
+                gq = np.where(np.isnan(g), np.nan, g)
+                eq = np.where(np.isnan(e), np.nan, e)
+                if not (gq.view(np.int64) == eq.view(np.int64)).all():
+                    bit_equal = False
+                    break
+            elif not (g == e).all():
+                bit_equal = False
+                break
+
+    per_tier = allt.to_pandas().groupby("tier").agg(
+        n_buckets=("bucket_ts", "size"), n_turns=("n_turns", "sum")
+    )
+    turns = per_tier["n_turns"].to_numpy()
+    conserved = bool((turns == turns[0]).all())  # same turns per tier
+    coarser_fewer = bool(
+        per_tier.loc["1d", "n_buckets"]
+        <= per_tier.loc["1h", "n_buckets"]
+        <= per_tier.loc["1m", "n_buckets"]
+    )
+    ok = bool(bit_equal) and conserved and coarser_fewer
+    out = per_tier.reset_index()
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    out["n_turns"] = out["n_turns"].astype(np.int64)
+    out["bit_equal_1m"] = bool(bit_equal)
+    out["ok"] = ok
+    return out
+
+
 def _tr_embed_precond(sf_dir: str):
     """EMBEDDING-CONDITIONED precondition
     (`analytics.embedding_conditioned_precondition`) — the engine's
@@ -6842,6 +6914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repeated_ngrams": _doc_repeated_ngrams,
         "tr_learned_precond": _tr_learned_precond,
         "tr_embed_precond": _tr_embed_precond,
+        "tr_rollup_multi": _tr_rollup_multi,
         "tr_heavy_conversations": _tr_heavy_conversations,
         "tr_role_transitions": _tr_role_transitions,
         "tr_tool_stats": _tr_tool_stats,
