@@ -2107,6 +2107,36 @@ def _ev_streaming_incremental(sf_dir: str):
     return inc
 
 
+def _planted_base_rows(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The k smallest-vec_id embedding rows via predicate pushdown.
+
+    The fast path assumes the fixture's ids are zero-based (`vec_id <
+    k` prunes every other row group at the footer); if that filter
+    comes back EMPTY (non-zero-based ids), fall back to scanning the
+    cheap single vec_id column for the k smallest ids and re-reading
+    just those rows with an `in` predicate — still never the full
+    table, and the callers' recall denominators stay non-empty instead
+    of dividing by zero.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
+    )
+    if t.num_rows == 0:
+        ids_only = pq.read_table(path, columns=["vec_id"]).column("vec_id")
+        smallest = pc.array_sort_indices(ids_only)[:k]
+        ids = pc.take(ids_only, smallest).to_pylist()
+        t = pq.read_table(
+            path, columns=["vec_id", "embedding"], filters=[("vec_id", "in", ids)]
+        )
+    if t.num_rows == 0:
+        raise ValueError(f"{path}: no embedding rows found for the planted fixture")
+    return t.to_pandas().sort_values("vec_id")
+
+
 def _emb_near_dup(sf_dir: str):
     """Hyperplane-LSH embedding near-dup with planted duplicates: copies
     of the first 10 vectors with tiny noise must pair with their
@@ -2118,12 +2148,7 @@ def _emb_near_dup(sf_dir: str):
 
     # Predicate-pushdown read of ONLY the 10 planted base rows — the
     # driver never pulls the full embeddings table even at 100x.
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", 10)],
-    )
-    df = t.to_pandas().sort_values("vec_id")
+    df = _planted_base_rows(sf_dir)
     rng = np.random.default_rng(5)
     base_ids = df["vec_id"].to_numpy()
     copies = pd.DataFrame(
@@ -2251,12 +2276,7 @@ def _emb_semdedup(sf_dir: str):
 
     # Predicate-pushdown read of ONLY the 10 planted base rows (see
     # _emb_near_dup) — no whole-table driver pull at any scale.
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", 10)],
-    )
-    df = t.to_pandas().sort_values("vec_id")
+    df = _planted_base_rows(sf_dir)
     rng = np.random.default_rng(5)
     base_ids = df["vec_id"].to_numpy()
     copies = pd.DataFrame(

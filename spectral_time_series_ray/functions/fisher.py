@@ -41,6 +41,15 @@ from fractions import Fraction
 import numpy as np
 
 DEFAULT_CUTOFF = 10_000
+# The exact path's driver cost is ~ S big-int operations on integers of
+# ~log2(C(N, K)) bits (plus Fraction gcd normalization, which is worse),
+# so support count alone is NOT a work bound: n_a = n_b = 5e5 with
+# K = 1e4 has S ~ 1e4 <= cutoff but C(N, K) has ~8e4 BITS — minutes of
+# big-int CPU.  Gate on the product S * bits too; 2e7 bit-rows keeps
+# every classical small-sample table exact (N <= ~2000 fully, larger N
+# at small K) while routing margin-heavy tables to the O(sqrt(N))
+# window path, which agrees to < 1e-10 (tests/test_fisher.py).
+EXACT_BIT_BUDGET = 2e7
 _WINDOW_SIGMAS = 40.0
 
 
@@ -134,11 +143,18 @@ def _window(n_a: int, n_b: int, c_a: int, K: int, lo: int, hi: int):
     p_two = max(math.exp(_logsumexp(two_sided)), tiny)
     p_one = max(math.exp(p_one_log), tiny)
     total = math.exp(_logsumexp(logp))
-    # lgamma itself carries ~eps * |lgamma(N)| absolute log error
-    # (lgamma(1e7) ~ 1.5e8 -> ~2e-8 in the exponent), so the unit-mass
-    # self-check tolerance must scale with the magnitudes involved.
+    # Error model for the unit-mass self-check: (a) each _log_binom is
+    # a difference of lgammas whose RAW magnitudes reach lgamma(N+1)
+    # ~ N ln N, so catastrophic cancellation leaves ~eps * lgamma(N+1)
+    # absolute log error (at N = 2e9 that is ~9e-6 — the |result| is no
+    # bound at all); (b) the cumsum of the log-odds recurrence adds up
+    # to ~len * eps * max|partial| forward error (a 4001-wide window
+    # spanning 827 nats is ~7e-10).  Tolerance scales with both.
     eps = np.finfo(np.float64).eps
-    mass_tol = 1e-9 + 50.0 * eps * (abs(lden) + abs(log_w_klo) + len(ks))
+    span = float(np.abs(logp).max()) if logp.size else 1.0
+    mass_tol = 1e-9 + eps * (
+        50.0 * math.lgamma(N + 1) + 4.0 * len(ks) * max(span, 1.0)
+    )
     ok = bool(
         abs(total - 1.0) < mass_tol
         and p_one <= p_two + 1e-12
@@ -152,12 +168,24 @@ def fisher_exact_p(
 ):
     """Two-sided and one-sided Fisher exact p for a 2x2 table.
 
+    ``p_one`` is the tail in the OBSERVED direction — the smaller of the
+    lower and upper tails (so ``p_one <= p_two`` always holds).  NOTE:
+    this is a deliberate semantic change from the pre-round-4 entry,
+    which always reported the UPPER tail; consumers comparing against an
+    upper-tail convention (scipy ``alternative='greater'``) must pick
+    the direction explicitly.
+
     Returns ``(p_two, p_one, ok, method)``.  ``ok`` bundles the
     path's internal self-checks (Vandermonde + recurrence witness on
     the exact path; unit total mass + ordering on the window path).
     """
     K = c_a + c_b
     lo, hi = max(0, K - n_b), min(K, n_a)
-    if hi - lo + 1 <= cutoff:
-        return _exact(n_a, n_b, c_a, K, lo, hi)
+    S = hi - lo + 1
+    if S <= cutoff:
+        # bits of the common denominator C(N, K); S * bits estimates the
+        # exact path's big-int work (see EXACT_BIT_BUDGET note above)
+        bits = _log_binom(n_a + n_b, K) / math.log(2.0)
+        if S * max(bits, 1.0) <= EXACT_BIT_BUDGET:
+            return _exact(n_a, n_b, c_a, K, lo, hi)
     return _window(n_a, n_b, c_a, K, lo, hi)

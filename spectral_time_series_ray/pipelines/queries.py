@@ -58,30 +58,37 @@ def _ts_minmax_meta(sf_dir: str, table: str, col: str = "ts"):
     footer bytes), replacing a full-table ``aggregate(Min, Max)`` scan
     and its executor spin-up.  Statistics are written by every parquet
     writer in this stack; if a file lacks them, fall back to the scan.
-    Returns pandas Timestamps, or None when stats are unavailable.
+    Returns pandas Timestamps, or None when stats are unavailable —
+    INCLUDING when the open/metadata walk itself raises (missing or
+    corrupt footer, a directory-style dataset, a non-timestamp column):
+    callers treat None as "run the distributed Min/Max aggregate", so
+    any metadata problem must degrade to the scan, never crash.
     """
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
-    md = f.metadata
-    idx = next(
-        (
-            i
-            for i in range(md.row_group(0).num_columns)
-            if md.row_group(0).column(i).path_in_schema == col
-        ),
-        None,
-    )
-    if idx is None:
-        return None
-    lo = hi = None
-    for g in range(md.num_row_groups):
-        st = md.row_group(g).column(idx).statistics
-        if st is None or not st.has_min_max:
+    try:
+        f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+        md = f.metadata
+        idx = next(
+            (
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            ),
+            None,
+        )
+        if idx is None:
             return None
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
-    return pd.Timestamp(lo), pd.Timestamp(hi)
+        lo = hi = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return pd.Timestamp(lo), pd.Timestamp(hi)
+    except Exception:
+        return None
 
 
 def round_half_away(x, digits: int):

@@ -20,7 +20,10 @@ published with the archive) Ray-Data-first:
   the wire format, stated here rather than hidden).
 
 Output schema: one row per series —
-``item_id: string`` (first attribute, or a synthesized ordinal),
+``item_id: string`` (the ``series_name`` attribute when declared,
+else the first declared attribute cast to string, else a synthesized
+content-stable id ``h<16 hex>`` — a blake2b digest of the series
+line, deterministic under any block sharding, unlike an ordinal),
 remaining declared attributes with their TSF types
 (string/numeric/date), ``freq: string`` (pandas offset alias mapped
 from the TSF ``@frequency``), ``start: timestamp[s]`` (the series'
@@ -79,8 +82,18 @@ def _materialize_tsf(path: str, scratch_dir: str = "/tmp") -> str:
     """Resolve a ``.zip`` archive to its inner ``.tsf`` file.
 
     Zip is not splittable, so a zipped archive is inflated ONCE to
-    scratch and the plain-text member is what shards across the
-    cluster.  Plain ``.tsf`` paths pass through untouched.
+    ``scratch_dir`` and the plain-text member is what shards via
+    ``read_text``.  Plain ``.tsf`` paths pass through untouched.
+
+    CLUSTER NOTE: extraction runs on the DRIVER, so on a multi-node
+    cluster ``scratch_dir`` must be cluster-visible storage (NFS / a
+    fuse-mounted bucket) for worker read tasks to open the shards; a
+    driver-local ``/tmp`` default is a single-node convenience only.
+
+    Concurrency-safe: the member inflates to a unique (pid-suffixed)
+    temp name, then an atomic :func:`os.replace` publishes it — racing
+    processes sharing ``scratch_dir`` each write their own temp file
+    and the final name only ever points at a fully-written copy.
     """
     if not path.endswith(".zip"):
         return path
@@ -92,8 +105,11 @@ def _materialize_tsf(path: str, scratch_dir: str = "/tmp") -> str:
             scratch_dir, os.path.basename(path)[:-4] + "_" + os.path.basename(members[0])
         )
         if not os.path.exists(out):
-            zf.extract(members[0], scratch_dir)
-            os.replace(os.path.join(scratch_dir, members[0]), out)
+            tmp = f"{out}.tmp.{os.getpid()}"
+            with zf.open(members[0]) as src, open(tmp, "wb") as dst:
+                while chunk := src.read(1 << 20):
+                    dst.write(chunk)
+            os.replace(tmp, out)
         return out
 
 
@@ -154,7 +170,7 @@ class _ParseTsfLines:
                     f"TSF line has {len(parts)} ':'-fields, expected {n_attr + 1}"
                 )
             for (name, _), val in zip(self.attrs, parts[:-1]):
-                cols[name].append(val)
+                cols[name].append(val.strip())
             vals = parts[-1].replace("?", "nan")
             targets.append(np.array(vals.split(","), dtype=np.float32))
         out: dict[str, pa.Array] = {}
@@ -172,6 +188,32 @@ class _ParseTsfLines:
                 out[name] = pa.array(vals, pa.string())
         if "series_name" in out and "item_id" not in out:
             out["item_id"] = out.pop("series_name")
+        elif "item_id" not in out:
+            # documented schema guarantee: item_id ALWAYS exists.  With
+            # no series_name, promote the first declared attribute (cast
+            # to string); with no attributes at all, synthesize a
+            # content-stable id (an ordinal would depend on block
+            # sharding; a digest of the series line does not).
+            if self.attrs:
+                first = self.attrs[0][0]
+                out["item_id"] = pa.array(
+                    [str(v) for v in out[first].to_pylist()], pa.string()
+                )
+            else:
+                import hashlib
+
+                kept = [
+                    ln.strip()
+                    for ln in lines
+                    if ln.strip() and not ln.strip().startswith(("#", "@"))
+                ]
+                out["item_id"] = pa.array(
+                    [
+                        "h" + hashlib.blake2b(s.encode(), digest_size=8).hexdigest()
+                        for s in kept
+                    ],
+                    pa.string(),
+                )
         if "start_timestamp" in out:
             out["start"] = out.pop("start_timestamp")
         out["freq"] = pa.array([self.freq] * len(targets), pa.string())

@@ -9,9 +9,9 @@ reference's sample_id reset, `learnable_precondition.py:71-83`).
 
 Values are quantized to a fixed decimal precision BEFORE encoding
 (integer-valued floats XOR-compress to ~1-3 bytes/point; raw random
-mantissas do not compress — see the Gorilla paper §4.1.2 and
-.claude/skills/verify/SKILL.md). ``quantize_digits=None`` keeps full
-precision (bit-exact roundtrip, no compression win on noisy data).
+mantissas do not compress — see the Gorilla paper §4.1.2).
+``quantize_digits=None`` keeps full precision (bit-exact roundtrip,
+no compression win on noisy data).
 """
 
 from __future__ import annotations

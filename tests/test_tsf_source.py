@@ -85,3 +85,43 @@ def test_tsf_bad_line_raises(ray_session, tmp_path):
         f.write("only_one_field\n")
     with pytest.raises(Exception):
         read_tsf(path).materialize()
+
+
+def test_tsf_item_id_without_series_name(ray_session, tmp_path):
+    # documented schema guarantee: item_id ALWAYS exists — promoted
+    # from the first declared attribute when series_name is absent,
+    # synthesized (content-stable digest) when there are no attributes
+    from spectral_time_series_ray.sources.tsf import read_tsf
+
+    p1 = str(tmp_path / "noname.tsf")
+    with open(p1, "w") as f:
+        f.write("@attribute region string\n@frequency daily\n@data\n")
+        f.write("north:1.0,2.0,?\n")
+        f.write("south: 3.5 ,4.5\n")  # padded tokens must be stripped
+    got = read_tsf(p1).to_pandas().sort_values("item_id").reset_index(drop=True)
+    assert list(got["item_id"]) == ["north", "south"]
+    assert list(got["region"]) == ["north", "south"]
+    a = np.asarray(got.loc[1, "target"], np.float32)
+    assert np.allclose(a, [3.5, 4.5])
+
+    p2 = str(tmp_path / "bare.tsf")
+    with open(p2, "w") as f:
+        f.write("@frequency daily\n@data\n")
+        f.write("1.0,2.0\n")
+        f.write("9.0,8.0,7.0\n")
+    got2 = read_tsf(p2).to_pandas()
+    assert got2["item_id"].str.match(r"h[0-9a-f]{16}").all()
+    assert got2["item_id"].is_unique
+
+
+def test_tsf_numeric_attr_padded_missing(ray_session, tmp_path):
+    from spectral_time_series_ray.sources.tsf import read_tsf
+
+    p = str(tmp_path / "num.tsf")
+    with open(p, "w") as f:
+        f.write("@attribute series_name string\n@attribute scale numeric\n")
+        f.write("@frequency daily\n@data\n")
+        f.write("a: ? :1.0,2.0\n")  # '?' with padding → null, not crash
+        f.write("b:2.5:3.0\n")
+    got = read_tsf(p).to_pandas().sort_values("item_id").reset_index(drop=True)
+    assert pd.isna(got.loc[0, "scale"]) and got.loc[1, "scale"] == 2.5
