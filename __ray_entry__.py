@@ -1051,12 +1051,19 @@ def _tr_rollup_multi(sf_dir: str):
     all three tiers (1m/1h/1d) with EXACT per-tier p50/p99 from ONE
     conv-hash exchange — conversations are complete per partition, so
     coarse-tier quantiles (unmergeable, impossible on the cascade
-    path) come from raw values in the same pass. SELF-VERIFYING at
-    driver time: the 1m slice must equal the standalone single-tier
-    `rollup_transcripts` BIT-EXACTLY (every column, NaN-normalized
-    int64 bit views for floats), and per-tier bucket counts must be
-    monotone non-increasing with tier coarseness. Output: one row per
-    tier with bucket/turn conservation stats + ok."""
+    path) come from raw values in the same pass. SELF-VERIFYING with
+    BOUNDED driver work at any scale: the 1m slice must equal the
+    standalone single-tier `rollup_transcripts` as a MULTISET of rows
+    — both sides reduce to the same distributed order-invariant
+    fingerprint used by `tr_text_fidelity` (per-row hash over EVERY
+    column, floats as NaN-normalized int64 bit views, one int64 per
+    side reaching the driver; keys are unique per row, so multiset
+    equality IS bit-exact equality) — and per-tier bucket/turn stats
+    come from a per-block partial aggregate (<= 3 rows per block on
+    the driver, never the full tier). Output: one row per tier with
+    bucket/turn conservation stats + ok."""
+    import pyarrow as pa
+
     from spectral_time_series_ray.sources.transcripts import (
         read_transcripts,
         transcripts_bytes,
@@ -1072,34 +1079,61 @@ def _tr_rollup_multi(sf_dir: str):
         ds, ["1m", "1h", "1d"], input_bytes=ib
     ).materialize()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["conv_id", "bucket_ts"]).reset_index(drop=True)
+    def fingerprint(d, cols):
+        """Distributed order-invariant digest: (sum of per-row hashes,
+        row count). Floats hash as int64 bit views with every NaN
+        rewritten to the canonical quiet NaN, timestamps as int64 us
+        — byte-identical values on both sides hash identically."""
 
-    m1_multi = canon(
-        allt.filter(expr="tier == '1m'").drop_columns(["tier"]).to_pandas()
-    )
+        def batch_hash(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            for c in cols:
+                k = df[c].dtype.kind
+                if k == "f":
+                    v = df[c].to_numpy(np.float64).copy()
+                    v[np.isnan(v)] = np.nan  # canonicalize NaN payloads
+                    df[c] = v.view(np.int64)
+                elif k == "M":
+                    df[c] = df[c].astype("datetime64[us]").astype(np.int64)
+            h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+            s = int(h.view(np.int64).sum(dtype=np.int64)) if len(h) else 0
+            return pa.table(
+                {"h": pa.array([s], pa.int64()), "n": pa.array([len(h)], pa.int64())}
+            )
+
+        parts = d.map_batches(
+            batch_hash, batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # one (h, n) row per block
+        return (
+            int(parts["h"].to_numpy().sum(dtype=np.int64)),
+            int(parts["n"].sum()),
+        )
+
     ds2 = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
-    m1_single = canon(rollup_transcripts(ds2, "1m", input_bytes=ib).to_pandas())
-
-    bit_equal = list(m1_multi.columns) == list(m1_single.columns) and len(
-        m1_multi
-    ) == len(m1_single)
+    single_1m = rollup_transcripts(ds2, "1m", input_bytes=ib)
+    cols_single = list(single_1m.schema().names)
+    multi_1m = allt.filter(expr="tier == '1m'").drop_columns(["tier"])
+    cols_multi = list(multi_1m.schema().names)
+    bit_equal = cols_multi == cols_single
     if bit_equal:
-        for c in m1_single.columns:
-            g = m1_multi[c].to_numpy()
-            e = m1_single[c].to_numpy()
-            if m1_single[c].dtype.kind == "f":
-                gq = np.where(np.isnan(g), np.nan, g)
-                eq = np.where(np.isnan(e), np.nan, e)
-                if not (gq.view(np.int64) == eq.view(np.int64)).all():
-                    bit_equal = False
-                    break
-            elif not (g == e).all():
-                bit_equal = False
-                break
+        bit_equal = fingerprint(multi_1m, cols_single) == fingerprint(
+            single_1m, cols_single
+        )
 
-    per_tier = allt.to_pandas().groupby("tier").agg(
-        n_buckets=("bucket_ts", "size"), n_turns=("n_turns", "sum")
+    def tier_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("tier", sort=True)
+            .agg(n_buckets=("bucket_ts", "size"), n_turns=("n_turns", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_tier = (
+        allt.map_batches(tier_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # <= 3 rows per block
+        .groupby("tier")
+        .sum()
     )
     turns = per_tier["n_turns"].to_numpy()
     conserved = bool((turns == turns[0]).all())  # same turns per tier

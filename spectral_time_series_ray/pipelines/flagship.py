@@ -1,15 +1,23 @@
-"""The flagship transcript pipeline (SURVEY.md §7.1):
+"""The flagship transcript pipeline (SURVEY.md §7.1) — the SAME
+2-execution DAG ``bench.py`` measures (they diverged briefly in round
+4; the fused path is now the one library surface):
 
 read_parquet(transcripts, pruned columns)
   -> map_batches: text_len + hash partition          [stateless, pyarrow]
-  -> ONE int-keyed shuffle; per-partition numpy: stable (conv, turn)
-     sort, boundary-safe latency, tumbling buckets, segmented stats
-  -> tiered rollups: 1m exact (count/sum/min/max/mean/p50/p99),
-     1h + 1d cascaded from 1m mergeable partials
+  -> ONE int-keyed conv-hash exchange; every conversation complete per
+     partition, so ALL THREE retention tiers (1m/1h/1d) — count/sum/
+     min/max/mean AND exact p50/p99 — come out of this single pass
+     (`rollup.rollup_transcripts_multi`; a cascade could never produce
+     coarse-tier exact quantiles — quantiles are not mergeable)
   -> gap-fill (LOCF) on the 1m grid + precondition (Chebyshev d4)
-  -> pack chunks -> Gorilla actor pool (quantized)       [stateful]
-  -> spectral downsample actor pool (Welch / Lomb-Scargle)
+  -> pack chunks -> ONE combined actor-pool pass: Gorilla encode
+     (quantized) + spectral downsample (Welch)          [stateful]
   -> write_parquet tier dirs + per-partition manifests (resume)
+
+``stages.rollup.cascade`` / ``cascade_multi`` remain the right tool
+when the INPUT is already an aggregated fine tier (e.g. re-deriving
+1d from persisted 1m partitions without the raw turns); the flagship
+has the raw turns, so it never pays a second exchange for them.
 """
 
 from __future__ import annotations
@@ -22,11 +30,13 @@ from ..sources.transcripts import (
     transcripts_bytes,
     transcripts_path,
 )
+from ..stages.chunkworker import process_chunks
 from ..stages.compress import compress_chunks
-from ..stages.downsample import spectral_downsample
-from ..stages.rollup import cascade, rollup_transcripts
+from ..stages.rollup import rollup_transcripts_multi
 from ..stages.series import gap_fill_pack_series
 from ..state.manifest import input_fingerprint, write_partitioned
+
+_SPECTRAL_COLS = ["top_freqs", "top_power", "peak_freq", "method"]
 
 
 def run_flagship(
@@ -48,35 +58,58 @@ def run_flagship(
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
     ds = validate_transcripts(ds)  # schema check + vectorized row rules
 
-    # 1m: exact (incl. quantiles), fused single-shuffle path. Reused
-    # (materialized: it is the small aggregated result, not the input)
-    # for cascade + gap-fill.
-    m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
-    h1 = cascade(m1, "1h")
-    d1 = cascade(m1, "1d")
+    # Execution 1: all three tiers (incl. exact per-tier p50/p99) from
+    # ONE conv-hash exchange.  Materialized: it is the small aggregated
+    # result, not the input — reused for the tier slices + gap-fill.
+    allt = rollup_transcripts_multi(
+        ds, ["1m", "1h", "1d"], input_bytes=transcripts_bytes(sf_dir)
+    ).materialize()
+    tiers = {
+        t: allt.filter(expr=f"tier == '{t}'").drop_columns(["tier"])
+        for t in ("1m", "1h", "1d")
+    }
+    m1 = tiers["1m"]
 
-    results = {"rollup_1m": m1, "rollup_1h": h1, "rollup_1d": d1}
+    results = {
+        "rollup_1m": m1,
+        "rollup_1h": tiers["1h"],
+        "rollup_1d": tiers["1d"],
+        "rollup_all_tiers": allt,
+    }
 
     if out_root:
         fp = input_fingerprint([transcripts_path(sf_from_dir(sf_dir))])
-        lineage = ["read_transcripts", "with_turn_features", "rollup"]
-        for tier, tds in (("1m", m1), ("1h", h1), ("1d", d1)):
+        lineage = ["read_transcripts", "with_turn_features", "rollup_multi"]
+        for tier, tds in tiers.items():
             write_partitioned(
                 tds, out_root, tier, fingerprint=fp,
                 lineage=lineage + [f"tier={tier}"], resume=resume,
             )
 
+    # Execution 2: gap-fill -> precondition -> pack -> encode as one
+    # streaming pass over the (lazy) 1m slice of the materialized union.
     chunks = gap_fill_pack_series(
         m1, "1m", value_col="mean_latency", method="locf",
         polynomial="chebyshev", degree=4,
     ).materialize()
     chunks = chunks.select_columns(["conv_id", "chunk_idx", "n_points", "ts", "values"])
-    encoded = compress_chunks(chunks, quantize_digits=3, concurrency=compress_concurrency)
-    results["gorilla"] = encoded
     if spectral:
-        results["spectral"] = spectral_downsample(
-            chunks, method="welch", concurrency=compress_concurrency
+        # combined Gorilla + Welch in ONE actor-pool pass over the
+        # chunks (the benched shape); split lazily into the two views
+        combined = process_chunks(
+            chunks, quantize_digits=3, method="welch",
+            concurrency=compress_concurrency,
+        ).materialize()
+        results["gorilla"] = combined.drop_columns(_SPECTRAL_COLS)
+        results["spectral"] = combined.select_columns(
+            ["conv_id", "chunk_idx", "n_points"] + _SPECTRAL_COLS
         )
+        encoded = results["gorilla"]
+    else:
+        encoded = compress_chunks(
+            chunks, quantize_digits=3, concurrency=compress_concurrency
+        )
+        results["gorilla"] = encoded
     if out_root:
         enc_dir = os.path.join(out_root, "gorilla_chunks")
         if os.path.isdir(enc_dir):  # write_parquet appends: clear reruns
