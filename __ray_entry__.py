@@ -54,52 +54,127 @@ def entry() -> Any:
     return results["rollup_1m"]
 
 
+# ---------------------------------------------- transcripts-table oracle view
+#
+# The driver's DuckDB session registers views for the ten standard
+# tables only, so oracle SQL for TRANSCRIPT pipelines reads the
+# synthetic transcripts parquet through a FIXED symlink that each
+# transcript query refreshes to its sf_dir's cache directory before
+# returning.  Both the driver gate and tools/check_oracle.py evaluate
+# the Ray side BEFORE its oracle SQL, so the link always points at the
+# scale under test when DuckDB reads it; `oracle_sql()` additionally
+# pre-links the driver's sf0.01 default so the SQL is valid even if an
+# oracle were evaluated first.  (Concurrent sweeps at DIFFERENT scales
+# in one machine would race on the link — run one scale at a time,
+# exactly what the gate does.)
+
+_ORACLE_TR_LINK = "/tmp/sts_oracle_transcripts"
+# SQL fragment: the transcripts relation as seen by DuckDB
+_TR = f"read_parquet('{_ORACLE_TR_LINK}/*.parquet')"
+
+
+def _link_transcripts_for_oracle(sf_dir: str) -> None:
+    import os
+
+    from spectral_time_series_ray.sources.transcripts import (
+        sf_from_dir,
+        transcripts_path,
+    )
+
+    target = transcripts_path(sf_from_dir(sf_dir))
+    tmp = f"{_ORACLE_TR_LINK}.tmp.{os.getpid()}"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target, tmp)
+    os.replace(tmp, _ORACLE_TR_LINK)  # atomic publish
+
+
 # ------------------------------------------------------- rows-only pipelines
 
 def _tr_rollup_1m(sf_dir: str):
-    """Fused 1m transcript rollup; the ok column carries two
-    self-checks: per-row min <= mean <= max for both stats families,
-    and global turn conservation (sum of n_turns across all buckets ==
-    the distributed input row count — no row lost or duplicated by the
-    hash shuffle)."""
+    """Fused 1m transcript rollup — DuckDB-ORACLE-CHECKED end to end
+    (per-conversation minute buckets of turn latency + text length vs
+    an independent window-function SQL over the same parquet).
+
+    Exact-comparability design: every oracle column is either an exact
+    integer (counts, integer-microsecond latency sum/min/max, integer
+    text-length stats) or an interpolated quantile whose exact value
+    lies on a coarse grid (multiples of 0.01 us / 0.01 chars — linear
+    interpolation of integers at percentile fractions k/100), rounded
+    to 2 decimals: both sides' float64 approximations sit ~1e-8 from
+    the same grid point, never near a rounding boundary.  (Means are
+    deliberately NOT emitted: an exact rational with an arbitrary
+    even denominator CAN land exactly on a rounding boundary, where
+    engine-vs-DuckDB ulp differences flip the last digit; sum + count
+    carry the same information boundary-free.)
+
+    The ok column keeps the internal self-check: global turn
+    conservation (sum of n_turns == distributed input row count — no
+    row lost or duplicated by the hash shuffle); the oracle side pins
+    it with `true as ok`."""
     from ray.data.aggregate import Sum
 
     from spectral_time_series_ray.sources.transcripts import read_transcripts, transcripts_bytes
     from spectral_time_series_ray.stages.rollup import rollup_transcripts
 
-    ds = read_transcripts(sf_dir)
+    _link_transcripts_for_oracle(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
     n_in = ds.count()
     out = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
     n_out = int(out.aggregate(Sum("n_turns", alias_name="s"))["s"])
     conserved = n_out == n_in
 
-    def check(df: pd.DataFrame) -> pd.DataFrame:
-        ok = np.ones(len(df), dtype=bool)
-        for s in ("latency", "text_len"):
-            has = df[f"count_{s}"].to_numpy() > 0
-            lo = df[f"min_{s}"].to_numpy(dtype=np.float64)
-            mid = df[f"mean_{s}"].to_numpy(dtype=np.float64)
-            hi = df[f"max_{s}"].to_numpy(dtype=np.float64)
-            ok &= ~has | ((lo <= mid + 1e-12) & (mid <= hi + 1e-12))
-        df = df.copy()
-        df["ok"] = ok & conserved
-        return df
+    def present(df: pd.DataFrame) -> pd.DataFrame:
+        def us_int(col):  # seconds-float -> exact integer-valued us float64
+            v = df[col].to_numpy(np.float64) * 1e6
+            return np.round(v)
 
-    return out.map_batches(check, batch_format="pandas", batch_size=None)
+        def us_q(col):  # quantile us on the 0.01 grid
+            return np.round(df[col].to_numpy(np.float64) * 1e6, 2)
+
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "bucket_ts": df["bucket_ts"],
+                "n_turns": df["n_turns"].astype(np.int64),
+                "count_latency": df["count_latency"].astype(np.int64),
+                "sum_latency_us": us_int("sum_latency"),
+                "min_latency_us": us_int("min_latency"),
+                "max_latency_us": us_int("max_latency"),
+                "p50_latency_us": us_q("p50_latency"),
+                "p99_latency_us": us_q("p99_latency"),
+                "sum_text_len": df["sum_text_len"].to_numpy(np.float64).astype(np.int64),
+                "min_text_len": df["min_text_len"].to_numpy(np.float64).astype(np.int64),
+                "max_text_len": df["max_text_len"].to_numpy(np.float64).astype(np.int64),
+                "p50_text_len": np.round(df["p50_text_len"].to_numpy(np.float64), 2),
+                "p99_text_len": np.round(df["p99_text_len"].to_numpy(np.float64), 2),
+                "ok": conserved,
+            }
+        )
+
+    return out.map_batches(present, batch_format="pandas", batch_size=None)
 
 
 def _tr_cascade_1h(sf_dir: str):
-    """1h cascade from 1m mergeable partials; the ok column checks
-    mass conservation across the cascade: total observed-latency count
-    and (scaled-int) sum at 1h equal the 1m totals exactly."""
+    """1h cascade from 1m mergeable partials — DuckDB-ORACLE-CHECKED:
+    1h-from-1m must equal a DIRECT 1-hour SQL aggregate over the raw
+    transcripts (the tier-cascade identity for mergeable stats).
+    Exact-comparability: counts are integers; latency sum/min/max are
+    converted to integer-valued microsecond float64 (exact — latencies
+    are integer us); text-length stats are exact integers.  Means are
+    not emitted (see _tr_rollup_1m).  The ok column keeps the internal
+    mass-conservation self-check across the cascade."""
     from ray.data.aggregate import Sum
 
     from spectral_time_series_ray.sources.transcripts import read_transcripts
     from spectral_time_series_ray.stages.features import with_turn_features
     from spectral_time_series_ray.stages.rollup import cascade, rollup_mergeable
 
-    ds = read_transcripts(sf_dir)
-    m1 = rollup_mergeable(with_turn_features(ds, include_text=False), "1m", salt=4).materialize()
+    _link_transcripts_for_oracle(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
+    m1 = rollup_mergeable(with_turn_features(ds, include_text=True), "1m", salt=4).materialize()
     h1 = cascade(m1, "1h").materialize()
 
     def totals(d):
@@ -110,12 +185,27 @@ def _tr_cascade_1h(sf_dir: str):
     ch, sh = totals(h1)
     conserved = (c1 == ch) and abs(s1 - sh) <= 1e-6 * max(1.0, abs(s1))
 
-    def check(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["ok"] = conserved
-        return df
+    def present(df: pd.DataFrame) -> pd.DataFrame:
+        def us_int(col):
+            return np.round(df[col].to_numpy(np.float64) * 1e6)
 
-    return h1.map_batches(check, batch_format="pandas", batch_size=None)
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "bucket_ts": df["bucket_ts"],
+                "count_latency": df["count_latency"].astype(np.int64),
+                "sum_latency_us": us_int("sum_latency"),
+                "min_latency_us": us_int("min_latency"),
+                "max_latency_us": us_int("max_latency"),
+                "n_turns": df["count_text_len"].astype(np.int64),
+                "sum_text_len": df["sum_text_len"].to_numpy(np.float64).astype(np.int64),
+                "min_text_len": df["min_text_len"].to_numpy(np.float64).astype(np.int64),
+                "max_text_len": df["max_text_len"].to_numpy(np.float64).astype(np.int64),
+                "ok": conserved,
+            }
+        )
+
+    return h1.map_batches(present, batch_format="pandas", batch_size=None)
 
 
 def _tr_gorilla(sf_dir: str):
@@ -839,6 +929,7 @@ def _tr_partitioned_sink(sf_dir: str):
     from spectral_time_series_ray.stages.rollup import rollup_transcripts
     from spectral_time_series_ray.state.manifest import read_manifests, write_partitioned
 
+    _link_transcripts_for_oracle(sf_dir)
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
     m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
     n_rows = m1.count()
@@ -859,15 +950,30 @@ def _tr_partitioned_sink(sf_dir: str):
             and man_rows == n_rows
             and reread_sum == sum_turns
         )
-        return pd.DataFrame(
-            {
-                "n_partitions": [len(c1)],
-                "rows_written": [int(sum(c1.values()))],
-                "rows_reread": [int(reread_rows)],
-                "resume_partitions": [len(c2)],
-                "ok": [ok],
-            }
+
+        # DuckDB-oracle-checked output: per-date (bucket count, turn
+        # sum) computed FROM THE RE-READ partitioned sink via a
+        # per-block partial aggregate (one date is one partition dir,
+        # so partials are tiny); SQL re-derives the same from the raw
+        # transcripts — sink content equality per partition, exact ints.
+        def per_date(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby("date", as_index=False).agg(
+                n_buckets=("n_turns", "size"), n_turns=("n_turns", "sum")
+            )
+
+        agg = (
+            reread.map_batches(per_date, batch_format="pandas", batch_size=None)
+            .to_pandas()  # <= one row per (block, date)
+            .groupby("date", as_index=False)
+            .sum()
         )
+        agg["date"] = agg["date"].astype(str)
+        agg["n_buckets"] = agg["n_buckets"].astype(np.int64)
+        agg["n_turns"] = agg["n_turns"].astype(np.int64)
+        agg = agg.sort_values("date").reset_index(drop=True)
+        agg["resume_partitions"] = np.int64(len(c2))
+        agg["ok"] = bool(ok)
+        return agg
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
@@ -1695,6 +1801,7 @@ def _tr_role_transitions(sf_dir: str):
     from spectral_time_series_ray.sources.transcripts import read_transcripts
     from spectral_time_series_ray.stages.features import role_transition_matrix
 
+    _link_transcripts_for_oracle(sf_dir)
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
     mat, n_turns, n_convs = role_transition_matrix(ds)
     total_ok = int(mat["n"].sum()) == n_turns - n_convs
@@ -1703,6 +1810,7 @@ def _tr_role_transitions(sf_dir: str):
         set(mat["from_role"]) <= {"user", "assistant", "tool"}
         and set(mat["to_role"]) <= {"user", "assistant", "tool"}
     )
+    mat["n"] = mat["n"].astype(np.int64)
     mat["ok"] = total_ok and count_ok and roles_ok
     return mat
 
@@ -1718,6 +1826,7 @@ def _tr_tool_stats(sf_dir: str):
     from spectral_time_series_ray.sources.transcripts import read_transcripts
     from spectral_time_series_ray.stages.features import tool_call_stats
 
+    _link_transcripts_for_oracle(sf_dir)
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "tool", "ts"])
     out = tool_call_stats(ds)
 
@@ -1740,8 +1849,257 @@ def _tr_tool_stats(sf_dir: str):
         and (out["n_with_next"] <= out["n_calls"]).all()
         and (out["mean_next_latency_s"].dropna() >= 0).all()
     )
+    # oracle comparability: ints exact; the latency SUM is an exact
+    # multiple of 1e-6 s (integer-us latencies) so fixed-6 rounding is
+    # boundary-free; the mean is checked internally (bounds_ok) but
+    # NOT emitted — its denominator can park the exact value on a
+    # rounding boundary where ulp noise flips the digit
+    out = out.drop(columns=["mean_next_latency_s"])
+    for c in ("n_calls", "n_convs", "n_with_next"):
+        out[c] = out[c].astype(np.int64)
     out["ok"] = total_ok and bounds_ok
     return out
+
+
+def _tr_daily_profile(sf_dir: str):
+    """Per-day transcript traffic profile, DuckDB-ORACLE-CHECKED:
+    turns, ACTIVE CONVERSATIONS (exact distinct — conversations span
+    days, so the per-day distinct needs its own dedupe exchange:
+    per-block (day, conv) partials -> groupby dedupe -> per-day
+    count), tool-call turns, and total text length.  All exact
+    integers."""
+    import pyarrow as pa
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+
+    _link_transcripts_for_oracle(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "role", "ts", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["ts"].dt.floor("D")
+        g = pd.DataFrame(
+            {
+                "day": day,
+                "tool_turn": (df["role"] == "tool").astype(np.int64),
+                "text_len": df["text"].str.len().astype(np.int64),
+            }
+        ).groupby("day", as_index=False).agg(
+            n_turns=("tool_turn", "size"),
+            n_tool_turns=("tool_turn", "sum"),
+            sum_text_len=("text_len", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_day = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # <= ~31 rows per block
+        .groupby("day", as_index=False)
+        .sum()
+    )
+
+    # exact per-day distinct conversations: dedupe (day, conv) pairs
+    # with a distributed groupby, then a tiny per-day count
+    def day_conv(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        p = pd.DataFrame({"day": df["ts"].dt.floor("D"), "conv_id": df["conv_id"]})
+        return pa.Table.from_pandas(p.drop_duplicates(), preserve_index=False)
+
+    pairs = ds.map_batches(day_conv, batch_format="pyarrow", batch_size=None)
+    uniq = pairs.groupby(["day", "conv_id"]).count()
+
+    def count_day(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("day", as_index=False).agg(n_convs=("conv_id", "size"))
+
+    nconv = (
+        uniq.map_batches(count_day, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .sum()
+    )
+    out = per_day.merge(nconv, on="day", how="left")
+    out["n_convs"] = out["n_convs"].fillna(0).astype(np.int64)
+    for c in ("n_turns", "n_tool_turns", "sum_text_len"):
+        out[c] = out[c].astype(np.int64)
+    out = out.rename(columns={"day": "day_ts"}).sort_values("day_ts").reset_index(drop=True)
+    out["ok"] = bool((out["n_convs"] <= out["n_turns"]).all() and len(out) > 0)
+    return out
+
+
+def _tr_hourly_load(sf_dir: str):
+    """Hour-of-day load profile over transcripts (the capacity-planning
+    view), DuckDB-ORACLE-CHECKED: per hour 0-23, turn count, tool-turn
+    count, and total text length — exact integers from a per-block
+    partial aggregate (24 rows per block, trivially mergeable)."""
+    import pyarrow as pa
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+
+    _link_transcripts_for_oracle(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["role", "ts", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = pd.DataFrame(
+            {
+                "hour_of_day": df["ts"].dt.hour.astype(np.int64),
+                "tool_turn": (df["role"] == "tool").astype(np.int64),
+                "text_len": df["text"].str.len().astype(np.int64),
+            }
+        ).groupby("hour_of_day", as_index=False).agg(
+            n_turns=("tool_turn", "size"),
+            n_tool_turns=("tool_turn", "sum"),
+            sum_text_len=("text_len", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # <= 24 rows per block
+        .groupby("hour_of_day", as_index=False)
+        .sum()
+        .sort_values("hour_of_day")
+        .reset_index(drop=True)
+    )
+    for c in ("n_turns", "n_tool_turns", "sum_text_len"):
+        out[c] = out[c].astype(np.int64)
+    out["ok"] = bool(len(out) > 0 and int(out["n_turns"].sum()) > 0)
+    return out
+
+
+def _tr_latency_histogram(sf_dir: str):
+    """Whole-second inter-turn-latency histogram (capped at 600 s),
+    DuckDB-ORACLE-CHECKED.  Exact-comparability: the bucket is INTEGER
+    MICROSECOND latency // 1_000_000 (floor division of the identical
+    int64 on both sides — no float anywhere in the bucketing), counts
+    are exact ints.  Latencies derive from conversation turn order via
+    the rollup's conv-hash partition pattern: three narrow columns
+    shuffle on an int key, one lexsort + segmented diff per partition,
+    and each partition emits at most 601 histogram rows."""
+    import pyarrow as pa
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+    from spectral_time_series_ray.stages.rollup import partitions_for_input
+
+    _link_transcripts_for_oracle(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+    P = partitions_for_input(None)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_pandas_object(
+                batch["conv_id"].to_pandas(), index=False
+            ).to_numpy()
+            % P
+        ).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df["conv_id"], sort=False)
+        order = np.lexsort((df["turn_idx"].to_numpy(), codes))
+        us = df["ts"].to_numpy(dtype="datetime64[us]").view("int64")[order]
+        codes_s = codes[order]
+        same = codes_s[1:] == codes_s[:-1]
+        d = (us[1:] - us[:-1])[same]
+        bucket = np.minimum(d // 1_000_000, 600)
+        b, n = np.unique(bucket, return_counts=True)
+        return pd.DataFrame(
+            {"bucket_s": b.astype(np.int64), "n": n.astype(np.int64)}
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()  # <= 601 rows per partition
+        .groupby("bucket_s", as_index=False)
+        .sum()
+        .sort_values("bucket_s")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["ok"] = bool(len(out) > 0 and (out["bucket_s"] >= 0).all())
+    return out
+
+
+def _tr_text_len_by_role(sf_dir: str):
+    """Per-role text-length profile, DuckDB-ORACLE-CHECKED: count, sum,
+    min, max of character length per role — exact integers via a
+    per-block partial aggregate (<= |roles| rows per block)."""
+    import pyarrow as pa
+
+    from spectral_time_series_ray.sources.transcripts import read_transcripts
+
+    _link_transcripts_for_oracle(sf_dir)
+    ds = read_transcripts(sf_dir, columns=["role", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = pd.DataFrame(
+            {"role": df["role"], "text_len": df["text"].str.len().astype(np.int64)}
+        ).groupby("role", as_index=False).agg(
+            n=("text_len", "size"),
+            sum_text_len=("text_len", "sum"),
+            min_text_len=("text_len", "min"),
+            max_text_len=("text_len", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("role", as_index=False)
+        .agg(
+            n=("n", "sum"),
+            sum_text_len=("sum_text_len", "sum"),
+            min_text_len=("min_text_len", "min"),
+            max_text_len=("max_text_len", "max"),
+        )
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    for c in ("n", "sum_text_len", "min_text_len", "max_text_len"):
+        out[c] = out[c].astype(np.int64)
+    out["ok"] = bool(len(out) > 0 and (out["min_text_len"] >= 0).all())
+    return out
+
+
+def _role_profile(ds) -> pd.DataFrame:
+    """Per-role content profile of a transcript Dataset — per-block
+    partial aggregate + bounded driver merge (<= |roles| rows per
+    block).  Every column is an exact integer or timestamp, so a
+    DuckDB aggregate over the same logical content compares
+    byte-exact; computed from a roundtrip's RE-READ side, equality
+    with SQL over the ORIGINAL parquet is an independent end-to-end
+    fidelity check of the wire format."""
+    import pyarrow as pa
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["text_len"] = df["text"].str.len().astype(np.int64)
+        df["us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+        g = df.groupby("role", as_index=False).agg(
+            n=("role", "size"),
+            sum_text_len=("text_len", "sum"),
+            sum_turn_idx=("turn_idx", "sum"),
+            min_us=("us", "min"),
+            max_us=("us", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(part, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.groupby("role", as_index=False).agg(
+        n=("n", "sum"),
+        sum_text_len=("sum_text_len", "sum"),
+        sum_turn_idx=("sum_turn_idx", "sum"),
+        min_us=("min_us", "min"),
+        max_us=("max_us", "max"),
+    )
+    out["min_ts"] = out.pop("min_us").astype("datetime64[us]")
+    out["max_ts"] = out.pop("max_us").astype("datetime64[us]")
+    for c in ("n", "sum_text_len", "sum_turn_idx"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("role").reset_index(drop=True)
 
 
 def _tr_jsonl_roundtrip(sf_dir: str):
@@ -1750,7 +2108,9 @@ def _tr_jsonl_roundtrip(sf_dir: str):
     through the schema-restoring parser, and compare both sides by a
     DISTRIBUTED order-invariant fingerprint (per-row hash of every
     column, summed per batch, reduced with ``sum`` — one int64 to the
-    driver per side). Self-check: counts equal and fingerprints equal."""
+    driver per side; folded into ok).  DuckDB-ORACLE-CHECKED: the
+    returned per-role profile is computed from the RE-READ JSONL side
+    and must equal SQL aggregates over the ORIGINAL parquet."""
     import shutil
     import tempfile
 
@@ -1783,22 +2143,18 @@ def _tr_jsonl_roundtrip(sf_dir: str):
             int(parts["n"].sum()),
         )
 
+    _link_transcripts_for_oracle(sf_dir)
     out_dir = tempfile.mkdtemp(prefix="tr_jsonl_", dir="/tmp")
     try:
         src = read_transcripts(sf_dir)
         write_transcripts_jsonl(src, out_dir)
         a = fingerprint(read_transcripts(sf_dir))
         b = fingerprint(read_transcripts_jsonl(out_dir))
+        prof = _role_profile(read_transcripts_jsonl(out_dir))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    return pd.DataFrame(
-        {
-            "n_rows": [a[1]],
-            "fingerprint_src": [a[0]],
-            "fingerprint_jsonl": [b[0]],
-            "ok": [a == b],
-        }
-    )
+    prof["ok"] = bool(a == b and a[1] > 0)
+    return prof
 
 
 def _doc_chunking(sf_dir: str):
@@ -1983,6 +2339,7 @@ def _tr_sessions(sf_dir: str):
     from spectral_time_series_ray.sources.transcripts import read_transcripts
     from spectral_time_series_ray.stages.streaming import sessionize
 
+    _link_transcripts_for_oracle(sf_dir)
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
     sess = sessionize(ds, gap_s=600.0).materialize()
     n_turns_total = int(read_transcripts(sf_dir, columns=["turn_idx"]).count())
@@ -2012,6 +2369,12 @@ def _tr_sessions(sf_dir: str):
         .sum()
     )
     out = per_conv.drop(columns=["max_idx"]).sort_values("conv_id").reset_index(drop=True)
+    # DuckDB-oracle comparability: n_sessions/n_turns are exact ints;
+    # max_session_s is bit-identical on both sides (same int64 us
+    # difference divided by the same exactly-representable 1e6)
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    out["n_turns"] = out["n_turns"].astype(np.int64)
+    out["max_session_s"] = out["max_session_s"].astype(np.float64)
     out["ok"] = conservation_ok and contiguous_ok and n_neg == 0
     return out
 
@@ -2060,8 +2423,26 @@ def _tr_heavy_conversations(sf_dir: str):
     # sf) -> pandas concat loses the schema entirely
     big = set(heavy_df["conv_id"]) if "conv_id" in heavy_df.columns else set()
     coverage_ok = big <= cand
-    hh["ok"] = undercount_ok and coverage_ok
-    return hh[["conv_id", "approx_count", "exact_count", "ok"]]
+    ok = bool(undercount_ok and coverage_ok)
+    # DuckDB-oracle-checked output: the VERIFIED heavy set (every conv
+    # whose EXACT count exceeds n/k) with exact counts — SQL `having
+    # count(*) > n/64`.  The sketch's approx counts stay internal to
+    # the guarantee checks folded into ok (coverage + undercount
+    # bounds); they are estimator-dependent and not oracle-able.
+    _link_transcripts_for_oracle(sf_dir)
+    if "conv_id" in heavy_df.columns and len(heavy_df):
+        res = heavy_df.rename(columns={"count()": "exact_count"})[
+            ["conv_id", "exact_count"]
+        ].copy()
+    else:
+        res = pd.DataFrame(
+            {"conv_id": pd.Series(dtype=object),
+             "exact_count": pd.Series(dtype=np.int64)}
+        )
+    res["exact_count"] = res["exact_count"].astype(np.int64)
+    res = res.sort_values("conv_id").reset_index(drop=True)
+    res["ok"] = ok
+    return res
 
 
 def _tr_ffd_pack(sf_dir: str):
@@ -3121,18 +3502,32 @@ def _tr_time_travel(sf_dir: str):
             and list_snapshots(root, "1m") == [2]
         )
         ok = time_travel_ok and head_ok and untouched_ok and vacuum_ok and len(touched) > 0
-        return pd.DataFrame(
-            {
-                "versions_committed": [2],
-                "n_partitions": [len(m2["partitions"])],
-                "n_touched": [len(touched)],
-                "rows_head": [n_head],
-                "time_travel_ok": [time_travel_ok],
-                "head_match": [head_ok],
-                "isolation_ok": [untouched_ok],
-                "vacuum_ok": [vacuum_ok],
-                "ok": [ok],
-            }
+
+        # DuckDB-oracle-checked output: the post-vacuum HEAD content
+        # itself — (conv, minute) turn counts + text-length sums must
+        # equal a direct SQL aggregate over ALL raw turns (on-time +
+        # late), proving the upsert merged late data correctly and
+        # vacuum kept the right files.  All version/isolation/vacuum
+        # self-checks fold into ok; every column is an exact integer.
+        _link_transcripts_for_oracle(sf_dir)
+
+        def present(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"],
+                    "bucket_ts": df["bucket_ts"],
+                    "n_turns": df["n_turns"].astype(np.int64),
+                    "sum_text_len": df["sum_text_len"].astype(np.int64),
+                    "ok": bool(ok),
+                }
+            )
+
+        # the result must outlive the finally-rmtree: materialize the
+        # (small, aggregated) HEAD tier into the object store
+        return (
+            read_snapshot(root, "1m")
+            .map_batches(present, batch_format="pandas", batch_size=None)
+            .materialize()
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3511,15 +3906,37 @@ def _ev_sorted_export(sf_dir: str):
             nonempty[i][2] <= nonempty[i + 1][1] for i in range(len(nonempty) - 1)
         )
         ok = n_total == n_src and internal_ok and boundaries_ok and len(nonempty) > 1
-        return pd.DataFrame(
-            {
-                "n_files": [len(files)],
-                "n_rows": [n_total],
-                "blocks_internally_sorted": [internal_ok],
-                "block_ranges_disjoint": [boundaries_ok],
-                "ok": [ok],
-            }
+
+        # DuckDB-oracle-checked output: per-minute event counts + id
+        # extrema computed FROM THE EXPORTED FILES (per-block partial
+        # agg — minutes may straddle file boundaries, so partials merge
+        # on the driver, bounded by #minutes); SQL re-derives from the
+        # events view — the export preserved every row.  The global-
+        # order proof (internal sort + disjoint ranges) folds into ok.
+        def per_minute(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            b["bucket_ts"] = b["ts"].dt.floor("min")
+            return b.groupby("bucket_ts", as_index=False).agg(
+                n_events=("event_id", "size"),
+                min_event_id=("event_id", "min"),
+                max_event_id=("event_id", "max"),
+            )
+
+        agg = (
+            checks.map_batches(per_minute, batch_format="pandas", batch_size=None)
+            .to_pandas()
+            .groupby("bucket_ts", as_index=False)
+            .agg(
+                n_events=("n_events", "sum"),
+                min_event_id=("min_event_id", "min"),
+                max_event_id=("max_event_id", "max"),
+            )
+            .sort_values("bucket_ts")
+            .reset_index(drop=True)
         )
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        agg["ok"] = bool(ok)
+        return agg
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -5037,14 +5454,32 @@ def _tr_compaction(sf_dir: str):
         man_ok = all(
             ("compaction" in m) == (m["date"] in res) for m in mans
         ) and all(int(m["row_count"]) >= 0 for m in mans)
-        return pd.DataFrame({
-            "n_partitions": [len(fb)],
-            "n_compacted": [len(res)],
-            "files_before": [int(sum(fb.values()))],
-            "files_after": [int(sum(fa.values()))],
-            "rows": [n_before],
-            "ok": [bool(reduced_ok and content_ok and man_ok)],
-        })
+
+        # DuckDB-oracle-checked output: per-date bucket/turn totals
+        # from the POST-COMPACTION reread (per-block partial agg); SQL
+        # re-derives them from the raw transcripts — proving the
+        # rewritten files carry exactly the original content.  The
+        # file-count / manifest / fingerprint self-checks fold into ok.
+        _link_transcripts_for_oracle(sf_dir)
+
+        def per_date(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby("date", as_index=False).agg(
+                n_buckets=("n_turns", "size"), n_turns=("n_turns", "sum")
+            )
+
+        agg2 = (
+            ray.data.read_parquet(tier_dir)
+            .map_batches(per_date, batch_format="pandas", batch_size=None)
+            .to_pandas()
+            .groupby("date", as_index=False)
+            .sum()
+        )
+        agg2["date"] = agg2["date"].astype(str)
+        agg2["n_buckets"] = agg2["n_buckets"].astype(np.int64)
+        agg2["n_turns"] = agg2["n_turns"].astype(np.int64)
+        agg2 = agg2.sort_values("date").reset_index(drop=True)
+        agg2["ok"] = bool(reduced_ok and content_ok and man_ok)
+        return agg2
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
@@ -6568,6 +7003,7 @@ def _tr_ipc_roundtrip(sf_dir: str):
             int(parts["n"].sum()),
         )
 
+    _link_transcripts_for_oracle(sf_dir)
     out_dir = tempfile.mkdtemp(prefix="tr_ipc_", dir="/tmp")
     try:
         src = read_transcripts(sf_dir)
@@ -6578,16 +7014,13 @@ def _tr_ipc_roundtrip(sf_dir: str):
         ] == [str(t) for t in src.schema().types]
         a = fingerprint(read_transcripts(sf_dir))
         b = fingerprint(back)
+        prof = _role_profile(read_transcripts_ipc(out_dir))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    ok = bool(n_shards >= 1 and schema_ok and a == b and a[1] > 0)
-    return pd.DataFrame({
-        "n_shards": np.array([n_shards], np.int64),
-        "rows": np.array([a[1]], np.int64),
-        "fingerprint_match": [a == b],
-        "schema_exact": [bool(schema_ok)],
-        "ok": [ok],
-    })
+    # DuckDB-oracle-checked per-role profile from the RE-READ IPC side;
+    # shard/schema/fingerprint checks fold into ok
+    prof["ok"] = bool(n_shards >= 1 and schema_ok and a == b and a[1] > 0)
+    return prof
 
 
 
@@ -6739,14 +7172,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rollup_1m": Q.ev_rollup_1m,
         "ev_cascade_1d_salted": Q.ev_cascade_1d_salted,
         "ev_rollup_multi": Q.ev_rollup_multi,
+        "tr_rollup_1m": _tr_rollup_1m,
+        "tr_sessions": _tr_sessions,
+        "tr_daily_profile": _tr_daily_profile,
+        "tr_latency_histogram": _tr_latency_histogram,
+        "tr_jsonl_roundtrip": _tr_jsonl_roundtrip,
+        "tr_heavy_conversations": _tr_heavy_conversations,
         "ev_cohort_retention": Q.ev_cohort_retention,
         "emb_ann_topk": Q.emb_ann_topk,
         "ev_gapfill_seasonal": Q.ev_gapfill_seasonal,
         "ev_sessions": Q.ev_sessions,
         "ev_concurrency": Q.ev_concurrency,
-        "ev_acf": Q.ev_acf,
         "ev_scd2_intervals": Q.ev_scd2_intervals,
-        "ev_time_weighted_avg": Q.ev_time_weighted_avg,
         "ev_interval_coverage": Q.ev_interval_coverage,
         "ev_asof_purchase": Q.ev_asof_purchase,
         "ev_window_funcs": Q.ev_window_funcs,
@@ -6755,16 +7192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_funnel_windowed": Q.ev_funnel_windowed,
         "ev_m4_downsample": Q.ev_m4_downsample,
         "ev_seasonal_decompose": Q.ev_seasonal_decompose,
-        "ev_backtest_expanding": Q.ev_backtest_expanding,
         "ev_user_scaler": Q.ev_user_scaler,
         "ev_multivariate_precond": Q.ev_multivariate_precond,
         "ev_retained_users": Q.ev_retained_users,
         "ev_attribution": Q.ev_attribution,
         "ev_top_users": Q.ev_top_users,
-        "ev_outliers_mad": Q.ev_outliers_mad,
-        "ev_spearman_user": Q.ev_spearman_user,
         "ev_dq_checks": Q.ev_dq_checks,
-        "ev_trend": Q.ev_trend,
         "q1_pricing": Q.q1_pricing,
         "doc_ssjoin": Q.doc_ssjoin,
         "ev_granger": Q.ev_granger,
@@ -6786,6 +7219,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_names": Q.fuzzy_customer_names,
         "doc_phrase_match": _doc_phrase_match,
         "ev_mannwhitney": Q.ev_mannwhitney,
+        "ev_acf": Q.ev_acf,
+        "ev_time_weighted_avg": Q.ev_time_weighted_avg,
+        "ev_backtest_expanding": Q.ev_backtest_expanding,
+        "ev_outliers_mad": Q.ev_outliers_mad,
+        "ev_spearman_user": Q.ev_spearman_user,
+        "ev_trend": Q.ev_trend,
         "ev_transitions": Q.ev_transitions,
         "tr_ipc_roundtrip": _tr_ipc_roundtrip,
         "ev_fisher_exact": _ev_fisher_exact,
@@ -6909,7 +7348,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_join_planner": Q.tr_join_planner,
         "doc_simhash_dedup": _doc_simhash_dedup,
         "tr_partitioned_sink": _tr_partitioned_sink,
-        "tr_rollup_1m": _tr_rollup_1m,
         "tr_cascade_1h": _tr_cascade_1h,
         "tr_precondition_roundtrip": _tr_precondition_roundtrip,
         "tr_spectral_lomb": _tr_spectral_lomb,
@@ -6969,12 +7407,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tr_learned_precond": _tr_learned_precond,
         "tr_embed_precond": _tr_embed_precond,
         "tr_rollup_multi": _tr_rollup_multi,
-        "tr_heavy_conversations": _tr_heavy_conversations,
         "tr_role_transitions": _tr_role_transitions,
         "tr_tool_stats": _tr_tool_stats,
-        "tr_jsonl_roundtrip": _tr_jsonl_roundtrip,
+        "tr_hourly_load": _tr_hourly_load,
+        "tr_text_len_by_role": _tr_text_len_by_role,
         "src_tsf_roundtrip": _src_tsf_roundtrip,
-        "tr_sessions": _tr_sessions,
         "doc_chunking": _doc_chunking,
         "doc_redact": _doc_redact,
         "ev_streaming_incremental": _ev_streaming_incremental,
@@ -7009,6 +7446,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 def oracle_sql() -> dict[str, str]:
+    # transcript-table oracles read through the fixed symlink (see
+    # _link_transcripts_for_oracle); pre-link the driver's sf0.01
+    # default so the SQL is valid even before any query ran
+    try:
+        _link_transcripts_for_oracle("/root/testdata/sf0.01")
+    except Exception:
+        pass
+    # shared CTE: per-turn latency in exact integer microseconds
+    tr_lat = f"""
+      select conv_id, ts, length(text) as text_len,
+             epoch_us(ts) - lag(epoch_us(ts))
+               over (partition by conv_id order by turn_idx) as lat_us
+      from {_TR}"""
+    per_date_sql = f"""
+            with b as (select conv_id, date_trunc('minute', ts) as bts,
+                              count(*) as n
+                       from {_TR} group by 1, 2)
+            select strftime(bts, '%Y-%m-%d') as date,
+                   count(*) as n_buckets, sum(n)::bigint as n_turns"""
     rollup_cols = """
            count(value) as count_value,
            round(sum(value), 6) as sum_value,
@@ -7016,6 +7472,156 @@ def oracle_sql() -> dict[str, str]:
            round(max(value), 6) as max_value,
            round(avg(value), 6) as mean_value"""
     return {
+        "tr_rollup_1m": f"""
+            with t as ({tr_lat})
+            select conv_id, date_trunc('minute', ts) as bucket_ts,
+                   count(*) as n_turns,
+                   count(lat_us) as count_latency,
+                   sum(lat_us)::double as sum_latency_us,
+                   min(lat_us)::double as min_latency_us,
+                   max(lat_us)::double as max_latency_us,
+                   round(quantile_cont(lat_us, 0.5), 2) as p50_latency_us,
+                   round(quantile_cont(lat_us, 0.99), 2) as p99_latency_us,
+                   sum(text_len)::bigint as sum_text_len,
+                   min(text_len)::bigint as min_text_len,
+                   max(text_len)::bigint as max_text_len,
+                   round(quantile_cont(text_len, 0.5), 2) as p50_text_len,
+                   round(quantile_cont(text_len, 0.99), 2) as p99_text_len,
+                   true as ok
+            from t group by 1, 2
+        """,
+        "tr_cascade_1h": f"""
+            with t as ({tr_lat})
+            select conv_id, date_trunc('hour', ts) as bucket_ts,
+                   count(lat_us) as count_latency,
+                   sum(lat_us)::double as sum_latency_us,
+                   min(lat_us)::double as min_latency_us,
+                   max(lat_us)::double as max_latency_us,
+                   count(*) as n_turns,
+                   sum(text_len)::bigint as sum_text_len,
+                   min(text_len)::bigint as min_text_len,
+                   max(text_len)::bigint as max_text_len,
+                   true as ok
+            from t group by 1, 2
+        """,
+        "tr_sessions": f"""
+            with o as (select conv_id, turn_idx, epoch_us(ts) as us from {_TR}),
+            g as (select conv_id, turn_idx, us,
+                    case when us - lag(us) over (partition by conv_id order by turn_idx) > 600000000
+                         or lag(us) over (partition by conv_id order by turn_idx) is null
+                         then 1 else 0 end as ns
+                  from o),
+            s as (select conv_id, us,
+                    sum(ns) over (partition by conv_id order by turn_idx
+                                  rows between unbounded preceding and current row) as sid
+                  from g),
+            ps as (select conv_id, sid, count(*) as nt,
+                          (max(us) - min(us)) / 1000000.0 as dur
+                   from s group by 1, 2)
+            select conv_id, count(*) as n_sessions, sum(nt)::bigint as n_turns,
+                   max(dur) as max_session_s, true as ok
+            from ps group by 1
+        """,
+        "tr_role_transitions": f"""
+            with o as (select conv_id, turn_idx, role from {_TR}),
+            p as (select a.role as from_role, b.role as to_role
+                  from o a join o b
+                    on a.conv_id = b.conv_id and b.turn_idx = a.turn_idx + 1)
+            select from_role, to_role, count(*) as n, true as ok
+            from p group by 1, 2
+        """,
+        "tr_tool_stats": f"""
+            with o as (select conv_id, turn_idx, role, tool, epoch_us(ts) as us from {_TR}),
+            w as (select conv_id, role, tool,
+                    lead(us) over (partition by conv_id order by turn_idx) - us as next_lat_us
+                  from o),
+            t as (select tool, conv_id, next_lat_us from w
+                  where role = 'tool' and tool <> '')
+            select tool, count(*) as n_calls, count(distinct conv_id) as n_convs,
+                   count(next_lat_us) as n_with_next,
+                   coalesce(round(sum(next_lat_us) / 1000000.0, 6), 0.0) as sum_next_latency_s,
+                   true as ok
+            from t group by 1
+        """,
+        "tr_heavy_conversations": f"""
+            with c as (select conv_id, count(*) as exact_count from {_TR} group by 1),
+            n as (select count(*)::double as total from {_TR})
+            select conv_id, exact_count::bigint as exact_count, true as ok
+            from c, n where exact_count > total / 64
+        """,
+        "tr_jsonl_roundtrip": f"""
+            select role, count(*) as n,
+                   sum(length(text))::bigint as sum_text_len,
+                   sum(turn_idx)::bigint as sum_turn_idx,
+                   min(ts) as min_ts, max(ts) as max_ts,
+                   true as ok
+            from {_TR} group by 1
+        """,
+        "tr_ipc_roundtrip": f"""
+            select role, count(*) as n,
+                   sum(length(text))::bigint as sum_text_len,
+                   sum(turn_idx)::bigint as sum_turn_idx,
+                   min(ts) as min_ts, max(ts) as max_ts,
+                   true as ok
+            from {_TR} group by 1
+        """,
+        "tr_partitioned_sink": f"""{per_date_sql},
+                   0::bigint as resume_partitions, true as ok
+            from b group by 1
+        """,
+        "tr_compaction": f"""{per_date_sql},
+                   true as ok
+            from b group by 1
+        """,
+        "tr_time_travel": f"""
+            select conv_id, date_trunc('minute', ts) as bucket_ts,
+                   count(*) as n_turns,
+                   sum(length(text))::bigint as sum_text_len,
+                   true as ok
+            from {_TR} group by 1, 2
+        """,
+        "tr_daily_profile": f"""
+            select date_trunc('day', ts) as day_ts,
+                   count(*) as n_turns,
+                   sum(case when role = 'tool' then 1 else 0 end)::bigint as n_tool_turns,
+                   sum(length(text))::bigint as sum_text_len,
+                   count(distinct conv_id) as n_convs,
+                   true as ok
+            from {_TR} group by 1
+        """,
+        "tr_hourly_load": f"""
+            select extract(hour from ts)::bigint as hour_of_day,
+                   count(*) as n_turns,
+                   sum(case when role = 'tool' then 1 else 0 end)::bigint as n_tool_turns,
+                   sum(length(text))::bigint as sum_text_len,
+                   true as ok
+            from {_TR} group by 1
+        """,
+        "tr_latency_histogram": f"""
+            with t as (select conv_id,
+                         epoch_us(ts) - lag(epoch_us(ts))
+                           over (partition by conv_id order by turn_idx) as lat_us
+                       from {_TR})
+            select least(lat_us // 1000000, 600) as bucket_s,
+                   count(*) as n, true as ok
+            from t where lat_us is not null group by 1
+        """,
+        "tr_text_len_by_role": f"""
+            select role, count(*) as n,
+                   sum(length(text))::bigint as sum_text_len,
+                   min(length(text))::bigint as min_text_len,
+                   max(length(text))::bigint as max_text_len,
+                   true as ok
+            from {_TR} group by 1
+        """,
+        "ev_sorted_export": """
+            select date_trunc('minute', ts) as bucket_ts,
+                   count(*) as n_events,
+                   min(event_id) as min_event_id,
+                   max(event_id) as max_event_id,
+                   true as ok
+            from events group by 1
+        """,
         "ev_rollup_1m": f"""
             select user_id, date_trunc('minute', ts) as bucket_ts,
                    count(*) as n_events,{rollup_cols},

@@ -377,7 +377,12 @@ def tool_call_stats(ds, num_partitions: int | None = None):
     (conversations never span partitions, so per-partition distinct
     conv counts sum exactly); per-partition partials are <= |tools|
     rows, so the merge is a bounded driver concat. Returns a DataFrame
-    (tool, n_calls, n_convs, n_with_next, mean_next_latency_s).
+    (tool, n_calls, n_convs, n_with_next, sum_next_latency_s,
+    mean_next_latency_s) — the SUM is kept alongside the mean because
+    it is boundary-free under fixed-decimal rounding (an exact
+    multiple of 1e-6 s, since latencies are integer microseconds),
+    which the oracle comparison relies on; a mean's denominator can
+    land its exact value exactly on a rounding boundary.
     """
     from .rollup import partitions_for_input
 
@@ -427,7 +432,8 @@ def tool_call_stats(ds, num_partitions: int | None = None):
     )
     if not len(parts):
         return pd.DataFrame(
-            columns=["tool", "n_calls", "n_convs", "n_with_next", "mean_next_latency_s"]
+            columns=["tool", "n_calls", "n_convs", "n_with_next",
+                     "sum_next_latency_s", "mean_next_latency_s"]
         )
     out = parts.groupby("tool", as_index=False).agg(
         n_calls=("n_calls", "sum"),
@@ -435,6 +441,7 @@ def tool_call_stats(ds, num_partitions: int | None = None):
         n_with_next=("n_with_next", "sum"),
         sum_lat=("sum_lat", "sum"),
     )
+    out["sum_next_latency_s"] = out["sum_lat"].round(6)
     out["mean_next_latency_s"] = (out["sum_lat"] / out["n_with_next"]).round(6)
     return out.drop(columns=["sum_lat"]).sort_values("tool").reset_index(drop=True)
 

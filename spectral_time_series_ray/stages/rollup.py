@@ -102,9 +102,13 @@ def _bucket_stats_frame(
             max_col[seg_ids] = v_s[ends - 1]
             cnt = ends - starts
             for q in quantiles:
-                pos = starts + q * (cnt - 1)
-                lo = np.floor(pos).astype(np.int64)
-                frac = pos - lo
+                # segment-RELATIVE fraction — see _segmented_stats for
+                # why offsetting by `starts` before flooring loses
+                # precision proportional to the global row offset
+                rel = q * (cnt - 1)
+                lo_rel = np.floor(rel).astype(np.int64)
+                frac = rel - lo_rel
+                lo = starts + lo_rel
                 hi = np.minimum(lo + 1, ends - 1)
                 qcols[q][seg_ids] = v_s[lo] * (1.0 - frac) + v_s[hi] * frac
         out[f"count_{s}"] = count
@@ -175,13 +179,22 @@ def _segmented_stats(
     }
     if quantiles:
         # sort values within each segment (NaN sorts last), then index
-        # the q-position with linear interpolation
+        # the q-position with linear interpolation.  The fraction MUST
+        # be computed in segment-RELATIVE coordinates: adding the
+        # segment's global row offset (`starts`, up to millions) before
+        # taking the fractional part leaks ~eps*starts into frac, and
+        # frac error is amplified by the value gap (a 1e-10 frac slip
+        # across a 4000-second latency outlier moved p99 by ~0.4 us —
+        # enough to flip a fixed-decimal digit, and dependent on
+        # partition layout).  Relative frac matches the textbook
+        # q*(n-1) formula bit-for-bit regardless of offset.
         order = np.lexsort((v, seg_of_row))
         v_s = v[order]
         for q in quantiles:
-            pos = np.where(has, starts + q * (cnt - 1), 0.0)
-            lo = np.floor(pos).astype(np.int64)
-            frac = pos - lo
+            rel = np.where(has, q * (cnt - 1), 0.0)
+            lo_rel = np.floor(rel).astype(np.int64)
+            frac = rel - lo_rel
+            lo = starts + lo_rel
             hi = np.minimum(lo + 1, np.maximum(starts + cnt - 1, starts))
             qv = v_s[lo] * (1.0 - frac) + v_s[hi] * frac
             out[f"q{q}"] = np.where(has, qv, np.nan)
