@@ -61,13 +61,21 @@ def main(argv=None):
         return 0
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("RAY_ADDRESS", "")
+        if addr and addr != "local":
+            # inside `ray job submit` (or any session with a cluster
+            # address): CONNECT — never start a competing local
+            # instance on the head node, and never cap the cluster to
+            # --num-cpus (a local-mode knob only)
+            ray.init(ignore_reinit_error=True, logging_level="ERROR")
+        else:
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -115,6 +115,7 @@ def test_tool_call_stats_matches_pandas(ray_session, transcripts_df):
         n_with_next=("lat", "count"),
         sum_lat=("lat", "sum"),
     )
+    exp["sum_next_latency_s"] = exp["sum_lat"].round(6)
     exp["mean_next_latency_s"] = (exp["sum_lat"] / exp["n_with_next"]).round(6)
     exp = exp.drop(columns=["sum_lat"]).sort_values("tool").reset_index(drop=True)
     pd.testing.assert_frame_equal(
