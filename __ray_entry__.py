@@ -2492,8 +2492,10 @@ def _tr_ffd_pack(sf_dir: str):
 
 def _ev_streaming_incremental(sf_dir: str):
     """Keyed incremental aggregation through the persistent bucket-actor
-    stage, self-verified against the batch rollup of the same data
-    (incremental == batch invariant, SURVEY.md §2.9)."""
+    stage — the WORKER-SIDE dispatch path (`consume_distributed`: one
+    bucket-hash exchange, zero rows through the driver) — self-verified
+    against the batch rollup of the same data (incremental == batch
+    invariant, SURVEY.md §2.9)."""
     import ray.data
 
     from spectral_time_series_ray.stages.streaming import StreamingAggregator
@@ -2501,7 +2503,7 @@ def _ev_streaming_incremental(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
-    agg = StreamingAggregator(n_buckets=4).consume(ds, "user_id", "value")
+    agg = StreamingAggregator(n_buckets=4).consume_distributed(ds, "user_id", "value")
     inc = agg.result().rename(columns={"key": "user_id"})
     from ray.data.aggregate import Count, Max, Min, Sum
 

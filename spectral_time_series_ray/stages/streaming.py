@@ -62,14 +62,15 @@ class StreamingAggregator:
     """Drive N bucket actors from an event-time-ordered micro-batch
     stream (``ds.sort(ts).iter_batches``).
 
-    SCALE NOTE (honest limitation): the global event-time sort is an
-    all-to-all and every micro-batch passes through the DRIVER before
-    fanning out to bucket actors, so the driver NIC is the throughput
-    ceiling. This models the reference's single-process incremental
-    evaluator lifecycle, not a 100-TB stream; the scale path for
-    unordered aggregation is ``rollup_mergeable`` (no order, no driver
-    hop). Use this stage only when strict event-time fold order of a
-    keyed state machine is required."""
+    SCALE NOTE: ``consume()`` (global event-time sort + driver-side
+    micro-batch fan-out) models the reference's single-process
+    incremental evaluator lifecycle — the driver NIC is its ceiling.
+    ``consume_distributed()`` is the SCALE path: worker-side dispatch
+    through one bucket-hash exchange, zero rows through the driver,
+    identical final state (per-KEY fold order is the semantic
+    requirement and a key's whole log folds in event-time order inside
+    one bucket task).  For unordered aggregation with no persistent
+    state, ``rollup_mergeable`` remains the cheapest shape."""
 
     def __init__(self, n_buckets: int = 4):
         self.actors = [BucketAggregator.remote() for _ in range(n_buckets)]
@@ -94,6 +95,61 @@ class StreamingAggregator:
                     pending, num_returns=len(pending) - 2 * self.n
                 )
         ray.get(pending)
+        return self
+
+    def consume_distributed(self, ds, key_col: str, value_col: str, ts_col: str = "ts"):
+        """Worker-side dispatch — the SCALE path: the driver moves ZERO
+        rows.  One bucket-hash exchange routes each key's whole log to
+        one group task; the task sorts ITS bucket by event time and
+        folds it into the bucket actor in order.  The semantic
+        requirement of a keyed state machine is per-KEY fold order —
+        a key maps to exactly one bucket and that bucket's log is
+        folded by one task in event-time order, so the requirement
+        holds without any global sort or driver hop.  Equals
+        ``consume()`` exactly (incremental == batch invariant, tested)
+        because the per-key running aggregates are order-insensitive
+        folds of ordered per-bucket logs either way.
+
+        Size ``n_buckets`` so one bucket's log fits a worker's heap
+        (buckets are the unit of parallelism AND of memory here); for
+        continuous ingestion call this once per arriving log segment —
+        actor state persists across calls."""
+        import pyarrow as pa
+
+        actors, n = self.actors, self.n
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = (
+                pd.util.hash_pandas_object(
+                    batch[key_col].to_pandas(), index=False
+                ).to_numpy()
+                % n
+            ).astype(np.int64)
+            return batch.select([key_col, value_col, ts_col]).append_column(
+                "_bucket", pa.array(b)
+            )
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                     "rows": pd.Series([], dtype=np.int64)})
+            df = df.sort_values(ts_col, kind="mergesort")
+            i = int(df["_bucket"].iloc[0])
+            ray.get(
+                actors[i].update.remote(
+                    df[key_col].to_numpy(),
+                    df[value_col].to_numpy(dtype=np.float64),
+                )
+            )
+            return pd.DataFrame({"bucket": [np.int64(i)], "rows": [np.int64(len(df))]})
+
+        # consume the per-bucket ack stats (tiny: one row per bucket)
+        (
+            ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
         return self
 
     def result(self) -> pd.DataFrame:

@@ -38,6 +38,19 @@ def test_incremental_equals_batch(ray_session):
     np.testing.assert_allclose(inc["min"].to_numpy(), batch["min"].to_numpy())
     np.testing.assert_allclose(inc["max"].to_numpy(), batch["max"].to_numpy())
 
+    # the worker-side dispatch path must produce the IDENTICAL final
+    # state (zero rows through the driver; per-key fold order holds
+    # because a key's whole log folds inside one bucket task)
+    agg2 = StreamingAggregator(n_buckets=3).consume_distributed(
+        ds, "user", "value", ts_col="ts"
+    )
+    inc2 = agg2.result()
+    np.testing.assert_array_equal(inc2["key"].to_numpy(), batch["key"].to_numpy())
+    np.testing.assert_array_equal(inc2["count"].to_numpy(), batch["count"].to_numpy())
+    np.testing.assert_allclose(inc2["sum"].to_numpy(), batch["sum"].to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(inc2["min"].to_numpy(), batch["min"].to_numpy())
+    np.testing.assert_allclose(inc2["max"].to_numpy(), batch["max"].to_numpy())
+
 
 # ---------------------------------------------------------- watermark
 
