@@ -3345,15 +3345,29 @@ def _tr_tier_upsert(sf_dir: str):
             h_got == h_exp and n_got == n_exp and n_got > 0
             and len(touched) > 0 and untouched_ok and touched_ok
         )
-        return pd.DataFrame(
-            {
-                "n_partitions": [len(after)],
-                "n_touched": [len(touched)],
-                "n_untouched_preserved": [len(untouched)],
-                "rows_total": [n_got],
-                "fingerprint_match": [h_got == h_exp],
-                "ok": [ok],
-            }
+
+        # DuckDB-oracle-checked output: the POST-UPSERT tier content —
+        # (conv, minute) turn counts + text-length sums read back from
+        # the partitioned store must equal a direct SQL aggregate over
+        # ALL raw turns (on-time + late merged); manifest isolation and
+        # fingerprint checks fold into ok.
+        _link_transcripts_for_oracle(sf_dir)
+
+        def present(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"],
+                    "bucket_ts": df["bucket_ts"],
+                    "n_turns": df["n_turns"].astype(np.int64),
+                    "sum_text_len": df["sum_text_len"].astype(np.int64),
+                    "ok": bool(ok),
+                }
+            )
+
+        return (
+            reread.select_columns(["conv_id", "bucket_ts", "n_turns", "sum_text_len"])
+            .map_batches(present, batch_format="pandas", batch_size=None)
+            .materialize()  # must outlive the finally-rmtree
         )
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
@@ -3612,12 +3626,15 @@ def _tr_versioned_erasure(sf_dir: str):
     raw = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
     turns = raw.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
 
-    # targets: a deterministic ~5% of conversations (splitmix-style hash)
+    # targets: every conversation whose id ends in '0' — a ~10% slice
+    # that is deterministic at every scale AND expressible as a fixed
+    # SQL predicate (`conv_id like '%0'`), so the post-erasure HEAD can
+    # be DuckDB-oracle-checked against the surviving raw turns
     def pick_targets(batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"].to_pylist()
-        h = pd.util.hash_pandas_object(pd.Series(conv), index=False).to_numpy()
-        keep = (h % np.uint64(20)) == 0
-        return pa.table({"conv_id": pa.array([c for c, k in zip(conv, keep) if k])})
+        import pyarrow.compute as pc_
+
+        keep = pc_.ends_with(batch["conv_id"], pattern="0")
+        return pa.table({"conv_id": batch["conv_id"].filter(keep)})
 
     tgt_rows = (
         turns.select_columns(["conv_id"])
@@ -3625,10 +3642,7 @@ def _tr_versioned_erasure(sf_dir: str):
         .groupby("conv_id").count().take_all()
     )
     targets = {r["conv_id"] for r in tgt_rows}
-    if not targets:
-        # tiny corpora can dodge the 5% hash slice — erase the
-        # lexicographically smallest conversation (deterministic)
-        targets = {turns.min("conv_id")}
+    assert targets, "generator ids include conv_...0 at every scale"
 
     root = tempfile.mkdtemp(prefix="snaperase_", dir="/tmp")
     try:
@@ -3669,22 +3683,31 @@ def _tr_versioned_erasure(sf_dir: str):
             and res["snapshots_expired"] >= 1
             and res["files_deleted"] >= 1
         )
-        untouched = [d for d in m1["partitions"] if d in m2["partitions"]
-                     and m1["partitions"][d] == m2["partitions"][d]]
         ok = (head_ok and physical_ok and history_ok
               and res["rows_removed"] > 0 and len(targets) > 0)
-        return pd.DataFrame(
-            {
-                "n_targets": [len(targets)],
-                "rows_removed": [res["rows_removed"]],
-                "partitions_rewritten": [res["partitions_rewritten"]],
-                "n_untouched_preserved": [len(untouched)],
-                "files_deleted": [res["files_deleted"]],
-                "head_match": [head_ok],
-                "physical_erasure_ok": [physical_ok],
-                "history_expired_ok": [history_ok],
-                "ok": [ok],
-            }
+
+        # DuckDB-oracle-checked output: the POST-ERASURE HEAD content —
+        # (conv, minute) counts + text-length sums of the SURVIVING
+        # conversations must equal SQL over raw turns with
+        # `conv_id not like '%0'`; the physical-erasure / history-
+        # expiry / fingerprint checks fold into ok.
+        _link_transcripts_for_oracle(sf_dir)
+
+        def present(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"],
+                    "bucket_ts": df["bucket_ts"],
+                    "n_turns": df["n_turns"].astype(np.int64),
+                    "sum_text_len": df["sum_text_len"].astype(np.int64),
+                    "ok": bool(ok),
+                }
+            )
+
+        return (
+            read_snapshot(root, "1m")
+            .map_batches(present, batch_format="pandas", batch_size=None)
+            .materialize()  # must outlive the finally-rmtree
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3820,17 +3843,28 @@ def _tr_view_refresh(sf_dir: str):
         head_ok = (h_got, n_got) == (h_exp, n_exp) and n_got > 0
         ok = bool(head_ok and incremental_ok and idempotent_ok
                   and len(preserved) > 0)
-        return pd.DataFrame(
-            {
-                "n_dates_full": [int(n_dates_full)],
-                "dates_recomputed_late": [int(m2["dates_recomputed"])],
-                "n_untouched_preserved": [len(preserved)],
-                "view_rows": [int(n_got)],
-                "head_match": [head_ok],
-                "incremental_ok": [incremental_ok],
-                "idempotent_ok": [idempotent_ok],
-                "ok": [ok],
-            }
+
+        # DuckDB-oracle-checked output: the refreshed VIEW HEAD content
+        # itself — (conv, HOUR) turn counts + text-length sums must
+        # equal a direct hourly SQL aggregate over all raw turns; the
+        # incrementality/idempotence/isolation checks fold into ok.
+        _link_transcripts_for_oracle(sf_dir)
+
+        def present(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "conv_id": df["conv_id"],
+                    "bucket_ts": df["bucket_ts"],
+                    "n_turns": df["n_turns"].astype(np.int64),
+                    "sum_text_len": df["sum_text_len"].astype(np.int64),
+                    "ok": bool(ok),
+                }
+            )
+
+        return (
+            read_snapshot(root, "1h_view")
+            .map_batches(present, batch_format="pandas", batch_size=None)
+            .materialize()  # must outlive the finally-rmtree
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -5514,7 +5548,9 @@ def _tr_erasure(sf_dir: str):
 
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
     m1 = rollup_transcripts(ds, "1m", input_bytes=transcripts_bytes(sf_dir)).materialize()
-    target = str(m1.limit(1).to_pandas()["conv_id"].iloc[0])
+    # deterministic target (generator ids start at 0, so this conv
+    # exists at every scale) — a FIXED oracle SQL can name it
+    target = "conv_00000000"
     n_rows = int(m1.count())
     total_turns = int(m1.aggregate(Sum("n_turns", alias_name="s"))["s"])
 
@@ -5554,13 +5590,32 @@ def _tr_erasure(sf_dir: str):
             and len(rewritten) >= 1
             and untouched_ok
         )
-        return pd.DataFrame({
-            "erased_key_rows": np.array([target_rows], np.int64),
-            "partitions_rewritten": np.array([len(rewritten)], np.int64),
-            "rows_after": np.array([after_rows], np.int64),
-            "rows_left_for_key": np.array([left], np.int64),
-            "ok": [bool(ok)],
-        })
+
+        # DuckDB-oracle-checked output: per-date bucket/turn totals of
+        # the POST-ERASURE reread; SQL re-derives them from the raw
+        # transcripts MINUS the (fixed, deterministic) erased key —
+        # proving the erase touched exactly that conversation and
+        # nothing else.  Physical-zero-rows / conservation / manifest
+        # isolation checks fold into ok.
+        _link_transcripts_for_oracle(sf_dir)
+
+        def per_date(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby("date", as_index=False).agg(
+                n_buckets=("n_turns", "size"), n_turns=("n_turns", "sum")
+            )
+
+        agg2 = (
+            reread.map_batches(per_date, batch_format="pandas", batch_size=None)
+            .to_pandas()
+            .groupby("date", as_index=False)
+            .sum()
+        )
+        agg2["date"] = agg2["date"].astype(str)
+        agg2["n_buckets"] = agg2["n_buckets"].astype(np.int64)
+        agg2["n_turns"] = agg2["n_turns"].astype(np.int64)
+        agg2 = agg2.sort_values("date").reset_index(drop=True)
+        agg2["ok"] = bool(ok)
+        return agg2
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 
@@ -7581,6 +7636,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(text))::bigint as sum_text_len,
                    true as ok
             from {_TR} group by 1, 2
+        """,
+        "tr_tier_upsert": f"""
+            select conv_id, date_trunc('minute', ts) as bucket_ts,
+                   count(*) as n_turns,
+                   sum(length(text))::bigint as sum_text_len,
+                   true as ok
+            from {_TR} group by 1, 2
+        """,
+        "tr_view_refresh": f"""
+            select conv_id, date_trunc('hour', ts) as bucket_ts,
+                   count(*) as n_turns,
+                   sum(length(text))::bigint as sum_text_len,
+                   true as ok
+            from {_TR} group by 1, 2
+        """,
+        "tr_erasure": f"""
+            with b as (select conv_id, date_trunc('minute', ts) as bts,
+                              count(*) as n
+                       from {_TR}
+                       where conv_id <> 'conv_00000000'
+                       group by 1, 2)
+            select strftime(bts, '%Y-%m-%d') as date,
+                   count(*) as n_buckets, sum(n)::bigint as n_turns,
+                   true as ok
+            from b group by 1
+        """,
+        "tr_versioned_erasure": f"""
+            select conv_id, date_trunc('minute', ts) as bucket_ts,
+                   count(*) as n_turns,
+                   sum(length(text))::bigint as sum_text_len,
+                   true as ok
+            from {_TR}
+            where conv_id not like '%0'
+            group by 1, 2
         """,
         "tr_daily_profile": f"""
             select date_trunc('day', ts) as day_ts,
