@@ -1179,6 +1179,7 @@ def _tr_rollup_multi(sf_dir: str):
         rollup_transcripts_multi,
     )
 
+    _link_transcripts_for_oracle(sf_dir)
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
     ib = transcripts_bytes(sf_dir)
     allt = rollup_transcripts_multi(
@@ -7560,6 +7561,20 @@ def oracle_sql() -> dict[str, str]:
                    max(text_len)::bigint as max_text_len,
                    true as ok
             from t group by 1, 2
+        """,
+        "tr_rollup_multi": f"""
+            with m as (select date_trunc('minute', ts) as b, count(*) as n
+                       from {_TR} group by conv_id, 1),
+            h as (select date_trunc('hour', ts) as b, count(*) as n
+                  from {_TR} group by conv_id, 1),
+            d as (select date_trunc('day', ts) as b, count(*) as n
+                  from {_TR} group by conv_id, 1)
+            select '1m' as tier, count(*) as n_buckets, sum(n)::bigint as n_turns,
+                   true as bit_equal_1m, true as ok from m
+            union all
+            select '1h', count(*), sum(n)::bigint, true, true from h
+            union all
+            select '1d', count(*), sum(n)::bigint, true, true from d
         """,
         "tr_sessions": f"""
             with o as (select conv_id, turn_idx, epoch_us(ts) as us from {_TR}),
