@@ -2390,9 +2390,16 @@ def _tr_heavy_conversations(sf_dir: str):
     from spectral_time_series_ray.stages.distinct import heavy_hitters
     from spectral_time_series_ray.stages.join import semi_join_keys
 
-    k = 64
     ds = read_transcripts(sf_dir, columns=["conv_id"]).materialize()
     n = ds.count()
+    # scale-aware summary size: the generator clamps conversation
+    # sizes at 5000 turns, so a FIXED k would make the n/k threshold
+    # outgrow every conversation beyond sf~0.05 and the verified-heavy
+    # set (and its oracle) would be vacuously empty at scale.  k =
+    # n/2500 keeps the threshold at ~2500 turns — below the clamp, so
+    # genuinely heavy conversations exist at every sf — while the
+    # sketch stays tiny relative to the corpus (k counters total).
+    k = max(64, -(-n // 2500))
     hh = heavy_hitters(ds, "conv_id", k=k)
     bound = n / k
     cand = set(hh["item"])
@@ -7617,9 +7624,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tr_heavy_conversations": f"""
             with c as (select conv_id, count(*) as exact_count from {_TR} group by 1),
-            n as (select count(*)::double as total from {_TR})
+            n as (select count(*) as total from {_TR}),
+            k as (select greatest(64, (total + 2499) // 2500) as kk, total from n)
             select conv_id, exact_count::bigint as exact_count, true as ok
-            from c, n where exact_count > total / 64
+            from c, k where exact_count > total / (kk * 1.0)
         """,
         "tr_jsonl_roundtrip": f"""
             select role, count(*) as n,
