@@ -7513,9 +7513,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # transcript-table oracles read through the fixed symlink (see
     # _link_transcripts_for_oracle); pre-link the driver's sf0.01
-    # default so the SQL is valid even before any query ran
+    # default so the SQL is valid even before any query ran — but ONLY
+    # when no link exists yet: each transcript query refreshes the link
+    # to ITS scale, and an unconditional pre-link here would clobber
+    # that when oracle_sql() is called after the query (call order is
+    # caller-dependent; the gate calls it first, tests may not)
     try:
-        _link_transcripts_for_oracle("/root/testdata/sf0.01")
+        if not os.path.lexists(_ORACLE_TR_LINK):
+            _link_transcripts_for_oracle("/root/testdata/sf0.01")
     except Exception:
         pass
     # shared CTE: per-turn latency in exact integer microseconds

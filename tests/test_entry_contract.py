@@ -59,7 +59,11 @@ def test_oracle_keys_subset(entry_mod):
     ["ev_rollup_1m", "ev_cascade_1h", "ev_sessions", "q1_pricing",
      "doc_exact_dedup", "emb_ann_topk", "ev_gapfill_1h",
      "ev_welch_ttest", "ev_anova", "ev_spearman_user",
-     "ev_trimmed_mean", "ev_kendall_tau"],
+     "ev_trimmed_mean", "ev_kendall_tau",
+     # transcript-table oracles (fixed symlink view — the query runs
+     # first and links the scale's transcripts cache for the SQL side)
+     "tr_rollup_1m", "tr_sessions", "tr_latency_histogram",
+     "tr_text_len_by_role"],
 )
 def test_query_matches_oracle_sf0001(entry_mod, oracle_con, name):
     got = canon(to_pandas(entry_mod.queries()[name](SF)))
