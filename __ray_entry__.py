@@ -13,6 +13,7 @@ Ray is initialised by the driver before import: nothing here calls
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -174,7 +175,10 @@ def _tr_cascade_1h(sf_dir: str):
 
     _link_transcripts_for_oracle(sf_dir)
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts", "text"])
-    m1 = rollup_mergeable(with_turn_features(ds, include_text=True), "1m", salt=4).materialize()
+    # include_text=False: text_len/ws_tokens derive BEFORE the
+    # projection, so the conv-keyed exchange moves only narrow columns
+    # — never the raw text strings (SURVEY §7.4)
+    m1 = rollup_mergeable(with_turn_features(ds, include_text=False), "1m", salt=4).materialize()
     h1 = cascade(m1, "1h").materialize()
 
     def totals(d):
@@ -956,21 +960,7 @@ def _tr_partitioned_sink(sf_dir: str):
         # per-block partial aggregate (one date is one partition dir,
         # so partials are tiny); SQL re-derives the same from the raw
         # transcripts — sink content equality per partition, exact ints.
-        def per_date(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.groupby("date", as_index=False).agg(
-                n_buckets=("n_turns", "size"), n_turns=("n_turns", "sum")
-            )
-
-        agg = (
-            reread.map_batches(per_date, batch_format="pandas", batch_size=None)
-            .to_pandas()  # <= one row per (block, date)
-            .groupby("date", as_index=False)
-            .sum()
-        )
-        agg["date"] = agg["date"].astype(str)
-        agg["n_buckets"] = agg["n_buckets"].astype(np.int64)
-        agg["n_turns"] = agg["n_turns"].astype(np.int64)
-        agg = agg.sort_values("date").reset_index(drop=True)
+        agg = _per_date_profile(reread)
         agg["resume_partitions"] = np.int64(len(c2))
         agg["ok"] = bool(ok)
         return agg
@@ -2393,13 +2383,18 @@ def _tr_heavy_conversations(sf_dir: str):
     ds = read_transcripts(sf_dir, columns=["conv_id"]).materialize()
     n = ds.count()
     # scale-aware summary size: the generator clamps conversation
-    # sizes at 5000 turns, so a FIXED k would make the n/k threshold
-    # outgrow every conversation beyond sf~0.05 and the verified-heavy
-    # set (and its oracle) would be vacuously empty at scale.  k =
-    # n/2500 keeps the threshold at ~2500 turns — below the clamp, so
-    # genuinely heavy conversations exist at every sf — while the
-    # sketch stays tiny relative to the corpus (k counters total).
-    k = max(64, -(-n // 2500))
+    # sizes at 5000 turns, so a FIXED small k would make the n/k
+    # threshold outgrow every conversation beyond sf~0.05 and the
+    # verified-heavy set (and its oracle) would be vacuously empty at
+    # scale.  k = n/2500 keeps the threshold at ~2500 turns — below
+    # the clamp — but is CAPPED at 4096 so the sketch stays a sketch:
+    # the driver merge concatenates O(blocks x k) counter rows and the
+    # verified-heavy set is at most k keys, both of which must stay
+    # bounded as n grows.  Beyond the cap (sf >~ 1.7) no 5000-turn
+    # conversation exceeds n/4096, and an EMPTY heavy set is the
+    # semantically correct answer, matching the oracle's identical
+    # threshold.
+    k = min(4096, max(64, -(-n // 2500)))
     hh = heavy_hitters(ds, "conv_id", k=k)
     bound = n / k
     cand = set(hh["item"])
@@ -2530,6 +2525,29 @@ def _ev_streaming_incremental(sf_dir: str):
     )
     inc["ok"] = ok.to_numpy() if len(merged) == len(inc) else False
     return inc
+
+
+def _per_date_profile(ds) -> pd.DataFrame:
+    """Per-date (n_buckets, n_turns) of a re-read partitioned 1m tier
+    via a per-block partial aggregate (one date is one partition dir,
+    so partials are tiny) — the shared oracle-comparable shape of the
+    sink / compaction / erasure entries."""
+
+    def per_date(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("date", as_index=False).agg(
+            n_buckets=("n_turns", "size"), n_turns=("n_turns", "sum")
+        )
+
+    agg = (
+        ds.map_batches(per_date, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .groupby("date", as_index=False)
+        .sum()
+    )
+    agg["date"] = agg["date"].astype(str)
+    agg["n_buckets"] = agg["n_buckets"].astype(np.int64)
+    agg["n_turns"] = agg["n_turns"].astype(np.int64)
+    return agg.sort_values("date").reset_index(drop=True)
 
 
 def _planted_base_rows(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -5506,22 +5524,7 @@ def _tr_compaction(sf_dir: str):
         # file-count / manifest / fingerprint self-checks fold into ok.
         _link_transcripts_for_oracle(sf_dir)
 
-        def per_date(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.groupby("date", as_index=False).agg(
-                n_buckets=("n_turns", "size"), n_turns=("n_turns", "sum")
-            )
-
-        agg2 = (
-            ray.data.read_parquet(tier_dir)
-            .map_batches(per_date, batch_format="pandas", batch_size=None)
-            .to_pandas()
-            .groupby("date", as_index=False)
-            .sum()
-        )
-        agg2["date"] = agg2["date"].astype(str)
-        agg2["n_buckets"] = agg2["n_buckets"].astype(np.int64)
-        agg2["n_turns"] = agg2["n_turns"].astype(np.int64)
-        agg2 = agg2.sort_values("date").reset_index(drop=True)
+        agg2 = _per_date_profile(ray.data.read_parquet(tier_dir))
         agg2["ok"] = bool(reduced_ok and content_ok and man_ok)
         return agg2
     finally:
@@ -5607,21 +5610,7 @@ def _tr_erasure(sf_dir: str):
         # isolation checks fold into ok.
         _link_transcripts_for_oracle(sf_dir)
 
-        def per_date(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.groupby("date", as_index=False).agg(
-                n_buckets=("n_turns", "size"), n_turns=("n_turns", "sum")
-            )
-
-        agg2 = (
-            reread.map_batches(per_date, batch_format="pandas", batch_size=None)
-            .to_pandas()
-            .groupby("date", as_index=False)
-            .sum()
-        )
-        agg2["date"] = agg2["date"].astype(str)
-        agg2["n_buckets"] = agg2["n_buckets"].astype(np.int64)
-        agg2["n_turns"] = agg2["n_turns"].astype(np.int64)
-        agg2 = agg2.sort_values("date").reset_index(drop=True)
+        agg2 = _per_date_profile(reread)
         agg2["ok"] = bool(ok)
         return agg2
     finally:
@@ -7630,7 +7619,7 @@ def oracle_sql() -> dict[str, str]:
         "tr_heavy_conversations": f"""
             with c as (select conv_id, count(*) as exact_count from {_TR} group by 1),
             n as (select count(*) as total from {_TR}),
-            k as (select greatest(64, (total + 2499) // 2500) as kk, total from n)
+            k as (select least(4096, greatest(64, (total + 2499) // 2500)) as kk, total from n)
             select conv_id, exact_count::bigint as exact_count, true as ok
             from c, k where exact_count > total / (kk * 1.0)
         """,

@@ -38,6 +38,19 @@ from ..state.manifest import input_fingerprint, write_partitioned
 
 _SPECTRAL_COLS = ["top_freqs", "top_power", "peak_freq", "method"]
 
+# resume-fingerprint salt: bump when the written tier SCHEMA changes so
+# an out_root from an older pipeline version is rewritten, not resumed
+FLAGSHIP_SCHEMA_SALT = "-schema2-multitier"
+
+
+def flagship_fingerprint(sf_dir: str) -> str:
+    """The exact fingerprint run_flagship writes manifests under —
+    input content identity + schema version (resume key)."""
+    return (
+        input_fingerprint([transcripts_path(sf_from_dir(sf_dir))])
+        + FLAGSHIP_SCHEMA_SALT
+    )
+
 
 def run_flagship(
     sf_dir: str,
@@ -78,7 +91,12 @@ def run_flagship(
     }
 
     if out_root:
-        fp = input_fingerprint([transcripts_path(sf_from_dir(sf_dir))])
+        # the fingerprint keys RESUME: salted with the pipeline schema
+        # version so an out_root written by an older flagship (cascade
+        # tiers without coarse-tier p50/p99) is NOT silently "resumed"
+        # into a mixed-schema tier — a schema change forces a rewrite
+        # even when the input is unchanged
+        fp = flagship_fingerprint(sf_dir)
         lineage = ["read_transcripts", "with_turn_features", "rollup_multi"]
         for tier, tds in tiers.items():
             write_partitioned(

@@ -405,22 +405,28 @@ def tool_call_stats(ds, num_partitions: int | None = None):
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         conv = df["conv_id"].to_numpy()
         tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        next_lat = np.full(len(df), np.nan)
+        # latency tracked in EXACT integer microseconds (-1 = no next
+        # turn): float-seconds accumulation across millions of calls
+        # drifts past the 0.5e-6 s fixed-decimal rounding margin at
+        # scale, while an int64 us sum is exact at any corpus size
+        next_us = np.full(len(df), -1, dtype=np.int64)
         same = conv[1:] == conv[:-1]
-        next_lat[:-1][same] = (tus[1:] - tus[:-1])[same] / 1e6
+        next_us[:-1][same] = (tus[1:] - tus[:-1])[same]
         is_tool = (df["role"].to_numpy() == "tool") & (df["tool"].to_numpy() != "")
         t = pd.DataFrame(
             {
                 "tool": df["tool"].to_numpy()[is_tool],
                 "conv": conv[is_tool],
-                "lat": next_lat[is_tool],
+                "lat_us": next_us[is_tool],
             }
         )
+        t["has_next"] = (t["lat_us"] >= 0).astype(np.int64)
+        t["lat_us"] = t["lat_us"].where(t["lat_us"] >= 0, 0)
         out = t.groupby("tool", as_index=False).agg(
             n_calls=("conv", "size"),
             n_convs=("conv", "nunique"),
-            n_with_next=("lat", "count"),
-            sum_lat=("lat", "sum"),
+            n_with_next=("has_next", "sum"),
+            sum_lat_us=("lat_us", "sum"),
         )
         return out
 
@@ -439,11 +445,17 @@ def tool_call_stats(ds, num_partitions: int | None = None):
         n_calls=("n_calls", "sum"),
         n_convs=("n_convs", "sum"),
         n_with_next=("n_with_next", "sum"),
-        sum_lat=("sum_lat", "sum"),
+        sum_lat_us=("sum_lat_us", "sum"),
     )
-    out["sum_next_latency_s"] = out["sum_lat"].round(6)
-    out["mean_next_latency_s"] = (out["sum_lat"] / out["n_with_next"]).round(6)
-    return out.drop(columns=["sum_lat"]).sort_values("tool").reset_index(drop=True)
+    # ONE division of the exact int64 us total — identical bits to a
+    # SQL sum(lat_us)/1e6 at any scale (1e6 is exactly representable)
+    sum_s = out["sum_lat_us"].to_numpy(np.int64) / 1e6
+    out["sum_next_latency_s"] = np.round(sum_s, 6)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["mean_next_latency_s"] = np.round(
+            sum_s / out["n_with_next"].to_numpy(np.float64), 6
+        )
+    return out.drop(columns=["sum_lat_us"]).sort_values("tool").reset_index(drop=True)
 
 
 def label_transition_matrix(

@@ -31,11 +31,12 @@ def test_flagship_end_to_end(tmp_path):
     spec = res["spectral"].to_pandas()
     assert len(spec) == len(enc)
 
-    # resume: a second run skips every completed partition
-    from spectral_time_series_ray.sources.transcripts import sf_from_dir, transcripts_path
-    from spectral_time_series_ray.state.manifest import completed_partitions, input_fingerprint
+    # resume: a second run skips every completed partition (under the
+    # schema-salted fingerprint run_flagship writes)
+    from spectral_time_series_ray.pipelines.flagship import flagship_fingerprint
+    from spectral_time_series_ray.state.manifest import completed_partitions
 
-    fp = input_fingerprint([transcripts_path(sf_from_dir("/root/testdata/sf0.001"))])
+    fp = flagship_fingerprint("/root/testdata/sf0.001")
     done_before = completed_partitions(out, "1m", fp)
     assert done_before
     run_flagship("/root/testdata/sf0.001", out_root=out, spectral=False)
