@@ -608,6 +608,24 @@ class ExpSmoother:
         S = len(batch)
         series = [np.asarray(v, dtype=np.float64) for v in batch["values"]]
         T = max((len(v) for v in series), default=0)
+        if T == 0:
+            # a batch whose series are ALL empty: argmax/indexing over a
+            # zero-length time axis would raise — emit the all-NaN rows
+            # the per-row guards produce for empty series elsewhere
+            out = batch.drop(
+                columns=[c for c in ("ts", "values", "values_precond")
+                         if c in batch.columns]
+            ).copy()
+            out["n_points"] = np.zeros(S, dtype=np.int64)
+            out["ewm_last"] = np.full(S, np.nan)
+            out["ewm_mae1"] = np.full(S, np.nan)
+            out["holt_level"] = np.full(S, np.nan)
+            out["holt_trend"] = np.full(S, np.nan)
+            out["holt_forecast"] = [np.full(self.horizon, np.nan)] * S
+            out["holt_mae1"] = np.full(S, np.nan)
+            out["convexity_violations"] = np.zeros(S, dtype=np.int64)
+            out["recompute_err"] = np.full(S, np.nan)
+            return out
         x = np.full((S, T), np.nan)
         for i, v in enumerate(series):
             x[i, : len(v)] = v

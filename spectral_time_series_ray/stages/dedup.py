@@ -52,12 +52,6 @@ def _perm_tile_buffer(num_perm: int, ch: int) -> np.ndarray:
     return buf
 
 
-def _text_hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    batch = batch.copy()
-    batch["text_hash"] = fnv1a_u64(batch["text"].tolist()).astype(np.int64)
-    return batch
-
-
 def exact_dedup(ds, id_col: str = "doc_id"):
     """One keeper (min id) per distinct text. Returns
     (doc_id, n_dups, text_hash).
@@ -902,14 +896,20 @@ def hamming_prefix_pairs(
     import pandas as pd
     from ray.data.aggregate import Count
 
-    from ..pipelines.queries import _join_partitions
-
     if max_dist != 1:
         raise ValueError("two-half pigeonhole blocking is lossless only for max_dist=1")
     half = key_len // 2
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        key = batch[text_col].str.slice(0, key_len)
+        # PAD FIRST, then split: verification pads short keys to
+        # key_len, so blocking halves must come from the SAME padded
+        # key — slicing the unpadded text gives a short doc a different
+        # _h2 ('' vs '  ') than its padded near-match and the pair
+        # lands in no common block, silently losing the pigeonhole
+        # guarantee for variable-length inputs
+        key = batch[text_col].str.slice(0, key_len).str.pad(
+            key_len, side="right", fillchar=" "
+        )
         return pd.DataFrame(
             {
                 id_col: batch[id_col].to_numpy(),
@@ -935,15 +935,40 @@ def hamming_prefix_pairs(
                 "raise key_len so half-key blocks stay bounded"
             )
         ids = g[id_col].to_numpy()
-        keys = g["_key"].to_numpy()
-        # (m, key_len) single-char matrix; pairwise mismatch counts
-        chars = np.array([list(k.ljust(key_len)[:key_len]) for k in keys])
-        dist = (chars[:, None, :] != chars[None, :, :]).sum(axis=2)
-        ii, jj = np.nonzero(np.triu(dist <= max_dist, k=1))
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
-        d = dist[ii, jj].astype(np.int64)
-        return pd.DataFrame({"id_a": a, "id_b": b, "dist": d})
+        keys = g["_key"].to_numpy()  # already padded to key_len in prep
+        # (m, key_len) single-char matrix; pairwise mismatch counts.
+        # CHUNK the row axis: the full (m, m, key_len) boolean tensor
+        # reaches ~6.4 GB at the m = 20000 guard — a worker OOM long
+        # before the guard fires — so cap each slice's tensor at
+        # ~256 MB and accumulate the sparse qualifying pairs.
+        chars = np.array([list(k) for k in keys])
+        step = max(1, int((256 << 20) // max(1, m * key_len)))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for s0 in range(0, m, step):
+            e0 = min(m, s0 + step)
+            dist = (chars[s0:e0, None, :] != chars[None, :, :]).sum(axis=2)
+            ii, jj = np.nonzero(dist <= max_dist)
+            gi = ii + s0
+            keep = jj > gi  # upper triangle, globally
+            if not keep.any():
+                continue
+            gi, jj2 = gi[keep], jj[keep]
+            out_a.append(np.minimum(ids[gi], ids[jj2]))
+            out_b.append(np.maximum(ids[gi], ids[jj2]))
+            out_d.append(dist[gi - s0, jj2].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "dist": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "dist": np.concatenate(out_d),
+        })
 
     parts = []
     for h in ("_h1", "_h2"):
@@ -983,8 +1008,6 @@ def duplicate_span_coverage(
     Returns (id, n_tokens:int64, covered_tokens:int64,
     dup_ratio:float).
     """
-    from ray.data.aggregate import Count, Sum
-
     from ..pipelines.queries import _join_partitions
     from .temporal import interval_coverage
 
@@ -1023,13 +1046,30 @@ def duplicate_span_coverage(
     positions = ds.map_batches(explode_only, batch_format="pandas").materialize()
     ntok = ds.map_batches(ntok_only, batch_format="pandas", batch_size=None)
 
-    # document frequency over the DISTINCT (doc, gram) projection
-    def batch_distinct(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[[id_col, "g"]].drop_duplicates()
+    # document frequency over the DISTINCT (doc, gram) projection.
+    # Derived PER-DOCUMENT from the raw table, not from `positions`:
+    # a per-block drop_duplicates over the exploded positions would
+    # rely on a doc's position rows never spanning blocks, which Ray's
+    # output-block splitting (target_max_block_size) does NOT
+    # guarantee — a split doc would double-count an intra-doc repeated
+    # gram as document frequency >= 2.  Here each doc occupies exactly
+    # one input row, the per-doc `seen` set makes every emitted
+    # (doc, gram) globally unique by construction, and output-block
+    # splitting cannot duplicate rows.
+    def distinct_grams_per_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for i, t in zip(batch[id_col].to_numpy(), batch[text_col].to_numpy()):
+            toks = t.split()
+            seen: set[str] = set()
+            for j in range(len(toks) - n + 1):
+                gkey = " ".join(toks[j : j + n])
+                if gkey not in seen:
+                    seen.add(gkey)
+                    ids.append(i)
+                    grams.append(gkey)
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64), "g": grams})
 
-    # per-batch drop_duplicates is globally distinct: a doc's position
-    # rows never span batches, so (doc, gram) pairs are unique already
-    dd = positions.map_batches(batch_distinct, batch_format="pandas", batch_size=None)
+    dd = ds.map_batches(distinct_grams_per_doc, batch_format="pandas")
     from .text import gram_counts
 
     df = gram_counts(dd.select_columns(["g"]), min_count=2).select_columns(["g"]).materialize()
@@ -1277,7 +1317,16 @@ def conversation_minhash_neardup(
         out_a, out_b = [], []
         for (_, _), g in df.groupby(["bkey", "band"], sort=False):
             ids = sorted(set(g[key]))
-            if len(ids) < 2 or len(ids) > 200:
+            if len(ids) > 200:
+                # every other bucket-cap site in this module LOGS the
+                # skip — recall loss must never be invisible
+                logging.getLogger(__name__).warning(
+                    "conversation_minhash_neardup: skipping hot band bucket "
+                    "of %d conversations (cap 200) — recall may drop",
+                    len(ids),
+                )
+                continue
+            if len(ids) < 2:
                 continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
@@ -1412,6 +1461,15 @@ def ssjoin_prefix(
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         gid = g["gid"].to_numpy(np.int64)
         docs = g["doc"].to_numpy(np.int64)
+        # the pair key packs (min_id << 32) | max_id into ONE int64 for
+        # the distinct exchange; ids at/above 2^32 would silently
+        # corrupt pairs (and >= 2^31 would sign-overflow the shift) —
+        # fail loudly instead of merging distinct pairs
+        if len(docs) and (docs.min() < 0 or docs.max() >= (1 << 31)):
+            raise ValueError(
+                "ssjoin_prefix: doc ids must be in [0, 2^31) for the packed "
+                "pair key; remap ids (factorize) before the join"
+            )
         sizes = g["s"].to_numpy(np.int64)
         order = np.lexsort((docs, sizes, gid))
         gid, docs, sizes = gid[order], docs[order], sizes[order]
@@ -1429,8 +1487,15 @@ def ssjoin_prefix(
                 )
             s_seg = sizes[st:en]
             d_seg = docs[st:en]
-            # sizes ascending: candidate j for i only while t*|b| <= |a|
-            hi = np.searchsorted(s_seg, s_seg / threshold, side="right")
+            # sizes ascending: candidate j for i only while t*|b| <= |a|.
+            # The bound must be CONSERVATIVE: plain s/threshold in float
+            # drops exact-boundary sizes (7/0.28 = 24.999999999999996
+            # excludes |b| = 25 even though J = 7/25 passes the verify
+            # step) — widen by a relative epsilon; the exact Jaccard
+            # verify downstream discards any extra candidates, so the
+            # filter stays a pure (lossless) prune.
+            bound = s_seg / threshold * (1.0 + 1e-12) + 1e-9
+            hi = np.searchsorted(s_seg, bound, side="right")
             cnt = np.maximum(hi - np.arange(1, m + 1), 0)
             tot = int(cnt.sum())
             if not tot:

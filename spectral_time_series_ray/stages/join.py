@@ -15,13 +15,25 @@ provide the two scale-appropriate shapes (ray_guide.md "Joins"):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
 # per-worker-process cache of deserialized broadcast sides: stateless
 # tasks get actor-like amortization without actor-pool startup cost
-_SMALL_CACHE: dict[str, pd.DataFrame] = {}
+_SMALL_CACHE: dict[str, object] = {}
+# LRU-ish capacity: interleaved stages (a broadcast join AND a Bloom
+# filter running concurrently on one worker) must not evict each other
+# per batch — a single-slot cache re-deserialized the other side's
+# payload on nearly every batch, the exact cost the cache amortizes
+_SMALL_CACHE_CAP = 4
+
+
+def _small_cache_put(key: str, value) -> None:
+    while len(_SMALL_CACHE) >= _SMALL_CACHE_CAP:
+        _SMALL_CACHE.pop(next(iter(_SMALL_CACHE)))  # evict oldest insert
+    _SMALL_CACHE[key] = value
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner", suffix: str = "_r", concurrency=None):
@@ -38,8 +50,7 @@ def broadcast_join(ds, small_df: pd.DataFrame, on, how: str = "inner", suffix: s
         small = _SMALL_CACHE.get(key)
         if small is None:
             small = ray.get(ref)
-            _SMALL_CACHE.clear()  # bound the cache: one live side per worker
-            _SMALL_CACHE[key] = small
+            _small_cache_put(key, small)
         return batch.merge(small, on=on, how=how, suffixes=("", suffix))
 
     return ds.map_batches(merge, batch_format="pandas", batch_size=None)
@@ -188,8 +199,7 @@ def bloom_semi_filter(ds, column: str, bloom, invert: bool = False):
         bf = _SMALL_CACHE.get(key)
         if bf is None:
             bf = BloomFilter.from_bytes(ray.get(ref))
-            _SMALL_CACHE.clear()
-            _SMALL_CACHE[key] = bf
+            _small_cache_put(key, bf)
         m = bf.contains_hashes(
             _hash_key_column(batch[column].to_pandas(), scheme, column)
         )
@@ -379,32 +389,48 @@ def asof_join(
     with right.ts <= left.ts for the same key (ray_guide.md "As-of /
     range join": sort both sides by (key, ts), pd.merge_asof per key).
 
-    The right side is grouped per key alongside the left via a tagged
-    union + single groupby — one shuffle, both sides co-located.
+    Both sides co-locate through ONE int-keyed exchange (key-hash %
+    P), not one Ray group per key — per-group task/frame overhead is
+    the measured ~10x trap at 1e5+ keys (see session_intervals /
+    ssjoin_prefix) — and each partition resolves ALL of its keys in a
+    single vectorized ``pd.merge_asof(..., by=key)``.
     """
     import pyarrow as pa
 
+    from ..pipelines.queries import _join_partitions
+
     left_cols = list(left_ds.schema().names)
     right_cols = list(right_ds.schema().names)
+    P = _join_partitions()
 
     def tag(side):
         def f(batch: pa.Table) -> pa.Table:
-            return batch.append_column("_side", pa.array([side] * len(batch), pa.int8()))
+            part = (
+                pd.util.hash_pandas_object(
+                    batch[key].to_pandas(), index=False
+                ).to_numpy()
+                % P
+            ).astype(np.int32)
+            return batch.append_column(
+                "_side", pa.array([side] * len(batch), pa.int8())
+            ).append_column("_part", pa.array(part))
 
         return f
 
     left = left_ds.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
     right = right_ds.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
     # union null-fills the symmetric difference of the schemas; the
-    # per-key fn re-projects each side to its original columns
+    # per-partition fn re-projects each side to its original columns
     both = left.union(right)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g.loc[g["_side"] == 0, left_cols].sort_values(ts_col)
-        rf = g.loc[g["_side"] == 1, [c for c in right_cols if c != key]].sort_values(ts_col)
-        return pd.merge_asof(lf, rf, on=ts_col, direction=direction, suffixes=("", suffix))
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g.loc[g["_side"] == 0, left_cols].sort_values(ts_col, kind="mergesort")
+        rf = g.loc[g["_side"] == 1, right_cols].sort_values(ts_col, kind="mergesort")
+        return pd.merge_asof(
+            lf, rf, on=ts_col, by=key, direction=direction, suffixes=("", suffix)
+        )
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return both.groupby("_part").map_groups(per_part, batch_format="pandas")
 
 
 def interval_overlap_join(

@@ -171,3 +171,53 @@ def test_gopher_rules_hand_computed(ray_session):
     assert (out["frac_alpha"] == 1.0).all()
     # short docs: every row fails the >=30-words gate
     assert not out["pass"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hamming_prefix_pairs_short_doc_padding():
+    # blocking halves must come from the PADDED key: a doc shorter than
+    # key_len pads with spaces for verification, and its padded key can
+    # sit at Hamming distance 1 from a full-length doc — the pair must
+    # be found (regression: halves sliced from the unpadded text gave
+    # short docs different half-keys and the pair was silently lost)
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import hamming_prefix_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "abcdefghijklmno",    # 15 chars -> padded 'abcdefghijklmno '
+                "abcdefghijklmnoZ",   # 16 chars: dist 1 vs padded doc 1
+                "abcdefghijklmno ",   # explicit trailing space: dist 0 vs doc 1
+            ],
+        }
+    )
+    out = hamming_prefix_pairs(
+        ray.data.from_pandas(docs), key_len=16, max_dist=1
+    ).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ssjoin_exact_boundary_sizes():
+    # threshold 0.28 with |a| = 7 contained in |b| = 25: J = 7/25 = 0.28
+    # exactly — the size prefilter must not drop the boundary pair
+    # (regression: float s/threshold = 24.999999999999996 excluded 25)
+    import ray.data
+
+    from spectral_time_series_ray.stages.dedup import ssjoin_prefix
+
+    a_toks = [f"w{i}" for i in range(7)]
+    b_toks = a_toks + [f"x{i}" for i in range(18)]  # 25 distinct shingles
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [" ".join(a_toks), " ".join(b_toks)],
+    })
+    out = ssjoin_prefix(
+        ray.data.from_pandas(docs), threshold=0.28, shingle_n=1
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 2) in pairs
