@@ -106,7 +106,10 @@ def grouping_sets_aggregate(
         t["_s"] = np.round(
             df[value_col].to_numpy(dtype=np.float64) * value_scale
         ).astype(np.int64)
-        g = t.groupby(keys, sort=False, as_index=False).agg(
+        # dropna=False: SQL GROUP BY keeps NULL key groups (and their
+        # contribution to coarser rollup rows); pandas' default would
+        # silently drop such rows from EVERY level incl. the total
+        g = t.groupby(keys, sort=False, as_index=False, dropna=False).agg(
             _n=("_n", "sum"), _s=("_s", "sum")
         )
         g["_part"] = _part_of(g, keys, n_parts)
@@ -117,7 +120,7 @@ def grouping_sets_aggregate(
     def merge_finest(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return empty().drop(columns=["_part"])
-        return g.groupby(keys, sort=False, as_index=False).agg(
+        return g.groupby(keys, sort=False, as_index=False, dropna=False).agg(
             _n=("_n", "sum"), _s=("_s", "sum")
         )
 
@@ -141,7 +144,7 @@ def grouping_sets_aggregate(
                 for kcol in keys:
                     if kcol not in s:
                         t[kcol] = all_label
-                g = t.groupby(keys, sort=False, as_index=False).agg(
+                g = t.groupby(keys, sort=False, as_index=False, dropna=False).agg(
                     _n=("_n", "sum"), _s=("_s", "sum")
                 )
                 g["_set"] = np.int64(si)
@@ -163,7 +166,7 @@ def grouping_sets_aggregate(
             if not len(g):
                 e = empty().drop(columns=["_part"])
                 return e
-            m = g.groupby(["_set", *keys], sort=False, as_index=False).agg(
+            m = g.groupby(["_set", *keys], sort=False, as_index=False, dropna=False).agg(
                 _n=("_n", "sum"), _s=("_s", "sum")
             )
             return m.drop(columns=["_set"])
@@ -386,7 +389,24 @@ def ohlc_bars(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return pd.DataFrame()
+            # TYPED empty (key/id dtypes inherited from the zero-row
+            # input frame): a column-less pd.DataFrame() block would
+            # poison downstream schema unification / the _part groupby
+            return pd.DataFrame({
+                group_col: df[group_col],
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "o_ts": pd.Series([], dtype=np.int64),
+                "o_id": df[id_col],
+                "open_v": pd.Series([], dtype=np.float64),
+                "c_ts": pd.Series([], dtype=np.int64),
+                "c_id": df[id_col],
+                "close_v": pd.Series([], dtype=np.float64),
+                "high_v": pd.Series([], dtype=np.float64),
+                "low_v": pd.Series([], dtype=np.float64),
+                "n": pd.Series([], dtype=np.int64),
+                "sum_c": pd.Series([], dtype=np.int64),
+                "_part": pd.Series([], dtype=np.int64),
+            })
         ts_us = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         v = df[value_col].to_numpy(dtype=np.float64)
         p = pd.DataFrame(
@@ -638,6 +658,10 @@ def scd2_intervals(
         changed[0] = True
         changed[1:] = (s[1:] != s[:-1]) | new_key[1:]
         kept = g.loc[changed, [key, state_col, ts_col]].reset_index(drop=True)
+        # microsecond resolution throughout: a datetime64[ns] input
+        # would make the 9999-12-31 open-interval sentinel overflow
+        # (ns epoch ends 2262-04-11) and raise on every partition
+        kept[ts_col] = kept[ts_col].astype("datetime64[us]")
         ts = kept[ts_col].to_numpy()
         kk = kept[key].to_numpy()
         valid_to = np.empty(len(kept), dtype=ts.dtype)

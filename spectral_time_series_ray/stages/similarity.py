@@ -472,6 +472,9 @@ def pq_fit(
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
+    if n_codes > 256:
+        raise ValueError(
+            f"PQ n_codes={n_codes} exceeds the uint8 code range (256)")
     k = int(min(n_codes, max(2, n)))
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, sub), dtype=np.float64)
@@ -509,6 +512,10 @@ class _PQEncode:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         x = _normalize(_to_matrix(batch[self.col]))
         m, k, sub = self.books.shape
+        if k > 256:
+            # codes are uint8: more centroids would silently wrap
+            # modulo 256 and encode vectors against unrelated centroids
+            raise ValueError(f"PQ n_codes={k} exceeds the uint8 code range (256)")
         codes = np.empty((len(x), m), dtype=np.uint8)
         for j in range(m):
             xs = x[:, j * sub:(j + 1) * sub]

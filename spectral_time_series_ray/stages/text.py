@@ -90,6 +90,15 @@ def term_frequencies(ds, id_col: str = "doc_id", text_col: str = "text"):
             ids.extend([i] * len(uniq))
             terms.extend(uniq.tolist())
             tfs.extend(counts.tolist())
+        if not ids:
+            # TYPED empty: an all-blank batch must still contribute the
+            # exact (id dtype, string, int64) schema — a null/object
+            # empty block poisons the downstream hash join on "term"
+            return pd.DataFrame({
+                id_col: batch[id_col].iloc[:0],
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+            })
         return pd.DataFrame(
             {id_col: ids, "term": terms, "tf": np.asarray(tfs, dtype=np.int64)}
         )
@@ -356,7 +365,11 @@ def _explode_word_grams(ds, id_col: str, text_col: str, n: int, extra_cols=()):
             cols[c] = pa.array(v)
         if extra_cols and len(ids) == 0:
             for c in extra_cols:
-                cols[c] = pa.array([], type=pa.bool_())
+                # type from the SOURCE column's (zero-row) values, not a
+                # hardcoded bool — a string/int extra column would
+                # otherwise emit bool-typed empties that break Arrow
+                # schema unification across blocks
+                cols[c] = pa.Array.from_pandas(batch[c].iloc[:0])
         return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pandas")

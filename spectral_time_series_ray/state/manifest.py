@@ -33,11 +33,16 @@ MANIFEST_DIR = "_manifests"
 
 def input_fingerprint(paths: list[str]) -> str:
     """Cheap content identity for resume-safety: (path, size, mtime_ns)
-    over files (directories are expanded to their files)."""
+    over files (directories are expanded RECURSIVELY to their files —
+    a one-level listdir would stat nested hive partition dirs as inodes
+    whose mtime does not change when a file INSIDE them is rewritten,
+    so changed input would keep the old fingerprint and resume would
+    skip recomputation over stale output)."""
     files = []
     for p in paths:
         if os.path.isdir(p):
-            files += [os.path.join(p, n) for n in os.listdir(p)]
+            for root, _dirs, names in os.walk(p):
+                files += [os.path.join(root, n) for n in names]
         else:
             files.append(p)
     parts = []
@@ -122,9 +127,22 @@ def write_partitioned(
         # publish (or from a prior fingerprint): Ray write_parquet appends
         # by default, so clear exactly the target date dirs first — the
         # manifest, not the data files, is the completion record.
+        #
+        # CRASH-CONSISTENCY ORDER: retract each date's MANIFEST before
+        # touching its data.  The reverse order has a window (data
+        # deleted, manifest still published) where a crash leaves a
+        # valid-looking completion record over destroyed data — the
+        # next resume run would then skip the partition and the rows
+        # would be silently lost.  With manifest-first, a crash in the
+        # window merely re-counts the date as incomplete and it is
+        # rewritten.
         import shutil
 
+        mdir_pre = os.path.join(out_root, MANIFEST_DIR, tier)
         for date in counts:
+            mpath = os.path.join(mdir_pre, f"{date}.json")
+            if os.path.exists(mpath):
+                os.remove(mpath)
             pdir = os.path.join(tier_dir, f"date={date}")
             if os.path.isdir(pdir):
                 shutil.rmtree(pdir)

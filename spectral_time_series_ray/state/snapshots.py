@@ -619,24 +619,43 @@ def snapshot_diff(root: str, tier: str, v_from: int, v_to: int,
         "v_from": v_from, "v_to": v_to,
         "dates_skipped": skipped, "dates_compared": compared,
     }
-    empty = pd.DataFrame({
-        "change_type": pd.Series([], dtype=object),
-        **{k: pd.Series([], dtype=np.int64) for k in key_cols},
-        **{f"old_{c}": pd.Series([], dtype=np.float64) for c in value_cols},
-        **{f"new_{c}": pd.Series([], dtype=np.float64) for c in value_cols},
-    })
+    def _empty_template() -> pd.DataFrame:
+        # derive KEY dtypes from real data when any file exists —
+        # hardcoding int64 keys would give change-free runs a block
+        # schema irreconcilable with string-keyed tiers
+        key_dtypes = {k: np.int64 for k in key_cols}
+        sample = [os.path.join(root, f)
+                  for pm in (pa_, pb) for fs in pm.values() for f in fs]
+        if sample:
+            import pyarrow.parquet as pq
+
+            head = pq.read_table(sample[0], columns=key_cols).to_pandas()
+            key_dtypes = {k: head[k].dtype for k in key_cols}
+        return pd.DataFrame({
+            "change_type": pd.Series([], dtype=object),
+            **{k: pd.Series([], dtype=key_dtypes[k]) for k in key_cols},
+            **{f"old_{c}": pd.Series([], dtype=np.float64) for c in value_cols},
+            **{f"new_{c}": pd.Series([], dtype=np.float64) for c in value_cols},
+        })
+
     if not compared:
         report.update({"added": 0, "removed": 0, "changed": 0})
-        return ray.data.from_pandas(empty), report
+        return ray.data.from_pandas(_empty_template()), report
 
     def side_files(pmap):
         return [os.path.join(root, f) for d in compared for f in pmap.get(d, [])]
 
+    # the per-snapshot uniqueness invariant is PER DATE — carry the
+    # hive date column so the compare joins on (date, key): pooling
+    # all compared dates on the key alone would false-positive the
+    # duplicate-key check (and mis-join) for keys that legitimately
+    # recur on several dates
     cols = key_cols + value_cols
+    cols_d = ["date"] + cols
 
     def tag(side):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch[cols].copy()
+            batch = batch[cols_d].copy()
             batch["_side"] = np.int8(side)
             h = pd.util.hash_pandas_object(
                 batch[key_cols].astype(str).agg("|".join, axis=1), index=False
@@ -650,10 +669,10 @@ def snapshot_diff(root: str, tier: str, v_from: int, v_to: int,
     fb = side_files(pb)
     sides = []
     if fa:
-        sides.append(_read_physical(fa, cols).map_batches(
+        sides.append(_read_physical(fa, cols_d).map_batches(
             tag(0), batch_format="pandas", batch_size=None))
     if fb:
-        sides.append(_read_physical(fb, cols).map_batches(
+        sides.append(_read_physical(fb, cols_d).map_batches(
             tag(1), batch_format="pandas", batch_size=None))
     both = sides[0].union(*sides[1:]) if len(sides) > 1 else sides[0]
 
@@ -661,10 +680,11 @@ def snapshot_diff(root: str, tier: str, v_from: int, v_to: int,
         df = df.drop(columns=["_part"])
         a = df[df["_side"] == 0].drop(columns=["_side"])
         b = df[df["_side"] == 1].drop(columns=["_side"])
+        jk = ["date"] + key_cols
         for side in (a, b):
-            if side.duplicated(key_cols).any():
-                raise ValueError("duplicate keys within one snapshot")
-        m = a.merge(b, on=key_cols, how="outer", suffixes=("_old", "_new"),
+            if side.duplicated(jk).any():
+                raise ValueError("duplicate keys within one snapshot date")
+        m = a.merge(b, on=jk, how="outer", suffixes=("_old", "_new"),
                     indicator=True)
         old_v = m[[f"{c}_old" for c in value_cols]].to_numpy(np.float64)
         new_v = m[[f"{c}_new" for c in value_cols]].to_numpy(np.float64)
@@ -681,7 +701,9 @@ def snapshot_diff(root: str, tier: str, v_from: int, v_to: int,
         for c in value_cols:
             out[f"old_{c}"] = m[f"{c}_old"].to_numpy(np.float64)[keep]
             out[f"new_{c}"] = m[f"{c}_new"].to_numpy(np.float64)[keep]
-        return out if len(out) else empty.copy()
+        # a zero-row out keeps REAL dtypes (empty slices of the merged
+        # frame), so change-free groups unify with diff-bearing blocks
+        return out
 
     changes = both.groupby("_part").map_groups(
         compare, batch_format="pandas").materialize()
