@@ -339,8 +339,12 @@ def role_transition_matrix(ds, num_partitions: int | None = None):
         out = out.rename(columns={"size": "n"})
         out["_turns"] = np.int64(0)
         out["_convs"] = np.int64(0)
-        # totals travel on a dedicated sentinel row so a partition with
-        # zero transition pairs still contributes its counts
+        out["_tot"] = np.int8(0)
+        # totals travel on a dedicated sentinel ROW marked by the _tot
+        # FLAG column — not by an in-band role value: a legitimate
+        # empty-string role would otherwise have its outgoing
+        # transitions silently dropped, breaking the conservation
+        # invariant sum(n) == n_turns - n_convs
         totals = pd.DataFrame(
             {
                 "from_role": [""],
@@ -348,6 +352,7 @@ def role_transition_matrix(ds, num_partitions: int | None = None):
                 "n": np.array([0], dtype=np.int64),
                 "_turns": np.array([len(df)], dtype=np.int64),
                 "_convs": np.array([pd.unique(conv).size], dtype=np.int64),
+                "_tot": np.array([1], dtype=np.int8),
             }
         )
         return pd.concat([out, totals], ignore_index=True)
@@ -359,7 +364,7 @@ def role_transition_matrix(ds, num_partitions: int | None = None):
         .to_pandas()  # bounded: |roles|^2 x P rows
     )
     mat = (
-        parts[parts["from_role"] != ""]
+        parts[parts["_tot"] == 0]
         .groupby(["from_role", "to_role"], as_index=False)["n"]
         .sum()
         .sort_values(["from_role", "to_role"])
@@ -405,12 +410,19 @@ def tool_call_stats(ds, num_partitions: int | None = None):
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         conv = df["conv_id"].to_numpy()
         tus = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        # latency tracked in EXACT integer microseconds (-1 = no next
-        # turn): float-seconds accumulation across millions of calls
-        # drifts past the 0.5e-6 s fixed-decimal rounding margin at
-        # scale, while an int64 us sum is exact at any corpus size
-        next_us = np.full(len(df), -1, dtype=np.int64)
+        # latency tracked in EXACT integer microseconds: float-seconds
+        # accumulation across millions of calls drifts past the
+        # 0.5e-6 s fixed-decimal rounding margin at scale, while an
+        # int64 us sum is exact at any corpus size.  "no next turn" is
+        # a SEPARATE boolean derived from the conversation boundary —
+        # using the latency's sign as the sentinel would silently
+        # treat out-of-order timestamps (negative gaps) as missing and
+        # diverge from a SQL lead()-based oracle.
+        n_rows = len(df)
+        has_next_all = np.zeros(n_rows, dtype=bool)
         same = conv[1:] == conv[:-1]
+        has_next_all[:-1] = same
+        next_us = np.zeros(n_rows, dtype=np.int64)
         next_us[:-1][same] = (tus[1:] - tus[:-1])[same]
         is_tool = (df["role"].to_numpy() == "tool") & (df["tool"].to_numpy() != "")
         t = pd.DataFrame(
@@ -418,10 +430,9 @@ def tool_call_stats(ds, num_partitions: int | None = None):
                 "tool": df["tool"].to_numpy()[is_tool],
                 "conv": conv[is_tool],
                 "lat_us": next_us[is_tool],
+                "has_next": has_next_all[is_tool].astype(np.int64),
             }
         )
-        t["has_next"] = (t["lat_us"] >= 0).astype(np.int64)
-        t["lat_us"] = t["lat_us"].where(t["lat_us"] >= 0, 0)
         out = t.groupby("tool", as_index=False).agg(
             n_calls=("conv", "size"),
             n_convs=("conv", "nunique"),

@@ -67,6 +67,12 @@ def connected_components(
 
     P = num_partitions or partitions_for_input(None)
 
+    # materialize edges ONCE: every propagation round joins against
+    # them, and a lazy edges Dataset would re-execute its upstream
+    # pipeline (e.g. an expensive dedup pair miner) twice per round —
+    # pagerank and triangle_count in this module do the same
+    edges = edges.materialize()
+
     # round 0: label = min(node, min over incident edges)
     labels = (
         edges.map_batches(_edge_partials, batch_format="pyarrow", batch_size=None)
@@ -324,55 +330,13 @@ def pagerank(
     return ranks.select_columns(["node", "rank"])
 
 
-def triangle_count(
-    edges,
-    num_partitions: int | None = None,
-) -> int:
-    """Exact distributed triangle count over an undirected edge
-    Dataset ``(u: int64, v: int64)`` with ``u < v``, no duplicates,
-    node ids < 2^31 (pair keys pack into one int64).
-
-    Algorithm: degree-ordered orientation + wedge closure (the
-    MapReduce formulation of Suri & Vassilvitskii, WWW 2011; see also
-    Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009). Each
-    edge is oriented from the endpoint that is SMALLER in the total
-    order (degree, node id) to the larger; every node's out-degree is
-    then O(sqrt(m)), so the wedge expansion — all pairs of
-    out-neighbors per source — is bounded by m^1.5 overall with no
-    per-node hotspot, even for power-law graphs. A triangle
-    {a, b, c} ordered a<b<c by (deg, id) is counted exactly once: as
-    the wedge (b, c) at a, closed by the oriented edge b→c.
-
-    Exactly FOUR int-keyed exchanges (a first cut with a separate
-    degree rollup + two partition-merge joins + a semi-join ran eight
-    and spent ~16 s in fixed per-exchange overhead on a 3.5k-edge
-    graph):
-
-    1. each edge emits a copy keyed by EACH endpoint; a node's copies
-       all co-locate, so its degree is a local count and attaches in
-       the same pass (the vertex-cut degree-attach trick) — out come
-       per-edge HALF records (pair key, endpoint degree, side);
-    2. halves merge on the pair key (each appears exactly twice),
-       the edge orients by (deg, id), and oriented edges re-key by
-       source;
-    3. per-source wedge expansion emits closure-candidate pair keys;
-       oriented edges re-key by their own pair key in the same pass;
-    4. wedge keys and edge keys co-locate by pair-key hash; each
-       partition counts wedge keys present in its edge-key set and
-       the driver sums one int per partition.
-    """
-    edges = edges.materialize()
-    if num_partitions is None:
-        # size P by EDGE VOLUME, not the cluster-CPU floor: the wedge
-        # expansion multiplies partition memory by out-degree (target
-        # ~32 MB of raw edges per partition), while a tiny graph in
-        # 4*cpus partitions is pure scheduling overhead
-        m = edges.count()
-        num_partitions = max(4, -(-m * 24 // (32 << 20)))
-    P = num_partitions
-    # coalesce groupby-fan inputs (see pagerank) before the exchanges
-    if edges.num_blocks() > 4 * P:
-        edges = edges.repartition(4 * P).materialize()
+def _oriented_edges(edges, P: int):
+    """Shared degree-attach + orientation core of :func:`triangle_count`
+    and :func:`edge_jaccard`: two bounded exchanges produce each edge
+    oriented low-degree-first (ties by id) with both endpoint degrees
+    attached — columns (src, dst, du, dv, dk, _p3), where dk is the
+    (deg, id) order key of dst and _p3 hash-partitions by src.
+    Requires node ids in [0, 2^31) (packed int64 pair keys)."""
 
     def _tag(arr: np.ndarray) -> np.ndarray:
         return (
@@ -430,15 +394,75 @@ def triangle_count(
         dst = np.where(u_first, v, u)
         ddst = np.where(u_first, dv, du)
         out = pd.DataFrame({"src": src, "dst": dst,
+                            "du": np.where(u_first, du, dv),
+                            "dv": ddst,
                             "dk": ddst * (1 << 32) + dst})  # (deg,id) order key
         out["_p3"] = _tag(src)
         return out
 
-    oriented = (
+    return (
         halves.groupby("_p2")
         .map_groups(orient, batch_format="pandas")
         .materialize()
     )
+
+
+def triangle_count(
+    edges,
+    num_partitions: int | None = None,
+) -> int:
+    """Exact distributed triangle count over an undirected edge
+    Dataset ``(u: int64, v: int64)`` with ``u < v``, no duplicates,
+    node ids < 2^31 (pair keys pack into one int64).
+
+    Algorithm: degree-ordered orientation + wedge closure (the
+    MapReduce formulation of Suri & Vassilvitskii, WWW 2011; see also
+    Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009). Each
+    edge is oriented from the endpoint that is SMALLER in the total
+    order (degree, node id) to the larger; every node's out-degree is
+    then O(sqrt(m)), so the wedge expansion — all pairs of
+    out-neighbors per source — is bounded by m^1.5 overall with no
+    per-node hotspot, even for power-law graphs. A triangle
+    {a, b, c} ordered a<b<c by (deg, id) is counted exactly once: as
+    the wedge (b, c) at a, closed by the oriented edge b→c.
+
+    Exactly FOUR int-keyed exchanges (a first cut with a separate
+    degree rollup + two partition-merge joins + a semi-join ran eight
+    and spent ~16 s in fixed per-exchange overhead on a 3.5k-edge
+    graph):
+
+    1. each edge emits a copy keyed by EACH endpoint; a node's copies
+       all co-locate, so its degree is a local count and attaches in
+       the same pass (the vertex-cut degree-attach trick) — out come
+       per-edge HALF records (pair key, endpoint degree, side);
+    2. halves merge on the pair key (each appears exactly twice),
+       the edge orients by (deg, id), and oriented edges re-key by
+       source;
+    3. per-source wedge expansion emits closure-candidate pair keys;
+       oriented edges re-key by their own pair key in the same pass;
+    4. wedge keys and edge keys co-locate by pair-key hash; each
+       partition counts wedge keys present in its edge-key set and
+       the driver sums one int per partition.
+    """
+    edges = edges.materialize()
+    if num_partitions is None:
+        # size P by EDGE VOLUME, not the cluster-CPU floor: the wedge
+        # expansion multiplies partition memory by out-degree (target
+        # ~32 MB of raw edges per partition), while a tiny graph in
+        # 4*cpus partitions is pure scheduling overhead
+        m = edges.count()
+        num_partitions = max(4, -(-m * 24 // (32 << 20)))
+    P = num_partitions
+    # coalesce groupby-fan inputs (see pagerank) before the exchanges
+    if edges.num_blocks() > 4 * P:
+        edges = edges.repartition(4 * P).materialize()
+
+    oriented = _oriented_edges(edges, P).drop_columns(["du", "dv"])
+
+    def _tag(arr: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy() % P
+        ).astype(np.int32)
 
     # exchange 3 reduce: wedges per source; edges re-key by pair key
     # in the same co-partitioned stream (side=1 marks a real edge)
@@ -776,65 +800,12 @@ def edge_jaccard(edges, num_partitions: int | None = None):
             pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy() % P
         ).astype(np.int32)
 
-    def copies(b: pd.DataFrame) -> pd.DataFrame:
-        u = b["u"].to_numpy(np.int64)
-        v = b["v"].to_numpy(np.int64)
-        key = np.concatenate([u, v])
-        out = pd.DataFrame({
-            "key": key,
-            "u": np.concatenate([u, u]),
-            "v": np.concatenate([v, v]),
-        })
-        out["_part"] = _tag(out["key"].to_numpy())
-        return out
+    oriented = _oriented_edges(edges, P)
 
-    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["key"].to_numpy(np.int64)
-        uniq, inv, counts = np.unique(key, return_inverse=True,
-                                      return_counts=True)
-        deg = counts[inv]
-        u = g["u"].to_numpy(np.int64)
-        v = g["v"].to_numpy(np.int64)
-        pk = u * (1 << 32) + v
-        out = pd.DataFrame({
-            "pk": pk,
-            "deg": deg.astype(np.int64),
-            "is_u": key == u,
-        })
-        out["_p2"] = _tag(pk)
-        return out
-
-    halves = (
-        edges.map_batches(copies, batch_format="pandas", batch_size=None)
-        .groupby("_part")
-        .map_groups(attach_deg, batch_format="pandas")
-    )
-
-    def orient(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["pk", "is_u"], ascending=[True, False],
-                          kind="stable")
-        pk = g["pk"].to_numpy(np.int64)
-        deg = g["deg"].to_numpy(np.int64)
-        du, dv = deg[0::2], deg[1::2]
-        upk = pk[0::2]
-        u = upk >> 32
-        v = upk & ((1 << 32) - 1)
-        u_first = (du < dv) | ((du == dv) & (u < v))
-        src = np.where(u_first, u, v)
-        dst = np.where(u_first, v, u)
-        ddst = np.where(u_first, dv, du)
-        out = pd.DataFrame({"src": src, "dst": dst,
-                            "du": np.where(u_first, du, dv),
-                            "dv": ddst,
-                            "dk": ddst * (1 << 32) + dst})
-        out["_p3"] = _tag(src)
-        return out
-
-    oriented = (
-        halves.groupby("_p2")
-        .map_groups(orient, batch_format="pandas")
-        .materialize()
-    )
+    def _tag(arr: np.ndarray) -> np.ndarray:
+        return (
+            pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy() % P
+        ).astype(np.int32)
 
     # wedges carry their CENTER so closure can credit all 3 edges
     def wedge_part(g: pd.DataFrame) -> pd.DataFrame:

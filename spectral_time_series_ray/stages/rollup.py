@@ -574,14 +574,25 @@ def rollup_mergeable(
         _partial_batch((key, BUCKET_COL), value_cols), batch_format="pyarrow"
     )
     if salt:
+        # the first-level merge must SHUFFLE on (key-hash, salt) — a
+        # first shuffle on the key alone would route every salt
+        # sub-group of a hot key to ONE reducer, delivering none of the
+        # skew spreading the salt exists for (and paying an extra pass
+        # anyway).  _sk gives each (key, salt) pair its own shuffle
+        # key; hash collisions are harmless because the in-partition
+        # merge still groups by the real (key, bucket).
         def add_salt(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "_salt", pa.array(np.arange(len(batch)) % salt, pa.int32())
-            )
+            n = len(batch)
+            salt_col = (np.arange(n) % salt).astype(np.int64)
+            h = pd.util.hash_pandas_object(
+                batch[key].to_pandas(), index=False
+            ).to_numpy()
+            sk = ((h % np.uint64(1 << 31)).astype(np.int64) * salt + salt_col)
+            return batch.append_column("_sk", pa.array(sk, pa.int64()))
 
         ds = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
-        ds = _merge(ds, [key, BUCKET_COL, "_salt"], value_cols, style="arrow")
-        ds = ds.drop_columns(["_salt"])
+        ds = _merge(ds, ["_sk", key, BUCKET_COL], value_cols, style="arrow")
+        ds = ds.drop_columns(["_sk"])
         merged = _merge_partitioned(ds, key, value_cols, style="merged")
     else:
         merged = _merge_partitioned(ds, key, value_cols, style="arrow")

@@ -27,18 +27,23 @@ def sample_series(ds, key: str, n: int, mode: str = "uniform", seed: int = 42):
     cardinalities where that is too big, use
     :func:`split_assign`-style hash selection, which trades the exact
     ``n`` for a binomial ``n`` with no driver state)."""
+    # validate the mode BEFORE any work: a typo'd mode must raise, not
+    # silently return the full dataset via the n >= #series early exit;
+    # mode='none' must not pay the distributed count it discards
+    if mode not in ("none", "uniform", "proportional"):
+        raise ValueError(f"unknown sampling mode: {mode!r}")
+    if mode == "none":
+        return ds
     counts = ds.groupby(key).count().to_pandas()
     keys = counts[key].to_numpy()
-    if n >= len(keys) or mode == "none":
+    if n >= len(keys):
         return ds
     rng = np.random.default_rng(seed)
     if mode == "uniform":
         chosen = rng.choice(keys, size=n, replace=False)
-    elif mode == "proportional":
+    else:  # proportional
         w = counts["count()"].to_numpy(dtype=np.float64)
         chosen = rng.choice(keys, size=n, replace=False, p=w / w.sum())
-    else:
-        raise ValueError(f"unknown sampling mode: {mode!r}")
     return semi_join_keys(ds, set(chosen.tolist()), key)
 
 
@@ -85,7 +90,10 @@ def weighted_union(datasets_with_weights, key: str | None = None, fractional_mod
                 # one row per series: the aggregated key list is small
                 keys = sorted(r[key] for r in ds.groupby(key).count().take_all())
                 n = len(keys)
-                r = math.ceil(n * w) - full * n
+                # round-guard the float product before ceil: 110 * 1.1
+                # is 121.00000000000001 in float64 and a raw ceil would
+                # replicate one extra series past the exact target
+                r = math.ceil(round(n * w, 9)) - full * n
                 if r > 0:
                     parts.append(semi_join_keys(ds, set(keys[:r]), key))
     if not parts:
@@ -376,9 +384,14 @@ def bottom_k_sample(
             h = fnv1a_u64([str(v) for v in col])
         batch = batch.copy()
         batch["_tag"] = hash_u64(h ^ np.uint64(seed))
-        # partial cut: at most k rows per key leave the block
+        # partial cut: at most k rows per key leave the block.
+        # Tie-break equal tags (duplicate ids / hash collisions) on the
+        # id itself — sorting on _tag alone would make the k-boundary
+        # row depend on block layout, breaking the documented
+        # determinism across partitionings (stratified_sample already
+        # tie-breaks the same way)
         return (
-            batch.sort_values("_tag", kind="stable")
+            batch.sort_values(["_tag", id_col], kind="stable")
             .groupby(key, sort=False)
             .head(k)
         )
@@ -386,7 +399,7 @@ def bottom_k_sample(
     partials = ds.map_batches(tag, batch_format="pandas", batch_size=None)
 
     def cut(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values("_tag", kind="stable").head(k)
+        out = g.sort_values(["_tag", id_col], kind="stable").head(k)
         return out.drop(columns=["_tag"])
 
     return partials.groupby(key).map_groups(cut, batch_format="pandas")

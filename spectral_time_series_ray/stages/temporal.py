@@ -176,9 +176,11 @@ def counter_increase(
 
     def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
+            # key dtype from the (zero-row) input — a hardcoded int64
+            # empty mismatches string keys and poisons block schemas
             return pd.DataFrame(
                 {
-                    key: pd.Series([], dtype=np.int64),
+                    key: df[key] if key in df else pd.Series([], dtype=np.int64),
                     "n_samples": pd.Series([], dtype=np.int64),
                     "n_resets": pd.Series([], dtype=np.int64),
                     "total_increase": pd.Series([], dtype=np.float64),
@@ -248,7 +250,7 @@ def interval_coverage(
         if len(df) == 0:
             return pd.DataFrame(
                 {
-                    key: pd.Series([], dtype=np.int64),
+                    key: df[key] if key in df else pd.Series([], dtype=np.int64),
                     "n_intervals": pd.Series([], dtype=np.int64),
                     "n_islands": pd.Series([], dtype=np.int64),
                     "covered_s": pd.Series([], dtype=np.float64),
